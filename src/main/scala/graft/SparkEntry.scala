@@ -1,13 +1,115 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+import graft.operators.Nearest
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2; entries
+  * with an ANSI-SQL-expressible formulation also appear in `oracleSql`
+  * (run by the driver in DuckDB over the same parquet). Scores are
+  * rounded to 6 decimals on BOTH sides and every ordering carries a
+  * deterministic tie-break key (SURVEY §2.4 items 1-3, §7.4 float
+  * policy). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Top-5 cosine neighbors of vec_id=0 — the reference's `nearest()`
+    * golden path (R/core.R:241-328). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("nearest_cosine")(spark, "/root/testdata/sf0.001")
+
+  /** The query embedding as a broadcastable single-row frame (qe). The
+    * query side of `nearest` is a one-row dimension — Catalyst plans a
+    * BroadcastNestedLoopJoin, i.e. the query vector rides to every
+    * executor exactly like the reference broadcasts it into its scoring
+    * loop (R/core.R:287-292), with no shuffle of the big side. */
+  private def queryVec(spark: SparkSession, sfDir: String, id: Long): DataFrame =
+    Tables(spark, sfDir, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding").as("qe"))
+
+  private def nearestBy(method: String, n: Int, minScore: Double = 0.0)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val scored = e.crossJoin(broadcast(queryVec(spark, sfDir, 0)))
+    Nearest.topK(
+      scored.select(col("vec_id"), col("embedding"), col("qe")),
+      embCol = "embedding", queryVec = col("qe"),
+      n = n, method = method, minScore = minScore,
+      tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 #8 nearest — three scoring methods + min_score
+    "nearest_cosine"    -> ((s, d) => nearestBy("cosine", 5)(s, d)),
+    "nearest_dot"       -> ((s, d) => nearestBy("dot", 5)(s, d)),
+    "nearest_euclidean" -> ((s, d) => nearestBy("euclidean", 5)(s, d)),
+    "nearest_minscore"  -> ((s, d) => nearestBy("cosine", 20, minScore = 0.1)(s, d)),
+    // inherited relational surface (§2.2): TPC-H-ish pricing summary
+    "q1_agg" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+  )
+
+  /** DuckDB-runnable oracle per query (same tables, same column names,
+    * same rounding, same ORDER BY). The dot/norm sums are computed in
+    * DOUBLE with an explicit per-index expansion (embedding dim is 64,
+    * FIXTURES.md B1) so both engines do float→double widening before
+    * accumulating — list_cosine_similarity would accumulate in float32
+    * and diverge past 1e-6. */
+  def oracleSql: Map[String, String] = {
+    def scoredCte =
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id AS vec_id,
+        |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+        |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+        |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb,
+        |         sum((CAST(e.embedding[r.i] AS DOUBLE) - CAST(q.qe[r.i] AS DOUBLE))
+        |             * (CAST(e.embedding[r.i] AS DOUBLE) - CAST(q.qe[r.i] AS DOUBLE))) AS dsq
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
+        |  GROUP BY e.vec_id
+        |)""".stripMargin
+    val cosine = "CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END"
+    Map(
+      "nearest_cosine" ->
+        s"""$scoredCte
+           |SELECT vec_id, round($cosine, 6) AS similarity
+           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+      "nearest_dot" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(dot, 6) AS similarity
+           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+      "nearest_euclidean" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(1.0 / (1.0 + sqrt(dsq)), 6) AS similarity
+           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+      "nearest_minscore" ->
+        s"""$scoredCte
+           |SELECT vec_id, round($cosine, 6) AS similarity
+           |FROM s WHERE $cosine >= 0.1
+           |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(avg(l_quantity), 6) AS avg_qty,
+          |       count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    )
+  }
 }

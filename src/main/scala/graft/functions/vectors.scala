@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+import graft.expressions._
+
+/**
+ * Column API over the graft vector expressions — the Scala-facing verbs
+ * analogous to the reference's similarity closures
+ * (/root/reference/R/core.R:267-278). All return DoubleType scores.
+ */
+object vectors {
+  private def binary(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                         org.apache.spark.sql.catalyst.expressions.Expression) =>
+                        org.apache.spark.sql.catalyst.expressions.Expression)
+                    (a: Column, b: Column): Column =
+    ExpressionUtils.column(f(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Σ aᵢ·bᵢ */
+  def dot_product(a: Column, b: Column): Column = binary(DotProduct.apply)(a, b)
+
+  /** dot/(‖a‖·‖b‖); 0.0 on zero-norm input (SURVEY §2.4.2 guard). */
+  def cosine_similarity(a: Column, b: Column): Column = binary(CosineSimilarity.apply)(a, b)
+
+  /** √Σ(aᵢ-bᵢ)² */
+  def l2_distance(a: Column, b: Column): Column = binary(L2Distance.apply)(a, b)
+
+  /** Bounded euclidean similarity 1/(1+d) ∈ (0,1] — reference method
+    * "euclidean" (R/core.R:272-274): a similarity, not a distance. */
+  def euclidean_similarity(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + l2_distance(a, b))
+
+  /** ‖a‖₂ */
+  def vector_norm(a: Column): Column =
+    ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
+
+  /** a/‖a‖₂ preserving element type; zero vector unchanged. */
+  def l2_normalize(a: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(a)))
+
+  /** Similarity by reference method name ("cosine" | "euclidean" | "dot"),
+    * mirroring nearest()'s method arg (R/core.R:241,267-278). */
+  def similarity(a: Column, b: Column, method: String): Column = method match {
+    case "cosine"    => cosine_similarity(a, b)
+    case "euclidean" => euclidean_similarity(a, b)
+    case "dot"       => dot_product(a, b)
+    case other       => throw new IllegalArgumentException(
+      s"unknown similarity method '$other' (expected cosine|euclidean|dot)")
+  }
+}
