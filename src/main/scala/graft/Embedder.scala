@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, RegexTokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.HashingEmbed
+
+/**
+ * Content → vector, the engine analog of the reference's `embedding_fn`
+ * attribute (/root/reference/R/core.R:45-50). The reference stores a
+ * *closure* (capturing a loaded torch model or a fitted TF-IDF
+ * vocabulary, R/embedders.R:29-31,335-366); closures don't serialize to
+ * executors, so graft uses named, registry-resolvable embedders whose
+ * state is either pure parameters (hashing) or an ML model with its own
+ * distributed persistence (TF-IDF PipelineModel). Neural inference is
+ * out of scope in this zero-egress JVM build; the trait is the seam
+ * where a real model-serving embedder would plug in (batched per
+ * partition, one model per executor).
+ *
+ * Batching: the reference chunks to batches of 32 (R/core.R:164) to
+ * amortize model overhead; in Spark the partition is the batch and
+ * whole-stage codegen amortizes per-row overhead — nothing to tune.
+ */
+trait Embedder extends Serializable {
+  /** Registry key. */
+  def name: String
+  /** Output dimensionality (vocabulary size for TF-IDF). */
+  def dim: Int
+  /** Re-instantiation parameters for the sidecar. */
+  def params: Map[String, String]
+  /** Append `outCol: array<float>` computed from `contentCol`. */
+  def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame
+  /** Embed one driver-side query string (the `nearest(query=...)` path,
+    * R/core.R:252-260). */
+  def embedQuery(spark: SparkSession, text: String): Array[Float] = {
+    import spark.implicits._
+    val row = embed(Seq(text).toDF("__graft_text"), "__graft_text", "__graft_emb")
+      .select("__graft_emb").head()
+    row.getSeq[Float](0).toArray
+  }
+  /** Persist model state under `dir` (no-op for parameter-only embedders). */
+  def save(dir: String): Unit = ()
+}
+
+/**
+ * Feature-hashing embedder over whitespace tokens — deterministic,
+ * dependency-free, fixed-dim, L2-normalized (the invariants every HF
+ * embedder in the reference guarantees, R/embedders.R:56..309). One
+ * codegen-stage column expression: no shuffle, no model broadcast.
+ */
+case class HashingEmbedder(override val dim: Int = 64, seed: Int = 42) extends Embedder {
+  override def name: String = "hashing"
+  override def params: Map[String, String] = Map("dim" -> dim.toString, "seed" -> seed.toString)
+  override def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      ColumnBridge.column(HashingEmbed(ColumnBridge.expression(col(contentCol)), dim, seed)))
+}
+
+/**
+ * Frozen-vocabulary TF-IDF, the reference's `embedder_tfidf`
+ * (/root/reference/R/embedders.R:335-366): fit once on a corpus
+ * (lowercase word tokens, vocabulary pruned by a min-frequency
+ * threshold, IDF weights), then transform any text against the frozen
+ * vocabulary. Vector dim = vocabulary size. Implemented as a fitted
+ * spark.ml Pipeline (RegexTokenizer → CountVectorizer → IDF) — the
+ * PipelineModel *is* the frozen closure, with distributed persistence
+ * for the write_vec/read_vec round trip (R/core.R:412-442).
+ *
+ * Divergence note: the reference prunes by total term count
+ * (`term_count_min`); CountVectorizer prunes by document frequency
+ * (minDF). Same intent (drop rare terms), different counter; the
+ * vignette's 5-doc corpus behaves identically.
+ */
+class TfIdfEmbedder private (val model: PipelineModel, val minFreq: Int) extends Embedder {
+  override def name: String = "tfidf"
+  override lazy val dim: Int =
+    model.stages(1).asInstanceOf[CountVectorizerModel].vocabulary.length
+  override def params: Map[String, String] = Map("min_freq" -> minFreq.toString)
+
+  override def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame = {
+    val prepped = df.withColumn(TfIdfEmbedder.TextCol, col(contentCol))
+    model.transform(prepped)
+      .withColumn(outCol, vector_to_array(col(TfIdfEmbedder.TfIdfCol), "float32"))
+      .drop(TfIdfEmbedder.TextCol, TfIdfEmbedder.TokensCol, TfIdfEmbedder.TfCol, TfIdfEmbedder.TfIdfCol)
+  }
+
+  /** The reference errors when no query term is in-vocabulary
+    * (R/embedders.R:359-361) rather than returning a zero vector. */
+  override def embedQuery(spark: SparkSession, text: String): Array[Float] = {
+    val v = super.embedQuery(spark, text)
+    if (v.forall(_ == 0f))
+      throw new IllegalArgumentException(
+        s"none of the query terms are in the TF-IDF vocabulary: '$text'")
+    v
+  }
+
+  override def save(dir: String): Unit = model.write.overwrite().save(dir)
+}
+
+object TfIdfEmbedder {
+  private[graft] val TextCol = "__graft_text"
+  private[graft] val TokensCol = "__graft_tokens"
+  private[graft] val TfCol = "__graft_tf"
+  private[graft] val TfIdfCol = "__graft_tfidf"
+
+  def fit(corpus: DataFrame, textCol: String, minFreq: Int = 2): TfIdfEmbedder = {
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(TextCol).setOutputCol(TokensCol)
+        .setPattern("\\s+").setToLowercase(true),
+      new CountVectorizer().setInputCol(TokensCol).setOutputCol(TfCol)
+        .setMinDF(minFreq.toDouble),
+      new IDF().setInputCol(TfCol).setOutputCol(TfIdfCol)))
+    val prepped = corpus.withColumn(TextCol, col(textCol))
+    new TfIdfEmbedder(pipeline.fit(prepped), minFreq)
+  }
+
+  def load(dir: String, minFreq: Int): TfIdfEmbedder =
+    new TfIdfEmbedder(PipelineModel.load(dir), minFreq)
+}
+
+/** Name → embedder resolution for the read_vec path (the reference gets
+  * this for free because qs serializes closures, R/core.R:421-439; we
+  * re-resolve from the sidecar spec instead). */
+object EmbedderRegistry {
+  def load(name: String, params: Map[String, String], modelDir: String): Embedder = name match {
+    case "hashing" => HashingEmbedder(
+      dim = params.getOrElse("dim", "64").toInt,
+      seed = params.getOrElse("seed", "42").toInt)
+    case "tfidf" => TfIdfEmbedder.load(modelDir, params.getOrElse("min_freq", "2").toInt)
+    case other => throw new IllegalArgumentException(s"unknown embedder '$other'")
+  }
+}

@@ -43,6 +43,13 @@ object SparkEntry {
       .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
   }
 
+  /** Hybrid/keyword query text: "batch batch scan vector" carries a
+    * duplicate term on purpose — the reference counts duplicate *query*
+    * terms per occurrence (R/core.R:308, SURVEY §2.4.4), so `batch`
+    * contributes twice. */
+  private val KwQuery = "batch batch scan vector"
+  private val KwTerms = KwQuery.toLowerCase.split("\\s+").toSeq
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 #8 nearest — three scoring methods + min_score
@@ -50,6 +57,39 @@ object SparkEntry {
     "nearest_dot"       -> ((s, d) => nearestBy("dot", 5)(s, d)),
     "nearest_euclidean" -> ((s, d) => nearestBy("euclidean", 5)(s, d)),
     "nearest_minscore"  -> ((s, d) => nearestBy("cosine", 20, minScore = 0.1)(s, d)),
+    // §2 #10 inspect_collection as one aggregation pass
+    "inspect_collection" -> ((s, d) =>
+      Tables(s, d, "embeddings").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("embedding")).as("n_embedded"),
+        min(size(col("embedding"))).cast("long").as("dim"))),
+    // §2 #8 hybrid path, keyword-only weight (w=1) — SQL-expressible half
+    "keyword_search" -> ((s, d) =>
+      Nearest.topK(
+        Tables(s, d, "documents"),
+        embCol = "text", // unused at w=1.0 but must exist; see queryVec null
+        queryVec = lit(null).cast("array<float>"),
+        n = 20, minScore = 0.0, keywordWeight = 1.0,
+        keywordColumn = Some("text"), queryText = Some(KwQuery),
+        tieBreakers = Seq(asc("doc_id")))
+        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))),
+    // §2 #7 embed with the deterministic hashing embedder (no SQL analog
+    // of MurmurHash3 in DuckDB → rows-only check; invariants in ScalaTest)
+    "embed_hashing" -> ((s, d) => {
+      val vf = VecFrame.vec(Tables(s, d, "documents"),
+        embedder = Some(HashingEmbedder(dim = 64))).embed("text")
+      vf.df.select(col("doc_id"), size(col("embedding")).cast("long").as("dim"),
+        round(vectors.vector_norm(col("embedding")), 6).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2 #8 full hybrid: (1-w)·cosine + w·keyword over hashing embeddings
+    "hybrid_search" -> ((s, d) => {
+      val vf = VecFrame.vec(Tables(s, d, "documents"),
+        embedder = Some(HashingEmbedder(dim = 64))).embed("text")
+      vf.nearest(KwQuery, n = 20, keywordWeight = 0.3,
+        keywordColumn = Some("text"), tieBreakers = Seq(asc("doc_id")))
+        .df.select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
+    }),
     // inherited relational surface (§2.2): TPC-H-ish pricing summary
     "q1_agg" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -101,6 +141,17 @@ object SparkEntry {
            |SELECT vec_id, round($cosine, 6) AS similarity
            |FROM s WHERE $cosine >= 0.1
            |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
+      "inspect_collection" ->
+        """SELECT count(*) AS n_rows, count(embedding) AS n_embedded,
+          |       min(len(embedding)) AS dim FROM embeddings""".stripMargin,
+      "keyword_search" -> {
+        val hits = KwTerms.map(t =>
+          s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '$t') THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""SELECT doc_id, round($hits / ${KwTerms.length}.0, 6) AS similarity
+           |FROM documents
+           |ORDER BY similarity DESC, doc_id LIMIT 20""".stripMargin
+      },
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty,

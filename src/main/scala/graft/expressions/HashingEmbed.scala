@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic feature-hashing text embedder: lowercase, split on
+ * whitespace, hash each token into one of `dim` signed buckets, then
+ * L2-normalize. This is the JVM stand-in for the reference's neural
+ * embedders (/root/reference/R/embedders.R:9-327) — same *shape*
+ * semantics (fixed dim, L2-normalized at the source as all HF variants
+ * are, R/embedders.R:56,85,...,309), fully deterministic so tests and
+ * oracles can rely on it, and zero-dependency so it runs on any
+ * executor.
+ *
+ * Hash is Scala's MurmurHash3 string hash with a fixed seed — stable
+ * across JVMs and Spark versions. Empty/blank text yields the zero
+ * vector (kept as-is, NOT normalized).
+ */
+case class HashingEmbed(child: Expression, dim: Int, seed: Int = 42)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashing_embed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashing_embed requires a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val out = new Array[Float](dim)
+    val toks = text.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (tok.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed)
+        val idx = java.lang.Math.floorMod(h, dim)
+        // sign from a bit not used by the bucket index
+        out(idx) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+      }
+      i += 1
+    }
+    var s = 0.0; i = 0
+    while (i < dim) { s += out(i).toDouble * out(i); i += 1 }
+    val norm = math.sqrt(s)
+    if (norm > 0.0) { i = 0; while (i < dim) { out(i) = (out(i) / norm).toFloat; i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -62,17 +62,20 @@ object Nearest {
       queryText: Option[String] = None,
       simCol: String = "similarity",
       tieBreakers: Seq[Column] = Nil): DataFrame = {
-    // NULL embedding → 0, the reference's unembedded-row rule.
-    val vecSim = coalesce(vectors.similarity(col(embCol), queryVec, method), lit(0.0))
+    def kw: Column = (keywordColumn, queryText) match {
+      case (Some(c), Some(q)) => keywordScore(col(c), q)
+      case _ => throw new IllegalArgumentException(
+        "hybrid search needs keywordColumn and queryText")
+    }
+    // NULL embedding → 0, the reference's unembedded-row rule. At
+    // keywordWeight = 1 the vector term is never built, so a collection
+    // with no (or non-array) embedding column still supports pure
+    // keyword search.
+    def vecSim: Column = coalesce(vectors.similarity(col(embCol), queryVec, method), lit(0.0))
     val score =
-      if (keywordWeight > 0.0) {
-        val kw = (keywordColumn, queryText) match {
-          case (Some(c), Some(q)) => keywordScore(col(c), q)
-          case _ => throw new IllegalArgumentException(
-            "hybrid search needs keywordColumn and queryText")
-        }
-        vecSim * lit(1.0 - keywordWeight) + kw * lit(keywordWeight)
-      } else vecSim
+      if (keywordWeight >= 1.0) kw
+      else if (keywordWeight > 0.0) vecSim * lit(1.0 - keywordWeight) + kw * lit(keywordWeight)
+      else vecSim
     df.withColumn(simCol, score)
       .filter(col(simCol) >= lit(minScore))
       .orderBy(desc(simCol) +: tieBreakers: _*)
