@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.vectors
-import graft.operators.Nearest
+import graft.operators.{Dedup, Nearest, SimJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +90,50 @@ object SparkEntry {
         keywordColumn = Some("text"), tieBreakers = Seq(asc("doc_id")))
         .df.select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
     }),
+    // §2.3 J: k-NN similarity join (10 queries × corpus, k=3)
+    "simjoin_knn" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      SimJoin.knnJoin(q, e, "query_id", "qe", "embedding", k = 3,
+        corpusTieBreak = Seq(asc("vec_id")))
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
+    // §2.3 D: embedding-cosine near-dup pairs (exact threshold self-join)
+    "neardup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(Tables(s, d, "embeddings"), "embedding", "vec_id", 0.35)
+        .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("id1"), col("id2"))),
+    // §2.3 D: exact dedup groups (representative + multiplicity)
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables(s, d, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies")).orderBy(col("doc_id"))),
+    // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
+    "dedup_jaccard" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.8,
+        shingleSize = 1, groupCol = Some("source"))
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // §2.3 D: MinHash-LSH near-dedup survivors (approx recall; no SQL analog)
+    "dedup_minhash" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    // §2.3 J at scale: LSH-pruned cosine self-join (candidate pruning +
+    // exact re-score; recall is approximate so no oracle — ScalaTest
+    // checks recall against the exact join)
+    "ann_cosine_lsh" -> ((s, d) =>
+      SimJoin.approxCosineSelfJoin(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bucketLength = 0.5, numHashTables = 6)
+        .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("id1"), col("id2"))),
     // inherited relational surface (§2.2): TPC-H-ish pricing summary
     "q1_agg" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -141,6 +185,53 @@ object SparkEntry {
            |SELECT vec_id, round($cosine, 6) AS similarity
            |FROM s WHERE $cosine >= 0.1
            |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
+      "simjoin_knn" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          |p AS (
+          |  SELECT q.query_id, e.vec_id,
+          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY q.query_id, e.vec_id),
+          |scored AS (SELECT query_id, vec_id,
+          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+          |  FROM p),
+          |ranked AS (SELECT query_id, vec_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+          |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
+          |ORDER BY query_id, similarity DESC, vec_id""".stripMargin,
+      "neardup_embedding" ->
+        """WITH p AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY a.vec_id, b.vec_id),
+          |scored AS (SELECT id1, id2,
+          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+          |  FROM p)
+          |SELECT id1, id2, round(cos, 6) AS similarity FROM scored
+          |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+      "dedup_jaccard" ->
+        """WITH d AS (SELECT doc_id, source,
+          |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> len(t) > 0)) AS toks
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT b.doc_id AS dropped
+          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+          |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+          |        THEN len(list_intersect(a.toks, b.toks)) * 1.0
+          |             / len(list_distinct(list_concat(a.toks, b.toks)))
+          |        ELSE 0.0 END >= 0.8)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT dropped FROM pairs) ORDER BY doc_id""".stripMargin,
       "inspect_collection" ->
         """SELECT count(*) AS n_rows, count(embedding) AS n_embedded,
           |       min(len(embedding)) AS dim FROM embeddings""".stripMargin,

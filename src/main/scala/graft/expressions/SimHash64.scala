@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/**
+ * 64-bit SimHash document fingerprint over lowercase whitespace tokens
+ * (optionally word n-gram shingles): per-bit majority vote of token
+ * hashes. Near-duplicate texts land within a small Hamming distance;
+ * identical shingle multisets produce identical fingerprints, so exact
+ * grouping on the fingerprint is a cheap first-stage dedup at scale —
+ * one narrow column, shuffle on a long.
+ *
+ * Deterministic: two fixed-seed MurmurHash3 32-bit hashes concatenated
+ * to 64 bits. Empty/blank text fingerprints to 0L.
+ */
+case class SimHash64(child: Expression, shingleSize: Int = 1, seed: Int = 42)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    val votes = new Array[Int](64)
+    val n = math.max(0, toks.length - shingleSize + 1)
+    var i = 0
+    while (i < n) {
+      val shingle =
+        if (shingleSize == 1) toks(i)
+        else toks.slice(i, i + shingleSize).mkString(" ")
+      val h = (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
+        (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.SimHash64
+import graft.functions.vectors
+
+/**
+ * Deduplication for LLM-training-data pipelines (SURVEY §2.3 D) — the
+ * full ladder, cheapest first:
+ *
+ *   1. exact          — hash-groupBy on content; one shuffle of narrow keys
+ *   2. simhash        — 64-bit fingerprint; exact-bucket grouping catches
+ *                       token-reorder/near-identical docs at the same cost
+ *                       as exact dedup
+ *   3. minhashLsh     — shingle → MinHash → banded LSH join; near-dup
+ *                       detection with sub-quadratic candidate pairs
+ *   4. jaccardNearDup — exact n-gram Jaccard on (optionally blocked)
+ *                       pairs; the precision baseline the approximate
+ *                       tiers are measured against
+ *   5. embedding near-dup — semantic dedup via SimJoin.thresholdSelfJoin
+ *                       / approxCosineSelfJoin on an embedding column
+ *
+ * All near-dup tiers share one keep rule: a row is DROPPED iff some
+ * surviving-candidate row with a smaller id matches it (pair rule
+ * id_keep < id_drop). This is single-pass (no transitive closure): for
+ * chains a~b~c with a≁c, b drops and c survives via the a<c non-match —
+ * deterministic, order-independent, and the standard trade at corpus
+ * scale where full connected components would need iterative joins.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the min-id row per duplicate group. Shuffles a
+    * 64-bit hash + id, never the payload; the survivor set comes back
+    * via a broadcast-able semi-join at typical dup rates. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-group summary (representative id + multiplicity) — the
+    * audit view of `exact`. */
+  def exactGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Append a 64-bit SimHash fingerprint column. */
+  def withSimHash(df: DataFrame, textCol: String, outCol: String = "simhash",
+      shingleSize: Int = 1): DataFrame =
+    df.withColumn(outCol,
+      ColumnBridge.column(SimHash64(ColumnBridge.expression(col(textCol)), shingleSize)))
+
+  /** SimHash dedup: fingerprint then exact-bucket keep-min-id. */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 1): DataFrame =
+    exact(withSimHash(df, textCol, shingleSize = shingleSize), Seq("simhash"), idCol)
+      .drop("simhash")
+
+  private def shingles(textCol: Column, n: Int): Column = {
+    val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+    if (n == 1) array_distinct(toks)
+    else {
+      // sequence(0, size-n) only when size >= n: sequence() with a
+      // negative end would count DOWN, fabricating shingles
+      val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+        .otherwise(array().cast("array<int>"))
+      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+  }
+
+  /** Exact word-n-gram Jaccard similarity of two text columns (shingle
+    * *sets* — duplicates collapse, unlike the hybrid keyword score). */
+  def jaccard(a: Column, b: Column, shingleSize: Int = 1): Column = {
+    val (sa, sb) = (shingles(a, shingleSize), shingles(b, shingleSize))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs (id1 < id2, similarity ≥ t),
+    * optionally blocked on a grouping column to band the O(n²). */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 1, groupCol: Option[String] = None): DataFrame = {
+    val withSh = df.select(Seq(col(idCol), col(textCol)) ++ groupCol.map(col): _*)
+      .withColumn("__sh", shingles(col(textCol), shingleSize))
+    val a = withSh.select(Seq(col(idCol).as("id1"), col("__sh").as("__sh1")) ++
+      groupCol.map(c => col(c).as("__g1")): _*)
+    val b = withSh.select(Seq(col(idCol).as("id2"), col("__sh").as("__sh2")) ++
+      groupCol.map(c => col(c).as("__g2")): _*)
+    val cond = groupCol.map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
+      .getOrElse(col("id1") < col("id2"))
+    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
+    val union = size(array_union(col("__sh1"), col("__sh2"))).cast("double")
+    a.join(b, cond)
+      .withColumn("similarity", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .where(col("similarity") >= threshold)
+      .select(col("id1"), col("id2"), col("similarity"))
+  }
+
+  /** Survivors under the keep-min-id pair rule, given any pair frame
+    * (id1 < id2 meaning id2 duplicates id1). */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /**
+   * MinHash-LSH near-dedup — the sub-quadratic scale path: word
+   * shingles → binary feature-hash vector → MinHash signatures → banded
+   * candidate join (Jaccard distance ≤ 1−t) → survivors. Approximate
+   * recall, exact-Jaccard precision can be layered by re-scoring
+   * candidates with `jaccard`. Seed pinned.
+   */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashTables: Int = 8, numFeatures: Int = 1 << 18,
+      seed: Long = 42L): DataFrame = {
+    val toksCol = "__toks"; val shCol = "__shingles"; val vecCol = "__features"
+    val base = df
+      .withColumn(toksCol, filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+      .where(size(col(toksCol)) >= shingleSize) // LSH requires ≥1 non-zero feature
+    val ngram = new NGram().setN(shingleSize).setInputCol(toksCol).setOutputCol(shCol)
+    val tf = new HashingTF().setInputCol(shCol).setOutputCol(vecCol)
+      .setNumFeatures(numFeatures).setBinary(true)
+    val featured = tf.transform(ngram.transform(base))
+    val lsh = new MinHashLSH().setInputCol(vecCol).setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 1.0 - threshold, "__jdist")
+      .select(col(s"datasetA.$idCol").as("id1"), col(s"datasetB.$idCol").as("id2"),
+        (lit(1.0) - col("__jdist")).as("similarity"))
+      .where(col("id1") < col("id2"))
+  }
+
+  /** Embedding-cosine near-dup pairs — semantic dedup over an embedding
+    * column; exact baseline (see SimJoin.approxCosineSelfJoin for the
+    * LSH-pruned variant). */
+  def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double): DataFrame =
+    SimJoin.thresholdSelfJoin(df.where(col(embCol).isNotNull), idCol, embCol, threshold)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/**
+ * Collection×collection similarity — the generalization of `nearest`
+ * from "one query vs a table" to "a table of queries vs a table"
+ * (SURVEY §2.3 J; the reference documents the pairwise `%~%` operator
+ * but never implemented it, man/grapes-twiddle-grapes.Rd:1-20 — this is
+ * its real implementation).
+ *
+ * Scale design: the exact paths below are the correctness baseline and
+ * the right plan when one side is broadcast-small (k-NN join) or the
+ * self-join is band-limited. At 100 TB the LSH path prunes candidate
+ * pairs first (`approxCosineSelfJoin`), trading recall for a
+ * near-linear candidate count — both are exposed so callers pick per
+ * workload.
+ */
+object SimJoin {
+
+  /**
+   * k nearest corpus rows per query row. The query side broadcasts (a
+   * query batch is small by construction); scoring happens map-side on
+   * corpus partitions with zero shuffle of the corpus; the per-query
+   * top-k is a ranking window over (queries × corpus) — the shuffle
+   * moves only n_queries·n_corpus score *rows*, never embeddings twice.
+   */
+  def knnJoin(
+      queries: DataFrame, // must contain queryIdCol + queryEmbCol
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      corpusEmbCol: String,
+      k: Int,
+      method: String = "cosine",
+      simCol: String = "similarity",
+      corpusTieBreak: Seq[Column] = Nil): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn(simCol,
+        coalesce(vectors.similarity(col(corpusEmbCol), col(queryEmbCol), method), lit(0.0)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(desc(simCol) +: corpusTieBreak: _*)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** All pairs (id1 < id2) with similarity ≥ threshold — exact O(n²/2)
+    * self-join; the baseline for near-dup detection on a bounded set.
+    * Band with a blocking key (`groupCol`) where the domain allows. */
+  def thresholdSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      method: String = "cosine",
+      groupCol: Option[String] = None,
+      simCol: String = "similarity"): DataFrame = {
+    val a = df.select(Seq(col(idCol).as("id1"), col(embCol).as("__emb1")) ++
+      groupCol.map(c => col(c).as("__g1")): _*)
+    val b = df.select(Seq(col(idCol).as("id2"), col(embCol).as("__emb2")) ++
+      groupCol.map(c => col(c).as("__g2")): _*)
+    val joinCond = groupCol
+      .map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
+      .getOrElse(col("id1") < col("id2"))
+    a.join(b, joinCond)
+      .withColumn(simCol, vectors.similarity(col("__emb1"), col("__emb2"), method))
+      .where(col(simCol) >= threshold)
+      .select(col("id1"), col("id2"), col(simCol))
+  }
+
+  /**
+   * LSH-pruned cosine threshold self-join — the 100 TB path. Vectors are
+   * L2-normalized so cosine ≥ t ⇔ euclidean distance ≤ √(2−2t), then
+   * BucketedRandomProjectionLSH generates candidate pairs and the exact
+   * cosine re-scores them (so output = exact scores, approximate
+   * *recall*). Seed pinned for reproducibility.
+   */
+  def approxCosineSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      bucketLength: Double = 1.0,
+      numHashTables: Int = 4,
+      seed: Long = 42L,
+      simCol: String = "similarity"): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0)
+    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val prepped = df
+      .where(col(embCol).isNotNull)
+      .withColumn("__nvec", array_to_vector(vectors.l2_normalize(col(embCol))))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__nvec").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(prepped)
+    val pairs = model.approxSimilarityJoin(prepped, prepped, distThreshold, "__dist")
+      .select(col(s"datasetA.$idCol").as("id1"), col(s"datasetB.$idCol").as("id2"),
+        col(s"datasetA.$embCol").as("__emb1"), col(s"datasetB.$embCol").as("__emb2"))
+      .where(col("id1") < col("id2"))
+    pairs
+      .withColumn(simCol, vectors.cosine_similarity(col("__emb1"), col("__emb2")))
+      .where(col(simCol) >= threshold)
+      .select(col("id1"), col("id2"), col(simCol))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SimJoin}
+
+class DedupSimJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "a"),   // near dup of 1
+    (4L, "completely different text about spark engines", "a"),
+    (5L, "dog lazy the over jumps fox brown quick the", "b")    // reorder of 1
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps the min-id row per duplicate group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs, Seq("text"), "doc_id")
+      .where(col("n_copies") > 1).head()
+    assert(groups.getAs[Long]("doc_id") == 1L && groups.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("unigram jaccard: reordered text scores 1.0; near-dup scores high; unrelated low") {
+    val j = Dedup.jaccard(col("a"), col("b"))
+    val df = Seq(
+      ("the quick fox", "fox quick the"),
+      ("the quick brown fox", "the quick brown wolf"),
+      ("alpha beta", "gamma delta")).toDF("a", "b").select(j.as("j"))
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals(0) == 1.0)
+    assert(vals(1) == 3.0 / 5.0)
+    assert(vals(2) == 0.0)
+  }
+
+  test("trigram shingles: short docs produce no fabricated shingles") {
+    val j = Dedup.jaccard(col("a"), col("b"), shingleSize = 3)
+    val df = Seq(("one two", "one two")).toDF("a", "b").select(j.as("j"))
+    assert(df.head().getDouble(0) == 0.0) // no 3-gram exists in a 2-token doc
+  }
+
+  test("jaccardPairs + survivors: dup and reorder drop, near-dup threshold-dependent") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.99)
+    val dropped = pairs.select("id2").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L, 5L)) // exact dup + reorder (set semantics)
+    val surv = Dedup.survivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(1L, 3L, 4L))
+  }
+
+  test("simhash: identical and reordered unigram text share a fingerprint; dedup keeps min id") {
+    val fp = Dedup.withSimHash(docs, "text")
+      .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) == fp(5L)) // unigram simhash is order-invariant
+    assert(fp(1L) != fp(4L))
+    val surv = Dedup.simhash(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashPairs finds the planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
+      shingleSize = 2, numHashTables = 16)
+    val found = pairs.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)), s"exact dup must be found, got $found")
+  }
+
+  test("knnJoin returns exactly k per query and agrees with single-query nearest") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val out = SimJoin.knnJoin(q, e, "query_id", "qe", "embedding", k = 4,
+      corpusTieBreak = Seq(asc("vec_id")))
+    val counts = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 4))
+    // each query's own vector must rank first with similarity ~1
+    val self = out.where(col("query_id") === col("vec_id"))
+      .select("similarity").collect().map(_.getDouble(0))
+    assert(self.length == 3 && self.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("thresholdSelfJoin emits each qualifying pair once with id1 < id2") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.01f)), (3L, Array(0f, 1f))
+    ).toDF("id", "emb")
+    val pairs = SimJoin.thresholdSelfJoin(df, "id", "emb", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("approxCosineSelfJoin: exact precision, high recall vs the exact join") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = SimJoin.thresholdSelfJoin(e, "vec_id", "embedding", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimJoin.approxCosineSelfJoin(e, "vec_id", "embedding", 0.35,
+      bucketLength = 0.5, numHashTables = 6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((approx -- exact).isEmpty, "LSH path must not emit sub-threshold pairs")
+    assert(approx.size >= (exact.size * 0.9).toInt, s"recall ${approx.size}/${exact.size}")
+  }
+}
