@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.vectors
-import graft.operators.{Dedup, Nearest, SimJoin}
+import graft.functions.{vectors, AvgVector}
+import graft.operators.{Dedup, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -134,6 +134,51 @@ object SparkEntry {
         threshold = 0.35, bucketLength = 0.5, numHashTables = 6)
         .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("id1"), col("id2"))),
+    // §2.3 T: token counting + length stats
+    "text_stats" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_subtokens"),
+        length(col("text")).cast("long").as("len"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"))
+        .orderBy(col("doc_id"))),
+    // §2.3 T: stopword-profile language ID
+    "lang_id" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+    // §2.3 T: composite quality score
+    "quality_score" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    // §2.3 T: canonical content fingerprint (md5 of normalized text)
+    "fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    // §2.3 A: per-label centroid via the avg_vector aggregator, long form
+    "centroid_by_label" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(AvgVector.column(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("label"), col("pos"))),
+    // §2 #9 cluster_embeddings (KMeans seed 123; label equality is not
+    // promised cross-engine -> rows-only + invariant specs)
+    "cluster_kmeans" -> ((s, d) => {
+      val vf = VecFrame(Tables(s, d, "embeddings"), "embedding")
+        .clusterEmbeddings(nClusters = 10)
+      vf.df.select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
+    }),
+    // §2 #15 engine half of viz_embeddings: standardized PCA to 2-D
+    "pca_project" -> ((s, d) =>
+      Project.pca(Tables(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))),
     // inherited relational surface (§2.2): TPC-H-ish pricing summary
     "q1_agg" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -232,6 +277,26 @@ object SparkEntry {
           |        ELSE 0.0 END >= 0.8)
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT dropped FROM pairs) ORDER BY doc_id""".stripMargin,
+      "text_stats" ->
+        s"""SELECT doc_id, ${TextAnalysisSql.tokenCountSql("text")} AS n_tokens,
+           |       ${TextAnalysisSql.regexTokenCountSql("text")} AS n_subtokens,
+           |       length(text) AS len,
+           |       ${TextAnalysisSql.punctCountSql("text")} AS n_punct
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "lang_id" ->
+        s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "quality_score" ->
+        s"""SELECT doc_id, ${TextAnalysisSql.qualityScoreSql("text")} AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "fingerprint" ->
+        s"""SELECT doc_id, ${TextAnalysisSql.contentFingerprintSql("text")} AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "centroid_by_label" ->
+        """SELECT CAST(label AS BIGINT) AS label, r.i - 1 AS pos,
+          |       round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS v
+          |FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+          |GROUP BY label, r.i ORDER BY label, pos""".stripMargin,
       "inspect_collection" ->
         """SELECT count(*) AS n_rows, count(embedding) AS n_embedded,
           |       min(len(embedding)) AS dim FROM embeddings""".stripMargin,

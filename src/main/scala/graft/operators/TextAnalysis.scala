@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis verbs for training-data pipelines (SURVEY §2.3 T) —
+ * the surfaced form of what the reference buries inside
+ * `embedder_tfidf` (tokenization, vocabulary statistics,
+ * /root/reference/R/embedders.R:341-350) plus the standard corpus-
+ * curation metrics (language ID, quality scoring, token counting,
+ * fingerprinting). Everything here is built from codegen'd built-in
+ * functions — no UDFs — so the whole stage fuses into one pass over
+ * the corpus.
+ *
+ * Each verb has a deliberately *engine-portable* definition (same
+ * regexes, same set semantics) so the DuckDB oracle can replicate it
+ * exactly; the SQL fragments in `TextAnalysisSql` are generated from
+ * the same constants.
+ */
+object TextAnalysis {
+
+  /** Distinct lowercase whitespace tokens (set semantics). */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(lower(text), "\\s+"), t => length(t) > 0))
+
+  /** Whitespace token count (duplicates counted). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(lower(text), "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alnum-non-space chars — the standard pre-tokenizer shape. */
+  val WordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit(WordRegex)).cast("long")
+
+  /** Non-alphanumeric, non-space character count (punctuation mass). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Order = tie precedence. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no", "por", "que", "una", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "vous"))
+  /** CJK detection: count of Han characters. */
+  val CjkClass = "[\\u4e00-\\u9fff]"
+
+  /** Per-language stopword-set hit count (unique hits, set semantics). */
+  def langHits(text: Column, lang: String): Column = {
+    val words = LangProfiles.toMap.apply(lang)
+    size(array_intersect(tokenSet(text), array(words.map(lit): _*)))
+  }
+
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, CjkClass.replace("[", "[^"), ""))
+
+  /** Language-ID: argmax of profile scores with fixed precedence
+    * (en > de > es > fr > zh); all-zero scores default to "en". */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, _) => l -> langHits(text, l) } :+
+      ("zh" -> cjkCount(text))
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("en")) { case ((l, s), acc) => when(s === m && m > 0, lit(l)).otherwise(acc) }
+  }
+
+  /** Composite quality score in [0,1]: length saturation + English
+    * stopword density + punctuation cleanliness. The weights are a
+    * fixed contract (mirrored in the oracle SQL), not a tuned model. */
+  def qualityScore(text: Column): Column = {
+    val nToks = tokenCount(text)
+    val lenScore = least(lit(1.0), nToks.cast("double") / lit(20.0))
+    val stopScore = langHits(text, "en").cast("double") / lit(10.0)
+    val punctRatio = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text).cast("double")).otherwise(lit(0.0))
+    round(lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** Canonical content fingerprint: md5 of whitespace-normalized
+    * lowercase text — the exact-dedup key that survives formatting
+    * noise. */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}
+
+/** DuckDB fragments generated from the same constants — the oracle side
+  * of each verb above. */
+object TextAnalysisSql {
+  import TextAnalysis._
+
+  val tokenSetSql: String => String = t =>
+    s"list_distinct(list_filter(string_split_regex(lower($t), '\\s+'), x -> len(x) > 0))"
+  val tokenCountSql: String => String = t =>
+    s"len(list_filter(string_split_regex(lower($t), '\\s+'), x -> len(x) > 0))"
+  val regexTokenCountSql: String => String = t =>
+    s"len(regexp_extract_all($t, '$WordRegex'))"
+  val punctCountSql: String => String = t =>
+    s"length(regexp_replace($t, '[A-Za-z0-9\\s]', '', 'g'))"
+
+  def langHitsSql(t: String, lang: String): String = {
+    val words = LangProfiles.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_intersect(${tokenSetSql(t)}, $words))"
+  }
+  // RE2 (DuckDB) spells the codepoint range \x{...}; Java spells it \uXXXX
+  def cjkCountSql(t: String): String =
+    s"length(regexp_replace($t, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+
+  def langIdSql(t: String): String = {
+    val scores = LangProfiles.map { case (l, _) => l -> langHitsSql(t, l) } :+
+      ("zh" -> cjkCountSql(t))
+    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, s) => s"WHEN $s = $m AND $m > 0 THEN '$l'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'en' END"
+  }
+
+  def qualityScoreSql(t: String): String = {
+    val nToks = tokenCountSql(t)
+    s"""round(0.4 * least(1.0, $nToks / 20.0)
+       | + 0.4 * (${langHitsSql(t, "en")} / 10.0)
+       | + 0.2 * (1.0 - CASE WHEN length($t) > 0
+       |   THEN ${punctCountSql(t)} * 1.0 / length($t) ELSE 0.0 END), 6)""".stripMargin
+  }
+
+  def contentFingerprintSql(t: String): String =
+    s"md5(regexp_replace(trim(lower($t)), '\\s+', ' ', 'g'))"
+}

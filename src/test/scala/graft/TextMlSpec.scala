@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AvgVector
+import graft.operators.{Project, TextAnalysis}
+
+class TextMlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / regexTokenCount / punctCount on known text") {
+    val df = Seq("Hello, world!  this is   a test").toDF("t").select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.regexTokenCount(col("t")).as("r"),
+      TextAnalysis.punctCount(col("t")).as("p"))
+    val row = df.head()
+    assert(row.getLong(0) == 6)            // whitespace tokens
+    assert(row.getLong(1) == 8)            // hello , world ! this is a test
+    assert(row.getInt(2) == 2)             // , and !
+  }
+
+  test("langId: stopword profiles pick the right language; precedence breaks ties; CJK wins on Han text") {
+    val df = Seq(
+      ("the cat and the dog is in it", "en"),
+      ("der hund ist nicht mit der katze", "de"),
+      ("el perro es no por una casa como", "es"),
+      ("le chat est pas pour une maison dans", "fr"),
+      ("这 是 中文 文本", "zh"),
+      ("xyzzy plugh", "en") // no signal -> default en
+    ).toDF("t", "want")
+    val got = df.select(col("want"), TextAnalysis.langId(col("t")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0), s"text classified as ${r.getString(1)}, want ${r.getString(0)}"))
+  }
+
+  test("qualityScore stays in [0,1] and rewards clean english text") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and that is it for you in the end of this test",
+      "!!! ??? ### $$$ %%%").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val Array(good, junk) = df.collect().map(_.getDouble(0))
+    assert(good > 0.6 && good <= 1.0)
+    assert(junk < 0.3 && junk >= 0.0)
+  }
+
+  test("contentFingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq(
+      ("a", "The  Quick   Fox"), ("b", "the quick fox"), ("c", "the quick wolf")
+    ).toDF("id", "t").select(col("id"), TextAnalysis.contentFingerprint(col("t")).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("avg_vector: element-wise mean, NULL vectors skipped, all-NULL group -> NULL") {
+    val df = Seq(
+      ("g1", Some(Seq(1f, 2f))), ("g1", Some(Seq(3f, 4f))), ("g1", None),
+      ("g2", None)
+    ).toDF("g", "v")
+    val out = df.groupBy("g").agg(AvgVector.column(col("v")).as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out("g1").get == Seq(2.0, 3.0))
+    assert(out("g2").isEmpty)
+  }
+
+  test("pca projection: 2 coords per embedded row, NULL rows dropped") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val out = Project.pca(e, "embedding")
+    assert(out.count() == 50)
+    assert(out.columns.contains("x") && out.columns.contains("y"))
+    val r = out.select("x", "y").head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+  }
+}
