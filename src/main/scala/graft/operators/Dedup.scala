@@ -87,15 +87,25 @@ object Dedup {
       shingleSize: Int = 1, groupCol: Option[String] = None): DataFrame = {
     val withSh = df.select(Seq(col(idCol), col(textCol)) ++ groupCol.map(col): _*)
       .withColumn("__sh", shingles(col(textCol), shingleSize))
-    val a = withSh.select(Seq(col(idCol).as("id1"), col("__sh").as("__sh1")) ++
-      groupCol.map(c => col(c).as("__g1")): _*)
-    val b = withSh.select(Seq(col(idCol).as("id2"), col("__sh").as("__sh2")) ++
-      groupCol.map(c => col(c).as("__g2")): _*)
+      .withColumn("__n", size(col("__sh")))
+    val a = withSh.select(Seq(col(idCol).as("id1"), col("__sh").as("__sh1"),
+      col("__n").as("__n1")) ++ groupCol.map(c => col(c).as("__g1")): _*)
+    val b = withSh.select(Seq(col(idCol).as("id2"), col("__sh").as("__sh2"),
+      col("__n").as("__n2")) ++ groupCol.map(c => col(c).as("__g2")): _*)
     val cond = groupCol.map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
       .getOrElse(col("id1") < col("id2"))
+    // Size-ratio prune BEFORE the per-pair set work: J(A,B) >= t forces
+    // min(|A|,|B|) >= t·max(|A|,|B|) — an integer comparison that
+    // Catalyst evaluates on the join output before the O(|A|+|B|)
+    // intersect ever runs. With distinct shingle sets
+    // |A∪B| = |A|+|B|−|A∩B|, so the second hash-build (array_union)
+    // disappears entirely.
+    val sizePrune = least(col("__n1"), col("__n2")).cast("double") >=
+      lit(threshold) * greatest(col("__n1"), col("__n2")).cast("double")
     val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
-    val union = size(array_union(col("__sh1"), col("__sh2"))).cast("double")
+    val union = (col("__n1") + col("__n2")).cast("double") - inter
     a.join(b, cond)
+      .where(sizePrune)
       .withColumn("similarity", when(union > 0, inter / union).otherwise(lit(0.0)))
       .where(col("similarity") >= threshold)
       .select(col("id1"), col("id2"), col("similarity"))

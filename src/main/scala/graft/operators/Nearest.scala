@@ -76,9 +76,15 @@ object Nearest {
       if (keywordWeight >= 1.0) kw
       else if (keywordWeight > 0.0) vecSim * lit(1.0 - keywordWeight) + kw * lit(keywordWeight)
       else vecSim
+    // min_score is applied AFTER the top-k, not before: the predicate is
+    // monotone in the sort key, so sort→limit→filter returns exactly the
+    // rows of filter→sort→limit — and keeps Catalyst from pushing the
+    // filter into the scan/join, which would evaluate the similarity
+    // expression twice per row (once in the pushed predicate, once in
+    // the projection). One O(n·d) pass instead of two.
     df.withColumn(simCol, score)
-      .filter(col(simCol) >= lit(minScore))
       .orderBy(desc(simCol) +: tieBreakers: _*)
       .limit(n)
+      .filter(col(simCol) >= lit(minScore))
   }
 }
