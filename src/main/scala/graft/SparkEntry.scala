@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{Dedup, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -246,6 +246,16 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+    // §2.3 J at scale: IVF ANN — coarse-quantizer cells, probe-limited
+    // exact scoring (recall approximate -> rows-only; invariants in spec)
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      IvfIndex.build(e, "embedding", nlist = 16)
+        .search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+    }),
     // §2.3 multimodal: binary payload + typed metadata (decode stubbed)
     "multimodal_meta" -> ((s, d) => {
       val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")

@@ -119,6 +119,22 @@ case class VecFrame(
     copy(df = predicted.unionByName(unembedded))
   }
 
+  /** First non-NULL vector — `first_valid_embedding` (R/core.R:57-62);
+    * one pushed-filter limit-1 probe, used to discover the dimension. */
+  def firstValidEmbedding: Option[Array[Float]] =
+    df.filter(embCol.isNotNull).select(embCol).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Data half of `viz_images` (R/visualization.R:126-238): the top-n
+    * rows with the columns a contact-sheet renderer needs (path,
+    * similarity when present, caption columns). Rendering is
+    * presentation, out of engine scope. */
+  def contactSheetData(pathColumn: String, n: Int = 12,
+      labelColumns: Seq[String] = Nil): DataFrame = {
+    val simCols = if (df.columns.contains("similarity")) Seq("similarity") else Nil
+    df.limit(n).select((pathColumn +: (simCols ++ labelColumns)).map(col): _*)
+  }
+
   /** `inspect_collection` (R/core.R:375-404) as one aggregation pass. */
   def inspect: CollectionInfo = {
     val row = df.agg(

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/**
+ * IVF (inverted-file) approximate-nearest-neighbor index — the
+ * Spark-native scale path for similarity search (SURVEY §2.3 J / north
+ * star). A coarse k-means quantizer assigns every vector to a cell; a
+ * query probes only the `nprobe` cells whose centroids score highest,
+ * then runs the EXACT top-k inside them. Scanned fraction ≈
+ * nprobe/nlist, with exact scores on everything returned (recall is
+ * approximate, precision is exact — same contract as
+ * SimJoin.approxCosineSelfJoin).
+ *
+ * Why this shape fits Spark: the cell id is a plain integer column. An
+ * indexed corpus written with `.repartition(col("cell"))` +
+ * `partitionBy("cell")` parquet gets PARTITION PRUNING on the probe
+ * filter — a 1000-executor query touches only nprobe/nlist of the
+ * files on disk, no custom storage engine required. The centroid table
+ * (nlist × dim floats) broadcasts everywhere.
+ *
+ * The reference has no index at all (exact scan per query,
+ * /root/reference/R/core.R:287-292, "consider FAISS" at README.md:22)
+ * — this is the capability its docs defer to external engines,
+ * rebuilt on Spark primitives.
+ */
+class IvfIndex private (
+    val model: KMeansModel,
+    val indexed: DataFrame, // original columns + `cell: int`
+    val embCol: String) extends Serializable {
+
+  /** nlist × dim centroid frame: (cell: int, centroid: array<float>). */
+  lazy val centroids: DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Cells a query vector would probe, best centroid first. */
+  def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] =
+    centroids
+      .select(col("cell"), vectors.cosine_similarity(col("centroid"),
+        lit(queryVec)).as("__csim"))
+      .orderBy(desc("__csim"), asc("cell"))
+      .limit(nprobe).collect().map(_.getInt(0))
+
+  /**
+   * ANN top-k: exact scoring restricted to the probed cells. The cell
+   * filter is a pushable integer predicate (partition-pruning on a
+   * cell-partitioned layout); the tail is the same
+   * `TakeOrderedAndProject` shape as exact `nearest`.
+   */
+  def search(queryVec: Array[Float], k: Int, nprobe: Int = 4,
+      method: String = "cosine", simCol: String = "similarity",
+      tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val cells = probeCells(queryVec, nprobe)
+    Nearest.topK(
+      indexed.where(col("cell").isin(cells.map(Int.box): _*)),
+      embCol, lit(queryVec), n = k, method = method,
+      simCol = simCol, tieBreakers = tieBreakers)
+  }
+
+  /** Persist the corpus cell-partitioned so probe filters prune files. */
+  def writePartitioned(path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+}
+
+object IvfIndex {
+  /** Fit the coarse quantizer (seed pinned) and assign every non-NULL
+    * vector to its cell. */
+  def build(df: DataFrame, embCol: String, nlist: Int = 16,
+      seed: Long = 123L): IvfIndex = {
+    val vecCol = "__ivf_vec"
+    val assembled = df.where(col(embCol).isNotNull)
+      .withColumn(vecCol, array_to_vector(col(embCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol(vecCol).setPredictionCol("cell").fit(assembled)
+    new IvfIndex(model, model.transform(assembled).drop(vecCol), embCol)
+  }
+}
