@@ -103,6 +103,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
     }),
+    // §2.3 J: same k-NN join via the bounded-heap aggregate (map-side
+    // partials shuffle <= k rows per partition; identical results, so it
+    // shares simjoin_knn's oracle)
+    "simjoin_knn_heap" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      SimJoin.knnJoinAgg(q, e, "query_id", "qe", "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
     // §2.3 D: embedding-cosine near-dup pairs (exact threshold self-join)
     "neardup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Tables(s, d, "embeddings"), "embedding", "vec_id", 0.35)
@@ -279,6 +290,25 @@ object SparkEntry {
     * FIXTURES.md B1) so both engines do float→double widening before
     * accumulating — list_cosine_similarity would accumulate in float32
     * and diverge past 1e-6. */
+  /** Shared by simjoin_knn and simjoin_knn_heap — the two physical
+    * strategies produce identical results by construction. */
+  private val oracleSqlKnn: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+      |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+      |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+      |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY q.query_id, e.vec_id),
+      |scored AS (SELECT query_id, vec_id,
+      |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+      |  FROM p),
+      |ranked AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+      |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
+      |ORDER BY query_id, similarity DESC, vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     def scoredCte =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -311,22 +341,8 @@ object SparkEntry {
            |SELECT vec_id, round($cosine, 6) AS similarity
            |FROM s WHERE $cosine >= 0.1
            |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
-      "simjoin_knn" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-          |p AS (
-          |  SELECT q.query_id, e.vec_id,
-          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
-          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
-          |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
-          |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
-          |  GROUP BY q.query_id, e.vec_id),
-          |scored AS (SELECT query_id, vec_id,
-          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
-          |  FROM p),
-          |ranked AS (SELECT query_id, vec_id, cos,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
-          |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
-          |ORDER BY query_id, similarity DESC, vec_id""".stripMargin,
+      "simjoin_knn" -> oracleSqlKnn,
+      "simjoin_knn_heap" -> oracleSqlKnn,
       "neardup_embedding" ->
         """WITH p AS (
           |  SELECT a.vec_id AS id1, b.vec_id AS id2,

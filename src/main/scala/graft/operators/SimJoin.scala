@@ -51,6 +51,38 @@ object SimJoin {
       .drop("__rn")
   }
 
+  /**
+   * k-NN join via the bounded-heap aggregate instead of a ranking
+   * window. Same result as `knnJoin` (spec'd equal), different physical
+   * shape: the window sorts EVERY scored row inside each query's
+   * partition, while the aggregate's map-side partial keeps ≤ k
+   * candidates per (partition, query) — the exchange carries
+   * O(k · n_partitions) rows per query instead of O(n_corpus). This is
+   * the shape to use when the corpus is large and k is small, i.e.
+   * always at 100 TB.
+   */
+  def knnJoinAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      corpusIdCol: String,
+      corpusEmbCol: String,
+      k: Int,
+      method: String = "cosine",
+      simCol: String = "similarity"): DataFrame = {
+    import graft.functions.TopKScored
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol),
+        coalesce(vectors.similarity(col(corpusEmbCol), col(queryEmbCol), method), lit(0.0))
+          .as(simCol))
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(k)(col(simCol), col(corpusIdCol)).as("__topk"))
+      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
+  }
+
   /** All pairs (id1 < id2) with similarity ≥ threshold — exact O(n²/2)
     * self-join; the baseline for near-dup detection on a bounded set.
     * Band with a blocking key (`groupCol`) where the domain allows. */

@@ -52,4 +52,19 @@ object StreamOps {
   def embedStream(events: DataFrame, contentCol: String, embedder: Embedder,
       outCol: String = "embedding"): DataFrame =
     embedder.embed(events, contentCol, outCol)
+
+  /** Micro-batch top-k against a STATIC collection (SURVEY §2.3 S):
+    * each arriving batch of embedded queries runs the bounded-heap k-NN
+    * join against the indexed corpus; `sink` receives (results,
+    * batchId). The corpus broadcast is reused across batches. */
+  def nearestPerBatch(
+      queries: DataFrame, // streaming, with queryIdCol + queryEmbCol
+      corpus: DataFrame, // static
+      queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, corpusEmbCol: String,
+      k: Int)(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.SimJoin.knnJoinAgg(
+        batch, corpus, queryIdCol, queryEmbCol, corpusIdCol, corpusEmbCol, k), batchId)
+    }.start()
 }
