@@ -242,6 +242,20 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    // §2.2: hierarchical aggregate (ROLLUP) — subtotal + grand-total rows
+    "rollup_agg" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    // §2.2: set operations — customers with orders minus low-balance ones
+    "set_ops" -> ((s, d) => {
+      val withOrders = Tables(s, d, "customer").select(col("c_custkey"))
+        .intersect(Tables(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+      val lowBal = Tables(s, d, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      withOrders.except(lowBal).orderBy(col("c_custkey"))
+    }),
     // §2.3 S: tumbling-window event stats (same code path as the
     // streaming query, run in batch; streaming spec drives the stream)
     "events_hourly" -> ((s, d) =>
@@ -429,6 +443,16 @@ object SparkEntry {
           |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
           |  FROM orders)
           |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+      "rollup_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "set_ops" ->
+        """SELECT c_custkey FROM customer
+          |INTERSECT SELECT o_custkey FROM orders
+          |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0
+          |ORDER BY c_custkey""".stripMargin,
       "events_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
           |       event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -37,15 +37,18 @@ case class HashingEmbed(child: Expression, dim: Int, seed: Int = 42)
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString.toLowerCase
     val out = new Array[Float](dim)
-    val toks = text.split("\\s+")
-    var i = 0
-    while (i < toks.length) {
-      val tok = toks(i)
-      if (tok.nonEmpty) {
-        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed)
-        val idx = java.lang.Math.floorMod(h, dim)
-        // sign from a bit not used by the bucket index
-        out(idx) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+    // manual whitespace scan: no regex compile, no token array allocation
+    val n = text.length
+    var start = 0; var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          val h = scala.util.hashing.MurmurHash3.stringHash(text.substring(start, i), seed)
+          val idx = java.lang.Math.floorMod(h, dim)
+          // sign from a bit not used by the bucket index
+          out(idx) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+        }
+        start = i + 1
       }
       i += 1
     }

@@ -94,20 +94,27 @@ object Dedup {
       col("__n").as("__n2")) ++ groupCol.map(c => col(c).as("__g2")): _*)
     val cond = groupCol.map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
       .getOrElse(col("id1") < col("id2"))
-    // Size-ratio prune BEFORE the per-pair set work: J(A,B) >= t forces
-    // min(|A|,|B|) >= t·max(|A|,|B|) — an integer comparison that
-    // Catalyst evaluates on the join output before the O(|A|+|B|)
-    // intersect ever runs. With distinct shingle sets
-    // |A∪B| = |A|+|B|−|A∩B|, so the second hash-build (array_union)
-    // disappears entirely.
-    val sizePrune = least(col("__n1"), col("__n2")).cast("double") >=
-      lit(threshold) * greatest(col("__n1"), col("__n2")).cast("double")
-    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
-    val union = (col("__n1") + col("__n2")).cast("double") - inter
+    // Two-stage predicate, cheap first:
+    //  1. size-ratio prune: J(A,B) >= t forces min(|A|,|B|) >=
+    //     t·max(|A|,|B|) — integers only, runs before any set work;
+    //  2. exact threshold test by integer cross-multiplication:
+    //     I/(n1+n2−I) >= p/q  ⟺  q·I >= p·(n1+n2−I), with p/q the
+    //     decimal rational the caller wrote (BigDecimal of t). No fp
+    //     division per pair, no rounding at the boundary, and the
+    //     intersect appears ONCE in the pushed join condition (a
+    //     division-based re-filter would be pushed down a second time).
+    // |A∪B| = |A|+|B|−|A∩B| for distinct shingle sets, so array_union
+    // is never built.
+    val t = java.math.BigDecimal.valueOf(threshold)
+    val q = math.pow(10, t.scale).toLong
+    val p = t.unscaledValue.longValueExact
+    val sizePrune = least(col("__n1"), col("__n2")) * lit(q) >=
+      greatest(col("__n1"), col("__n2")) * lit(p)
+    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("long")
+    val unionSz = (col("__n1") + col("__n2")).cast("long") - inter
     a.join(b, cond)
-      .where(sizePrune)
-      .withColumn("similarity", when(union > 0, inter / union).otherwise(lit(0.0)))
-      .where(col("similarity") >= threshold)
+      .where(sizePrune && inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
+      .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
       .select(col("id1"), col("id2"), col("similarity"))
   }
 
