@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Nearest, SimJoin}
+
+/**
+ * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
+ * vectors (seeded, written once to /tmp), timing the flagship search
+ * paths. Validates that the shapes chosen for 100 TB behave linearly at
+ * 2000× the sf0.1 vector fixture — run `sbt "runMain graft.ScaleProbe"`.
+ * Not part of the driver contract; fixtures for correctness stay the
+ * driver-provided ones.
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dim = 64
+    val path = s"/tmp/graft_scale_probe_$n"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(path).exists()) {
+      spark.range(n).toDF("vec_id")
+        .select(col("vec_id"),
+          array((0 until dim).map(i => rand(seed = i + 1).cast("float")): _*).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    val e = spark.read.parquet(path)
+    val query = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+    def time[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scale-probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    time("warmup count")(e.count())
+    time(s"nearest top-10 over ${n / 1000000}M") {
+      Nearest.topK(e, "embedding", lit(query), n = 10,
+        tieBreakers = Seq(asc("vec_id"))).collect()
+    }
+    time("knnJoinAgg 10q x k10") {
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      SimJoin.knnJoinAgg(q, e, "query_id", "qe", "vec_id", "embedding", k = 10).collect()
+    }
+    val idxPath = s"$path-ivf"
+    time("ivf build nlist=64") {
+      val idx = IvfIndex.build(e, "embedding", nlist = 64)
+      time("ivf search nprobe=4 (flat)") {
+        idx.search(query, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id"))).collect()
+      }
+      time("ivf writePartitioned")(idx.writePartitioned(idxPath))
+      // cell-partitioned layout: the probe filter prunes FILES, so the
+      // scan itself shrinks to ~nprobe/nlist of the corpus
+      val cells = idx.probeCells(query, 4)
+      time("ivf search nprobe=4 (partitioned)") {
+        val part = spark.read.parquet(idxPath)
+          .where(col("cell").isin(cells.map(Int.box): _*))
+        Nearest.topK(part, "embedding", lit(query), n = 10,
+          tieBreakers = Seq(asc("vec_id"))).collect()
+      }
+    }
+    spark.stop()
+  }
+}
