@@ -130,6 +130,15 @@ object SparkEntry {
         shingleSize = 1, groupCol = Some("source"))
       Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D: TRANSITIVE jaccard dedup — iterative min-label propagation
+    // (connected components over the dup graph); oracle = recursive CTE
+    "dedup_jaccard_cc" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.8,
+        shingleSize = 1, groupCol = Some("source"))
+      Dedup.transitiveSurvivors(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: MinHash-LSH near-dedup survivors (approx recall; no SQL analog)
     "dedup_minhash" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -408,6 +417,28 @@ object SparkEntry {
           |       round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS v
           |FROM embeddings CROSS JOIN range(1, 65) AS r(i)
           |GROUP BY label, r.i ORDER BY label, pos""".stripMargin,
+      "dedup_jaccard_cc" ->
+        """WITH RECURSIVE d AS (SELECT doc_id, source,
+          |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> len(t) > 0)) AS toks
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+          |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+          |        THEN len(list_intersect(a.toks, b.toks)) * 1.0
+          |             / len(list_distinct(list_concat(a.toks, b.toks)))
+          |        ELSE 0.0 END >= 0.8),
+          |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          |          UNION SELECT id2, id1 FROM pairs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
+          |ORDER BY doc_id""".stripMargin,
       "inspect_collection" ->
         """SELECT count(*) AS n_rows, count(embedding) AS n_embedded,
           |       min(len(embedding)) AS dim FROM embeddings""".stripMargin,

@@ -150,6 +150,50 @@ object Dedup {
       .where(col("id1") < col("id2"))
   }
 
+  /**
+   * Transitive duplicate groups from a pair frame: iterative min-label
+   * propagation (connected-components over the dup graph). Where the
+   * single-pass keep-min-id rule splits a chain a~b~c (a≁c) into
+   * {a}, keep c, this assigns every member of the chain the component
+   * representative min id — the semantics to use when near-dup groups
+   * must collapse to exactly one survivor.
+   *
+   * Each iteration is one join + one aggregation over the EDGE set (not
+   * the corpus); convergence needs at most diameter(graph) iterations
+   * and near-dup graphs are shallow in practice. `localCheckpoint`
+   * truncates lineage so plans stay bounded. Returns (id, rep).
+   */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate rep per node: min over own rep and neighbors' reps
+      val neighborReps = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("rep")).as("__nrep"))
+      val updated = labels.join(neighborReps, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("rep", "__old"), "id")
+        .where(col("rep") =!= col("__old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivors under full transitive closure: one representative (min
+    * id) per duplicate component, plus every row not in any pair. */
+  def transitiveSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = duplicateComponents(pairs)
+    val dropped = comps.where(col("id") =!= col("rep")).select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs — semantic dedup over an embedding
     * column; exact baseline (see SimJoin.approxCosineSelfJoin for the
     * LSH-pruned variant). */

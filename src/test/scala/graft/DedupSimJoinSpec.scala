@@ -63,6 +63,24 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 3L, 4L))
   }
 
+  test("duplicateComponents closes chains transitively; single-pass survivors does not") {
+    // chain: 1~2, 2~3 but NOT 1~3
+    val chain = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("id1", "id2", "similarity")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val comps = Dedup.duplicateComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "whole chain collapses to rep 1")
+    val transitive = Dedup.transitiveSurvivors(ids, "doc_id", chain)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(transitive == Seq(1L, 4L))
+    // the documented single-pass rule keeps 1 and 4 but ALSO 3? No: 3 is
+    // id2 of pair (2,3) so it drops too; the rules differ on deeper
+    // chains where a middle node is only ever an id1 — e.g. (2,3) alone:
+    val surv = Dedup.survivors(ids, "doc_id", Seq((2L, 3L, 0.9)).toDF("id1", "id2", "similarity"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(1L, 2L, 4L))
+  }
+
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
       shingleSize = 2, numHashTables = 16)
