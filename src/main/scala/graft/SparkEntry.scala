@@ -272,6 +272,13 @@ object SparkEntry {
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy(col("hour"), col("event_type"))),
+    // §2.3 S: sessionization (gaps-and-islands, 30-minute inactivity)
+    "events_sessionize" -> ((s, d) =>
+      StreamOps.sessionize(Tables(s, d, "events"))
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_idx"))),
     // §2.2 string/JSON surface: extract a JSON field, aggregate per type
     "events_json" -> ((s, d) =>
       Tables(s, d, "events")
@@ -488,6 +495,23 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
           |       event_type, count(*) AS n, round(sum(value), 2) AS total
           |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin,
+      "events_sessionize" ->
+        """WITH marked AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+          |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+          |              ELSE 0 END AS is_new
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM marked)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       count(*) AS n_events, round(sum(value), 2) AS total_value
+          |FROM sessions GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin,
       "events_json" ->
         """SELECT event_type,
           |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,

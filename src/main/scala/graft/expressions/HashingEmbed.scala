@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * vector (kept as-is, NOT normalized).
  */
 case class HashingEmbed(child: Expression, dim: Int, seed: Int = 42)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -34,8 +34,21 @@ case class HashingEmbed(child: Expression, dim: Int, seed: Int = 42)
       s"hashing_embed requires a string column, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+  override def nullSafeEval(v: Any): Any =
+    HashingEmbed.embedText(v.asInstanceOf[UTF8String], dim, seed)
+
+  /** Stage stays in whole-stage codegen; the kernel is one static call. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashingEmbed.embedText($c, $dim, $seed);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashingEmbed {
+  /** The hashing kernel, callable from generated Java (static forwarder). */
+  def embedText(u: UTF8String, dim: Int, seed: Int): ArrayData = {
+    val text = u.toString.toLowerCase
     val out = new Array[Float](dim)
     // manual whitespace scan: no regex compile, no token array allocation
     val n = text.length
@@ -58,6 +71,4 @@ case class HashingEmbed(child: Expression, dim: Int, seed: Int = 42)
     if (norm > 0.0) { i = 0; while (i < dim) { out(i) = (out(i) / norm).toFloat; i += 1 } }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,7 +20,7 @@ import scala.util.hashing.MurmurHash3
  * to 64 bits. Empty/blank text fingerprints to 0L.
  */
 case class SimHash64(child: Expression, shingleSize: Int = 1, seed: Int = 42)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -32,9 +32,22 @@ case class SimHash64(child: Expression, shingleSize: Int = 1, seed: Int = 42)
       s"simhash64 requires a string column, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase
-      .split("\\s+").filter(_.nonEmpty)
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      SimHash64.simhashText(v.asInstanceOf[UTF8String], shingleSize, seed))
+
+  /** Stage stays in whole-stage codegen; the kernel is one static call. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SimHash64.simhashText($c, $shingleSize, $seed);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** The simhash kernel, callable from generated Java (static forwarder). */
+  def simhashText(u: UTF8String, shingleSize: Int, seed: Int): Long = {
+    val toks = u.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val votes = new Array[Int](64)
     val n = math.max(0, toks.length - shingleSize + 1)
     var i = 0
@@ -54,8 +67,6 @@ case class SimHash64(child: Expression, shingleSize: Int = 1, seed: Int = 42)
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -263,12 +263,23 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
 
 /** SQL registration so the verbs are usable from `spark.sql` text too. */
 object VectorExpressions {
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("euclidean_similarity", es =>
+      Divide(Literal(1.0), Add(Literal(1.0), L2Distance(es(0), es(1)))), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
+    // hashing_embed(text, dim[, seed]) / simhash64(text[, shingleSize])
+    reg.createOrReplaceTempFunction("hashing_embed", es =>
+      HashingEmbed(es.head, intArg(es(1)),
+        if (es.length > 2) intArg(es(2)) else 42), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es =>
+      SimHash64(es.head, if (es.length > 1) intArg(es(1)) else 1), "built-in")
   }
 }

@@ -46,6 +46,34 @@ object StreamOps {
       .select(col("window.start").as("hour"), col(typeCol), col("n"), col("total"))
   }
 
+  /** Sessionize: split each user's event sequence at inactivity gaps —
+    * the batch gaps-and-islands formulation (lag + running sum), chosen
+    * over `session_window` for engine-portable determinism (the same
+    * window algebra runs in the DuckDB oracle). Gap comparison is in
+    * integer microseconds on both engines. */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val micros = gapMicros.microseconds + gapMicros.days * 86400000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val isNew = when(
+      unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w) > micros, 1)
+      .otherwise(when(lag(col(tsCol), 1).over(w).isNull, 1).otherwise(0))
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(col(tsCol)).as("session_start"), count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+  }
+
   /** Embed-on-arrival: the batch `embed` stage applied to a stream —
     * narrow, stateless, embedder resolved on executors (same contract
     * as graft.Embedder). */

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression guards: the scale properties the engine
+ * promises are physical-plan properties, so they are asserted, not
+ * hoped for. If a refactor re-introduces a global sort into top-k or
+ * turns a dimension broadcast into a shuffle, these fail.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+  }
+
+  test("nearest compiles to TakeOrderedAndProject with a broadcast query side — no global sort") {
+    val p = plan("nearest_cosine")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("\n+- Sort") && !p.contains("SortExec"),
+      "top-k must not plan a full sort")
+  }
+
+  test("heap-based k-NN join plans a partial aggregation, not a ranking window") {
+    val p = plan("simjoin_knn_heap")
+    assert(!p.contains("Window"), "bounded-heap join must not use a window")
+    assert(p.toLowerCase.contains("partial"), "map-side partial aggregation expected")
+  }
+
+  test("selective join query broadcasts the filtered dimension") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val p = SparkEntry.queries("nearest_cosine")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("keyword-only search is a single whole-stage-codegen scan, zero exchanges before top-k") {
+    val p = SparkEntry.queries("keyword_search")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("ShuffleExchange"), "pure scan+score must not shuffle")
+  }
+}

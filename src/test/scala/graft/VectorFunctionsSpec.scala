@@ -56,6 +56,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
     graft.expressions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      """SELECT euclidean_similarity(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS e,
+        |       size(hashing_embed('hello world', 16)) AS d,
+        |       simhash64('the quick fox') = simhash64('fox quick the') AS same
+        |""".stripMargin).head()
+    assert(r2.getDouble(0) == 1.0 / 6.0)
+    assert(r2.getInt(1) == 16)
+    assert(r2.getBoolean(2))
   }
 
   test("similarity() rejects unknown methods") {
