@@ -119,6 +119,21 @@ case class VecFrame(
     copy(df = predicted.unionByName(unembedded))
   }
 
+  // ---- Relational passthroughs -------------------------------------
+  // The reference keeps collection attributes through every dplyr verb
+  // (`[.tidyvec`, R/core.R:98-116); these wrappers do the same for the
+  // common verbs so `vec |> filter |> nearest` chains never lose the
+  // embedding column name or the embedder. `.df` remains available for
+  // anything else.
+
+  def filter(condition: Column): VecFrame = copy(df = df.filter(condition))
+  def where(condition: Column): VecFrame = filter(condition)
+  def select(cols: Column*): VecFrame = copy(df = df.select(cols: _*))
+  def withColumn(name: String, c: Column): VecFrame = copy(df = df.withColumn(name, c))
+  def orderBy(cols: Column*): VecFrame = copy(df = df.orderBy(cols: _*))
+  def limit(n: Int): VecFrame = copy(df = df.limit(n))
+  def union(other: VecFrame): VecFrame = copy(df = df.unionByName(other.df))
+
   /** First non-NULL vector — `first_valid_embedding` (R/core.R:57-62);
     * one pushed-filter limit-1 probe, used to discover the dimension. */
   def firstValidEmbedding: Option[Array[Float]] =
