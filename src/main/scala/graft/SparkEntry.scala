@@ -251,6 +251,34 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    // §2.2: selective filter aggregate (TPC-H Q6 shape) — every
+    // predicate reaches the parquet scan
+    "q6_filter" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+    // §2.2: exact percentiles of document length per language
+    "doc_length_stats" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"))
+        .orderBy(col("lang"))),
+    // §2.3: per-label embedding norm statistics (vector_norm in agg)
+    "embedding_norms" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), vectors.vector_norm(col("embedding")).as("norm"))
+        .groupBy(col("label"))
+        .agg(round(avg(col("norm")), 6).as("avg_norm"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+        .select(col("label").cast("long").as("label"), col("avg_norm"),
+          col("min_norm"), col("max_norm"))
+        .orderBy(col("label"))),
     // §2.2: hierarchical aggregate (ROLLUP) — subtotal + grand-total rows
     "rollup_agg" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -481,6 +509,24 @@ object SparkEntry {
           |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
           |  FROM orders)
           |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+      "q6_filter" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+      "doc_length_stats" ->
+        """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+          |       round(quantile_cont(n_chars, 0.5), 4) AS p50
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "embedding_norms" ->
+        """WITH n AS (
+          |  SELECT CAST(label AS BIGINT) AS label,
+          |         sqrt(sum(CAST(embedding[r.i] AS DOUBLE) * CAST(embedding[r.i] AS DOUBLE))) AS norm
+          |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY label, vec_id)
+          |SELECT label, round(avg(norm), 6) AS avg_norm,
+          |       round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+          |FROM n GROUP BY label ORDER BY label""".stripMargin,
       "rollup_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
