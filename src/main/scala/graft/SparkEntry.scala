@@ -38,12 +38,18 @@ object SparkEntry {
       spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
     val scored = e.crossJoin(broadcast(queryVec(spark, sfDir, 0)))
+    // Membership (the k rows) is decided on UNROUNDED scores inside
+    // topK; the dumped rows then re-sort on the rounded output value so
+    // the final row order is reproducible from the output columns alone.
+    // The oracle mirrors both steps (inner ORDER BY raw LIMIT, outer
+    // ORDER BY rounded).
     Nearest.topK(
       scored.select(col("vec_id"), col("embedding"), col("qe")),
       embCol = "embedding", queryVec = col("qe"),
       n = n, method = method, minScore = minScore,
       tieBreakers = Seq(asc("vec_id")))
       .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+      .orderBy(desc("similarity"), asc("vec_id"))
   }
 
   /** Hybrid/keyword query text: "batch batch scan vector" carries a
@@ -75,7 +81,8 @@ object SparkEntry {
         n = 20, minScore = 0.0, keywordWeight = 1.0,
         keywordColumn = Some("text"), queryText = Some(KwQuery),
         tieBreakers = Seq(asc("doc_id")))
-        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))),
+        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("doc_id"))),
     // §2 #7 embed with the deterministic hashing embedder (no SQL analog
     // of MurmurHash3 in DuckDB → rows-only check; invariants in ScalaTest)
     "embed_hashing" -> ((s, d) => {
@@ -92,6 +99,7 @@ object SparkEntry {
       vf.nearest(KwQuery, n = 20, keywordWeight = 0.3,
         keywordColumn = Some("text"), tieBreakers = Seq(asc("doc_id")))
         .df.select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("doc_id"))
     }),
     // §2.3 J: k-NN similarity join (10 queries × corpus, k=3)
     "simjoin_knn" -> ((s, d) => {
@@ -324,6 +332,7 @@ object SparkEntry {
       IvfIndex.build(e, "embedding", nlist = 16)
         .search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
     }),
     // §2.3 multimodal: binary payload + typed metadata (decode stubbed)
     "multimodal_meta" -> ((s, d) => {
@@ -382,23 +391,32 @@ object SparkEntry {
         |)""".stripMargin
     val cosine = "CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END"
     Map(
+      // membership by RAW score (inner LIMIT), final order by the
+      // rounded output value — mirrors the Spark side exactly
       "nearest_cosine" ->
         s"""$scoredCte
-           |SELECT vec_id, round($cosine, 6) AS similarity
-           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       "nearest_dot" ->
         s"""$scoredCte
-           |SELECT vec_id, round(dot, 6) AS similarity
-           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, dot AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       "nearest_euclidean" ->
         s"""$scoredCte
-           |SELECT vec_id, round(1.0 / (1.0 + sqrt(dsq)), 6) AS similarity
-           |FROM s ORDER BY similarity DESC, vec_id LIMIT 5""".stripMargin,
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, 1.0 / (1.0 + sqrt(dsq)) AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       "nearest_minscore" ->
         s"""$scoredCte
-           |SELECT vec_id, round($cosine, 6) AS similarity
-           |FROM s WHERE $cosine >= 0.1
-           |ORDER BY similarity DESC, vec_id LIMIT 20""".stripMargin,
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s WHERE $cosine >= 0.1
+           |  ORDER BY raw DESC, vec_id LIMIT 20)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
       "neardup_embedding" ->
@@ -481,9 +499,10 @@ object SparkEntry {
         val hits = KwTerms.map(t =>
           s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '$t') THEN 1 ELSE 0 END")
           .mkString("(", " + ", ")")
-        s"""SELECT doc_id, round($hits / ${KwTerms.length}.0, 6) AS similarity
-           |FROM documents
-           |ORDER BY similarity DESC, doc_id LIMIT 20""".stripMargin
+        s"""SELECT doc_id, round(raw, 6) AS similarity FROM (
+           |  SELECT doc_id, $hits / ${KwTerms.length}.0 AS raw FROM documents
+           |  ORDER BY raw DESC, doc_id LIMIT 20)
+           |ORDER BY similarity DESC, doc_id""".stripMargin
       },
       "q3_join" ->
         """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -18,12 +18,15 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
   }
 
-  test("nearest compiles to TakeOrderedAndProject with a broadcast query side — no global sort") {
+  test("nearest compiles to TakeOrderedAndProject with a broadcast query side — no corpus sort") {
     val p = plan("nearest_cosine")
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
-    assert(!p.contains("\n+- Sort") && !p.contains("SortExec"),
-      "top-k must not plan a full sort")
+    // A Sort ABOVE the top-k touches <= n rows (the presentation re-sort
+    // on the rounded output) — fine. A Sort BELOW it would be a full
+    // corpus sort — that's the regression this guards against.
+    val belowTopK = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!belowTopK.contains("Sort"), "no sort may run under the top-k")
   }
 
   test("heap-based k-NN join plans a partial aggregation, not a ranking window") {

@@ -12,6 +12,9 @@ import duckdb
 import pandas as pd
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Columns sorted by name; rows kept IN ORDER — stricter than a
+    # sorted-rows compare, so order-of-output bugs surface here even if
+    # the driver's hash turns out to be order-insensitive.
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for compare: ints -> int64, floats -> float64
     for c in df.columns:
@@ -21,7 +24,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
