@@ -174,6 +174,18 @@ object SparkEntry {
         length(col("text")).cast("long").as("len"),
         TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"))
         .orderBy(col("doc_id"))),
+    // §2.3 T: token-window chunking with overlap (RAG/pretraining split)
+    "doc_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(Tables(s, d, "documents"), "text", chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
+    "vocab_topk" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term")).limit(20)),
     // §2.3 T: stopword-profile language ID
     "lang_id" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -456,6 +468,22 @@ object SparkEntry {
            |       length(text) AS len,
            |       ${TextAnalysisSql.punctCountSql("text")} AS n_punct
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_chunk" ->
+        """WITH d AS (SELECT doc_id,
+          |  list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, CAST(r.i // 24 AS BIGINT) AS chunk_idx,
+          |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
+          |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
+          |  WHERE r.i < len(toks))
+          |SELECT doc_id, chunk_idx, chunk FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "vocab_topk" ->
+        """SELECT term, count(*) AS n FROM (
+          |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> len(t) > 0)) AS term
+          |  FROM documents)
+          |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
       "lang_id" ->
         s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,

@@ -83,6 +83,33 @@ object TextAnalysis {
     * noise. */
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /**
+   * Token-window chunking with overlap — the RAG/pretraining splitter
+   * (the reference's vignette demonstrates exactly this document-chunks
+   * shape, /root/reference/vignettes/getting-started.Rmd:245-263, built
+   * by hand). Emits one row per chunk: windows of `chunkSize` original
+   * (case-preserved) whitespace tokens, starting every
+   * `chunkSize - overlap` tokens; the final partial window is kept. A
+   * pure explode over codegen'd array ops — no UDF, no shuffle.
+   */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+      chunkSize: Int, overlap: Int = 0,
+      chunkIdxCol: String = "chunk_idx", chunkCol: String = "chunk"): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // chunk start indices: 0, step, 2·step, … while start < nTokens
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(step))).otherwise(array().cast("array<int>"))
+    df.withColumn("__toks", toks)
+      .withColumn(chunkIdxCol, explode(starts))
+      .withColumn(chunkCol,
+        concat_ws(" ", slice(col("__toks"), col(chunkIdxCol) + 1, lit(chunkSize))))
+      .withColumn(chunkIdxCol, (col(chunkIdxCol) / step).cast("long"))
+      .drop("__toks")
+  }
 }
 
 /** DuckDB fragments generated from the same constants — the oracle side

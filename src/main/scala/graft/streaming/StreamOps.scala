@@ -81,6 +81,15 @@ object StreamOps {
       outCol: String = "embedding"): DataFrame =
     embedder.embed(events, contentCol, outCol)
 
+  /** Streaming exact dedup: drop duplicate ids as they arrive, with a
+    * watermark bounding the dedup state (ids older than the delay are
+    * forgotten — the only way dedup state survives an unbounded
+    * stream). */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCols :+ tsCol)
+
   /** Micro-batch top-k against a STATIC collection (SURVEY §2.3 S):
     * each arriving batch of embedded queries runs the bounded-heap k-NN
     * join against the indexed corpus; `sink` receives (results,

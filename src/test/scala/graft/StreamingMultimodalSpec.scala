@@ -52,6 +52,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.where(size(col("embedding")) === 8).count() == 1000)
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_dedup_stream")
+    // stage the same file twice: every event arrives twice
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamOps.readEventsStream(spark, dir.toString)
+    val q = StreamOps.dedupStream(stream, Seq("event_id"))
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("graft_dedup_test")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_dedup_test")
+    assert(got.count() == 1000, "2000 delivered, 1000 distinct")
+    assert(got.distinct().count() == 1000)
+  }
+
   test("multimodal: packed bytes round-trip and metadata reflects payload size") {
     val docs = Seq((1L, "hello world"), (2L, "ü")).toDF("doc_id", "text")
     val packed = Multimodal.withMeta(Multimodal.packTextAsMedia(docs, "text"), "media")

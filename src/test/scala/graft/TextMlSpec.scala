@@ -53,6 +53,18 @@ class TextMlSpec extends AnyFunSuite {
     assert(m("a") != m("c"))
   }
 
+  test("chunk: windows with overlap, partial tail kept, empty text yields no chunks") {
+    val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "text", chunkSize = 3, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    // step 2: [a b c] [c d e] [e f g] [g]
+    assert(doc1 == Seq("a b c", "c d e", "e f g", "g"))
+    assert(!out.exists(_._1 == 2L), "empty text produces no chunks")
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("x"))
+  }
+
   test("avg_vector: element-wise mean, NULL vectors skipped, all-NULL group -> NULL") {
     val df = Seq(
       ("g1", Some(Seq(1f, 2f))), ("g1", Some(Seq(3f, 4f))), ("g1", None),
