@@ -40,6 +40,24 @@ object vectors {
   def l2_normalize(a: Column): Column =
     ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(a)))
 
+  /**
+   * Symmetric int8 quantization of a float vector: x → round(x·127/s)
+   * clamped to [-127, 127], with `s` the caller-chosen absolute scale
+   * (e.g. 1.0 for L2-normalized embeddings). Cuts the at-rest footprint
+   * 4× — at 100 TB of vectors that is the difference between one
+   * storage tier and the next — while cosine on dequantized vectors
+   * stays within ~1% of the original (spec'd). Pure codegen'd HOF
+   * composition, no custom expression needed.
+   */
+  def quantize_int8(a: Column, scale: Double): Column =
+    transform(a, x =>
+      greatest(lit(-127), least(lit(127),
+        round(x * lit(127.0 / scale)))).cast("byte"))
+
+  /** Inverse of [[quantize_int8]] (lossy). */
+  def dequantize_int8(a: Column, scale: Double): Column =
+    transform(a, x => (x.cast("double") * lit(scale / 127.0)).cast("float"))
+
   /** Similarity by reference method name ("cosine" | "euclidean" | "dot"),
     * mirroring nearest()'s method arg (R/core.R:241,267-278). */
   def similarity(a: Column, b: Column, method: String): Column = method match {

@@ -69,4 +69,22 @@ class VectorFunctionsSpec extends AnyFunSuite {
   test("similarity() rejects unknown methods") {
     intercept[IllegalArgumentException] { similarity(vec(1f), vec(1f), "manhattan") }
   }
+
+  test("int8 quantization round trip: cosine preserved within 1% on real embeddings") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    val q = e.select(
+      col("vec_id"),
+      cosine_similarity(col("embedding"), l2_normalize(col("embedding"))).as("self"),
+      cosine_similarity(
+        dequantize_int8(quantize_int8(l2_normalize(col("embedding")), 1.0), 1.0),
+        l2_normalize(col("embedding"))).as("qcos"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 0.01,
+        s"vec ${r.getLong(0)}: quantized cosine ${r.getDouble(2)} drifted >1%")
+    }
+    // and the quantized column is actually bytes
+    val dt = e.select(quantize_int8(col("embedding"), 1.0).as("qv")).schema("qv").dataType
+    assert(dt.simpleString == "array<tinyint>")
+  }
 }
