@@ -46,6 +46,17 @@ object ScaleProbe {
       Nearest.topK(e, "embedding", lit(query), n = 10,
         tieBreakers = Seq(asc("vec_id"))).collect()
     }
+    // the same query with the HOF formulation the custom expression
+    // replaced (SURVEY §4.2) — per-row lambda dispatch + zip allocation
+    time("  same via aggregate(zip_with)") {
+      val q = lit(query).cast("array<double>")
+      val ed = col("embedding").cast("array<double>")
+      val dot = aggregate(zip_with(ed, q, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+      val na = aggregate(zip_with(ed, ed, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+      val nb = aggregate(zip_with(q, q, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+      e.select(col("vec_id"), (dot / (sqrt(na) * sqrt(nb))).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id")).limit(10).collect()
+    }
     time("knnJoinAgg 10q x k10") {
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

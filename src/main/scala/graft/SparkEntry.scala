@@ -186,6 +186,16 @@ object SparkEntry {
           t => length(t) > 0)).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term")).limit(20)),
+    // §2.3 T: curation redaction (emails/phones/digit runs -> tags)
+    "redact" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), md5(TextAnalysis.redact(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+    // §2.3 T: deterministic md5-bucket train/val/test assignment
+    "train_split" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))),
     // §2.3 T: stopword-profile language ID
     "lang_id" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -484,6 +494,19 @@ object SparkEntry {
           |                t -> len(t) > 0)) AS term
           |  FROM documents)
           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+      "redact" -> {
+        val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
+          case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+        s"""SELECT doc_id, md5($chain) AS redacted_md5
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "train_split" ->
+        """SELECT doc_id,
+          |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+          |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "lang_id" ->
         s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,

@@ -84,6 +84,48 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Redaction patterns shared by the Column API and the oracle SQL —
+    * written in the common Java-regex/RE2 subset (no lookaround, no
+    * dialect-specific escapes). */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}" -> "<PHONE>",
+    "[0-9]+" -> "<NUM>")
+
+  /** Curation-grade redaction: mask emails, phone-shaped numbers, then
+    * bare digit runs. Order matters (specific → general) and is fixed. */
+  def redact(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /**
+   * Deterministic train/val/test assignment from a stable id — the
+   * reproducible-split primitive every training pipeline needs. Buckets
+   * by the first two hex chars of md5(id) (256 buckets), so the split
+   * is stable across engines, runs, partitionings, and row order, and
+   * any engine with md5 can reproduce it (the DuckDB oracle does).
+   * Fractions are rounded to 1/256ths.
+   */
+  def splitAssign(id: Column, trainFrac: Double = 0.9, valFrac: Double = 0.05): Column = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    val trainEnd = math.round(trainFrac * 256).toInt
+    val valEnd = math.min(256, trainEnd + math.round(valFrac * 256).toInt)
+    // compare the 2-char lowercase hex prefix LEXICOGRAPHICALLY against
+    // the boundary spelled in hex — equivalent to numeric comparison for
+    // fixed-width lowercase hex, and portable to any engine with md5 +
+    // string compare (no hex-parse builtin needed)
+    val bucket = substring(md5(id.cast("string")), 1, 2)
+    def hex2(i: Int) = f"$i%02x"
+    if (trainEnd >= 256) lit("train")
+    else {
+      val afterTrain =
+        if (valEnd >= 256) lit("val")
+        else when(bucket < lit(hex2(valEnd)), "val").otherwise("test")
+      when(bucket < lit(hex2(trainEnd)), "train").otherwise(afterTrain)
+    }
+  }
+
   /**
    * Token-window chunking with overlap — the RAG/pretraining splitter
    * (the reference's vignette demonstrates exactly this document-chunks

@@ -53,6 +53,30 @@ class TextMlSpec extends AnyFunSuite {
     assert(m("a") != m("c"))
   }
 
+  test("redact masks emails, phones, and digit runs in order") {
+    val df = Seq("mail bob@x.com or call 555-123-4567 room 42").toDF("t")
+      .select(TextAnalysis.redact(col("t")).as("r"))
+    assert(df.head().getString(0) == "mail <EMAIL> or call <PHONE> room <NUM>")
+  }
+
+  test("splitAssign: deterministic, covers all rows, fractions in the right ballpark") {
+    val df = spark.range(10000).toDF("id")
+      .select(col("id"), TextAnalysis.splitAssign(col("id")).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 8500 && counts("train") < 9500)
+    assert(counts("val") > 250 && counts("val") < 800)
+    // stable: same assignment on recompute
+    val again = spark.range(10000).toDF("id")
+      .select(TextAnalysis.splitAssign(col("id")).as("s2"))
+    assert(df.select("split").collect().toSeq == again.collect().toSeq)
+    // degenerate fractions
+    val allTrain = Seq(1L).toDF("id")
+      .select(TextAnalysis.splitAssign(col("id"), trainFrac = 1.0, valFrac = 0.0))
+    assert(allTrain.head().getString(0) == "train")
+  }
+
   test("chunk: windows with overlap, partial tail kept, empty text yields no chunks") {
     val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, "text", chunkSize = 3, overlap = 1)
