@@ -337,6 +337,12 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_idx"))),
+    // §2.2: exact distinct aggregation per day
+    "events_daily_users" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("day"))),
     // §2.2 string/JSON surface: extract a JSON field, aggregate per type
     "events_json" -> ((s, d) =>
       Tables(s, d, "events")
@@ -628,6 +634,10 @@ object SparkEntry {
           |       count(*) AS n_events, round(sum(value), 2) AS total_value
           |FROM sessions GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+      "events_daily_users" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
       "events_json" ->
         """SELECT event_type,
           |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
