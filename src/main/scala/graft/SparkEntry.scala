@@ -138,12 +138,22 @@ object SparkEntry {
         shingleSize = 1, groupCol = Some("source"))
       Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D: same survivors via the BITSET jaccard fast path (vocab
+    // fits 64 bits -> popcount arithmetic; shares dedup_jaccard's oracle)
+    "dedup_jaccard_bitset" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.bitsetJaccardPairs(docs, "text", "doc_id", 0.8,
+        groupCol = Some("source"))
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: TRANSITIVE jaccard dedup — iterative min-label propagation
     // (connected components over the dup graph); oracle = recursive CTE
     "dedup_jaccard_cc" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.8,
-        shingleSize = 1, groupCol = Some("source"))
+      // bitset pair generation (result-identical to the hash path,
+      // spec'd) feeds the transitive closure
+      val pairs = Dedup.bitsetJaccardPairs(docs, "text", "doc_id", 0.8,
+        groupCol = Some("source"))
       Dedup.transitiveSurvivors(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
@@ -404,6 +414,23 @@ object SparkEntry {
       |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
       |ORDER BY query_id, similarity DESC, vec_id""".stripMargin
 
+  /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
+    * and bitset physical strategies produce identical survivors. */
+  private val oracleSqlJaccardSurvivors: String =
+    """WITH d AS (SELECT doc_id, source,
+      |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |                t -> len(t) > 0)) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT b.doc_id AS dropped
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+      |        THEN len(list_intersect(a.toks, b.toks)) * 1.0
+      |             / len(list_distinct(list_concat(a.toks, b.toks)))
+      |        ELSE 0.0 END >= 0.8)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT dropped FROM pairs) ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     def scoredCte =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -464,20 +491,8 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
-      "dedup_jaccard" ->
-        """WITH d AS (SELECT doc_id, source,
-          |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-          |                t -> len(t) > 0)) AS toks
-          |  FROM documents),
-          |pairs AS (
-          |  SELECT b.doc_id AS dropped
-          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-          |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
-          |        THEN len(list_intersect(a.toks, b.toks)) * 1.0
-          |             / len(list_distinct(list_concat(a.toks, b.toks)))
-          |        ELSE 0.0 END >= 0.8)
-          |SELECT doc_id FROM documents
-          |WHERE doc_id NOT IN (SELECT dropped FROM pairs) ORDER BY doc_id""".stripMargin,
+      "dedup_jaccard" -> oracleSqlJaccardSurvivors,
+      "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->
         s"""SELECT doc_id, ${TextAnalysisSql.tokenCountSql("text")} AS n_tokens,
            |       ${TextAnalysisSql.regexTokenCountSql("text")} AS n_subtokens,

@@ -118,6 +118,50 @@ object Dedup {
       .select(col("id1"), col("id2"), col("similarity"))
   }
 
+  /**
+   * Bitset fast path for exact unigram Jaccard when the corpus
+   * vocabulary fits 64 bits: each document's distinct-token set becomes
+   * one long (bit i = vocabulary term i, alphabetical), and the
+   * per-pair set work collapses to two bitwise ops + popcounts —
+   * nanoseconds instead of a hash-set intersect. Result-identical to
+   * `jaccardPairs` (same set semantics, same integer threshold
+   * predicate); throws if the vocabulary exceeds 64 terms (the general
+   * representation is an array-of-longs bitmap; the hash path covers it
+   * today). The vocabulary is a tiny aggregate collected once — not a
+   * corpus collect.
+   */
+  def bitsetJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, groupCol: Option[String] = None): DataFrame = {
+    val toksCol = array_distinct(filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0))
+    val vocab = df.select(explode(toksCol).as("__t")).distinct()
+      .orderBy("__t").collect().map(_.getString(0))
+    require(vocab.length <= 64,
+      s"bitset fast path needs vocabulary <= 64 terms, found ${vocab.length}; use jaccardPairs")
+    val vocabLit = array(vocab.map(lit): _*)
+    // the Scala shiftleft() wrapper only accepts a literal shift; the
+    // SQL builtin takes a column
+    val mask = aggregate(toksCol, lit(0L),
+      (acc, t) => acc.bitwiseOR(call_function("shiftleft", lit(1L),
+        (array_position(vocabLit, t) - 1).cast("int"))))
+    val masked = df.select(Seq(col(idCol), mask.as("__m")) ++ groupCol.map(col): _*)
+    val a = masked.select(Seq(col(idCol).as("id1"), col("__m").as("__m1")) ++
+      groupCol.map(c => col(c).as("__g1")): _*)
+    val b = masked.select(Seq(col(idCol).as("id2"), col("__m").as("__m2")) ++
+      groupCol.map(c => col(c).as("__g2")): _*)
+    val cond = groupCol.map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
+      .getOrElse(col("id1") < col("id2"))
+    val t = java.math.BigDecimal.valueOf(threshold)
+    val q = math.pow(10, t.scale).toLong
+    val p = t.unscaledValue.longValueExact
+    val inter = bit_count(col("__m1").bitwiseAND(col("__m2"))).cast("long")
+    val unionSz = bit_count(col("__m1").bitwiseOR(col("__m2"))).cast("long")
+    a.join(b, cond)
+      .where(inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
+      .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
+      .select(col("id1"), col("id2"), col("similarity"))
+  }
+
   /** Survivors under the keep-min-id pair rule, given any pair frame
     * (id1 < id2 meaning id2 duplicates id1). */
   def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =

@@ -63,6 +63,22 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 3L, 4L))
   }
 
+  test("bitsetJaccardPairs equals jaccardPairs exactly; rejects >64-term vocabularies") {
+    val docs01 = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaHash = Dedup.jaccardPairs(docs01, "text", "doc_id", 0.8,
+      shingleSize = 1, groupCol = Some("source"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBits = Dedup.bitsetJaccardPairs(docs01, "text", "doc_id", 0.8,
+      groupCol = Some("source"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBits == viaHash && viaHash.nonEmpty)
+    // a corpus with >64 distinct terms must refuse the fast path
+    val wide = (1 to 70).map(i => (i.toLong, s"term$i unique")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.bitsetJaccardPairs(wide, "text", "doc_id", 0.8)
+    }
+  }
+
   test("duplicateComponents closes chains transitively; single-pass survivors does not") {
     // chain: 1~2, 2~3 but NOT 1~3
     val chain = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("id1", "id2", "similarity")
