@@ -372,6 +372,25 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 J at scale: IVF BATCH search — a whole table of queries, no
+    // per-query driver round-trip (rows-only; equality spec vs search())
+    "ann_ivf_batch" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      IvfIndex.build(e, "embedding", nlist = 16)
+        .searchMany(q, "query_id", "qe", "vec_id", k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
+    // §2.3 T: deterministic stratified hash sampling (stable across
+    // runs/partitionings; fractions per stratum)
+    "sample_by_lang" -> ((s, d) => {
+      val keep = TextAnalysis.hashSampleBy(col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "zh" -> 1.0), default = 0.5)
+      Tables(s, d, "documents").where(keep)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
     // §2.3 multimodal: binary payload + typed metadata (decode stubbed)
     "multimodal_meta" -> ((s, d) => {
       val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")
@@ -658,6 +677,12 @@ object SparkEntry {
           |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
           |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "sample_by_lang" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE CASE WHEN lang = 'zh' THEN TRUE
+          |           WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+          |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
+          |ORDER BY doc_id""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,

@@ -67,6 +67,39 @@ class IvfIndex private (
       simCol = simCol, tieBreakers = tieBreakers)
   }
 
+  /**
+   * Batch ANN: top-k for a whole TABLE of queries, fully distributed —
+   * no per-query driver round-trip, so it scales to millions of
+   * queries. Plan: broadcast-score queries × centroids → per-query
+   * top-nprobe cells (bounded-heap aggregate) → explode probes → join
+   * corpus ON CELL (hash join on an int key — only probed cells'
+   * vectors meet each query) → exact score → per-query top-k via the
+   * bounded-heap aggregate again. Shuffles carry cell ids and k-capped
+   * candidate lists, never the corpus².
+   */
+  def searchMany(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, k: Int, nprobe: Int = 4,
+      simCol: String = "similarity"): DataFrame = {
+    import graft.functions.TopKScored
+    val cellScores = centroids.crossJoin(broadcast(queries))
+      .select(col(queryIdCol), col("cell").cast("long").as("cell"),
+        vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))
+    val probes = cellScores
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
+      .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
+      .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+    val candidates = indexed.join(
+      broadcast(probes.join(queries, Seq(queryIdCol))), Seq("cell"))
+    candidates
+      .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol),
+        vectors.cosine_similarity(col(embCol), col(queryEmbCol)).as(simCol))
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(k)(col(simCol), col(corpusIdCol)).as("__topk"))
+      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
+  }
+
   /** Persist the corpus cell-partitioned so probe filters prune files. */
   def writePartitioned(path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -127,6 +127,26 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic hash-based sampling: keep a row iff its md5 bucket
+   * (256ths, same scheme as [[splitAssign]]) falls under the stratum's
+   * fraction. Unlike `rand()`-based sampling this is stable across
+   * runs, partitionings, and engines — the property a reproducible
+   * training-data pipeline needs — and the DuckDB oracle replays it.
+   * `fractions` maps stratum value → keep fraction; absent strata use
+   * `default`.
+   */
+  def hashSampleBy(id: Column, stratum: Column, fractions: Map[String, Double],
+      default: Double = 1.0): Column = {
+    val bucket = substring(md5(id.cast("string")), 1, 2)
+    def hex2(frac: Double): String = f"${math.min(256, math.round(frac * 256)).toInt}%03x".takeRight(2)
+    def keep(frac: Double): Column =
+      if (frac >= 1.0) lit(true) else bucket < lit(hex2(frac))
+    fractions.foldLeft(keep(default)) { case (acc, (value, frac)) =>
+      when(stratum === value, keep(frac)).otherwise(acc)
+    }
+  }
+
+  /**
    * Token-window chunking with overlap — the RAG/pretraining splitter
    * (the reference's vignette demonstrates exactly this document-chunks
    * shape, /root/reference/vignettes/getting-started.Rmd:245-263, built

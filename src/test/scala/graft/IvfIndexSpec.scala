@@ -40,6 +40,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(hits.select("vec_id").head().getLong(0) == 0L)
   }
 
+  test("searchMany agrees with per-query search at the same nprobe") {
+    import spark.implicits._
+    val idx = IvfIndex.build(e, "embedding", nlist = 8)
+    val qIds = Seq(0L, 7L, 42L)
+    val qTable = e.filter(col("vec_id").isin(qIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val batch = idx.searchMany(qTable, "query_id", "qe", "vec_id", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = qIds.flatMap { id =>
+      val qv = e.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(qv, k = 5, nprobe = 3, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(r => (id, r.getLong(0)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("recall@10 at nprobe=4/8 is usable on the clustered fixture") {
     val idx = IvfIndex.build(e, "embedding", nlist = 8)
     val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
