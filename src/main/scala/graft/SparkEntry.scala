@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{Dedup, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,6 +83,13 @@ object SparkEntry {
         tieBreakers = Seq(asc("doc_id")))
         .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("doc_id"))),
+    // §2 #8 upgraded keyword tier: BM25 ranked search (idf + saturating
+    // tf + length normalization; corpus stats are one-pass aggregates)
+    "bm25_search" -> ((s, d) =>
+      TextSearch.bm25TopK(Tables(s, d, "documents"), "text", "doc_id",
+        KwQuery, k = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
     // §2 #7 embed with the deterministic hashing embedder (no SQL analog
     // of MurmurHash3 in DuckDB → rows-only check; invariants in ScalaTest)
     "embed_hashing" -> ((s, d) => {
@@ -534,6 +541,7 @@ object SparkEntry {
           |                t -> len(t) > 0)) AS term
           |  FROM documents)
           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+      "bm25_search" -> TextSearch.bm25OracleSql("documents", "text", "doc_id", KwQuery, 20),
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
           case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"

@@ -53,6 +53,26 @@ class TextMlSpec extends AnyFunSuite {
     assert(m("a") != m("c"))
   }
 
+  test("bm25: rare query terms outweigh common ones; repetition saturates") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common common common"),
+      (3L, "common rare rare rare"),
+      (4L, "other words entirely here")
+    ).toDF("doc_id", "text")
+    val top = TextSearch.bm25TopK(docs, "text", "doc_id", "rare common", k = 4)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // doc3 (most 'rare') must beat doc1 (one 'rare'), which beats doc2 (none)
+    val order = top.map(_._1).toSeq
+    assert(order.indexOf(3L) < order.indexOf(1L))
+    assert(order.indexOf(1L) < order.indexOf(2L))
+    assert(top.toMap.apply(4L) == 0.0, "no query terms -> score 0")
+    // saturation: tripling 'rare' must NOT triple the score
+    val s3 = top.toMap.apply(3L); val s1 = top.toMap.apply(1L)
+    assert(s3 < 3 * s1)
+  }
+
   test("redact masks emails, phones, and digit runs in order") {
     val df = Seq("mail bob@x.com or call 555-123-4567 room 42").toDF("t")
       .select(TextAnalysis.redact(col("t")).as("r"))
