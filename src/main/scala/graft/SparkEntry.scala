@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{Dedup, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{Dedup, Fusion, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -90,6 +90,16 @@ object SparkEntry {
         KwQuery, k = 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
+    // §2 #8 rank-fusion hybrid: RRF over the exact-keyword and BM25
+    // rankings (both SQL-expressible, so the fusion is oracle-checked)
+    "hybrid_rrf" -> ((s, d) => {
+      val kw = queries("keyword_search")(s, d)
+        .withColumnRenamed("similarity", "score")
+      val bm = queries("bm25_search")(s, d)
+      Fusion.rrf(Seq(kw, bm), "doc_id", "score")
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
     // §2 #7 embed with the deterministic hashing embedder (no SQL analog
     // of MurmurHash3 in DuckDB → rows-only check; invariants in ScalaTest)
     "embed_hashing" -> ((s, d) => {
@@ -542,6 +552,24 @@ object SparkEntry {
           |  FROM documents)
           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
       "bm25_search" -> TextSearch.bm25OracleSql("documents", "text", "doc_id", KwQuery, 20),
+      "hybrid_rrf" -> {
+        val kwSql = {
+          val hits = KwTerms.map(t =>
+            s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '$t') THEN 1 ELSE 0 END")
+            .mkString("(", " + ", ")")
+          s"""SELECT doc_id, round(raw, 6) AS score FROM (
+             |  SELECT doc_id, $hits / ${KwTerms.length}.0 AS raw FROM documents
+             |  ORDER BY raw DESC, doc_id LIMIT 20)""".stripMargin
+        }
+        s"""WITH kw AS ($kwSql),
+           |bm AS (${TextSearch.bm25OracleSql("documents", "text", "doc_id", KwQuery, 20)}),
+           |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM kw),
+           |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm)
+           |SELECT doc_id,
+           |       round(coalesce(1.0 / (60 + kr.r), 0) + coalesce(1.0 / (60 + br.r), 0), 6) AS rrf_score
+           |FROM kr FULL OUTER JOIN br USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id""".stripMargin
+      },
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
           case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"

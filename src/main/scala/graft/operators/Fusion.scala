@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Reciprocal-rank fusion — the standard combiner for heterogeneous
+ * retrieval tiers (vector ANN, BM25, exact keyword):
+ *
+ *   rrf(d) = Σ_rankings 1 / (k + rank_i(d)),   absent ⇒ contributes 0
+ *
+ * Rank fusion composes rankings whose raw scores live on incompatible
+ * scales — the weighted-sum hybrid of the reference (R/core.R:311-313)
+ * needs both scores in [0,1]; RRF needs only the order. Inputs are
+ * already-limited top-N frames (id + score), so the ranking windows
+ * run over list-sized data; determinism comes from ranking on the
+ * ROUNDED scores with an id tie-break, the engine's oracle convention.
+ */
+object Fusion {
+
+  def rrf(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+      kConst: Int = 60, outCol: String = "rrf_score"): DataFrame = {
+    require(rankings.nonEmpty)
+    val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      // inputs are top-N lists; a global window over <=N rows is fine
+      val w = Window.orderBy(desc(scoreCol), asc(idCol))
+      df.select(col(idCol), row_number().over(w).as(s"__rank_$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score: Column = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(kConst) + col(s"__rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), score.as(outCol))
+  }
+}
