@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -30,7 +30,7 @@ import graft.functions.vectors
  * rebuilt on Spark primitives.
  */
 class IvfIndex private (
-    val model: KMeansModel,
+    val centroidVectors: Array[Array[Float]], // index = cell id
     val indexed: DataFrame, // original columns + `cell: int`
     val embCol: String) extends Serializable {
 
@@ -38,8 +38,7 @@ class IvfIndex private (
   lazy val centroids: DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+    centroidVectors.zipWithIndex.map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")
   }
 
@@ -103,6 +102,18 @@ class IvfIndex private (
   /** Persist the corpus cell-partitioned so probe filters prune files. */
   def writePartitioned(path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Persist the whole index: cell-partitioned data + centroid table +
+    * sidecar. A loaded index reads the partitioned layout, so `search`
+    * probes prune FILES, not just rows. */
+  def save(path: String): Unit = {
+    writePartitioned(s"$path/data")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivf.json"),
+      s"""{"embedding_column": "$embCol", "nlist": ${centroidVectors.length}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 object IvfIndex {
@@ -115,6 +126,20 @@ object IvfIndex {
       .withColumn(vecCol, array_to_vector(col(embCol)))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol(vecCol).setPredictionCol("cell").fit(assembled)
-    new IvfIndex(model, model.transform(assembled).drop(vecCol), embCol)
+    new IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)),
+      model.transform(assembled).drop(vecCol), embCol)
+  }
+
+  /** Reopen a saved index. The data scan comes from the cell-partitioned
+    * layout, so subsequent probe filters prune at the file level. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_ivf.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val embCol = """"embedding_column"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("embedding")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    new IvfIndex(cents, spark.read.parquet(s"$path/data"), embCol)
   }
 }

@@ -72,10 +72,18 @@ class DedupSimJoinSpec extends AnyFunSuite {
       groupCol = Some("source"))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBits == viaHash && viaHash.nonEmpty)
-    // a corpus with >64 distinct terms must refuse the fast path
-    val wide = (1 to 70).map(i => (i.toLong, s"term$i unique")).toDF("doc_id", "text")
+    // >64 distinct terms takes the array-of-longs bitmap path — still
+    // exactly equal to the hash path
+    val wide = (1 to 70).map(i =>
+      (i.toLong, s"shared common words term$i term${i % 3}")).toDF("doc_id", "text")
+    val wideHash = Dedup.jaccardPairs(wide, "text", "doc_id", 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideBits = Dedup.bitsetJaccardPairs(wide, "text", "doc_id", 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wideBits == wideHash && wideHash.nonEmpty)
+    // and the cap still refuses unbounded vocabularies
     intercept[IllegalArgumentException] {
-      Dedup.bitsetJaccardPairs(wide, "text", "doc_id", 0.8)
+      Dedup.bitsetJaccardPairs(wide, "text", "doc_id", 0.5, maxVocab = 10)
     }
   }
 

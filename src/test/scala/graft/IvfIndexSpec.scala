@@ -57,6 +57,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("save/load round trip: a reloaded index answers identically from the partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val idx = IvfIndex.build(e, "embedding", nlist = 8)
+    idx.save(s"$dir/idx")
+    val back = IvfIndex.load(spark, s"$dir/idx")
+    assert(back.centroidVectors.length == 8)
+    val orig = idx.search(query, k = 10, nprobe = 3, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val reloaded = back.search(query, k = 10, nprobe = 3, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(reloaded == orig)
+    // the probe filter over the loaded layout prunes partition dirs
+    val plan = back.indexed.where(col("cell").isin(0, 1))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [cell"), s"expected partition filters in:\n$plan")
+  }
+
   test("recall@10 at nprobe=4/8 is usable on the clustered fixture") {
     val idx = IvfIndex.build(e, "embedding", nlist = 8)
     val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
