@@ -342,6 +342,12 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    // §2.2: full grouping-sets lattice (CUBE)
+    "cube_agg" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
     // §2.2: set operations — customers with orders minus low-balance ones
     "set_ops" -> ((s, d) => {
       val withOrders = Tables(s, d, "customer").select(col("c_custkey"))
@@ -678,6 +684,11 @@ object SparkEntry {
           |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "cube_agg" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          |       round(sum(o_totalprice), 2) AS total, count(*) AS n
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
       "set_ops" ->
         """SELECT c_custkey FROM customer
           |INTERSECT SELECT o_custkey FROM orders

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Embedder
 
@@ -80,6 +81,37 @@ object StreamOps {
   def embedStream(events: DataFrame, contentCol: String, embedder: Embedder,
       outCol: String = "embedding"): DataFrame =
     embedder.embed(events, contentCol, outCol)
+
+  /** Per-user running aggregate carried in custom state. */
+  case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /**
+   * Custom stateful streaming via `flatMapGroupsWithState`: a running
+   * per-user (count, sum) that emits an updated row per user per
+   * micro-batch — the template for any accumulator the built-in
+   * windowed aggregates can't express (per-key models, decaying
+   * counters, anomaly state machines). State lives in the state store
+   * per key; a processing-time timeout would bound it for churning key
+   * spaces.
+   */
+  def runningUserStats(events: DataFrame, userCol: String = "user_id",
+      valueCol: String = "value"): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(userCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.nEvents; var total = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val updated = UserRunning(userId, n, total)
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
 
   /** Streaming exact dedup: drop duplicate ids as they arrive, with a
     * watermark bounding the dedup state (ids older than the delay are

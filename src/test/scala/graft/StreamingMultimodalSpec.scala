@@ -71,6 +71,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.distinct().count() == 1000)
   }
 
+  test("flatMapGroupsWithState running stats converge to the batch totals") {
+    val stream = StreamOps.readEventsStream(spark, eventsDir)
+    val q = StreamOps.runningUserStats(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_state_test").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emitted row per user = final running totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(desc("nEvents"))
+    val finals = spark.table("graft_state_test")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("userId"), col("nEvents"), round(col("totalValue"), 4).as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("multimodal: packed bytes round-trip and metadata reflects payload size") {
     val docs = Seq((1L, "hello world"), (2L, "ü")).toDF("doc_id", "text")
     val packed = Multimodal.withMeta(Multimodal.packTextAsMedia(docs, "text"), "media")
