@@ -342,6 +342,22 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    // §2.3 D-adjacent: fuzzy entity matching — edit-distance pairs
+    // under (brand, size) blocking, the record-linkage counterpart of
+    // text near-dedup
+    "fuzzy_pairs" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+      val a = p.select(col("p_partkey").as("id1"), col("p_brand").as("b1"),
+        col("p_size").as("s1"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("id2"), col("p_brand").as("b2"),
+        col("p_size").as("s2"), col("p_name").as("n2"))
+      a.join(b, col("b1") === col("b2") && col("s1") === col("s2") &&
+          col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .where(col("dist") <= 2)
+        .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id1"), col("id2"))
+    }),
     // §2.2: full grouping-sets lattice (CUBE)
     "cube_agg" -> ((s, d) =>
       Tables(s, d, "orders")
@@ -684,6 +700,14 @@ object SparkEntry {
           |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "fuzzy_pairs" ->
+        """SELECT x.p_partkey AS id1, y.p_partkey AS id2,
+          |       CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+          |FROM part x JOIN part y
+          |  ON x.p_brand = y.p_brand AND x.p_size = y.p_size
+          | AND x.p_partkey < y.p_partkey
+          |WHERE levenshtein(x.p_name, y.p_name) <= 2
+          |ORDER BY id1, id2""".stripMargin,
       "cube_agg" ->
         """SELECT o_orderstatus, o_orderpriority,
           |       round(sum(o_totalprice), 2) AS total, count(*) AS n
