@@ -206,6 +206,24 @@ object SparkEntry {
       TextAnalysis.chunk(Tables(s, d, "documents"), "text", chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // §2.3 composition: passage retrieval — chunk, embed chunks, rank
+    // chunks against a query, keep each doc's best chunk (RAG shape;
+    // hashing embedder -> rows-only)
+    "passage_retrieval" -> ((s, d) => {
+      val chunks = TextAnalysis.chunk(Tables(s, d, "documents"), "text",
+        chunkSize = 32, overlap = 8)
+      val embedded = HashingEmbedder(dim = 64).embed(chunks, "chunk", "chunk_emb")
+      val q = HashingEmbedder(dim = 64)
+        .embedQuery(s, KwQuery)
+      val scored = embedded.withColumn("similarity",
+        vectors.cosine_similarity(col("chunk_emb"), lit(q)))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("similarity"), asc("chunk_idx"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_idx"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("doc_id")).limit(20)
+    }),
     // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
     "vocab_topk" -> ((s, d) =>
       Tables(s, d, "documents")
