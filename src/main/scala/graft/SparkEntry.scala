@@ -224,6 +224,16 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("doc_id")).limit(20)
     }),
+    // §2.3 composition with a FULL oracle: BM25 ranked retrieval over
+    // chunk passages (chunk stats, not doc stats, feed the formula)
+    "bm25_chunks" -> ((s, d) => {
+      val chunks = TextAnalysis.chunk(Tables(s, d, "documents"), "text",
+        chunkSize = 32, overlap = 8)
+        .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+      TextSearch.bm25TopK(chunks, "chunk", "chunk_id", KwQuery, k = 20)
+        .select(col("chunk_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("chunk_id"))
+    }),
     // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
     "vocab_topk" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -609,6 +619,21 @@ object SparkEntry {
            |       round(coalesce(1.0 / (60 + kr.r), 0) + coalesce(1.0 / (60 + br.r), 0), 6) AS rrf_score
            |FROM kr FULL OUTER JOIN br USING (doc_id)
            |ORDER BY rrf_score DESC, doc_id""".stripMargin
+      },
+      "bm25_chunks" -> {
+        // chunk CTE (same construction as doc_chunk) prepended to the
+        // generated BM25 oracle, which then runs against the chunks
+        val chunkCte =
+          """c AS (
+            |  WITH d AS (SELECT doc_id,
+            |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+            |    FROM documents)
+            |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
+            |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
+            |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
+            |  WHERE r.i < len(toks))""".stripMargin
+        val bm25 = TextSearch.bm25OracleSql("c", "chunk", "chunk_id", KwQuery, 20)
+        s"WITH $chunkCte, ${bm25.stripPrefix("WITH ")}"
       },
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
