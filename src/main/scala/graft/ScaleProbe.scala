@@ -74,7 +74,7 @@ object ScaleProbe {
       val cells = idx.probeCells(query, 4)
       time("ivf search nprobe=4 (partitioned)") {
         val part = spark.read.parquet(idxPath)
-          .where(col("cell").isin(cells.map(Int.box): _*))
+          .where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
         Nearest.topK(part, "embedding", lit(query), n = 10,
           tieBreakers = Seq(asc("vec_id"))).collect()
       }

@@ -141,7 +141,7 @@ object Dedup {
     require(vocab.length <= maxVocab,
       s"bitmap fast path capped at $maxVocab vocabulary terms, found ${vocab.length}; " +
         "use jaccardPairs (beyond a few thousand terms the bitmap outgrows the sets)")
-    val vocabLit = array(vocab.map(lit): _*)
+    val vocabLit = array(vocab.toIndexedSeq.map(lit): _*)
     val nWords = math.max(1, (vocab.length + 63) / 64)
     // 0-based vocabulary position; the Scala shiftleft() wrapper only
     // accepts a literal shift, the SQL builtin takes a column

@@ -61,7 +61,7 @@ class IvfIndex private (
       tieBreakers: Seq[Column] = Nil): DataFrame = {
     val cells = probeCells(queryVec, nprobe)
     Nearest.topK(
-      indexed.where(col("cell").isin(cells.map(Int.box): _*)),
+      indexed.where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*)),
       embCol, lit(queryVec), n = k, method = method,
       simCol = simCol, tieBreakers = tieBreakers)
   }
