@@ -233,7 +233,7 @@ object Dedup {
    * and near-dup graphs are shallow in practice. `localCheckpoint`
    * truncates lineage so plans stay bounded. Returns (id, rep).
    */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().localCheckpoint()

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.vectors._
+
+/** The SURVEY §5.2 ScalaCheck properties: algebraic invariants of the
+  * similarity kernels over generated vectors, checked through the real
+  * engine (the expressions run in eval/codegen, not reimplemented in
+  * the test). Raw Gen sampling with pinned seeds — the
+  * scalatest/scalacheck bridge artifact isn't in the offline cache. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecGen: Gen[Array[Float]] = for {
+    n <- Gen.choose(1, 16)
+    xs <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+  } yield xs.toArray
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def eval(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.as("v")).head().getDouble(0)
+
+  test("cosine is within [-1,1], symmetric; self-cosine 1 on nonzero vectors") {
+    samples(Gen.zip(vecGen, vecGen), 40).foreach { case (a, b0) =>
+      val b = b0.padTo(a.length, 0f).take(a.length) // equal dims
+      val ab = eval(cosine_similarity(typedlit(a), typedlit(b)))
+      val ba = eval(cosine_similarity(typedlit(b), typedlit(a)))
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"cosine $ab out of range")
+      assert(math.abs(ab - ba) < 1e-12)
+      if (a.exists(_ != 0f))
+        assert(math.abs(eval(cosine_similarity(typedlit(a), typedlit(a))) - 1.0) < 1e-6)
+    }
+  }
+
+  test("euclidean similarity in (0,1]; dot symmetric; norm nonnegative") {
+    samples(Gen.zip(vecGen, vecGen), 40).foreach { case (a, b0) =>
+      val b = b0.padTo(a.length, 0f).take(a.length)
+      val es = eval(euclidean_similarity(typedlit(a), typedlit(b)))
+      assert(es > 0.0 && es <= 1.0 + 1e-12, s"euclidean sim $es out of range")
+      assert(math.abs(eval(dot_product(typedlit(a), typedlit(b))) -
+        eval(dot_product(typedlit(b), typedlit(a)))) < 1e-6)
+      assert(eval(vector_norm(typedlit(a))) >= 0.0)
+    }
+  }
+
+  test("l2_normalize is idempotent and produces unit norm on nonzero vectors") {
+    samples(vecGen, 40).filter(_.exists(x => math.abs(x) > 1e-3)).foreach { a =>
+      val once = Seq(1).toDF("x").select(l2_normalize(typedlit(a)).as("v"))
+        .head().getSeq[Float](0)
+      val twice = Seq(1).toDF("x")
+        .select(l2_normalize(l2_normalize(typedlit(a))).as("v"))
+        .head().getSeq[Float](0)
+      once.zip(twice).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
+      assert(math.abs(eval(vector_norm(l2_normalize(typedlit(a)))) - 1.0) < 1e-5)
+    }
+  }
+
+  test("nearest(k) is a prefix of nearest(k+1) under the tie-break, for random queries") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    samples(Gen.listOfN(64, Gen.choose(-1f, 1f)), 5).foreach { q =>
+      val qv = typedlit(q.toArray)
+      def ids(k: Int) = graft.operators.Nearest
+        .topK(e, "embedding", qv, n = k, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val k5 = ids(5); val k8 = ids(8)
+      assert(k8.take(k5.length) == k5)
+    }
+  }
+
+  test("quantize/dequantize round trip keeps every component within one quantization step") {
+    samples(vecGen, 30).foreach { a =>
+      val n = l2_normalize(typedlit(a))
+      val rt = Seq(1).toDF("x")
+        .select(dequantize_int8(quantize_int8(n, 1.0), 1.0).as("v"), n.as("o"))
+        .head()
+      val (v, o) = (rt.getSeq[Float](0), rt.getSeq[Float](1))
+      v.zip(o).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1.0 / 127.0 + 1e-6, s"component drift $x vs $y")
+      }
+    }
+  }
+}
