@@ -605,7 +605,7 @@ object SparkEntry {
       "hybrid_rrf" -> {
         val kwSql = {
           val hits = KwTerms.map(t =>
-            s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '$t') THEN 1 ELSE 0 END")
+            s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '${t.replace("'", "''")}') THEN 1 ELSE 0 END")
             .mkString("(", " + ", ")")
           s"""SELECT doc_id, round(raw, 6) AS score FROM (
              |  SELECT doc_id, $hits / ${KwTerms.length}.0 AS raw FROM documents
@@ -689,7 +689,7 @@ object SparkEntry {
           |       min(len(embedding)) AS dim FROM embeddings""".stripMargin,
       "keyword_search" -> {
         val hits = KwTerms.map(t =>
-          s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '$t') THEN 1 ELSE 0 END")
+          s"CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'), '${t.replace("'", "''")}') THEN 1 ELSE 0 END")
           .mkString("(", " + ", ")")
         s"""SELECT doc_id, round(raw, 6) AS similarity FROM (
            |  SELECT doc_id, $hits / ${KwTerms.length}.0 AS raw FROM documents

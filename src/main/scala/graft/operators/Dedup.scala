@@ -34,6 +34,19 @@ import graft.functions.vectors
  */
 object Dedup {
 
+  /** Threshold as a decimal rational p/q with scale capped at 6 —
+    * uncapped, a threshold like 1.0/3 has BigDecimal scale 16, making
+    * q = 10^16 and the integer cross-multiplication overflow Long for
+    * set sizes in the thousands. 1e-6 threshold precision matches the
+    * engine's rounding contract. */
+  private def thresholdRational(threshold: Double): (Long, Long) = {
+    val t = java.math.BigDecimal.valueOf(threshold)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    val scale = math.max(0, t.scale)
+    (t.unscaledValue.longValueExact, math.pow(10, scale).toLong)
+  }
+
   /** Exact dedup: keep the min-id row per duplicate group. Shuffles a
     * 64-bit hash + id, never the payload; the survivor set comes back
     * via a broadcast-able semi-join at typical dup rates. */
@@ -54,11 +67,17 @@ object Dedup {
     df.withColumn(outCol,
       ColumnBridge.column(SimHash64(ColumnBridge.expression(col(textCol)), shingleSize)))
 
-  /** SimHash dedup: fingerprint then exact-bucket keep-min-id. */
+  /** SimHash dedup: fingerprint then exact-bucket keep-min-id. Rows
+    * fingerprinting to 0L (blank text, or fewer tokens than the shingle
+    * size — no signal at all) are NOT grouped: treating "no signal" as
+    * "same content" would silently delete unrelated short documents. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 1): DataFrame =
-    exact(withSimHash(df, textCol, shingleSize = shingleSize), Seq("simhash"), idCol)
-      .drop("simhash")
+      shingleSize: Int = 1): DataFrame = {
+    val fingerprinted = withSimHash(df, textCol, shingleSize = shingleSize)
+    val signal = fingerprinted.where(col("simhash") =!= 0L)
+    val noSignal = fingerprinted.where(col("simhash") === 0L)
+    exact(signal, Seq("simhash"), idCol).unionByName(noSignal).drop("simhash")
+  }
 
   private def shingles(textCol: Column, n: Int): Column = {
     val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
@@ -105,9 +124,7 @@ object Dedup {
     //     division-based re-filter would be pushed down a second time).
     // |A∪B| = |A|+|B|−|A∩B| for distinct shingle sets, so array_union
     // is never built.
-    val t = java.math.BigDecimal.valueOf(threshold)
-    val q = math.pow(10, t.scale).toLong
-    val p = t.unscaledValue.longValueExact
+    val (p, q) = thresholdRational(threshold)
     val sizePrune = least(col("__n1"), col("__n2")) * lit(q) >=
       greatest(col("__n1"), col("__n2")) * lit(p)
     val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("long")
@@ -157,11 +174,13 @@ object Dedup {
           (x: Column, y: Column) => bit_count(x.bitwiseAND(y)).cast("long"),
           (x: Column, y: Column) => bit_count(x.bitwiseOR(y)).cast("long"))
       } else {
+        // positions computed ONCE per token (each an O(vocab) array
+        // scan), then each word folds over the small int array — not
+        // re-scanning the vocabulary nWords times per token
+        val posArr = transform(toksCol, t => pos(t))
         val words = (0 until nWords).map { w =>
-          aggregate(toksCol, lit(0L), (acc, t) => {
-            val p = pos(t)
-            when((p / 64).cast("int") === w, acc.bitwiseOR(bit(p))).otherwise(acc)
-          })
+          aggregate(posArr, lit(0L), (acc, p) =>
+            when((p / 64).cast("int") === w, acc.bitwiseOR(bit(p))).otherwise(acc))
         }
         def popSum(and: Boolean)(x: Column, y: Column): Column = aggregate(
           zip_with(x, y, (u, v) =>
@@ -177,9 +196,7 @@ object Dedup {
       groupCol.map(c => col(c).as("__g2")): _*)
     val cond = groupCol.map(_ => col("id1") < col("id2") && col("__g1") === col("__g2"))
       .getOrElse(col("id1") < col("id2"))
-    val t = java.math.BigDecimal.valueOf(threshold)
-    val q = math.pow(10, t.scale).toLong
-    val p = t.unscaledValue.longValueExact
+    val (p, q) = thresholdRational(threshold)
     val inter = inter0(col("__m1"), col("__m2"))
     val unionSz = union0(col("__m1"), col("__m2"))
     a.join(b, cond)
@@ -253,6 +270,10 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicate-component propagation did not converge in $maxIter iterations " +
+        "(duplicate graph diameter exceeds the cap) — raise maxIter; returning " +
+        "partial labels would silently split components")
     labels
   }
 

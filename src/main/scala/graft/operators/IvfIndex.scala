@@ -88,8 +88,12 @@ class IvfIndex private (
       .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
       .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
       .select(col(queryIdCol), col("cell").cast("int").as("cell"))
-    val candidates = indexed.join(
-      broadcast(probes.join(queries, Seq(queryIdCol))), Seq("cell"))
+    // two separate broadcasts: the (queryId, cell) probe list is narrow,
+    // and each query's embedding ships ONCE — pre-joining them would
+    // replicate every embedding nprobe times through the broadcast
+    val candidates = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queries), Seq(queryIdCol))
     candidates
       .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol),
         vectors.cosine_similarity(col(embCol), col(queryEmbCol)).as(simCol))

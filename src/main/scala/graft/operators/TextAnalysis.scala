@@ -138,9 +138,15 @@ object TextAnalysis {
   def hashSampleBy(id: Column, stratum: Column, fractions: Map[String, Double],
       default: Double = 1.0): Column = {
     val bucket = substring(md5(id.cast("string")), 1, 2)
-    def hex2(frac: Double): String = f"${math.min(256, math.round(frac * 256)).toInt}%03x".takeRight(2)
-    def keep(frac: Double): Column =
-      if (frac >= 1.0) lit(true) else bucket < lit(hex2(frac))
+    def keep(frac: Double): Column = {
+      // fractions rounding up to bucket 256 keep everything — the 2-char
+      // hex compare can't express ">= '100'" (a naive takeRight(2) would
+      // wrap to "00" and silently keep NOTHING for fractions near 1.0)
+      val end = math.min(256, math.round(frac * 256)).toInt
+      if (end >= 256) lit(true)
+      else if (end <= 0) lit(false)
+      else bucket < lit(f"$end%02x")
+    }
     fractions.foldLeft(keep(default)) { case (acc, (value, frac)) =>
       when(stratum === value, keep(frac)).otherwise(acc)
     }

@@ -30,7 +30,9 @@ object TextSearch {
       : (Long, Double, Map[String, Long]) = {
     val statsRow = docs.agg(count(lit(1)).as("n"),
       avg(size(toksAll(col(textCol)))).as("avgdl")).head()
-    val (n, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val n = statsRow.getLong(0)
+    if (n == 0) return (0L, 0.0, queryTerms.map(_ -> 0L).toMap) // empty corpus: no NULL gets
+    val avgdl = statsRow.getDouble(1)
     val dfRow = docs.select(
       queryTerms.map(t => sum(when(array_contains(
         array_distinct(toksAll(col(textCol))), t), 1L).otherwise(0L)).as(t)): _*).head()
@@ -59,17 +61,22 @@ object TextSearch {
       simCol: String = "score"): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     val (n, avgdl, dfs) = bm25Stats(docs, textCol, terms)
-    docs.withColumn(simCol, bm25Score(col(textCol), query, n, avgdl, dfs, k1, b))
+    if (n == 0) docs.withColumn(simCol, lit(0.0)).limit(0)
+    else docs.withColumn(simCol, bm25Score(col(textCol), query, n, avgdl, dfs, k1, b))
       .orderBy(desc(simCol), asc(idCol))
       .limit(k)
   }
+
+  /** SQL string literal escape for spliced query terms. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** DuckDB replica of [[bm25TopK]], generated from the same formula. */
   def bm25OracleSql(table: String, textCol: String, idCol: String, query: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     val tk = s"list_filter(string_split_regex(lower($textCol), '\\s+'), t -> len(t) > 0)"
-    val scoreTerms = terms.map { t =>
+    val scoreTerms = terms.map { t0 =>
+      val t = sqlLit(t0)
       val dfSub = s"(SELECT count(*) FROM $table WHERE list_contains(list_distinct($tk), '$t'))"
       val idf = s"ln((stats.n - $dfSub + 0.5) / ($dfSub + 0.5) + 1.0)"
       val tf = s"CAST(len(list_filter($tk, x -> x = '$t')) AS DOUBLE)"

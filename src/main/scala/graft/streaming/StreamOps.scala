@@ -61,6 +61,9 @@ object StreamOps {
     import org.apache.spark.sql.expressions.Window
     val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMicros.months == 0,
+      s"sessionize gap '$gap' uses months, which have no fixed microsecond " +
+        "length — use days/hours/minutes")
     val micros = gapMicros.microseconds + gapMicros.days * 86400000000L
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val isNew = when(
@@ -113,14 +116,16 @@ object StreamOps {
       }
   }
 
-  /** Streaming exact dedup: drop duplicate ids as they arrive, with a
+  /** Streaming exact dedup: drop duplicate IDS as they arrive, with a
     * watermark bounding the dedup state (ids older than the delay are
     * forgotten — the only way dedup state survives an unbounded
-    * stream). */
+    * stream). `dropDuplicatesWithinWatermark` keys on the ids ALONE: a
+    * redelivered event whose timestamp was refreshed in transit still
+    * dedups (an id+ts composite key would wave it through). */
   def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String = "ts",
       watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(idCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Micro-batch top-k against a STATIC collection (SURVEY §2.3 S):
     * each arriving batch of embedded queries runs the bounded-heap k-NN

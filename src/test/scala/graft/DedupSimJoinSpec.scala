@@ -105,6 +105,16 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 2L, 4L))
   }
 
+  test("simhash: docs shorter than the shingle size are all kept, not merged as fingerprint-0 'duplicates'") {
+    val short = Seq(
+      (1L, "hello world"), (2L, "price list"), (3L, "totally different"),
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.simhash(short, "text", "doc_id", shingleSize = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(1L, 2L, 3L, 4L), s"short docs must all survive, got $surv")
+  }
+
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
       shingleSize = 2, numHashTables = 16)

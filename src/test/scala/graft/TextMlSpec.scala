@@ -97,6 +97,17 @@ class TextMlSpec extends AnyFunSuite {
     assert(allTrain.head().getString(0) == "train")
   }
 
+  test("hashSampleBy: fractions just under 1.0 keep ~all rows, not zero (hex wraparound regression)") {
+    import graft.operators.TextAnalysis
+    val df = spark.range(1000).toDF("id").withColumn("s", lit("x"))
+    val kept = df.where(TextAnalysis.hashSampleBy(col("id"), col("s"),
+      Map("x" -> 0.999))).count()
+    assert(kept > 900, s"0.999 fraction kept only $kept/1000")
+    val none = df.where(TextAnalysis.hashSampleBy(col("id"), col("s"),
+      Map("x" -> 0.0))).count()
+    assert(none == 0)
+  }
+
   test("chunk: windows with overlap, partial tail kept, empty text yields no chunks") {
     val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, "text", chunkSize = 3, overlap = 1)
