@@ -122,6 +122,54 @@ object TfIdfEmbedder {
     new TfIdfEmbedder(PipelineModel.load(dir), minFreq)
 }
 
+/**
+ * Trainable neural-ish embedder, fully in-JVM: spark.ml Word2Vec
+ * (skip-gram with negative sampling) fit on the corpus, documents
+ * embedded as the average of their word vectors (the transform
+ * semantics of `ml.feature.Word2VecModel`). The closest thing to the
+ * reference's learned embedders (R/embedders.R:9-327) that runs with
+ * zero egress; seeded for reproducibility within a Spark version,
+ * L2-normalized at the source like every HF variant in the reference.
+ */
+class Word2VecEmbedder private (val model: PipelineModel, val vectorSize: Int)
+    extends Embedder {
+  override def name: String = "word2vec"
+  override def dim: Int = vectorSize
+  override def params: Map[String, String] = Map("vector_size" -> vectorSize.toString)
+
+  override def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame = {
+    val prepped = df.withColumn(Word2VecEmbedder.TextCol, col(contentCol))
+    model.transform(prepped)
+      .withColumn(outCol,
+        graft.functions.vectors.l2_normalize(
+          vector_to_array(col(Word2VecEmbedder.VecCol), "float32")))
+      .drop(Word2VecEmbedder.TextCol, Word2VecEmbedder.TokensCol, Word2VecEmbedder.VecCol)
+  }
+
+  override def save(dir: String): Unit = model.write.overwrite().save(dir)
+}
+
+object Word2VecEmbedder {
+  private[graft] val TextCol = "__graft_w2v_text"
+  private[graft] val TokensCol = "__graft_w2v_tokens"
+  private[graft] val VecCol = "__graft_w2v_vec"
+
+  def fit(corpus: DataFrame, textCol: String, vectorSize: Int = 32,
+      minCount: Int = 2, seed: Long = 42L): Word2VecEmbedder = {
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol(TextCol).setOutputCol(TokensCol)
+        .setPattern("\\s+").setToLowercase(true),
+      new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol(TokensCol).setOutputCol(VecCol)
+        .setVectorSize(vectorSize).setMinCount(minCount).setSeed(seed)))
+    val prepped = corpus.withColumn(TextCol, col(textCol))
+    new Word2VecEmbedder(pipeline.fit(prepped), vectorSize)
+  }
+
+  def load(dir: String, vectorSize: Int): Word2VecEmbedder =
+    new Word2VecEmbedder(PipelineModel.load(dir), vectorSize)
+}
+
 /** Name → embedder resolution for the read_vec path (the reference gets
   * this for free because qs serializes closures, R/core.R:421-439; we
   * re-resolve from the sidecar spec instead). */
@@ -131,6 +179,8 @@ object EmbedderRegistry {
       dim = params.getOrElse("dim", "64").toInt,
       seed = params.getOrElse("seed", "42").toInt)
     case "tfidf" => TfIdfEmbedder.load(modelDir, params.getOrElse("min_freq", "2").toInt)
+    case "word2vec" => Word2VecEmbedder.load(modelDir,
+      params.getOrElse("vector_size", "32").toInt)
     case other => throw new IllegalArgumentException(s"unknown embedder '$other'")
   }
 }

@@ -109,6 +109,16 @@ object SparkEntry {
         round(vectors.vector_norm(col("embedding")), 6).as("norm"))
         .orderBy(col("doc_id"))
     }),
+    // §2 #13: trainable in-JVM embedder (Word2Vec fit on the corpus;
+    // learned vectors -> rows-only, invariants in spec)
+    "embed_word2vec" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val emb = Word2VecEmbedder.fit(docs, "text", vectorSize = 32)
+      emb.embed(docs, "text", "embedding")
+        .select(col("doc_id"), size(col("embedding")).cast("long").as("dim"),
+          round(vectors.vector_norm(col("embedding")), 4).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
     // §2 #8 full hybrid: (1-w)·cosine + w·keyword over hashing embeddings
     "hybrid_search" -> ((s, d) => {
       val vf = VecFrame.vec(Tables(s, d, "documents"),

@@ -65,6 +65,26 @@ class TfIdfAndIOSpec extends AnyFunSuite {
     assert(restored.embedQuery(spark, "hacker").toSeq == emb.embedQuery(spark, "hacker").toSeq)
   }
 
+  test("word2vec embedder: fixed dim, unit norm, semantic neighbors, persistence round trip") {
+    val dir = Files.createTempDirectory("graft_w2v").toString
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Word2VecEmbedder.fit(corpus, "text", vectorSize = 16)
+    assert(emb.dim == 16)
+    val vf = VecFrame.vec(corpus, embedder = Some(emb)).embed("text")
+    assert(vf.inspect.dim.contains(16))
+    val norms = vf.df.select(graft.functions.vectors.vector_norm(col("embedding")).as("n"))
+      .where(col("n") > 0).count()
+    assert(norms > 400, "nearly all docs should embed to unit-norm vectors")
+    // query path + persistence
+    val q = emb.embedQuery(spark, "batch scan vector")
+    assert(q.length == 16)
+    VecIO.write(vf, s"$dir/coll")
+    val back = VecIO.read(spark, s"$dir/coll")
+    val restored = back.embedder.get
+    assert(restored.name == "word2vec" && restored.dim == 16)
+    assert(restored.embedQuery(spark, "batch scan vector").toSeq == q.toSeq)
+  }
+
   test("read of a non-collection path fails the sidecar check (R/core.R:437-439)") {
     val dir = Files.createTempDirectory("graft_io").toString
     intercept[IllegalArgumentException] { VecIO.read(spark, dir) }
