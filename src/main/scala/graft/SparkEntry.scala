@@ -475,12 +475,31 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.kind").as("kind"), col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("doc_id"))
     }),
-    // §2.3 multimodal: partition-wise stub feature extraction (rows-only)
+    // §2.3 multimodal: REAL javax.imageio decode — per-row PNG payloads
+    // (deterministic fixture, generated on executors), decoded pixels →
+    // grid-luminance + RGB-histogram features (rows-only; pixel-exact
+    // specs in MultimodalImageSpec)
     "multimodal_features" -> ((s, d) => {
-      val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")
-      Multimodal.extractFeatures(packed, "media", dim = 16)
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      Multimodal.extractImageFeatures(imgs, "media", grid = 4, bins = 8)
         .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
-          round(vectors.vector_norm(col("features")), 6).as("norm"))
+          round(vectors.vector_norm(col("features")), 6).as("norm"),
+          round(element_at(col("features"), 1), 6).as("cell0"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 multimodal ORACLED: decode the PNG payload with the real JDK
+    // codec and report decoded dimensions + per-channel pixel means; the
+    // oracle reproduces them from the fixture's modular arithmetic (PNG
+    // is lossless, so decoded pixels equal the formulas exactly)
+    "multimodal_image_stats" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      Multimodal.imageStats(imgs, "media")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -810,6 +829,22 @@ object SparkEntry {
       "multimodal_meta" ->
         """SELECT doc_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // Mirrors Multimodal.synthPng's band arithmetic: mean over the
+      // image = (c_top*top + c_bot*(h-top)) / h (rows are uniform across
+      // width, so w cancels; integer sums → exact double division).
+      "multimodal_image_stats" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+          |         (8 + doc_id % 7) // 2 AS top,
+          |         (doc_id*37+11) % 256 AS r1, (doc_id*59+23) % 256 AS g1, (doc_id*83+5) % 256 AS b1,
+          |         (doc_id*101+7) % 256 AS r2, (doc_id*131+17) % 256 AS g2, (doc_id*151+29) % 256 AS b2
+          |  FROM documents)
+          |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          |       round((r1*top + r2*(h-top)) * 1.0 / h, 6) AS mean_r,
+          |       round((g1*top + g2*(h-top)) * 1.0 / h, 6) AS mean_g,
+          |       round((b1*top + b2*(h-top)) * 1.0 / h, 6) AS mean_b
+          |FROM p ORDER BY doc_id""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty,

@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,12 +17,18 @@ import org.apache.spark.sql.types._
  * /root/reference/R/embedders.R:45,112) — a non-starter on executors;
  * an explicit `kind` discriminator replaces it.
  *
- * DECODE IS STUBBED: this container has no image/audio libraries, so
- * `decodeStub` fabricates deterministic pseudo-features from the raw
- * bytes. Everything AROUND the stub is the real contract a production
- * decoder drops into: partition-wise iteration (one decoder init per
- * partition, the reference's model-per-executor pattern), fixed-dim
- * float features, nullable-safe, schema declared up front.
+ * The image path is REAL: `decodeImage` runs the JDK's `javax.imageio`
+ * PNG/JPEG codec on the executor, inside a `mapPartitions` seam that
+ * initialises the decoder once per partition (the reference's
+ * model-per-executor pattern, /root/reference/R/embedders.R:251-326).
+ * Feature extraction (`imageFeatures`) computes a grid-luminance +
+ * RGB-histogram descriptor from the decoded pixels — a deterministic
+ * stand-in for a neural forward pass with the same shape contract
+ * (fixed-dim float vector, L2-normalised).
+ *
+ * For non-image payloads (text packed as bytes, unknown blobs) the
+ * byte-level feature hasher `byteHashFeatures` is the explicit
+ * fallback; it never pretends to decode.
  */
 object Multimodal {
 
@@ -37,31 +47,194 @@ object Multimodal {
     df.withColumn(outCol,
       struct(lit(kind).as("kind"), length(col(binCol)).cast("long").as("n_bytes")))
 
+  // ---------------------------------------------------------------------
+  // Real image path (javax.imageio)
+  // ---------------------------------------------------------------------
+
+  /** Decode image bytes with the JDK codec. None for null/empty/corrupt
+    * payloads — callers surface that as NULL columns, never a crash. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+  }
+
   /**
-   * Partition-wise feature extraction over binary media. The
-   * `mapPartitions` shape is the real thing — per-partition decoder
-   * lifecycle, iterator-in/iterator-out batching; only the inner
-   * `decodeStub` is fake. A real deployment replaces `decodeStub` with
-   * the model call and nothing else changes.
+   * Deterministic synthetic PNG: two horizontal bands whose dimensions
+   * and colors derive from `id` by modular arithmetic an SQL oracle can
+   * reproduce. Encoded through the real ImageIO PNG writer, so the
+   * decode side exercises the genuine codec (PNG is lossless for RGB —
+   * decoded pixels equal these formulas exactly).
+   *
+   *   width  = 8 + id % 9          (8..16)
+   *   height = 8 + id % 7          (8..14)
+   *   top band: rows [0, h/2) of color  ((id*37+11)%256, (id*59+23)%256, (id*83+5)%256)
+   *   bottom:   rows [h/2, h) of color ((id*101+7)%256, (id*131+17)%256, (id*151+29)%256)
+   */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+    val h = (8 + java.lang.Math.floorMod(id, 7L)).toInt
+    val top = h / 2
+    def ch(mul: Long, add: Long): Int = java.lang.Math.floorMod(id * mul + add, 256L).toInt
+    val c1 = (ch(37, 11) << 16) | (ch(59, 23) << 8) | ch(83, 5)
+    val c2 = (ch(101, 7) << 16) | (ch(131, 17) << 8) | ch(151, 29)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val c = if (y < top) c1 else c2
+      var x = 0
+      while (x < w) { img.setRGB(x, y, c); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic PNG payload per row — the distributed
+    * image fixture (generation happens on executors, not the driver). */
+  def withSynthPng(df: DataFrame, idCol: String, outCol: String = "media"): DataFrame = {
+    val idx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // codec init: once per partition, no temp files
+      rows.map { row =>
+        val png = if (row.isNullAt(idx)) null else synthPng(row.getLong(idx))
+        Row.fromSeq(row.toSeq :+ png)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Per-image stats from DECODED pixels: dimensions + per-channel
+    * means. NULLs for undecodable payloads. Pixel sums are exact
+    * integers, so the double means are bit-identical across engines. */
+  def imageStats(df: DataFrame, binCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("mean_r", DoubleType).add("mean_g", DoubleType).add("mean_b", DoubleType)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            // Seq[Any] keeps w/h as Int — a plain Seq(w, h, sr/n, …)
+            // silently widens them to Double and breaks the encoder
+            Row.fromSeq(row.toSeq ++ Seq[Any](w, h, sr / n, sg / n, sb / n))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Grid-luminance + RGB-histogram descriptor from decoded pixels:
+    * `grid`×`grid` mean-luma cells followed by 3×`bins` channel
+    * histograms (pixel-count normalised), then L2-normalised. Dim =
+    * grid² + 3·bins. Resolution-invariant by construction (cell means,
+    * normalised counts) — the property a real embedding would share. */
+  def imageFeatures(img: BufferedImage, grid: Int = 4, bins: Int = 8): Array[Float] = {
+    require(grid > 0 && bins > 0, s"grid and bins must be positive, got grid=$grid bins=$bins")
+    val w = img.getWidth; val h = img.getHeight
+    val cells = grid * grid
+    val dim = cells + 3 * bins
+    val acc = new Array[Double](dim)
+    val cellCount = new Array[Int](cells)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(grid - 1, x * grid / w)
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        val cell = gy * grid + gx
+        acc(cell) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        cellCount(cell) += 1
+        acc(cells + r * bins / 256) += 1.0
+        acc(cells + bins + g * bins / 256) += 1.0
+        acc(cells + 2 * bins + b * bins / 256) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = (w.toLong * h).toDouble
+    var i = 0
+    while (i < cells) { if (cellCount(i) > 0) acc(i) /= cellCount(i); i += 1 }
+    while (i < dim) { acc(i) /= nPix; i += 1 }
+    var s = 0.0; i = 0
+    while (i < dim) { s += acc(i) * acc(i); i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Float](dim)
+    if (norm > 0) { i = 0; while (i < dim) { out(i) = (acc(i) / norm).toFloat; i += 1 } }
+    out
+  }
+
+  /**
+   * Partition-wise feature extraction over binary IMAGE media — the
+   * real decode path. Decoder (ImageIO codec registry) initialised once
+   * per partition; iterator-in/iterator-out batching; undecodable
+   * payloads yield NULL features. A neural deployment swaps
+   * `imageFeatures` for the model forward pass and nothing else
+   * changes.
+   */
+  def extractImageFeatures(df: DataFrame, binCol: String, grid: Int = 4,
+      bins: Int = 8, outCol: String = "features"): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false),
+      nullable = true)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // decoder init: once per partition
+      rows.map { row =>
+        val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        val feats = decodeImage(bytes).map(imageFeatures(_, grid, bins)).orNull
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---------------------------------------------------------------------
+  // Non-image fallback (byte-level feature hashing)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Partition-wise feature extraction over OPAQUE bytes (text packed as
+   * media, unknown blobs): byte-bigram feature hashing. Same seam as
+   * `extractImageFeatures`; explicitly NOT a decode — use it when no
+   * codec applies.
    */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16,
       outCol: String = "features"): DataFrame = {
     val idx = df.schema.fieldIndex(binCol)
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     df.mapPartitions { rows =>
-      // decoder init would happen HERE, once per partition
       rows.map { row =>
         val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
-        val feats = decodeStub(bytes, dim)
+        val feats = byteHashFeatures(bytes, dim)
         Row.fromSeq(row.toSeq :+ feats)
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB decoder: deterministic bytes → pseudo-features (byte n-gram
-    * hashing, L2-normalized). Stands in for image decode / resize /
-    * frame-sample + model forward pass. */
-  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Deterministic byte-bigram hashing into `dim` buckets with ±1
+    * signs, L2-normalised — a feature hasher for payloads that have no
+    * decoder, not a decode. */
+  private[graft] def byteHashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return Array.fill(dim)(0f)
     val out = new Array[Float](dim)
     var i = 0

@@ -1,0 +1,121 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Real javax.imageio decode path: pixel-exact stats, codec round-trips,
+  * corrupt-payload safety, feature invariants. */
+class MultimodalImageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, r: Int, g: Int, b: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val c = (r << 16) | (g << 8) | b
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+    img
+  }
+
+  test("decodeImage: hand-built 2x3 PNG decodes to exact pixels") {
+    val img = new BufferedImage(2, 3, BufferedImage.TYPE_INT_RGB)
+    // column 0 red-ish, column 1 blue-ish, distinct per row
+    val px = Array(
+      (10, 20, 30), (200, 100, 50),
+      (0, 255, 0), (255, 0, 255),
+      (1, 2, 3), (4, 5, 6))
+    var i = 0
+    for (y <- 0 until 3; x <- 0 until 2) {
+      val (r, g, b) = px(i); img.setRGB(x, y, (r << 16) | (g << 8) | b); i += 1
+    }
+    val decoded = Multimodal.decodeImage(png(img)).get
+    assert(decoded.getWidth == 2 && decoded.getHeight == 3)
+    i = 0
+    for (y <- 0 until 3; x <- 0 until 2) {
+      val p = decoded.getRGB(x, y)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == px(i), s"pixel ($x,$y)")
+      i += 1
+    }
+  }
+
+  test("decodeImage: null, empty, and corrupt payloads yield None, never throw") {
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage("not a png at all".getBytes("UTF-8")).isEmpty)
+    // valid PNG magic followed by garbage
+    val truncated = png(solid(4, 4, 1, 2, 3)).take(20)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+  }
+
+  test("synthPng(5): decoded dims and band colors match the documented formulas") {
+    val img = Multimodal.decodeImage(Multimodal.synthPng(5L)).get
+    assert(img.getWidth == 13 && img.getHeight == 13) // 8+5%9, 8+5%7
+    val topPx = img.getRGB(0, 0)
+    assert((((topPx >> 16) & 0xff), ((topPx >> 8) & 0xff), (topPx & 0xff)) == ((196, 62, 164)))
+    val botPx = img.getRGB(12, 12) // rows >= 13/2=6 are band 2
+    assert((((botPx >> 16) & 0xff), ((botPx >> 8) & 0xff), (botPx & 0xff)) == ((0, 160, 16)))
+    val boundary = img.getRGB(0, 6)
+    assert((boundary & 0xff) == 16, "row h/2 belongs to the bottom band")
+  }
+
+  test("imageStats: decoded means are exact; undecodable rows go NULL") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, png(solid(4, 2, 100, 150, 200))),
+      Row(2L, "garbage".getBytes("UTF-8")),
+      Row(3L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Multimodal.imageStats(df, "media").orderBy("id").collect()
+    assert(out(0).getInt(2) == 4 && out(0).getInt(3) == 2)
+    assert(out(0).getDouble(4) == 100.0 && out(0).getDouble(5) == 150.0 &&
+      out(0).getDouble(6) == 200.0)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(4))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(4))
+  }
+
+  test("imageFeatures: unit norm, dim = grid^2 + 3*bins, distinct colors differ") {
+    val red = Multimodal.imageFeatures(solid(8, 8, 255, 0, 0))
+    val blue = Multimodal.imageFeatures(solid(8, 8, 0, 0, 255))
+    assert(red.length == 16 + 24 && blue.length == 40)
+    def norm(v: Array[Float]): Double = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm(red) - 1.0) < 1e-5)
+    assert(math.abs(norm(blue) - 1.0) < 1e-5)
+    assert(!red.sameElements(blue))
+  }
+
+  test("imageFeatures: resolution-invariant for uniform content") {
+    val small = Multimodal.imageFeatures(solid(8, 8, 40, 80, 120))
+    val big = Multimodal.imageFeatures(solid(32, 32, 40, 80, 120))
+    small.zip(big).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
+  }
+
+  test("extractImageFeatures over synth PNGs: deterministic, null-safe, 40-dim") {
+    import spark.implicits._
+    val ids = (0L until 50L).toDF("doc_id").repartition(4)
+    val withPng = Multimodal.withSynthPng(ids, "doc_id")
+    val run1 = Multimodal.extractImageFeatures(withPng, "media")
+      .select("doc_id", "features").orderBy("doc_id").collect()
+    val run2 = Multimodal.extractImageFeatures(withPng.repartition(7), "media")
+      .select("doc_id", "features").orderBy("doc_id").collect()
+    assert(run1.length == 50)
+    run1.zip(run2).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      val fa = a.getSeq[Float](1); val fb = b.getSeq[Float](1)
+      assert(fa.length == 40 && fa == fb, s"doc ${a.getLong(0)} features drifted")
+    }
+  }
+}
