@@ -136,6 +136,109 @@ object Dedup {
   }
 
   /**
+   * PPJoin-style prefix-filtered exact Jaccard pairs — result-identical
+   * to `jaccardPairs`, sub-quadratic candidate generation (the standard
+   * fix for the exact path's O(n²), after Bayardo et al. "Scaling Up
+   * All Pairs Similarity Search" / Xiao et al. PPJoin).
+   *
+   * Principle: order every shingle set by ascending global document
+   * frequency (rarest first); if J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+   * and two sets with overlap ≥ α must share a token inside their first
+   * (|·| − α + 1) tokens under ANY common total order. So joining the
+   * length-(n − ⌈t·n⌉ + 1) prefixes on token finds every qualifying
+   * pair; exact verification then runs only on those candidates.
+   * Rarest-first ordering keeps the inverted-index buckets small, so
+   * candidate count tracks the true-pair count, not n².
+   *
+   * Distributed shape: token-frequency aggregate + per-doc sort (narrow
+   * shuffles), prefix inverted-index self-join on a single token key,
+   * candidate-only verification joins. No all-pairs stage anywhere —
+   * this survives unblocked corpora where `jaccardPairs` needs a
+   * blocking key.
+   */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 1,
+      groupCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering requires 0 < threshold <= 1, got $threshold — at t=0 " +
+        "disjoint sets qualify, which no overlap-based index can produce")
+    val (p, q) = thresholdRational(threshold)
+    val base = df.select(Seq(col(idCol), col(textCol)) ++ groupCol.map(col): _*)
+      .withColumn("__sh", shingles(col(textCol), shingleSize))
+      .where(size(col("__sh")) > 0)
+    val tokens = base.select(Seq(col(idCol), explode(col("__sh")).as("__t")) ++
+      groupCol.map(col): _*)
+    val freq = tokens.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // Token dictionary in canonical (freq, token) order, as LONG ids:
+    // range-sort the vocabulary and stamp monotonically_increasing_id —
+    // order-preserving (not dense, which is all the prefix principle
+    // needs) and scalable, unlike a single-partition ranking window.
+    // Downstream set work then runs on longs, not strings: smaller
+    // shuffles, cheaper joins, cheaper intersects. Ids can jitter
+    // across runs with range-boundary sampling, but every derived
+    // quantity (order, sizes, intersections) is id-isomorphic, so the
+    // OUTPUT is deterministic.
+    val dict = freq
+      .repartitionByRange(col("__df"), col("__t"))
+      .sortWithinPartitions(col("__df"), col("__t"))
+      .select(col("__t"), monotonically_increasing_id().as("__tid"))
+    val aggs = sort_array(collect_list(col("__tid"))).as("__sorted") +:
+      groupCol.map(c => first(col(c)).as(c)).toSeq
+    // localCheckpoint: the sets frame feeds THREE consumers (the prefix
+    // index and both verify sides) — materializing it once keeps the
+    // tokenize/sort pipeline from running three times, and truncates
+    // the lineage the candidate self-join would otherwise duplicate
+    val sets = tokens.join(dict, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__n", size(col("__sorted")))
+      .localCheckpoint()
+    // ⌈p·n/q⌉ via double floor — exact while p·n + q < 2^53 (p ≤ 10^6
+    // from thresholdRational, so sets up to ~10^9 shingles stay exact)
+    val minOverlap = floor((col("__n").cast("long") * p + (q - 1)).cast("double") / q)
+      .cast("int")
+    val prefixes = sets.select(Seq(col(idCol), col("__n"),
+      posexplode(slice(col("__sorted"), lit(1), col("__n") - minOverlap + 1))) ++
+      groupCol.map(col): _*)
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__tid")
+    val ca = prefixes.select(Seq(col(idCol).as("id1"), col("__tid"),
+      col("__i").as("__i1"), col("__n").as("__n1")) ++
+      groupCol.map(c => col(c).as("__g1")): _*)
+    val cb = prefixes.select(Seq(col(idCol).as("id2"), col("__tid"),
+      col("__i").as("__i2"), col("__n").as("__n2")) ++
+      groupCol.map(c => col(c).as("__g2")): _*)
+    // Candidate-stage pruning, cheapest first:
+    //  • size-ratio: J ≥ t forces min(n1,n2)·q ≥ max(n1,n2)·p;
+    //  • positional (PPJoin): a shared token at 0-based prefix
+    //    positions (i1, i2) caps the overlap at 1 + min(n1−i1, n2−i2)−1,
+    //    and J ≥ t needs (p+q)·O ≥ p·(n1+n2) — prune pairs whose cap
+    //    can't reach it. Both run before the distinct, so duplicate
+    //    candidates from multi-token prefix collisions stay narrow.
+    val sizePrune = least(col("__n1"), col("__n2")) * lit(q) >=
+      greatest(col("__n1"), col("__n2")) * lit(p)
+    val overlapCap = lit(1) +
+      least(col("__n1") - col("__i1") - 1, col("__n2") - col("__i2") - 1)
+    val positional = overlapCap.cast("long") * lit(p + q) >=
+      (col("__n1") + col("__n2")).cast("long") * lit(p)
+    val keep = (col("id1") < col("id2")) && sizePrune && positional &&
+      groupCol.map(_ => col("__g1") === col("__g2")).getOrElse(lit(true))
+    val cands = ca.join(cb, Seq("__tid")).where(keep)
+      .select(col("id1"), col("id2")).distinct()
+    // exact verification — the same integer cross-multiplied threshold
+    // as jaccardPairs, on candidates only, over long-id sets
+    val s1 = sets.select(col(idCol).as("id1"), col("__sorted").as("__s1"),
+      col("__n").as("__n1"))
+    val s2 = sets.select(col(idCol).as("id2"), col("__sorted").as("__s2"),
+      col("__n").as("__n2"))
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("long")
+    val unionSz = (col("__n1") + col("__n2")).cast("long") - inter
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .where(inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
+      .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
+      .select(col("id1"), col("id2"), col("similarity"))
+  }
+
+  /**
    * Bitmap fast path for exact unigram Jaccard on bounded vocabularies:
    * each document's distinct-token set becomes a fixed-width bitmap
    * (bit i = vocabulary term i, alphabetical — one long when the

@@ -42,13 +42,28 @@ class IvfIndex private (
       .toSeq.toDF("cell", "centroid")
   }
 
-  /** Cells a query vector would probe, best centroid first. */
+  /** Cells a query vector would probe, best centroid first. Pure
+    * driver-local arithmetic over the resident centroid array (≤ nlist
+    * rows) — no Spark job, so single-query `search` plans exactly one
+    * job: the probe-filtered scan. */
   def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] =
-    centroids
-      .select(col("cell"), vectors.cosine_similarity(col("centroid"),
-        lit(queryVec)).as("__csim"))
-      .orderBy(desc("__csim"), asc("cell"))
-      .limit(nprobe).collect().map(_.getInt(0))
+    centroidVectors.zipWithIndex
+      .map { case (c, i) => (cosineLocal(c, queryVec), i) }
+      .sortBy { case (s, i) => (-s, i) } // desc score, asc cell — same tie rule as the SQL path
+      .take(nprobe).map(_._2)
+
+  /** Double-accumulated cosine, zero-norm → 0 — the same contract as
+    * `vectors.cosine_similarity`, evaluated driver-side. */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
 
   /**
    * ANN top-k: exact scoring restricted to the probed cells. The cell
