@@ -25,13 +25,18 @@ case class VecSumBuf(var sums: Array[Double], var n: Long)
 object AvgVector extends Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
   override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
 
+  private def requireSameDim(expected: Int, got: Int): Unit =
+    if (expected != got) throw new IllegalArgumentException(
+      s"avg_vector: mixed embedding dimensions in one group ($expected vs $got) — " +
+        "a truncated average would be silently wrong; re-embed or split the group")
+
   override def reduce(b: VecSumBuf, a: Seq[Float]): VecSumBuf = {
     if (a == null) b
     else {
       if (b.n == 0L) b.sums = new Array[Double](a.length)
-      val n = math.min(b.sums.length, a.length)
+      else requireSameDim(b.sums.length, a.length)
       var i = 0
-      while (i < n) { b.sums(i) += a(i); i += 1 }
+      while (i < b.sums.length) { b.sums(i) += a(i); i += 1 }
       b.n += 1
       b
     }
@@ -41,9 +46,9 @@ object AvgVector extends Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
     if (y.n == 0L) x
     else if (x.n == 0L) y
     else {
-      val n = math.min(x.sums.length, y.sums.length)
+      requireSameDim(x.sums.length, y.sums.length)
       var i = 0
-      while (i < n) { x.sums(i) += y.sums(i); i += 1 }
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
       x.n += y.n
       x
     }

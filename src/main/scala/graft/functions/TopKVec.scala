@@ -24,8 +24,17 @@ case class Scored(score: Double, id: Long)
 class TopKScored(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Primitive == first so ±0.0 ties break by id; Double.compare for
+    * the rest so NaN sorts GREATEST — the same total order Spark's desc
+    * window ordering uses, keeping this aggregate result-identical to
+    * the row_number formulation even if a NaN score slips through. */
+  private def cmpScore(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = cmpScore(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] =
     if (buf.length >= k && !better(s, buf.last)) buf

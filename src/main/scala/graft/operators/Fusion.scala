@@ -19,13 +19,29 @@ import org.apache.spark.sql.functions._
  */
 object Fusion {
 
+  /** Hard cap on input ranking size. RRF's global window is safe ONLY
+    * because inputs are pre-limited top-N lists; beyond this the plan
+    * would silently serialize a corpus through one partition, so it
+    * errors loudly instead (raised per-row at execution, no extra job). */
+  val MaxRankingRows = 100000
+
   def rrf(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
-      kConst: Int = 60, outCol: String = "rrf_score"): DataFrame = {
+      kConst: Int = 60, outCol: String = "rrf_score",
+      maxRows: Int = MaxRankingRows): DataFrame = {
     require(rankings.nonEmpty)
+    require(maxRows > 0)
     val ranked = rankings.zipWithIndex.map { case (df, i) =>
-      // inputs are top-N lists; a global window over <=N rows is fine
+      // inputs are top-N lists; a global window over <=N rows is fine —
+      // and the assert_true below enforces it at execution time
       val w = Window.orderBy(desc(scoreCol), asc(idCol))
-      df.select(col(idCol), row_number().over(w).as(s"__rank_$i"))
+      val rank = row_number().over(w)
+      val guarded = when(
+        assert_true(rank <= lit(maxRows), lit(
+          s"Fusion.rrf ranking #$i exceeds maxRows=$maxRows rows — RRF inputs " +
+            "must be pre-limited top-N lists (an unbounded input would " +
+            "serialize through the global ranking window)")).isNull,
+        rank)
+      df.select(col(idCol), guarded.as(s"__rank_$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score: Column = rankings.indices

@@ -95,6 +95,12 @@ class IvfIndex private (
       corpusIdCol: String, k: Int, nprobe: Int = 4,
       simCol: String = "similarity"): DataFrame = {
     import graft.functions.TopKScored
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // same long-id buffer contract as SimJoin.knnJoinAgg — reject
+    // non-integral ids up front instead of casting them to NULL
+    val idType = indexed.schema(corpusIdCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"searchMany buffers corpus ids as long, but '$corpusIdCol' is ${idType.simpleString}")
     val cellScores = centroids.crossJoin(broadcast(queries))
       .select(col(queryIdCol), col("cell").cast("long").as("cell"),
         vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))

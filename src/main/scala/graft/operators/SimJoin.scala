@@ -72,6 +72,14 @@ object SimJoin {
       method: String = "cosine",
       simCol: String = "similarity"): DataFrame = {
     import graft.functions.TopKScored
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the bounded-heap buffer stores ids as long; a non-integral id
+    // column would cast to NULL silently — reject it up front
+    val idType = corpus.schema(corpusIdCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"knnJoinAgg buffers corpus ids as long, but '$corpusIdCol' is " +
+        s"${idType.simpleString} — use knnJoin (window formulation), which " +
+        "keeps arbitrary id types")
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol),
         coalesce(vectors.similarity(col(corpusEmbCol), col(queryEmbCol), method), lit(0.0))

@@ -21,37 +21,43 @@ import graft.{Embedder, EmbedderRegistry, VecFrame}
 object VecIO {
   private val Sidecar = "_graft.json"
 
+  // Spark bundles Jackson; a real JSON writer/parser means embedder
+  // params containing quotes/newlines round-trip instead of corrupting
+  // the sidecar, and a params key literally named "name" can't be
+  // misread as the embedder name (the old regex parse could do both)
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def write(vf: VecFrame, path: String): Unit = {
     vf.df.write.mode("overwrite").parquet(s"$path/data")
     vf.embedder.foreach(_.save(s"$path/embedder"))
-    val embJson = vf.embedder.map { e =>
-      val params = e.params.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-      s""", "embedder": {"name": "${e.name}", "params": $params}"""
-    }.getOrElse("")
-    val json = s"""{"embedding_column": "${vf.embeddingCol}"$embJson}"""
+    val root = mapper.createObjectNode()
+    root.put("embedding_column", vf.embeddingCol)
+    vf.embedder.foreach { e =>
+      val en = root.putObject("embedder")
+      en.put("name", e.name)
+      val pn = en.putObject("params")
+      e.params.foreach { case (k, v) => pn.put(k, v) }
+    }
     Files.createDirectories(Paths.get(path))
-    Files.write(Paths.get(path, Sidecar), json.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path, Sidecar),
+      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
   }
 
   def read(spark: SparkSession, path: String): VecFrame = {
     val sidecarPath = Paths.get(path, Sidecar)
     if (!Files.exists(sidecarPath))
       throw new IllegalArgumentException(s"$path is not a graft collection (missing $Sidecar)")
-    val json = new String(Files.readAllBytes(sidecarPath), StandardCharsets.UTF_8)
-    // sidecar is engine-written with known shape; a minimal parse keeps
-    // the zero-dependency build (no JSON library beyond what Spark ships)
-    def field(name: String): Option[String] = {
-      val m = s""""$name"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json)
-      m.map(_.group(1))
-    }
-    val embCol = field("embedding_column").getOrElse("embedding")
-    val embedder: Option[Embedder] = field("name").map { n =>
-      val params = s""""params"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(json)
-        .map(_.group(1)).getOrElse("")
-        .split(",").filter(_.contains(":")).map { kv =>
-          val Array(k, v) = kv.split(":").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          k -> v
-        }.toMap
+    val root = mapper.readTree(Files.readAllBytes(sidecarPath))
+    val embCol = Option(root.get("embedding_column")).map(_.asText).getOrElse("embedding")
+    val embedder: Option[Embedder] = Option(root.get("embedder")).map { en =>
+      val n = Option(en.get("name")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(s"$Sidecar embedder entry lacks a name"))
+      val params = Option(en.get("params")).map { pn =>
+        val it = pn.fieldNames()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten
+          .map(k => k -> pn.get(k).asText).toMap
+      }.getOrElse(Map.empty[String, String])
       EmbedderRegistry.load(n, params, s"$path/embedder")
     }
     VecFrame(spark.read.parquet(s"$path/data"), embCol, embedder)

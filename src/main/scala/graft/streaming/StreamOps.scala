@@ -25,7 +25,7 @@ object StreamOps {
     * fixture's nanosecond timestamps get the same long→µs rebuild as
     * the batch path (graft.Tables.normalizeNanoTs). */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark) // events-scoped, like the batch path
     val schema = spark.read.parquet(path).schema
     graft.Tables.normalizeNanoTs(spark.readStream.schema(schema).parquet(path))
   }

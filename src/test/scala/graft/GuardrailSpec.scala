@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AvgVector
+import graft.operators.{Fusion, IvfIndex, SimJoin}
+import graft.sources.VecIO
+
+/** Loud-failure guarantees added in review: operators that would
+  * otherwise silently produce wrong results or degenerate plans must
+  * throw instead. */
+class GuardrailSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Fusion.rrf errors loudly when an input exceeds the bounded-list cap") {
+    import spark.implicits._
+    val big = (1L to 500L).map(i => (i, 1.0 / i)).toDF("id", "score")
+    val fused = Fusion.rrf(Seq(big), "id", "score", maxRows = 100)
+    val e = intercept[Exception] { fused.collect() }
+    assert(e.getMessage.contains("pre-limited top-N"),
+      s"expected the rrf bound message, got: ${e.getMessage}")
+    // and a compliant input still works with the guard in the plan
+    val small = (1L to 50L).map(i => (i, 1.0 / i)).toDF("id", "score")
+    assert(Fusion.rrf(Seq(small), "id", "score", maxRows = 100).count() == 50)
+  }
+
+  test("avg_vector throws on mixed dimensions instead of truncating") {
+    import spark.implicits._
+    val mixed = Seq(
+      ("a", Seq(1f, 2f)),
+      ("a", Seq(1f, 2f, 3f))).toDF("k", "v")
+    val e = intercept[Exception] {
+      mixed.groupBy("k").agg(AvgVector.column(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+    // equal dims still aggregate
+    val ok = Seq(("a", Seq(1f, 3f)), ("a", Seq(3f, 5f))).toDF("k", "v")
+      .groupBy("k").agg(AvgVector.column(col("v")).as("c")).head.getSeq[Double](1)
+    assert(ok == Seq(2.0, 4.0))
+  }
+
+  test("VecIO sidecar survives quotes/newlines in the embedding column name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_guardrail").toString
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val weird = "emb\"col\nwith\tescapes\\"
+    VecIO.write(VecFrame(df, weird, None), s"$dir/coll")
+    val back = VecIO.read(spark, s"$dir/coll")
+    assert(back.embeddingCol == weird)
+  }
+
+  test("knnJoinAgg and IvfIndex.searchMany reject non-integral id columns up front") {
+    import spark.implicits._
+    val corpus = Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))).toDF("cid", "emb")
+    val queries = Seq((1L, Seq(1f, 0f))).toDF("qid", "qe")
+    val e1 = intercept[IllegalArgumentException] {
+      SimJoin.knnJoinAgg(queries, corpus, "qid", "qe", "cid", "emb", k = 1)
+    }
+    assert(e1.getMessage.contains("knnJoinAgg"))
+    // an index whose corpus ids are strings must refuse the long-id
+    // batch path at call time, not encode NULLs mid-job
+    val strCorpus = Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f)),
+      ("c", Seq(1f, 1f)), ("d", Seq(0.5f, 1f))).toDF("cid", "emb")
+    val idx = IvfIndex.build(strCorpus, "emb", nlist = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      idx.searchMany(queries, "qid", "qe", "cid", k = 1)
+    }
+    assert(e2.getMessage.contains("searchMany"))
+  }
+}
