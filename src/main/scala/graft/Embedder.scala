@@ -61,6 +61,33 @@ case class HashingEmbedder(override val dim: Int = 64, seed: Int = 42) extends E
 }
 
 /**
+ * Fixed literal-vocabulary term-count embedder: dimension i counts the
+ * occurrences of `vocab(i)` among the text's whitespace tokens
+ * (duplicate TEXT terms count per occurrence — plain term frequency).
+ * The bag-of-words half of the reference's TF-IDF family
+ * (/root/reference/R/embedders.R:335-352) with the vocabulary supplied
+ * up front instead of fitted — which makes the embedding (and therefore
+ * the full `(1-w)·cosine + w·keyword` hybrid score built on it,
+ * R/core.R:295-313) expressible in ANSI SQL and oracle-checkable
+ * end-to-end. Counts are small exact integers, so float32 storage and
+ * double cosine accumulation are bit-reproducible across engines.
+ * Pure codegen'd built-ins; no fit, no model broadcast, no shuffle.
+ */
+case class VocabCountEmbedder(vocab: Seq[String]) extends Embedder {
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab must be non-empty terms")
+  override def name: String = "vocab_count"
+  override def dim: Int = vocab.length
+  override def params: Map[String, String] = Map("vocab" -> vocab.mkString(","))
+  override def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame = {
+    val toks = filter(split(lower(col(contentCol)), "\\s+"), t => length(t) > 0)
+    val counts = vocab.map(term =>
+      size(filter(toks, t => t === lit(term))).cast("float"))
+    df.withColumn(outCol,
+      when(col(contentCol).isNull, lit(null)).otherwise(array(counts: _*)))
+  }
+}
+
+/**
  * Frozen-vocabulary TF-IDF, the reference's `embedder_tfidf`
  * (/root/reference/R/embedders.R:335-366): fit once on a corpus
  * (lowercase word tokens, vocabulary pruned by a min-frequency
@@ -178,6 +205,8 @@ object EmbedderRegistry {
     case "hashing" => HashingEmbedder(
       dim = params.getOrElse("dim", "64").toInt,
       seed = params.getOrElse("seed", "42").toInt)
+    case "vocab_count" => VocabCountEmbedder(
+      params.getOrElse("vocab", "").split(",").toSeq.filter(_.nonEmpty))
     case "tfidf" => TfIdfEmbedder.load(modelDir, params.getOrElse("min_freq", "2").toInt)
     case "word2vec" => Word2VecEmbedder.load(modelDir,
       params.getOrElse("vector_size", "32").toInt)

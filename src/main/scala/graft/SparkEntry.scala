@@ -59,6 +59,15 @@ object SparkEntry {
   private val KwQuery = "batch batch scan vector"
   private val KwTerms = KwQuery.toLowerCase.split("\\s+").toSeq
 
+  /** Literal vocabulary for the ORACLED full-hybrid query: term-count
+    * vectors over these 8 corpus terms are computable identically in
+    * DuckDB (exact integer counts → exact double cosine), which makes
+    * the reference's flagship `(1-w)·vector + w·keyword` composition
+    * (R/core.R:295-313) end-to-end oracle-checkable — the one §2.1
+    * surface that was rows-only through round 2. */
+  private val HybridVocab =
+    Seq("batch", "scan", "vector", "join", "hash", "stream", "query", "data")
+
   /** IVF coarse quantizers are seed-pinned (deterministic) and costly
     * to fit; a production index is built once and probed many times, so
     * the `ann_ivf_*` entries memoize the build per (session, fixture)
@@ -135,10 +144,15 @@ object SparkEntry {
           round(vectors.vector_norm(col("embedding")), 4).as("norm"))
         .orderBy(col("doc_id"))
     }),
-    // §2 #8 full hybrid: (1-w)·cosine + w·keyword over hashing embeddings
+    // §2 #8 FULL hybrid, ORACLED: (1-w)·cosine + w·keyword end-to-end.
+    // The vector half is the literal-vocab term-count embedder, so the
+    // whole weighted composition (duplicate query terms counting per
+    // occurrence, §2.4.4) reproduces exactly in DuckDB. The
+    // hashing-embedder variant of the same code path stays covered by
+    // embed_hashing + VecFrameSpec.
     "hybrid_search" -> ((s, d) => {
       val vf = VecFrame.vec(Tables(s, d, "documents"),
-        embedder = Some(HashingEmbedder(dim = 64))).embed("text")
+        embedder = Some(VocabCountEmbedder(HybridVocab))).embed("text")
       vf.nearest(KwQuery, n = 20, keywordWeight = 0.3,
         keywordColumn = Some("text"), tieBreakers = Seq(asc("doc_id")))
         .df.select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
@@ -437,6 +451,20 @@ object SparkEntry {
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy(col("hour"), col("event_type"))),
+    // §2.3 S EXECUTED AS A STREAM: the same hourlyTypeStats plan driven
+    // through a real StreamingQuery (file micro-batch source over the
+    // events fixture → watermarked windowed agg → memory sink, drained
+    // to completion). Stream == batch by Spark's unified Dataset
+    // semantics, so it shares events_hourly's oracle — a CORRECTNESS
+    // row whose Spark side actually executed a stream.
+    "events_hourly_stream" -> ((s, d) => {
+      val stream = StreamOps.readEventsStream(s, d, globFilter = Some("events.parquet"))
+      StreamOps.runToCompletion(
+        StreamOps.hourlyTypeStats(stream), "graft_events_hourly_stream")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
     // §2.3 S: sessionization (gaps-and-islands, 30-minute inactivity)
     "events_sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables(s, d, "events"))
@@ -493,6 +521,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       ivfFor(s, d)
         .searchMany(q, "query_id", "qe", "vec_id", k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
+    // §2.3 J ORACLED anchor for the BATCH path: at nprobe = nlist every
+    // cell is probed, so the fully-distributed searchMany degenerates to
+    // the exact k-NN join — same queries (vec_id < 10), same k as
+    // simjoin_knn, so it shares that oracle. Proves the broadcast-probe
+    // + cell-join + bounded-heap pipeline exact at full probe, the way
+    // ann_ivf_exact anchored single-query search.
+    "ann_ivf_batch_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val idx = ivfFor(s, d)
+      idx.searchMany(q, "query_id", "qe", "vec_id", k = 3,
+          nprobe = idx.centroidVectors.length)
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
     }),
@@ -565,6 +609,13 @@ object SparkEntry {
       |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
       |ORDER BY query_id, similarity DESC, vec_id""".stripMargin
 
+  /** Shared by events_hourly (batch) and events_hourly_stream (the same
+    * plan executed through a StreamingQuery into a memory sink). */
+  private val oracleSqlEventsHourly: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin
+
   /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
     * and bitset physical strategies produce identical survivors. */
   private val oracleSqlJaccardSurvivors: String =
@@ -633,6 +684,7 @@ object SparkEntry {
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
+      "ann_ivf_batch_exact" -> oracleSqlKnn,
       "neardup_embedding" ->
         """WITH p AS (
           |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -675,6 +727,45 @@ object SparkEntry {
           |  FROM documents)
           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
       "bm25_search" -> TextSearch.bm25OracleSql("documents", "text", "doc_id", KwQuery, 20),
+      // Full hybrid, generated from the SAME constants as the Spark
+      // side: term-count vectors over HybridVocab, cosine as
+      // dot/(sqrt(na)·sqrt(nb)) with the zero-denominator guard, the
+      // per-occurrence keyword fraction, and the weight written as
+      // (1.0 - 0.3) so both engines evaluate the identical IEEE double
+      // (1.0 - 0.3 != 0.7 in binary64).
+      "hybrid_search" -> {
+        val qCounts = HybridVocab.map(v => KwTerms.count(_ == v))
+        val countCols = HybridVocab.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '${term.replace("'", "''")}')) AS DOUBLE) AS c$i"
+        }.mkString(",\n         ")
+        val dot = qCounts.zipWithIndex.collect {
+          case (qc, i) if qc > 0 => s"c$i*$qc.0"
+        }.mkString(" + ")
+        val na = HybridVocab.indices.map(i => s"c$i*c$i").mkString(" + ")
+        val nbSq = qCounts.map(q => q * q).sum
+        val hits = KwTerms.map(t =>
+          s"CASE WHEN list_contains(toks, '${t.replace("'", "''")}') THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         $countCols,
+           |         $hits / ${KwTerms.length}.0 AS kw
+           |  FROM t),
+           |s AS (
+           |  SELECT doc_id, ($dot) AS dot,
+           |         sqrt($na) * sqrt($nbSq.0) AS denom, kw
+           |  FROM c)
+           |SELECT doc_id, round(raw, 6) AS similarity FROM (
+           |  SELECT doc_id,
+           |         (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) * (1.0 - 0.3)
+           |           + kw * 0.3 AS raw
+           |  FROM s ORDER BY raw DESC, doc_id LIMIT 20)
+           |ORDER BY similarity DESC, doc_id""".stripMargin
+      },
       "hybrid_rrf" -> {
         val kwSql = {
           val hits = KwTerms.map(t =>
@@ -834,10 +925,10 @@ object SparkEntry {
           |INTERSECT SELECT o_custkey FROM orders
           |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0
           |ORDER BY c_custkey""".stripMargin,
-      "events_hourly" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
-          |       event_type, count(*) AS n, round(sum(value), 2) AS total
-          |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin,
+      "events_hourly" -> oracleSqlEventsHourly,
+      // same oracle — the Spark side executed the plan as a real
+      // StreamingQuery; stream == batch for a drained bounded source
+      "events_hourly_stream" -> oracleSqlEventsHourly,
       "events_sessionize" ->
         """WITH marked AS (
           |  SELECT user_id, ts, value,

@@ -24,10 +24,35 @@ object StreamOps {
     * footer read — streaming sources require an explicit schema). The
     * fixture's nanosecond timestamps get the same long→µs rebuild as
     * the batch path (graft.Tables.normalizeNanoTs). */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, path: String,
+      globFilter: Option[String] = None): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark) // events-scoped, like the batch path
-    val schema = spark.read.parquet(path).schema
-    graft.Tables.normalizeNanoTs(spark.readStream.schema(schema).parquet(path))
+    // pathGlobFilter lets the stream target one file inside a shared
+    // fixture dir (file-stream sources want a directory to monitor)
+    val schema = globFilter.foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
+      .parquet(path).schema
+    val stream = globFilter.foldLeft(spark.readStream.schema(schema))(
+      (r, g) => r.option("pathGlobFilter", g)).parquet(path)
+    graft.Tables.normalizeNanoTs(stream)
+  }
+
+  /** Execute a streaming aggregation to completion against a bounded
+    * file source and return the final sink contents: start a real
+    * `StreamingQuery` into a memory sink, drain every available
+    * micro-batch, stop. This is the batch-equivalence bridge — the same
+    * `hourlyTypeStats` plan run as an actual stream produces the exact
+    * rows of the batch run, so a streaming execution can share a batch
+    * oracle. (Memory sink is driver-resident: correct for bounded
+    * fixture drains and tests; production streams write a real sink.) */
+  def runToCompletion(aggregated: DataFrame, queryName: String): DataFrame = {
+    val spark = aggregated.sparkSession
+    val q = aggregated.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
   }
 
   /** Tumbling-window counts/sums per event type with a watermark for
