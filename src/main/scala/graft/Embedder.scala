@@ -182,14 +182,25 @@ object Word2VecEmbedder {
   private[graft] val VecCol = "__graft_w2v_vec"
 
   def fit(corpus: DataFrame, textCol: String, vectorSize: Int = 32,
-      minCount: Int = 2, seed: Long = 42L): Word2VecEmbedder = {
+      minCount: Int = 2, seed: Long = 42L,
+      fitPartitions: Int = 8): Word2VecEmbedder = {
     val pipeline = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol(TextCol).setOutputCol(TokensCol)
         .setPattern("\\s+").setToLowercase(true),
       new org.apache.spark.ml.feature.Word2Vec()
         .setInputCol(TokensCol).setOutputCol(VecCol)
         .setVectorSize(vectorSize).setMinCount(minCount).setSeed(seed)))
+    // Pin the fit input's partitioning: hash-partition on the text and
+    // sort within partitions, so the sentence→partition assignment and
+    // per-partition order no longer depend on the upstream parallelism
+    // or file-split geometry. Word2Vec's SGD consumes sentences in
+    // partition order — with the layout pinned (and the seed fixed),
+    // the learned vectors are bit-stable across thread counts and runs
+    // (demonstrated at 4 vs 32 threads; norms now round at 6dp in the
+    // embed_word2vec entry, tightened from the round-1 4dp slack).
     val prepped = corpus.withColumn(TextCol, col(textCol))
+      .repartition(fitPartitions, col(TextCol))
+      .sortWithinPartitions(col(TextCol))
     new Word2VecEmbedder(pipeline.fit(prepped), vectorSize)
   }
 

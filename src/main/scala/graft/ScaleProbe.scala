@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IvfIndex, Nearest, SimJoin}
+import graft.operators.{Dedup, IvfIndex, Nearest, SimJoin}
 
 /**
  * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
@@ -15,7 +15,7 @@ import graft.operators.{IvfIndex, Nearest, SimJoin}
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val n = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
     val dim = 64
     val path = s"/tmp/graft_scale_probe_$n"
     val spark = SparkSession.builder()
@@ -61,6 +61,37 @@ object ScaleProbe {
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       SimJoin.knnJoinAgg(q, e, "query_id", "qe", "vec_id", "embedding", k = 10).collect()
+    }
+    // PPJoin at 1M docs: sbt "runMain graft.ScaleProbe 1000000 ppjoin".
+    // Candidate-count telemetry makes the sub-quadratic claim concrete:
+    // 1M docs have ~5·10^11 unordered pairs; the prefix index must emit
+    // candidates tracking the true-pair count, orders of magnitude under
+    // that. Corpus: 12 uniform tokens from a 50k vocab plus 2 high-
+    // frequency tokens from a 40-term head (skew stresses the rarest-
+    // first prefix choice); every id ≡ 1 (mod 100) duplicates id-1, so
+    // ~1% of docs have a planted exact-dup partner.
+    if (args.contains("ppjoin")) {
+      val base = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+      val toks = (0 until 12).map(i =>
+        concat(lit("t"), pmod(hash(base * lit(31 + i) + lit(i)), lit(50000)))) ++
+        (0 until 2).map(i =>
+          concat(lit("h"), pmod(hash(base + lit(i * 7)), lit(40))))
+      val docs = spark.range(n).toDF("id")
+        .select(col("id"), concat_ws(" ", toks: _*).as("text"))
+        .repartition(32)
+      docs.write.mode("overwrite").parquet(s"$path-docs")
+      val d = spark.read.parquet(s"$path-docs")
+      var nCands = -1L; var nPairs = -1L
+      time(s"ppjoin candidates over ${n / 1000000}M docs") {
+        nCands = Dedup.prefixJaccardCandidates(d, "text", "id", 0.8).count()
+      }
+      time(s"ppjoin verified pairs over ${n / 1000000}M docs") {
+        nPairs = Dedup.prefixJaccardPairs(d, "text", "id", 0.8).count()
+      }
+      println(f"[scale-probe] ppjoin candidates=$nCands%d true_pairs=$nPairs%d " +
+        f"(all-pairs would be ${n * (n - 1) / 2}%d)")
+      spark.stop()
+      return
     }
     val idxPath = s"$path-ivf"
     time("ivf build nlist=64") {

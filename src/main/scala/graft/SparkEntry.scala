@@ -71,12 +71,29 @@ object SparkEntry {
   /** IVF coarse quantizers are seed-pinned (deterministic) and costly
     * to fit; a production index is built once and probed many times, so
     * the `ann_ivf_*` entries memoize the build per (session, fixture)
-    * and time only the probe path. */
+    * and time only the probe path. The outer map WEAKLY references the
+    * session, so a stopped session's indexes become collectible instead
+    * of pinning dead DataFrames for the JVM's lifetime (and an
+    * identity-hash collision after GC can never hand an index bound to
+    * a dead session to a new one). Fixture dirs are immutable for the
+    * cache lifetime — rewriting the parquet at a cached path would
+    * silently serve the stale index; production callers with mutable
+    * paths should use IvfIndex.build/save/load directly. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-  private def ivfFor(s: SparkSession, d: String, nlist: Int = 16): IvfIndex =
-    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d#$nlist",
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]()
+  private def ivfFor(s: SparkSession, d: String, nlist: Int = 16): IvfIndex = {
+    val perSession = ivfCache.synchronized {
+      var m = ivfCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+        ivfCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$d#$nlist",
       _ => IvfIndex.build(Tables(s, d, "embeddings"), "embedding", nlist))
+  }
 
   /** Pre-build memoized artifacts (the IVF coarse quantizer) so bench
     * timings measure the recurring probe path, not one-time index
@@ -139,9 +156,13 @@ object SparkEntry {
     "embed_word2vec" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val emb = Word2VecEmbedder.fit(docs, "text", vectorSize = 32)
+      // e0 exposes a LEARNED value (norm alone is trivially 1 after the
+      // source-side L2 normalization) — with the fit input partitioning
+      // pinned, it is stable across runs and thread counts at 6dp
       emb.embed(docs, "text", "embedding")
         .select(col("doc_id"), size(col("embedding")).cast("long").as("dim"),
-          round(vectors.vector_norm(col("embedding")), 4).as("norm"))
+          round(element_at(col("embedding"), 1), 6).as("e0"),
+          round(vectors.vector_norm(col("embedding")), 6).as("norm"))
         .orderBy(col("doc_id"))
     }),
     // §2 #8 FULL hybrid, ORACLED: (1-w)·cosine + w·keyword end-to-end.
@@ -568,6 +589,32 @@ object SparkEntry {
           round(element_at(col("features"), 1), 6).as("cell0"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 multimodal ORACLED text→IMAGE search: a TEXT query retrieves
+    // IMAGE rows. Captions pair deterministically with the PNG fixture
+    // (Multimodal.synthCaption — the joint-space seam contract is
+    // documented there); query and captions embed through ONE
+    // VocabCountEmbedder space; ranking happens text-side; then ONLY
+    // the retrieved rows are decoded (retrieve-then-decode — at 100 TB
+    // you decode k images, not the corpus). Output = image content from
+    // the REAL javax.imageio decode; the oracle reproduces caption,
+    // cosine, and pixel means from the fixture arithmetic.
+    "multimodal_text_search" -> ((s, d) => {
+      val caps = Tables(s, d, "documents").select(col("doc_id"))
+        .withColumn("caption", Multimodal.synthCaption(col("doc_id")))
+      val emb = VocabCountEmbedder(Multimodal.CaptionVocab)
+      val embedded = emb.embed(caps, "caption", "cap_emb")
+      val qv = emb.embedQuery(s, "bright red wide")
+      val top = Nearest.topK(embedded, "cap_emb",
+        lit(qv).cast("array<float>"), n = 20, tieBreakers = Seq(asc("doc_id")))
+      val imgs = Multimodal.withSynthPng(top, "doc_id")
+      Multimodal.imageStats(imgs, "media")
+        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy(desc("similarity"), asc("doc_id"))
+    }),
     // §2.3 multimodal ORACLED: decode the PNG payload with the real JDK
     // codec and report decoded dimensions + per-channel pixel means; the
     // oracle reproduces them from the fixture's modular arithmetic (PNG
@@ -964,6 +1011,66 @@ object SparkEntry {
       "multimodal_meta" ->
         """SELECT doc_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // Text→image search: rebuild the caption from the same band
+      // arithmetic as synthCaption, count caption terms over
+      // CaptionVocab exactly like the shared VocabCountEmbedder, rank
+      // by cosine against the query counts (bright=1, red=1, wide=1 ⇒
+      // ‖q‖² = 3), then attach the decoded-pixel oracle columns from
+      // the synthPng formulas for the retrieved rows.
+      "multimodal_text_search" -> {
+        val qTermsImg = Seq("bright", "red", "wide")
+        val vocab = Multimodal.CaptionVocab
+        val qCounts = vocab.map(v => qTermsImg.count(_ == v))
+        val countCols = vocab.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$term')) AS DOUBLE) AS c$i"
+        }.mkString(",\n         ")
+        val dot = qCounts.zipWithIndex.collect {
+          case (qc, i) if qc > 0 => s"c$i*$qc.0"
+        }.mkString(" + ")
+        val na = vocab.indices.map(i => s"c$i*c$i").mkString(" + ")
+        val nbSq = qCounts.map(q => q * q).sum
+        s"""WITH cap AS (
+           |  SELECT doc_id,
+           |         'a ' ||
+           |         CASE WHEN (doc_id*37+11) % 256 + (doc_id*59+23) % 256 + (doc_id*83+5) % 256 >= 384
+           |              THEN 'bright' ELSE 'dark' END || ' ' ||
+           |         CASE WHEN (doc_id*37+11) % 256 >= (doc_id*59+23) % 256
+           |                AND (doc_id*37+11) % 256 >= (doc_id*83+5) % 256 THEN 'red'
+           |              WHEN (doc_id*59+23) % 256 >= (doc_id*83+5) % 256 THEN 'green'
+           |              ELSE 'blue' END || ' ' ||
+           |         CASE WHEN 8 + doc_id % 9 >= 12 THEN 'wide' ELSE 'narrow' END ||
+           |         ' image' AS caption
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(caption), '\\s+'), x -> len(x) > 0) AS toks
+           |  FROM cap),
+           |c AS (
+           |  SELECT doc_id,
+           |         $countCols
+           |  FROM t),
+           |s AS (
+           |  SELECT doc_id, ($dot) AS dot, sqrt($na) * sqrt($nbSq.0) AS denom
+           |  FROM c),
+           |top AS (
+           |  SELECT doc_id,
+           |         CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS raw
+           |  FROM s ORDER BY raw DESC, doc_id LIMIT 20),
+           |px AS (
+           |  SELECT doc_id,
+           |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           |         (8 + doc_id % 7) // 2 AS tp,
+           |         (doc_id*37+11) % 256 AS r1, (doc_id*59+23) % 256 AS g1, (doc_id*83+5) % 256 AS b1,
+           |         (doc_id*101+7) % 256 AS r2, (doc_id*131+17) % 256 AS g2, (doc_id*151+29) % 256 AS b2
+           |  FROM documents)
+           |SELECT top.doc_id, round(top.raw, 6) AS similarity,
+           |       CAST(px.w AS INT) AS width, CAST(px.h AS INT) AS height,
+           |       round((px.r1*px.tp + px.r2*(px.h-px.tp)) * 1.0 / px.h, 6) AS mean_r,
+           |       round((px.g1*px.tp + px.g2*(px.h-px.tp)) * 1.0 / px.h, 6) AS mean_g,
+           |       round((px.b1*px.tp + px.b2*(px.h-px.tp)) * 1.0 / px.h, 6) AS mean_b
+           |FROM top JOIN px ON top.doc_id = px.doc_id
+           |ORDER BY similarity DESC, top.doc_id""".stripMargin
+      },
       // Mirrors Multimodal.synthPng's band arithmetic: mean over the
       // image = (c_top*top + c_bot*(h-top)) / h (rows are uniform across
       // width, so w cancels; integer sums → exact double division).

@@ -10,27 +10,32 @@ import graft.expressions.SimHash64
 import graft.functions.vectors
 
 /**
- * Deduplication for LLM-training-data pipelines (SURVEY §2.3 D) — the
- * full ladder, cheapest first:
+ * Deduplication for LLM-training-data pipelines (SURVEY §2.3 D) — six
+ * tiers behind one decision table. Pick by what "duplicate" means and
+ * what the corpus affords; every tier emits either survivor rows or
+ * `(id1, id2[, similarity])` pairs that feed the same keep rules.
  *
- *   1. exact          — hash-groupBy on content; one shuffle of narrow keys
- *   2. simhash        — 64-bit fingerprint; exact-bucket grouping catches
- *                       token-reorder/near-identical docs at the same cost
- *                       as exact dedup
- *   3. minhashLsh     — shingle → MinHash → banded LSH join; near-dup
- *                       detection with sub-quadratic candidate pairs
- *   4. jaccardNearDup — exact n-gram Jaccard on (optionally blocked)
- *                       pairs; the precision baseline the approximate
- *                       tiers are measured against
- *   5. embedding near-dup — semantic dedup via SimJoin.thresholdSelfJoin
- *                       / approxCosineSelfJoin on an embedding column
+ * | Tier (entry point)                  | Finds                    | Cost shape                          | Use when |
+ * |-------------------------------------|--------------------------|-------------------------------------|----------|
+ * | exact (`exact`/`exactGroups`)       | byte-identical content   | 1 shuffle of (hash, id)             | always run first — it's nearly free |
+ * | simhash (`simhash`)                 | reordered / near-identical tokens | 1 shuffle, same as exact   | cheap fuzz pass after exact; no threshold control |
+ * | minhash-LSH (`minhashPairs`)        | Jaccard ≥ t, probabilistic recall | banded LSH join, sub-quadratic | web-scale corpora where missing a few % of dups is fine |
+ * | PPJoin exact (`prefixJaccardPairs`) | Jaccard ≥ t, EXACT       | prefix inverted index, sub-quadratic (candidates ∝ true pairs) | need exact pairs without a blocking key; the default exact tier |
+ * | all-pairs exact (`jaccardPairs`)    | Jaccard ≥ t, EXACT       | O(pairs) within blocks — needs `groupCol` blocking | small corpora or strong natural blocking; the oracle baseline |
+ * | bitset exact (`bitsetJaccardPairs`) | Jaccard ≥ t, EXACT       | popcount arithmetic; vocab ≤ 4096 (refuses above) | bounded vocabularies (codes, tags, templated text): ~5× the hash tier |
+ * | embedding (`embeddingPairs`)        | semantic near-dups       | threshold self-join; LSH twin at scale | paraphrase-level dedup after an embed stage |
  *
- * All near-dup tiers share one keep rule: a row is DROPPED iff some
- * surviving-candidate row with a smaller id matches it (pair rule
- * id_keep < id_drop). This is single-pass (no transitive closure): for
- * chains a~b~c with a≁c, b drops and c survives via the a<c non-match —
- * deterministic, order-independent, and the standard trade at corpus
- * scale where full connected components would need iterative joins.
+ * Precision need → exact tiers (PPJoin default); recall-tolerant scale
+ * → MinHash-LSH; semantic → embedding. All thresholds evaluate as
+ * integer cross-multiplications (no float drift in membership).
+ *
+ * Survivor semantics, shared by every tier: a row DROPS iff some
+ * candidate row with a smaller id matches it (pair rule id_keep <
+ * id_drop) — single-pass, deterministic, order-independent
+ * (`survivors`). For chains a~b~c with a≁c, b drops and c survives.
+ * When full transitive closure is wanted instead, `transitiveSurvivors`
+ * runs iterative min-label propagation over the duplicate graph
+ * (converges or throws; oracle = recursive CTE).
  */
 object Dedup {
 
@@ -159,6 +164,35 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 1,
       groupCol: Option[String] = None): DataFrame = {
+    val (sets, cands) = prefixStage(df, textCol, idCol, threshold, shingleSize, groupCol)
+    // exact verification — the same integer cross-multiplied threshold
+    // as jaccardPairs, on candidates only, over long-id sets
+    val (p, q) = thresholdRational(threshold)
+    val s1 = sets.select(col(idCol).as("id1"), col("__sorted").as("__s1"),
+      col("__n").as("__n1"))
+    val s2 = sets.select(col(idCol).as("id2"), col("__sorted").as("__s2"),
+      col("__n").as("__n2"))
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("long")
+    val unionSz = (col("__n1") + col("__n2")).cast("long") - inter
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .where(inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
+      .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
+      .select(col("id1"), col("id2"), col("similarity"))
+  }
+
+  /** Diagnostic twin of [[prefixJaccardPairs]]: the candidate pairs the
+    * prefix inverted index emits BEFORE exact verification. The ratio
+    * candidates / true pairs is the sub-quadratic claim made measurable
+    * — ScaleProbe reports it at 1M docs. Not part of the query surface. */
+  def prefixJaccardCandidates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 1,
+      groupCol: Option[String] = None): DataFrame =
+    prefixStage(df, textCol, idCol, threshold, shingleSize, groupCol)._2
+
+  /** Shared candidate-generation stage: (sets, candidates). */
+  private def prefixStage(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int,
+      groupCol: Option[String]): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering requires 0 < threshold <= 1, got $threshold — at t=0 " +
         "disjoint sets qualify, which no overlap-based index can produce")
@@ -184,15 +218,19 @@ object Dedup {
       .select(col("__t"), monotonically_increasing_id().as("__tid"))
     val aggs = sort_array(collect_list(col("__tid"))).as("__sorted") +:
       groupCol.map(c => first(col(c)).as(c)).toSeq
-    // localCheckpoint: the sets frame feeds THREE consumers (the prefix
-    // index and both verify sides) — materializing it once keeps the
-    // tokenize/sort pipeline from running three times, and truncates
-    // the lineage the candidate self-join would otherwise duplicate
+    // persist(MEMORY_AND_DISK): the sets frame feeds THREE consumers
+    // (the prefix index and both verify sides) — caching it keeps the
+    // tokenize/sort pipeline from running three times. persist (not
+    // localCheckpoint) keeps the LINEAGE, so a lost executor recomputes
+    // its partitions instead of failing the job — the property a
+    // 1000-executor run needs. The cache lives until the session drops
+    // it (LRU) or the caller runs `spark.catalog.clearCache()`; an
+    // eager checkpoint would pin unrecoverable local blocks instead.
     val sets = tokens.join(dict, Seq("__t"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__n", size(col("__sorted")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ⌈p·n/q⌉ via double floor — exact while p·n + q < 2^53 (p ≤ 10^6
     // from thresholdRational, so sets up to ~10^9 shingles stay exact)
     val minOverlap = floor((col("__n").cast("long") * p + (q - 1)).cast("double") / q)
@@ -224,18 +262,7 @@ object Dedup {
       groupCol.map(_ => col("__g1") === col("__g2")).getOrElse(lit(true))
     val cands = ca.join(cb, Seq("__tid")).where(keep)
       .select(col("id1"), col("id2")).distinct()
-    // exact verification — the same integer cross-multiplied threshold
-    // as jaccardPairs, on candidates only, over long-id sets
-    val s1 = sets.select(col(idCol).as("id1"), col("__sorted").as("__s1"),
-      col("__n").as("__n1"))
-    val s2 = sets.select(col(idCol).as("id2"), col("__sorted").as("__s2"),
-      col("__n").as("__n2"))
-    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("long")
-    val unionSz = (col("__n1") + col("__n2")).cast("long") - inter
-    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
-      .where(inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
-      .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
-      .select(col("id1"), col("id2"), col("similarity"))
+    (sets, cands)
   }
 
   /**

@@ -32,16 +32,20 @@ object Fusion {
     require(maxRows > 0)
     val ranked = rankings.zipWithIndex.map { case (df, i) =>
       // inputs are top-N lists; a global window over <=N rows is fine —
-      // and the assert_true below enforces it at execution time
+      // and the assert_true below enforces it at execution time. The
+      // guard rides on the ID column, which every consumer evaluates
+      // (it is the join key and the output id), so a plan that prunes
+      // the rank columns still trips the cap — an assert on __rank_i
+      // alone would vanish with the pruned column.
       val w = Window.orderBy(desc(scoreCol), asc(idCol))
       val rank = row_number().over(w)
-      val guarded = when(
+      val guardedId = when(
         assert_true(rank <= lit(maxRows), lit(
           s"Fusion.rrf ranking #$i exceeds maxRows=$maxRows rows — RRF inputs " +
             "must be pre-limited top-N lists (an unbounded input would " +
             "serialize through the global ranking window)")).isNull,
-        rank)
-      df.select(col(idCol), guarded.as(s"__rank_$i"))
+        col(idCol))
+      df.select(guardedId.as(idCol), rank.as(s"__rank_$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score: Column = rankings.indices

@@ -46,11 +46,21 @@ class IvfIndex private (
     * driver-local arithmetic over the resident centroid array (≤ nlist
     * rows) — no Spark job, so single-query `search` plans exactly one
     * job: the probe-filtered scan. */
-  def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] =
+  def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] = {
+    // Mirror Spark's `desc` total order exactly (NaN greatest, -0.0 and
+    // +0.0 equal): a plain sortBy(-s) would sort NaN last and order a
+    // ±0.0 pair by negation sign instead of the asc-cell tie-break.
+    val order = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val c = if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      }
+    }
     centroidVectors.zipWithIndex
       .map { case (c, i) => (cosineLocal(c, queryVec), i) }
-      .sortBy { case (s, i) => (-s, i) } // desc score, asc cell — same tie rule as the SQL path
+      .sorted(order)
       .take(nprobe).map(_._2)
+  }
 
   /** Double-accumulated cosine, zero-norm → 0 — the same contract as
     * `vectors.cosine_similarity`, evaluated driver-side. */

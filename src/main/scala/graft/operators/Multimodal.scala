@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -106,6 +106,49 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------------
+  // Text↔image bridge (caption pairing)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Deterministic caption paired with `synthPng(id)` — the text half of
+   * the text→image search demo. The words describe the image's actual
+   * content (top-band brightness, dominant channel, width class), so a
+   * TEXT query against caption embeddings retrieves IMAGE rows whose
+   * decoded pixels match the words — the capability the reference's
+   * multimodal search leads with (vignettes/getting-started.Rmd:214-218,
+   * text and images queried in one space via CLIP-style encoders).
+   *
+   * JOINT-SPACE SEAM CONTRACT: text→image search needs query text and
+   * image content embedded by the SAME space. In production both sides
+   * are one neural joint encoder (text tower for the query, image tower
+   * for pixels) plugged in behind `graft.Embedder`. In this zero-egress
+   * build the image side is caption-mediated — each image's embedding is
+   * the text embedding of its deterministic caption — which keeps every
+   * downstream stage (shared embedder, cosine ranking, decode-on-
+   * retrieve) identical to the neural deployment; only the
+   * pixels→vector hop is replaced by the caption pairing. Pure codegen
+   * built-ins; MultimodalImageSpec proves caption words match the
+   * DECODED pixels, not just the id arithmetic.
+   */
+  def synthCaption(id: Column): Column = {
+    val w = lit(8) + pmod(id, lit(9))
+    val r1 = pmod(id * 37 + 11, lit(256))
+    val g1 = pmod(id * 59 + 23, lit(256))
+    val b1 = pmod(id * 83 + 5, lit(256))
+    val brightWord = when(r1 + g1 + b1 >= 384, "bright").otherwise("dark")
+    val colorWord = when(r1 >= g1 && r1 >= b1, "red")
+      .when(g1 >= b1, "green").otherwise("blue")
+    val sizeWord = when(w >= 12, "wide").otherwise("narrow")
+    concat_ws(" ", lit("a"), brightWord, colorWord, sizeWord, lit("image"))
+  }
+
+  /** The caption vocabulary for `synthCaption` text→image search — the
+    * literal vocab a `VocabCountEmbedder` shares between query text and
+    * captions (one space, SQL-reproducible). */
+  val CaptionVocab: Seq[String] =
+    Seq("bright", "dark", "red", "green", "blue", "wide", "narrow", "image")
+
   /** Per-image stats from DECODED pixels: dimensions + per-channel
     * means. NULLs for undecodable payloads. Pixel sums are exact
     * integers, so the double means are bit-identical across engines. */
@@ -121,16 +164,15 @@ object Multimodal {
         decodeImage(bytes) match {
           case Some(img) =>
             val w = img.getWidth; val h = img.getHeight
+            // one bulk getRGB per image (not per pixel): same sRGB
+            // conversion, one JNI/bounds-checked call instead of w·h
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
             }
             val n = (w.toLong * h).toDouble
             // Seq[Any] keeps w/h as Int — a plain Seq(w, h, sr/n, …)
@@ -155,13 +197,17 @@ object Multimodal {
     val dim = cells + 3 * bins
     val acc = new Array[Double](dim)
     val cellCount = new Array[Int](cells)
+    // one bulk getRGB per image — identical sRGB values to per-pixel
+    // calls, without w·h crossings of the ColorModel dispatch
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       val gy = math.min(grid - 1, y * grid / h)
+      val rowOff = y * w
       var x = 0
       while (x < w) {
         val gx = math.min(grid - 1, x * grid / w)
-        val p = img.getRGB(x, y)
+        val p = px(rowOff + x)
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         val cell = gy * grid + gx
         acc(cell) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0

@@ -25,6 +25,17 @@ class GuardrailSpec extends AnyFunSuite {
     assert(Fusion.rrf(Seq(small), "id", "score", maxRows = 100).count() == 50)
   }
 
+  test("Fusion.rrf cap survives column pruning (id-only consumer still trips it)") {
+    import spark.implicits._
+    val big = (1L to 500L).map(i => (i, 1.0 / i)).toDF("id", "score")
+    val fused = Fusion.rrf(Seq(big), "id", "score", maxRows = 100)
+    // a consumer that never evaluates rrf_score would let Catalyst prune
+    // the rank columns; the guard rides on the id column, so it fires
+    val e = intercept[Exception] { fused.select("id").collect() }
+    assert(e.getMessage.contains("pre-limited top-N"),
+      s"expected the rrf bound message on an id-only plan, got: ${e.getMessage}")
+  }
+
   test("avg_vector throws on mixed dimensions instead of truncating") {
     import spark.implicits._
     val mixed = Seq(

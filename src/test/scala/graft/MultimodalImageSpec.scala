@@ -87,6 +87,27 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(out(2).isNullAt(2) && out(2).isNullAt(4))
   }
 
+  test("imageStats and imageFeatures stay exact on large images (bulk pixel read path)") {
+    // 512x384 two-band image — 786k pixels through the bulk getRGB path;
+    // integer sums stay exact, so means are closed-form
+    val w = 512; val h = 384; val top = h / 2
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (y < top) (200 << 16) | (60 << 8) | 10 else (20 << 16) | (180 << 8) | 250)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, png(img))), 1), schema)
+    val stats = Multimodal.imageStats(df, "media").head()
+    assert(stats.getInt(2) == w && stats.getInt(3) == h)
+    assert(stats.getDouble(4) == (200.0 * top + 20.0 * (h - top)) / h)
+    assert(stats.getDouble(5) == (60.0 * top + 180.0 * (h - top)) / h)
+    assert(stats.getDouble(6) == (10.0 * top + 250.0 * (h - top)) / h)
+    val feats = Multimodal.imageFeatures(img)
+    assert(feats.length == 40)
+    assert(math.abs(math.sqrt(feats.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+  }
+
   test("imageFeatures: unit norm, dim = grid^2 + 3*bins, distinct colors differ") {
     val red = Multimodal.imageFeatures(solid(8, 8, 255, 0, 0))
     val blue = Multimodal.imageFeatures(solid(8, 8, 0, 0, 255))
@@ -101,6 +122,51 @@ class MultimodalImageSpec extends AnyFunSuite {
     val small = Multimodal.imageFeatures(solid(8, 8, 40, 80, 120))
     val big = Multimodal.imageFeatures(solid(32, 32, 40, 80, 120))
     small.zip(big).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
+  }
+
+  test("synthCaption words match the DECODED pixels, not just the id arithmetic") {
+    import spark.implicits._
+    val ids = (0L until 80L).toDF("doc_id")
+    val caps = ids.withColumn("caption",
+      Multimodal.synthCaption(col("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 80L).foreach { id =>
+      val img = Multimodal.decodeImage(Multimodal.synthPng(id)).get
+      // derive the caption words from the pixels alone: the top band is
+      // uniform, so pixel (0,0) carries (r1,g1,b1); width from the codec
+      val p = img.getRGB(0, 0)
+      val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      val bright = if (r + g + b >= 384) "bright" else "dark"
+      val color = if (r >= g && r >= b) "red" else if (g >= b) "green" else "blue"
+      val size = if (img.getWidth >= 12) "wide" else "narrow"
+      assert(caps(id) == s"a $bright $color $size image",
+        s"caption for doc $id does not describe its decoded image")
+    }
+  }
+
+  test("multimodal_text_search: every retrieved image's decoded pixels match the query words") {
+    val out = SparkEntry.queries("multimodal_text_search")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // the reported similarity must be reproducible from the DECODED
+    // pixels alone: re-derive the caption words from the image, rescore
+    // against the query counts, compare to the ranked output
+    out.foreach { row =>
+      val img = Multimodal.decodeImage(Multimodal.synthPng(row.getLong(0))).get
+      val p = img.getRGB(0, 0)
+      val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      val hits = Seq(r + g + b >= 384, // "bright"
+        r >= g && r >= b, // "red"
+        img.getWidth >= 12) // "wide"
+        .count(identity)
+      // caption always carries 4 vocab words (brightness, color, size,
+      // "image") each once -> ||cap|| = 2; query = 3 distinct words
+      val expected = hits / (2.0 * math.sqrt(3.0))
+      assert(math.abs(row.getDouble(1) - expected) < 1e-6,
+        s"doc ${row.getLong(0)}: ranked score ${row.getDouble(1)} is not " +
+          s"reproducible from its decoded pixels (expected ~$expected)")
+      assert(row.getInt(2) == img.getWidth && row.getInt(3) == img.getHeight)
+    }
   }
 
   test("extractImageFeatures over synth PNGs: deterministic, null-safe, 40-dim") {
