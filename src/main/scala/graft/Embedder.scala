@@ -79,11 +79,17 @@ case class VocabCountEmbedder(vocab: Seq[String]) extends Embedder {
   override def dim: Int = vocab.length
   override def params: Map[String, String] = Map("vocab" -> vocab.mkString(","))
   override def embed(df: DataFrame, contentCol: String, outCol: String): DataFrame = {
+    // tokenize ONCE into a named column — inlining the split in all
+    // |vocab| count expressions would re-split the text per term
+    // (Catalyst does not CSE across array-HOF projections)
+    val tokCol = "__graft_vocab_toks"
     val toks = filter(split(lower(col(contentCol)), "\\s+"), t => length(t) > 0)
     val counts = vocab.map(term =>
-      size(filter(toks, t => t === lit(term))).cast("float"))
-    df.withColumn(outCol,
-      when(col(contentCol).isNull, lit(null)).otherwise(array(counts: _*)))
+      size(filter(col(tokCol), t => t === lit(term))).cast("float"))
+    df.withColumn(tokCol, toks)
+      .withColumn(outCol,
+        when(col(contentCol).isNull, lit(null)).otherwise(array(counts: _*)))
+      .drop(tokCol)
   }
 }
 

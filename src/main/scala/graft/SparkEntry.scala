@@ -534,6 +534,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 J ORACLED persistence: save → load → search the PERSISTED
+    // index (cell-partitioned parquet layout, the file-pruning path a
+    // production deployment reads). At nprobe = nlist the reloaded
+    // search is provably exact, so it shares the nearest_cosine oracle
+    // — proving the round-tripped layout serves identical results.
+    "ann_ivf_persisted" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val path = s"/tmp/graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/_ivf.json").exists()) ivfFor(s, d).save(path)
+      val idx = IvfIndex.load(s, path)
+      idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 J at scale: IVF BATCH search — a whole table of queries, no
     // per-query driver round-trip (rows-only; equality spec vs search())
     "ann_ivf_batch" -> ((s, d) => {
@@ -698,6 +715,14 @@ object SparkEntry {
       // membership by RAW score (inner LIMIT), final order by the
       // rounded output value — mirrors the Spark side exactly
       "nearest_cosine" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // save→load→search at nprobe = nlist: the persisted
+      // cell-partitioned layout must serve the exact result too
+      "ann_ivf_persisted" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

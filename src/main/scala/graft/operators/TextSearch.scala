@@ -25,25 +25,35 @@ object TextSearch {
   private def toksAll(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** (N, avgdl, df per query term) — the BM25 corpus statistics. */
+  /** (N, avgdl, df per query term) — the BM25 corpus statistics as ONE
+    * aggregation job over ONE tokenized projection: count, average
+    * length, and every term's document frequency are all aggregates of
+    * the same scan, so splitting them across jobs (as a naive fit
+    * would) pays the corpus read twice. The tokenized arrays live in
+    * named columns so each row splits once, not once per aggregate. */
   def bm25Stats(docs: DataFrame, textCol: String, queryTerms: Seq[String])
       : (Long, Double, Map[String, Long]) = {
-    val statsRow = docs.agg(count(lit(1)).as("n"),
-      avg(size(toksAll(col(textCol)))).as("avgdl")).head()
-    val n = statsRow.getLong(0)
+    val tokd = docs.select(toksAll(col(textCol)).as("__bm25_toks"))
+      .select(col("__bm25_toks"), array_distinct(col("__bm25_toks")).as("__bm25_dtoks"))
+    val aggs = count(lit(1)).as("__n") +:
+      avg(size(col("__bm25_toks"))).as("__avgdl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__bm25_dtoks"), t), 1L).otherwise(0L)).as(s"__df_$i")
+      }
+    val row = tokd.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
     if (n == 0) return (0L, 0.0, queryTerms.map(_ -> 0L).toMap) // empty corpus: no NULL gets
-    val avgdl = statsRow.getDouble(1)
-    val dfRow = docs.select(
-      queryTerms.map(t => sum(when(array_contains(
-        array_distinct(toksAll(col(textCol))), t), 1L).otherwise(0L)).as(t)): _*).head()
-    val dfs = queryTerms.zipWithIndex.map { case (t, i) => t -> dfRow.getLong(i) }.toMap
+    val avgdl = row.getDouble(1)
+    val dfs = queryTerms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 2) }.toMap
     (n, avgdl, dfs)
   }
 
-  def bm25Score(text: Column, query: String, n: Long, avgdl: Double,
+  /** BM25 score from a PRE-TOKENIZED column — callers put the token
+    * array in a named column so the text splits once per row, not once
+    * per query term (Catalyst does not CSE across array-HOF uses). */
+  def bm25ScoreFromToks(toks: Column, query: String, n: Long, avgdl: Double,
       dfs: Map[String, Long], k1: Double = 1.2, b: Double = 0.75): Column = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-    val toks = toksAll(text)
     val dl = size(toks).cast("double")
     terms.map { t =>
       val df = dfs.getOrElse(t, 0L)
@@ -54,6 +64,10 @@ object TextSearch {
     }.reduceOption[Column](_ + _).getOrElse(lit(0.0))
   }
 
+  def bm25Score(text: Column, query: String, n: Long, avgdl: Double,
+      dfs: Map[String, Long], k1: Double = 1.2, b: Double = 0.75): Column =
+    bm25ScoreFromToks(toksAll(text), query, n, avgdl, dfs, k1, b)
+
   /** Top-k BM25 search over a corpus (membership by raw score, output
     * re-sorted on the rounded value — the engine's oracle convention). */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String, query: String,
@@ -61,8 +75,11 @@ object TextSearch {
       simCol: String = "score"): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     val (n, avgdl, dfs) = bm25Stats(docs, textCol, terms)
+    val tokCol = "__bm25_score_toks"
     if (n == 0) docs.withColumn(simCol, lit(0.0)).limit(0)
-    else docs.withColumn(simCol, bm25Score(col(textCol), query, n, avgdl, dfs, k1, b))
+    else docs.withColumn(tokCol, toksAll(col(textCol)))
+      .withColumn(simCol, bm25ScoreFromToks(col(tokCol), query, n, avgdl, dfs, k1, b))
+      .drop(tokCol)
       .orderBy(desc(simCol), asc(idCol))
       .limit(k)
   }
