@@ -352,6 +352,17 @@ object SparkEntry {
       Project.pca(Tables(s, d, "embeddings"), "embedding")
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
         .orderBy(col("vec_id"))),
+    // §2 #15 the reference's DEFAULT viz method (umap/tsne,
+    // R/visualization.R:40-57): exact seeded t-SNE, driver-side like
+    // the reference's own uwot call, hard-capped (no silent corpus
+    // collect). 500 vectors keep the O(n²) iterations bench-friendly;
+    // coordinates are layout (no cross-engine analog) -> rows-only,
+    // determinism + cluster-preservation in ProjectSpec.
+    "tsne_project" -> ((s, d) =>
+      Project.tsne(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
+        "embedding", "vec_id")
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))),
     // inherited relational surface (§2.2): TPC-H-ish pricing summary
     "q1_agg" -> ((s, d) =>
       Tables(s, d, "lineitem")

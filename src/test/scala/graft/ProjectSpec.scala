@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Project
+
+/** t-SNE projection: determinism, neighborhood preservation, loud cap. */
+class ProjectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Two tight 8-dim clusters around distant centers. */
+  private def clustered(nPerCluster: Int) = {
+    import spark.implicits._
+    (0 until 2 * nPerCluster).map { i =>
+      val c = i % 2
+      val base = if (c == 0) 0f else 10f
+      // deterministic low-amplitude jitter, distinct per point
+      val v = (0 until 8).map(k => base + ((i * 31 + k * 7) % 10) / 100f)
+      (i.toLong, c, v)
+    }.toDF("id", "cluster", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("tsne is deterministic across runs and partitionings") {
+    val df = clustered(15)
+    val a = Project.tsne(df, "embedding", "id", iterations = 120)
+      .orderBy("id").collect()
+    val b = Project.tsne(df.repartition(7), "embedding", "id", iterations = 120)
+      .orderBy("id").collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(ra.getLong(0) == rb.getLong(0))
+      assert(ra.getDouble(1) == rb.getDouble(1) && ra.getDouble(2) == rb.getDouble(2),
+        s"coords drifted for id ${ra.getLong(0)}")
+    }
+  }
+
+  test("tsne preserves planted cluster structure (intra < inter distance)") {
+    val df = clustered(15)
+    val coords = Project.tsne(df, "embedding", "id", iterations = 250)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byCluster = coords.groupBy(_._1 % 2)
+    def centroid(ps: Array[(Long, Double, Double)]) =
+      (ps.map(_._2).sum / ps.length, ps.map(_._3).sum / ps.length)
+    val (c0, c1) = (centroid(byCluster(0L)), centroid(byCluster(1L)))
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val inter = dist(c0, c1)
+    val intra = coords.map { case (id, x, y) =>
+      dist((x, y), if (id % 2 == 0) c0 else c1)
+    }.max
+    assert(inter > intra,
+      s"clusters not separated: inter-centroid $inter <= max intra $intra")
+  }
+
+  test("tsne refuses inputs over maxRows instead of collecting them") {
+    import spark.implicits._
+    val big = (0L until 60L).map(i => (i, Seq.fill(4)(i.toFloat)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e = intercept[IllegalArgumentException] {
+      Project.tsne(big, "embedding", "id", maxRows = 50)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+
+  test("tsne drops NULL embeddings like viz_embeddings") {
+    import spark.implicits._
+    val df = clustered(5).unionByName(
+      Seq((100L, -1, null.asInstanceOf[Seq[Float]])).toDF("id", "cluster", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val out = Project.tsne(df, "embedding", "id", iterations = 50)
+    assert(out.count() == 10 && out.filter(col("id") === 100L).isEmpty)
+  }
+}
