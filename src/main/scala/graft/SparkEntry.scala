@@ -249,6 +249,16 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // §2.3 D: SimHash HAMMING-BALL near-dedup — pigeonhole band-bucket
+    // joins find every fingerprint pair within hamming <= 3, then XOR +
+    // popcount verifies (rows-only: MurmurHash has no DuckDB analog;
+    // DedupSimJoinSpec proves band-join == brute-force hamming)
+    "dedup_simhash_near" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      Dedup.survivors(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 J at scale: LSH-pruned cosine self-join (candidate pruning +
     // exact re-score; recall is approximate so no oracle — ScalaTest
     // checks recall against the exact join)

@@ -84,6 +84,51 @@ object Dedup {
     exact(signal, Seq("simhash"), idCol).unionByName(noSignal).drop("simhash")
   }
 
+  /**
+   * SimHash near-dup PAIRS within Hamming distance `maxHamming` —
+   * upgrades the exact-bucket tier to true fingerprint similarity. By
+   * the pigeonhole principle, two 64-bit fingerprints differing in at
+   * most k bits agree exactly on at least one of k+1 disjoint bit
+   * bands, so candidates come from k+1 band-equality bucket joins
+   * (each a plain hash join on a narrow integer key — sub-quadratic,
+   * no all-pairs stage), then verify with one XOR + popcount. Same
+   * no-signal rule as [[simhash]]: zero fingerprints never match.
+   *
+   * Emits (id1, id2, hamming) with id1 < id2, deduplicated across
+   * bands. Candidates per bucket track fingerprint collisions, which
+   * at 64 bits track real near-dups — the LSH shape that survives
+   * corpus scale.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val fp = withSimHash(df, textCol, shingleSize = shingleSize)
+      .where(col("simhash") =!= 0L)
+      .select(col(idCol), col("simhash"))
+    // band b = bits [b*bandBits, (b+1)*bandBits) — the last band keeps
+    // the remainder bits so all 64 participate
+    val bands = (0 until nBands).map { b =>
+      val width = if (b == nBands - 1) 64 - b * bandBits else bandBits
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      fp.select(col(idCol), col("simhash"),
+        lit(b).as("__band"),
+        (shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))).as("__key"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id1"), col("simhash").as("__f1"))
+    val b = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id2"), col("simhash").as("__f2"))
+    a.join(b, Seq("__band", "__key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   private def shingles(textCol: Column, n: Int): Column = {
     val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
     if (n == 1) array_distinct(toks)

@@ -115,6 +115,34 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 2L, 3L, 4L), s"short docs must all survive, got $surv")
   }
 
+  test("simhashPairs: pigeonhole band join equals brute-force hamming on the fixture") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (maxH <- Seq(0, 3, 6)) {
+      val got = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over collected fingerprints (fixture-sized only)
+      val fps = Dedup.withSimHash(corpus, "text").select("doc_id", "simhash")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 != 0L)
+      val want = (for {
+        (i1, f1) <- fps; (i2, f2) <- fps
+        if i1 < i2 && java.lang.Long.bitCount(f1 ^ f2) <= maxH
+      } yield (i1, i2)).toSet
+      assert(got == want, s"band-join pairs diverge from brute force at maxHamming=$maxH")
+    }
+  }
+
+  test("simhashPairs: zero-fingerprint rows never pair; hamming column is exact") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, ""), (4L, "")                           // no signal: must not pair
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getInt(2) == 0)
+  }
+
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
       shingleSize = 2, numHashTables = 16)
