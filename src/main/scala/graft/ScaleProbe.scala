@@ -15,7 +15,8 @@ import graft.operators.{Dedup, IvfIndex, Nearest, SimJoin}
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
+    val n = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toLong).getOrElse(1000000L)
     val dim = 64
     val path = s"/tmp/graft_scale_probe_$n"
     val spark = SparkSession.builder()
@@ -81,12 +82,14 @@ object ScaleProbe {
         .repartition(32)
       docs.write.mode("overwrite").parquet(s"$path-docs")
       val d = spark.read.parquet(s"$path-docs")
+      // one shared candidate stage (tokenize/dict/index once), two counts
+      val (cands, pairs) = Dedup.prefixJaccardStaged(d, "text", "id", 0.8)
       var nCands = -1L; var nPairs = -1L
       time(s"ppjoin candidates over ${n / 1000000}M docs") {
-        nCands = Dedup.prefixJaccardCandidates(d, "text", "id", 0.8).count()
+        nCands = cands.count()
       }
       time(s"ppjoin verified pairs over ${n / 1000000}M docs") {
-        nPairs = Dedup.prefixJaccardPairs(d, "text", "id", 0.8).count()
+        nPairs = pairs.count()
       }
       println(f"[scale-probe] ppjoin candidates=$nCands%d true_pairs=$nPairs%d " +
         f"(all-pairs would be ${n * (n - 1) / 2}%d)")

@@ -71,19 +71,23 @@ object SparkEntry {
   /** IVF coarse quantizers are seed-pinned (deterministic) and costly
     * to fit; a production index is built once and probed many times, so
     * the `ann_ivf_*` entries memoize the build per (session, fixture)
-    * and time only the probe path. The outer map WEAKLY references the
-    * session, so a stopped session's indexes become collectible instead
-    * of pinning dead DataFrames for the JVM's lifetime (and an
-    * identity-hash collision after GC can never hand an index bound to
-    * a dead session to a new one). Fixture dirs are immutable for the
-    * cache lifetime — rewriting the parquet at a cached path would
-    * silently serve the stale index; production callers with mutable
-    * paths should use IvfIndex.build/save/load directly. */
+    * and time only the probe path. Stopped sessions are purged
+    * DETERMINISTICALLY on every access (isStopped check) — a
+    * WeakHashMap would never collect them here, because the cached
+    * IvfIndex holds DataFrames that strongly reference the session,
+    * i.e. the value would pin its own key. A stopped session's indexes
+    * therefore linger only until the next ivfFor call, and can never be
+    * served to a different live session (keying is by session
+    * identity). Fixture dirs are immutable for the cache lifetime —
+    * rewriting the parquet at a cached path would silently serve the
+    * stale index; production callers with mutable paths should use
+    * IvfIndex.build/save/load directly. */
   private val ivfCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]()
   private def ivfFor(s: SparkSession, d: String, nlist: Int = 16): IvfIndex = {
     val perSession = ivfCache.synchronized {
+      ivfCache.keySet.removeIf(k => k.sparkContext.isStopped)
       var m = ivfCache.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
@@ -564,7 +568,12 @@ object SparkEntry {
       val e = Tables(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val path = s"/tmp/graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // the cache path embeds the source file's (mtime, size)
+      // fingerprint, so a REGENERATED fixture at the same path gets a
+      // fresh index instead of silently serving a stale persisted one
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val fp = s"${src.lastModified}_${src.length}"
+      val path = s"/tmp/graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
       if (!new java.io.File(s"$path/_ivf.json").exists()) ivfFor(s, d).save(path)
       val idx = IvfIndex.load(s, path)
       idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
@@ -693,6 +702,25 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
       |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
       |ORDER BY query_id, similarity DESC, vec_id""".stripMargin
+
+  /** Shared count-vector-cosine SQL scaffolding for the
+    * VocabCountEmbedder oracles (hybrid_search, multimodal_text_search):
+    * per-term DOUBLE count columns over a `toks` list column, the
+    * nonzero-query-term dot expression, the ‖doc‖² expression, and
+    * ‖query‖² — generated from ONE place so the two oracles cannot
+    * silently diverge on the shared convention. */
+  private def countCosineSqlParts(vocab: Seq[String], qTerms: Seq[String])
+      : (String, String, String, Int) = {
+    val qCounts = vocab.map(v => qTerms.count(_ == v))
+    val countCols = vocab.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '${term.replace("'", "''")}')) AS DOUBLE) AS c$i"
+    }.mkString(",\n         ")
+    val dot = qCounts.zipWithIndex.collect {
+      case (qc, i) if qc > 0 => s"c$i*$qc.0"
+    }.mkString(" + ")
+    val na = vocab.indices.map(i => s"c$i*c$i").mkString(" + ")
+    (countCols, dot, na, qCounts.map(q => q * q).sum)
+  }
 
   /** Shared by events_hourly (batch) and events_hourly_stream (the same
     * plan executed through a StreamingQuery into a memory sink). */
@@ -827,15 +855,7 @@ object SparkEntry {
       // (1.0 - 0.3) so both engines evaluate the identical IEEE double
       // (1.0 - 0.3 != 0.7 in binary64).
       "hybrid_search" -> {
-        val qCounts = HybridVocab.map(v => KwTerms.count(_ == v))
-        val countCols = HybridVocab.zipWithIndex.map { case (term, i) =>
-          s"CAST(len(list_filter(toks, x -> x = '${term.replace("'", "''")}')) AS DOUBLE) AS c$i"
-        }.mkString(",\n         ")
-        val dot = qCounts.zipWithIndex.collect {
-          case (qc, i) if qc > 0 => s"c$i*$qc.0"
-        }.mkString(" + ")
-        val na = HybridVocab.indices.map(i => s"c$i*c$i").mkString(" + ")
-        val nbSq = qCounts.map(q => q * q).sum
+        val (countCols, dot, na, nbSq) = countCosineSqlParts(HybridVocab, KwTerms)
         val hits = KwTerms.map(t =>
           s"CASE WHEN list_contains(toks, '${t.replace("'", "''")}') THEN 1 ELSE 0 END")
           .mkString("(", " + ", ")")
@@ -1065,16 +1085,8 @@ object SparkEntry {
       // the synthPng formulas for the retrieved rows.
       "multimodal_text_search" -> {
         val qTermsImg = Seq("bright", "red", "wide")
-        val vocab = Multimodal.CaptionVocab
-        val qCounts = vocab.map(v => qTermsImg.count(_ == v))
-        val countCols = vocab.zipWithIndex.map { case (term, i) =>
-          s"CAST(len(list_filter(toks, x -> x = '$term')) AS DOUBLE) AS c$i"
-        }.mkString(",\n         ")
-        val dot = qCounts.zipWithIndex.collect {
-          case (qc, i) if qc > 0 => s"c$i*$qc.0"
-        }.mkString(" + ")
-        val na = vocab.indices.map(i => s"c$i*c$i").mkString(" + ")
-        val nbSq = qCounts.map(q => q * q).sum
+        val (countCols, dot, na, nbSq) =
+          countCosineSqlParts(Multimodal.CaptionVocab, qTermsImg)
         s"""WITH cap AS (
            |  SELECT doc_id,
            |         'a ' ||

@@ -32,10 +32,14 @@ import graft.functions.vectors
  * Survivor semantics, shared by every tier: a row DROPS iff some
  * candidate row with a smaller id matches it (pair rule id_keep <
  * id_drop) — single-pass, deterministic, order-independent
- * (`survivors`). For chains a~b~c with a≁c, b drops and c survives.
- * When full transitive closure is wanted instead, `transitiveSurvivors`
- * runs iterative min-label propagation over the duplicate graph
- * (converges or throws; oracle = recursive CTE).
+ * (`survivors`). For chains a~b~c with a≁c: b drops (matched by a) and
+ * c drops too (matched by b — the rule looks at MATCHED pairs, not at
+ * whether the matcher itself survived), leaving a alone. When
+ * keep-one-per-component semantics are wanted instead,
+ * `transitiveSurvivors` runs iterative min-label propagation over the
+ * duplicate graph (converges or throws; oracle = recursive CTE) —
+ * for the a~b~c chain it also keeps exactly {a}, but by computing the
+ * component rather than dropping every matched id.
  */
 object Dedup {
 
@@ -208,7 +212,23 @@ object Dedup {
    */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 1,
-      groupCol: Option[String] = None): DataFrame = {
+      groupCol: Option[String] = None): DataFrame =
+    prefixJaccardStaged(df, textCol, idCol, threshold, shingleSize, groupCol)._2
+
+  /** Diagnostic twin of [[prefixJaccardPairs]]: the candidate pairs the
+    * prefix inverted index emits BEFORE exact verification. The ratio
+    * candidates / true pairs is the sub-quadratic claim made measurable
+    * — ScaleProbe reports it at 1M docs. Not part of the query surface. */
+  def prefixJaccardCandidates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 1,
+      groupCol: Option[String] = None): DataFrame =
+    prefixStage(df, textCol, idCol, threshold, shingleSize, groupCol)._2
+
+  /** (candidates, verified pairs) sharing ONE candidate stage — the
+    * probe path counts both without tokenizing/indexing twice. */
+  private[graft] def prefixJaccardStaged(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleSize: Int = 1,
+      groupCol: Option[String] = None): (DataFrame, DataFrame) = {
     val (sets, cands) = prefixStage(df, textCol, idCol, threshold, shingleSize, groupCol)
     // exact verification — the same integer cross-multiplied threshold
     // as jaccardPairs, on candidates only, over long-id sets
@@ -219,20 +239,12 @@ object Dedup {
       col("__n").as("__n2"))
     val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("long")
     val unionSz = (col("__n1") + col("__n2")).cast("long") - inter
-    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+    val verified = cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
       .where(inter * lit(q) >= unionSz * lit(p) && unionSz > 0)
       .withColumn("similarity", inter.cast("double") / unionSz.cast("double"))
       .select(col("id1"), col("id2"), col("similarity"))
+    (cands, verified)
   }
-
-  /** Diagnostic twin of [[prefixJaccardPairs]]: the candidate pairs the
-    * prefix inverted index emits BEFORE exact verification. The ratio
-    * candidates / true pairs is the sub-quadratic claim made measurable
-    * — ScaleProbe reports it at 1M docs. Not part of the query surface. */
-  def prefixJaccardCandidates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleSize: Int = 1,
-      groupCol: Option[String] = None): DataFrame =
-    prefixStage(df, textCol, idCol, threshold, shingleSize, groupCol)._2
 
   /** Shared candidate-generation stage: (sets, candidates). */
   private def prefixStage(df: DataFrame, textCol: String, idCol: String,
@@ -263,19 +275,23 @@ object Dedup {
       .select(col("__t"), monotonically_increasing_id().as("__tid"))
     val aggs = sort_array(collect_list(col("__tid"))).as("__sorted") +:
       groupCol.map(c => first(col(c)).as(c)).toSeq
-    // persist(MEMORY_AND_DISK): the sets frame feeds THREE consumers
-    // (the prefix index and both verify sides) — caching it keeps the
-    // tokenize/sort pipeline from running three times. persist (not
-    // localCheckpoint) keeps the LINEAGE, so a lost executor recomputes
-    // its partitions instead of failing the job — the property a
-    // 1000-executor run needs. The cache lives until the session drops
-    // it (LRU) or the caller runs `spark.catalog.clearCache()`; an
-    // eager checkpoint would pin unrecoverable local blocks instead.
+    // localCheckpoint (eager): the sets frame feeds THREE consumers
+    // (the prefix index and both verify sides) — materializing it once
+    // keeps the tokenize/sort pipeline from running three times.
+    // Checkpointing (NOT persist) is a CORRECTNESS requirement here,
+    // not an optimization choice: the lineage contains
+    // monotonically_increasing_id token ids downstream of shuffles,
+    // which are NOT stable across recomputation — a persist()-based
+    // cache recovering lost partitions from lineage would re-number the
+    // dictionary for just those partitions and silently intersect ids
+    // from two different dictionaries. Losing a checkpointed executor
+    // fails the job LOUDLY instead; clusters needing recoverability
+    // configure a reliable checkpoint dir and use Dataset.checkpoint.
     val sets = tokens.join(dict, Seq("__t"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__n", size(col("__sorted")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // ⌈p·n/q⌉ via double floor — exact while p·n + q < 2^53 (p ≤ 10^6
     // from thresholdRational, so sets up to ~10^9 shingles stay exact)
     val minOverlap = floor((col("__n").cast("long") * p + (q - 1)).cast("double") / q)
@@ -414,11 +430,12 @@ object Dedup {
 
   /**
    * Transitive duplicate groups from a pair frame: iterative min-label
-   * propagation (connected-components over the dup graph). Where the
-   * single-pass keep-min-id rule splits a chain a~b~c (a≁c) into
-   * {a}, keep c, this assigns every member of the chain the component
+   * propagation (connected-components over the dup graph). The
+   * single-pass rule drops every id that appears as a pair's id2; this
+   * instead assigns every member of a chain a~b~c the component
    * representative min id — the semantics to use when near-dup groups
-   * must collapse to exactly one survivor.
+   * must collapse to exactly one survivor per COMPONENT, with
+   * membership decided transitively rather than per matched pair.
    *
    * Each iteration is one join + one aggregation over the EDGE set (not
    * the corpus); convergence needs at most diameter(graph) iterations

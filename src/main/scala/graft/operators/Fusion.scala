@@ -39,13 +39,17 @@ object Fusion {
       // alone would vanish with the pruned column.
       val w = Window.orderBy(desc(scoreCol), asc(idCol))
       val rank = row_number().over(w)
-      val guardedId = when(
-        assert_true(rank <= lit(maxRows), lit(
-          s"Fusion.rrf ranking #$i exceeds maxRows=$maxRows rows — RRF inputs " +
-            "must be pre-limited top-N lists (an unbounded input would " +
-            "serialize through the global ranking window)")).isNull,
-        col(idCol))
-      df.select(guardedId.as(idCol), rank.as(s"__rank_$i"))
+      val msg = lit(
+        s"Fusion.rrf ranking #$i exceeds maxRows=$maxRows rows — RRF inputs " +
+          "must be pre-limited top-N lists (an unbounded input would " +
+          "serialize through the global ranking window)")
+      // the guard rides BOTH output columns: a score-only consumer
+      // (single ranking, no join keeping ids alive) prunes the id but
+      // evaluates the rank; an id-only consumer prunes the ranks but
+      // evaluates the id — either way the cap fires
+      val guardedId = when(assert_true(rank <= lit(maxRows), msg).isNull, col(idCol))
+      val guardedRank = when(assert_true(rank <= lit(maxRows), msg).isNull, rank)
+      df.select(guardedId.as(idCol), guardedRank.as(s"__rank_$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score: Column = rankings.indices

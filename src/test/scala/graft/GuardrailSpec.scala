@@ -34,6 +34,12 @@ class GuardrailSpec extends AnyFunSuite {
     val e = intercept[Exception] { fused.select("id").collect() }
     assert(e.getMessage.contains("pre-limited top-N"),
       s"expected the rrf bound message on an id-only plan, got: ${e.getMessage}")
+    // and the converse: a SCORE-only consumer of a single ranking (no
+    // join keeping the guarded id alive) must also trip the cap — the
+    // guard rides the rank feeding the score too
+    val e2 = intercept[Exception] { fused.select("rrf_score").collect() }
+    assert(e2.getMessage.contains("pre-limited top-N"),
+      s"expected the rrf bound message on a score-only plan, got: ${e2.getMessage}")
   }
 
   test("avg_vector throws on mixed dimensions instead of truncating") {
