@@ -313,6 +313,22 @@ object SparkEntry {
         .select(col("chunk_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("chunk_id"))
     }),
+    // North-star COMPOSITION, fully oracled: the curation pipeline a
+    // training-data run strings together — quality-filter → exact
+    // dedup → chunk → BM25 retrieval over the surviving chunks — as
+    // ONE lazy plan (one scan feeds the filter+dedup, the chunker is a
+    // generator, BM25 stats are one aggregation job). Every stage is
+    // individually oracled; this row proves the COMPOSITION end-to-end.
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val quality = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.6)
+      val deduped = Dedup.exact(quality, Seq("text"), "doc_id")
+      val chunks = TextAnalysis.chunk(deduped, "text", chunkSize = 32, overlap = 8)
+        .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+      TextSearch.bm25TopK(chunks, "chunk", "chunk_id", KwQuery, k = 20)
+        .select(col("chunk_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("chunk_id"))
+    }),
     // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
     "vocab_topk" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -911,6 +927,27 @@ object SparkEntry {
             |  WHERE r.i < len(toks))""".stripMargin
         val bm25 = TextSearch.bm25OracleSql("c", "chunk", "chunk_id", KwQuery, 20)
         s"WITH $chunkCte, ${bm25.stripPrefix("WITH ")}"
+      },
+      // pipeline: quality >= 0.6 (bit-identical score, boundary-safe) →
+      // min-id-per-text dedup (exact()'s keep rule over these columns) →
+      // the doc_chunk construction → the generated BM25 oracle over the
+      // surviving chunks
+      "pipeline_curate" -> {
+        val chunkCte =
+          """c AS (
+            |  WITH d AS (SELECT doc_id,
+            |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+            |    FROM ded)
+            |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
+            |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
+            |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
+            |  WHERE r.i < len(toks))""".stripMargin
+        val bm25 = TextSearch.bm25OracleSql("c", "chunk", "chunk_id", KwQuery, 20)
+        s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE ${TextAnalysisSql.qualityScoreSql("text")} >= 0.6),
+           |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+           |$chunkCte, ${bm25.stripPrefix("WITH ")}""".stripMargin
       },
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {

@@ -52,4 +52,18 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("ShuffleExchange"), "pure scan+score must not shuffle")
   }
+
+  test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
+    val p = plan("multimodal_text_search")
+    // the decode/featurize stages are the MapPartitions nodes; the
+    // ranking truncation (TakeOrderedAndProject) must appear BELOW them
+    // in the plan text (operators print top-down), i.e. only k rows —
+    // not the corpus — reach the PNG codec
+    val firstMap = p.indexOf("MapPartitions")
+    val topK = p.indexOf("TakeOrderedAndProject")
+    assert(firstMap >= 0, "expected MapPartitions decode stages in the plan")
+    assert(topK > firstMap,
+      "TakeOrderedAndProject must be upstream (printed below) the decode — " +
+        "decoding before ranking would run the codec over the whole corpus")
+  }
 }
