@@ -534,6 +534,34 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_idx"))),
+    // §2.2: semi + anti joins (TPC-H Q4 shape, adapted to the fixture's
+    // columns) — EXISTS/NOT EXISTS as left_semi/left_anti, the join
+    // types that never widen rows and shuffle only the key columns
+    "q4_semijoin" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val returned = Tables(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      val withRet = o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_returned"))
+      val noRet = o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_clean"))
+      withRet.join(noRet, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // §2.2 scale pairing for COUNT(DISTINCT): HyperLogLog++ approximate
+    // distinct — one pass, fixed-size sketch, no exact-distinct shuffle
+    // of the full key set (rows-only: HLL estimates are
+    // engine-specific; spec bounds the error against the exact count)
+    "events_daily_users_approx" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("day"))),
     // §2.2: exact distinct aggregation per day
     "events_daily_users" -> ((s, d) =>
       Tables(s, d, "events")
@@ -1100,6 +1128,20 @@ object SparkEntry {
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
           |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+      "q4_semijoin" ->
+        """WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+          |             WHERE l_returnflag = 'R'),
+          |w AS (SELECT o_orderpriority, count(*) AS n_returned FROM orders
+          |      WHERE o_orderkey IN (SELECT l_orderkey FROM ret)
+          |      GROUP BY o_orderpriority),
+          |c AS (SELECT o_orderpriority, count(*) AS n_clean FROM orders
+          |      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM ret)
+          |      GROUP BY o_orderpriority)
+          |SELECT o_orderpriority,
+          |       coalesce(w.n_returned, 0) AS n_returned,
+          |       coalesce(c.n_clean, 0) AS n_clean
+          |FROM w FULL OUTER JOIN c USING (o_orderpriority)
+          |ORDER BY o_orderpriority""".stripMargin,
       "events_json" ->
         """SELECT event_type,
           |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,

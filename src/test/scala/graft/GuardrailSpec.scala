@@ -42,6 +42,20 @@ class GuardrailSpec extends AnyFunSuite {
       s"expected the rrf bound message on a score-only plan, got: ${e2.getMessage}")
   }
 
+  test("approx_count_distinct (HLL) stays within 10% of the exact distinct count") {
+    val d = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("events_daily_users_approx")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("events_daily_users")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n).toDouble / math.max(n, 1) < 0.1,
+        s"$day: approx $a strays >10% from exact $n (rsd was 0.02)")
+    }
+  }
+
   test("avg_vector throws on mixed dimensions instead of truncating") {
     import spark.implicits._
     val mixed = Seq(
