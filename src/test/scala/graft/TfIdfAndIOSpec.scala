@@ -54,6 +54,19 @@ class TfIdfAndIOSpec extends AnyFunSuite {
     assert(back.inspect.nEmbedded == 5)
   }
 
+  test("write/read round trip restores a vocab_count embedder (vocabulary order survives)") {
+    val dir = Files.createTempDirectory("graft_io_vc").toString
+    val vocab = Seq("network", "hacker", "dystopia")
+    val vf = VecFrame.vec(books,
+      embedder = Some(VocabCountEmbedder(vocab))).embed("description")
+    VecIO.write(vf, s"$dir/coll")
+    val back = VecIO.read(spark, s"$dir/coll")
+    val restored = back.embedder.get.asInstanceOf[VocabCountEmbedder]
+    assert(restored.vocab == vocab, "vocab must restore in order — dims are positional")
+    assert(restored.embedQuery(spark, "hacker network hacker").toSeq ==
+      Seq(1f, 2f, 0f))
+  }
+
   test("write/read round trip restores a fitted tfidf model (frozen vocabulary survives)") {
     val dir = Files.createTempDirectory("graft_io").toString
     val emb = TfIdfEmbedder.fit(books, "description", minFreq = 2)
