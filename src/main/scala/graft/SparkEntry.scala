@@ -706,6 +706,37 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy(desc("similarity"), asc("doc_id"))
     }),
+    // §2.3 multimodal: decode → bilinear resize → re-encode → decode —
+    // the resolution-normalization stage before a vision model, running
+    // the REAL codec both ways (rows-only: interpolated pixels have no
+    // SQL analog; MultimodalImageSpec pins solid-color exactness)
+    "multimodal_resize" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      val resized = Multimodal.resizeImages(imgs, "media", w = 6, h = 5)
+      Multimodal.imageStats(resized.drop("media"), "resized")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 2).as("mean_r_2dp"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 multimodal ORACLED frame sampling: the video-pipeline stage
+    // with the codec behind a documented seam (SliceFrameExtractor is
+    // the deterministic fake — no video codec in this JVM). The frame
+    // SCHEDULE (uniform k-of-n) and byte-slice arithmetic are exact
+    // integer math, so restricting to pure-ASCII docs (bytes == chars)
+    // makes the whole query DuckDB-reproducible including the frame
+    // content hashes.
+    "multimodal_frame_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .where(length(col("text")) === octet_length(col("text")))
+        .select(col("doc_id"), col("text"))
+      val media = Multimodal.packTextAsMedia(docs, "text")
+        .withColumn("n_frames", (col("doc_id") % 5 + 2).cast("int"))
+      Multimodal.sampleFrames(media, "media", "n_frames", k = 3)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     // §2.3 multimodal ORACLED: decode the PNG payload with the real JDK
     // codec and report decoded dimensions + per-channel pixel means; the
     // oracle reproduces them from the fixture's modular arithmetic (PNG
@@ -1208,6 +1239,25 @@ object SparkEntry {
            |FROM top JOIN px ON top.doc_id = px.doc_id
            |ORDER BY similarity DESC, top.doc_id""".stripMargin
       },
+      // Frame sampling: schedule j∈[0,3) → idx = (j·(n−1))//2 (k=3),
+      // frame = byte-slice [idx·len/n, (idx+1)·len/n) — on pure-ASCII
+      // rows VARCHAR substring IS the byte slice, so md5 matches the
+      // Spark side's hash of the binary frame exactly
+      "multimodal_frame_sample" ->
+        """WITH a AS (
+          |  SELECT doc_id, text, CAST(doc_id % 5 + 2 AS BIGINT) AS n
+          |  FROM documents WHERE len(text) = octet_length(encode(text))),
+          |idx AS (
+          |  SELECT DISTINCT doc_id, text, n, (j.j * (n - 1)) // 2 AS frame_idx
+          |  FROM a CROSS JOIN range(0, 3) AS j(j)),
+          |f AS (
+          |  SELECT doc_id, frame_idx,
+          |         substring(text, CAST(frame_idx * len(text) // n AS BIGINT) + 1,
+          |                   CAST((frame_idx + 1) * len(text) // n
+          |                        - frame_idx * len(text) // n AS BIGINT)) AS fr
+          |  FROM idx)
+          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, md5(fr) AS frame_md5
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
       // Mirrors Multimodal.synthPng's band arithmetic: mean over the
       // image = (c_top*top + c_bot*(h-top)) / h (rows are uniform across
       // width, so w cancels; integer sums → exact double division).

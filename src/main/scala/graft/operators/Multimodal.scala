@@ -255,6 +255,92 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // Resize (real codec path) and frame sampling (codec seam)
+  // ---------------------------------------------------------------------
+
+  /** Bilinear resize through Graphics2D — the real JDK raster path. */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Decode → resize → re-encode PNG per row (NULL for undecodable
+    * payloads) — the standard normalize-resolution stage before a
+    * vision model. Same per-partition codec-init seam as the other
+    * image stages. */
+  def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        val resized = decodeImage(bytes).map { img =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(resizeImage(img, w, h), "png", bos)
+          bos.toByteArray
+        }.orNull
+        Row.fromSeq(row.toSeq :+ resized)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** (payload, frameIdx, nFrames) → frame bytes. */
+  type FrameExtractor = (Array[Byte], Int, Int) => Array[Byte]
+
+  /** DETERMINISTIC FAKE frame extractor — the stand-in behind the video
+    * seam (this container ships no video codec): treats the payload as
+    * `nFrames` contiguous byte slices. A real deployment swaps in a
+    * codec-backed extractor (initialised per partition, like ImageIO)
+    * and nothing else in `sampleFrames` changes. Explicitly NOT a
+    * decode; pure integer arithmetic, so an SQL oracle reproduces it. */
+  val SliceFrameExtractor: FrameExtractor = (bytes, i, n) => {
+    val len = if (bytes == null) 0 else bytes.length
+    val start = (i.toLong * len / n).toInt
+    val end = ((i + 1).toLong * len / n).toInt
+    if (bytes == null) Array.emptyByteArray
+    else java.util.Arrays.copyOfRange(bytes, start, end)
+  }
+
+  /** Uniform deterministic frame schedule: k indices spread over
+    * [0, nFrames), endpoints included, duplicates collapsed (short
+    * clips yield fewer than k). */
+  def sampleFrameIndices(nFrames: Int, k: Int): Seq[Int] = {
+    require(nFrames > 0 && k > 0, s"need nFrames>0 and k>0, got $nFrames, $k")
+    if (k == 1) Seq(0)
+    else (0 until k).map(j => ((j.toLong * (nFrames - 1)) / (k - 1)).toInt).distinct
+  }
+
+  /** Sample k frames per media row: one output row per (row, frame_idx)
+    * with the extracted frame bytes. Index selection and plumbing are
+    * real; the default extractor is the documented fake above. */
+  def sampleFrames(df: DataFrame, binCol: String, nFramesCol: String, k: Int,
+      extractor: FrameExtractor = SliceFrameExtractor,
+      idxCol: String = "frame_idx", outCol: String = "frame"): DataFrame = {
+    val bi = df.schema.fieldIndex(binCol)
+    val ni = df.schema.fieldIndex(nFramesCol)
+    val outSchema = df.schema.add(idxCol, IntegerType, nullable = false)
+      .add(outCol, BinaryType, nullable = true)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        val n = row.getInt(ni)
+        sampleFrameIndices(n, k).iterator.map { i =>
+          Row.fromSeq(row.toSeq ++ Seq[Any](i, extractor(bytes, i, n)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---------------------------------------------------------------------
   // Non-image fallback (byte-level feature hashing)
   // ---------------------------------------------------------------------
 

@@ -169,6 +169,43 @@ class MultimodalImageSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeImages: solid color survives bilinear resize exactly; dims contract; nulls stay null") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, png(solid(16, 12, 77, 140, 201))),
+      Row(2L, "not an image".getBytes("UTF-8")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Multimodal.imageStats(
+      Multimodal.resizeImages(df, "media", w = 4, h = 3).drop("media"), "resized")
+      .orderBy("id").collect()
+    // columns: (id, resized, width, height, mean_r, mean_g, mean_b);
+    // uniform content: every interpolated pixel equals the source color
+    assert(out(0).getInt(2) == 4 && out(0).getInt(3) == 3)
+    assert(out(0).getDouble(4) == 77.0 && out(0).getDouble(5) == 140.0 &&
+      out(0).getDouble(6) == 201.0)
+    assert(out(1).isNullAt(2), "undecodable payload must resize to NULL stats")
+  }
+
+  test("sampleFrames: uniform schedule, duplicate collapse, exact byte slices") {
+    assert(Multimodal.sampleFrameIndices(6, 3) == Seq(0, 2, 5))
+    assert(Multimodal.sampleFrameIndices(2, 3) == Seq(0, 1)) // duplicates collapse
+    assert(Multimodal.sampleFrameIndices(1, 3) == Seq(0))
+    assert(Multimodal.sampleFrameIndices(10, 1) == Seq(0))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType),
+      StructField("n_frames", IntegerType)))
+    val payload = (0 until 10).map(_.toByte).toArray
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, payload, 5)), 1), schema)
+    val frames = Multimodal.sampleFrames(df, "media", "n_frames", k = 3)
+      .orderBy("frame_idx").collect()
+    // n=5 over 10 bytes -> frames of 2 bytes at indices 0, 2, 4
+    assert(frames.map(_.getInt(3)).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_.getAs[Array[Byte]](4).toSeq).toSeq ==
+      Seq(Seq[Byte](0, 1), Seq[Byte](4, 5), Seq[Byte](8, 9)))
+  }
+
   test("extractImageFeatures over synth PNGs: deterministic, null-safe, 40-dim") {
     import spark.implicits._
     val ids = (0L until 50L).toDF("doc_id").repartition(4)
