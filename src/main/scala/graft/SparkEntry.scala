@@ -562,6 +562,19 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
           count(lit(1)).as("n_events"))
         .orderBy(col("day"))),
+    // §2.2: pivot (long → wide) — event-type columns per day. The
+    // pivot values are DECLARED, not discovered, so the plan is one
+    // partial-aggregated groupBy with no extra distinct-values job,
+    // and the oracle is plain engine-independent CASE aggregation.
+    "events_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(round(sum(col("value")), 2))
+        .select(col("day") +: types.map(t => coalesce(col(t), lit(0.0)).as(s"v_$t")): _*)
+        .orderBy(col("day"))
+    }),
     // §2.2: exact distinct aggregation per day
     "events_daily_users" -> ((s, d) =>
       Tables(s, d, "events")
@@ -1159,6 +1172,15 @@ object SparkEntry {
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
           |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+      "events_pivot" -> {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cases = types.map(t =>
+          s"coalesce(round(sum(CASE WHEN event_type = '$t' THEN value END), 2), 0.0) AS v_$t")
+          .mkString(",\n       ")
+        s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |       $cases
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+      },
       "q4_semijoin" ->
         """WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem
           |             WHERE l_returnflag = 'R'),
