@@ -82,13 +82,17 @@ object ScaleProbe {
         .repartition(32)
       docs.write.mode("overwrite").parquet(s"$path-docs")
       val d = spark.read.parquet(s"$path-docs")
-      // one shared candidate stage (tokenize/dict/index once), two counts
+      // one shared candidate stage (tokenize/dict/index once), two
+      // counts. The lazy checkpoint materializes during the FIRST
+      // count, so the candidates timing includes the stage cost — the
+      // pairs timing then measures verification over the materialized
+      // sets (don't read the two numbers as independent full runs).
       val (cands, pairs) = Dedup.prefixJaccardStaged(d, "text", "id", 0.8)
       var nCands = -1L; var nPairs = -1L
-      time(s"ppjoin candidates over ${n / 1000000}M docs") {
+      time(s"ppjoin stage+candidates over ${n / 1000000}M docs") {
         nCands = cands.count()
       }
-      time(s"ppjoin verified pairs over ${n / 1000000}M docs") {
+      time(s"ppjoin verify (reuses stage) over ${n / 1000000}M docs") {
         nPairs = pairs.count()
       }
       println(f"[scale-probe] ppjoin candidates=$nCands%d true_pairs=$nPairs%d " +

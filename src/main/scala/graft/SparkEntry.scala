@@ -627,10 +627,29 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       // the cache path embeds the source file's (mtime, size)
       // fingerprint, so a REGENERATED fixture at the same path gets a
-      // fresh index instead of silently serving a stale persisted one
+      // fresh index instead of silently serving a stale persisted one.
+      // A missing/renamed layout would fingerprint as the constant 0_0
+      // (File returns 0 for both) and defeat the staleness check —
+      // refuse it loudly instead of caching blind.
       val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_ivf_persisted fingerprints $src (driver fixtures are single " +
+          "parquet files); for other layouts use IvfIndex.save/load directly")
       val fp = s"${src.lastModified}_${src.length}"
-      val path = s"/tmp/graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+      val base = s"graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      // reap caches of older fingerprints of the SAME fixture so
+      // regeneration doesn't accumulate stale index dirs in /tmp
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(base + "_") &&
+          f.getName != s"${base}_$fp")
+        .foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
       if (!new java.io.File(s"$path/_ivf.json").exists()) ivfFor(s, d).save(path)
       val idx = IvfIndex.load(s, path)
       idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
@@ -790,6 +809,22 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
       |SELECT query_id, vec_id, round(cos, 6) AS similarity FROM ranked WHERE rn <= 3
       |ORDER BY query_id, similarity DESC, vec_id""".stripMargin
+
+  /** The chunk construction (TextAnalysis.chunk with size 32 / overlap
+    * 8 and chunk_id = doc_id·1000 + idx) as a DuckDB CTE over
+    * `srcTable` — ONE generator for every oracle that chunks
+    * (doc_chunk's inline copy predates it; bm25_chunks and
+    * pipeline_curate share this), so the convention cannot drift
+    * between oracles. */
+  private def chunkCteSql(srcTable: String): String =
+    s"""c AS (
+       |  WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+       |    FROM $srcTable)
+       |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
+       |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
+       |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
+       |  WHERE r.i < len(toks))""".stripMargin
 
   /** Shared count-vector-cosine SQL scaffolding for the
     * VocabCountEmbedder oracles (hybrid_search, multimodal_text_search):
@@ -988,38 +1023,20 @@ object SparkEntry {
       "bm25_chunks" -> {
         // chunk CTE (same construction as doc_chunk) prepended to the
         // generated BM25 oracle, which then runs against the chunks
-        val chunkCte =
-          """c AS (
-            |  WITH d AS (SELECT doc_id,
-            |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
-            |    FROM documents)
-            |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
-            |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
-            |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
-            |  WHERE r.i < len(toks))""".stripMargin
         val bm25 = TextSearch.bm25OracleSql("c", "chunk", "chunk_id", KwQuery, 20)
-        s"WITH $chunkCte, ${bm25.stripPrefix("WITH ")}"
+        s"WITH ${chunkCteSql("documents")}, ${bm25.stripPrefix("WITH ")}"
       },
       // pipeline: quality >= 0.6 (bit-identical score, boundary-safe) →
       // min-id-per-text dedup (exact()'s keep rule over these columns) →
       // the doc_chunk construction → the generated BM25 oracle over the
       // surviving chunks
       "pipeline_curate" -> {
-        val chunkCte =
-          """c AS (
-            |  WITH d AS (SELECT doc_id,
-            |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
-            |    FROM ded)
-            |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
-            |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
-            |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
-            |  WHERE r.i < len(toks))""".stripMargin
         val bm25 = TextSearch.bm25OracleSql("c", "chunk", "chunk_id", KwQuery, 20)
         s"""WITH kept AS (
            |  SELECT doc_id, text FROM documents
            |  WHERE ${TextAnalysisSql.qualityScoreSql("text")} >= 0.6),
            |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
-           |$chunkCte, ${bm25.stripPrefix("WITH ")}""".stripMargin
+           |${chunkCteSql("ded")}, ${bm25.stripPrefix("WITH ")}""".stripMargin
       },
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {

@@ -275,23 +275,27 @@ object Dedup {
       .select(col("__t"), monotonically_increasing_id().as("__tid"))
     val aggs = sort_array(collect_list(col("__tid"))).as("__sorted") +:
       groupCol.map(c => first(col(c)).as(c)).toSeq
-    // localCheckpoint (eager): the sets frame feeds THREE consumers
-    // (the prefix index and both verify sides) — materializing it once
-    // keeps the tokenize/sort pipeline from running three times.
-    // Checkpointing (NOT persist) is a CORRECTNESS requirement here,
-    // not an optimization choice: the lineage contains
-    // monotonically_increasing_id token ids downstream of shuffles,
-    // which are NOT stable across recomputation — a persist()-based
-    // cache recovering lost partitions from lineage would re-number the
-    // dictionary for just those partitions and silently intersect ids
-    // from two different dictionaries. Losing a checkpointed executor
-    // fails the job LOUDLY instead; clusters needing recoverability
-    // configure a reliable checkpoint dir and use Dataset.checkpoint.
+    // localCheckpoint (LAZY): the sets frame feeds THREE consumers
+    // (the prefix index and both verify sides) — checkpointing
+    // materializes it once, at the first ACTION (eager = false keeps
+    // DataFrame construction side-effect-free: plan-only consumers,
+    // e.g. explain, run no jobs). Checkpointing (NOT persist) is a
+    // CORRECTNESS requirement here, not an optimization choice: the
+    // lineage contains monotonically_increasing_id token ids
+    // downstream of shuffles, which are NOT stable across
+    // recomputation — a persist()-based cache recovering lost
+    // partitions from lineage would re-number the dictionary for just
+    // those partitions and silently intersect ids from two different
+    // dictionaries. Losing a checkpointed executor fails the job
+    // LOUDLY instead; clusters needing recoverability configure a
+    // reliable checkpoint dir and use Dataset.checkpoint. Checkpoint
+    // blocks live until the session ends (or the RDD is GC'd) — each
+    // call pins one materialized copy of the token-set frame.
     val sets = tokens.join(dict, Seq("__t"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__n", size(col("__sorted")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // ⌈p·n/q⌉ via double floor — exact while p·n + q < 2^53 (p ≤ 10^6
     // from thresholdRational, so sets up to ~10^9 shingles stay exact)
     val minOverlap = floor((col("__n").cast("long") * p + (q - 1)).cast("double") / q)

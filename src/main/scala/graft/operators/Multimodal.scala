@@ -303,11 +303,9 @@ object Multimodal {
     * and nothing else in `sampleFrames` changes. Explicitly NOT a
     * decode; pure integer arithmetic, so an SQL oracle reproduces it. */
   val SliceFrameExtractor: FrameExtractor = (bytes, i, n) => {
-    val len = if (bytes == null) 0 else bytes.length
-    val start = (i.toLong * len / n).toInt
-    val end = ((i + 1).toLong * len / n).toInt
-    if (bytes == null) Array.emptyByteArray
-    else java.util.Arrays.copyOfRange(bytes, start, end)
+    val start = (i.toLong * bytes.length / n).toInt
+    val end = ((i + 1).toLong * bytes.length / n).toInt
+    java.util.Arrays.copyOfRange(bytes, start, end)
   }
 
   /** Uniform deterministic frame schedule: k indices spread over
@@ -331,10 +329,16 @@ object Multimodal {
       .add(outCol, BinaryType, nullable = true)
     df.mapPartitions { rows =>
       rows.flatMap { row =>
-        val bytes = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        require(!row.isNullAt(ni),
+          s"sampleFrames: NULL $nFramesCol — frame counts must be known up front")
         val n = row.getInt(ni)
+        // NULL payload → NULL frames at the scheduled indices (the
+        // module's missing-data convention: NULL, never empty bytes —
+        // an empty frame would hash as real identical content)
+        val bytes = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
         sampleFrameIndices(n, k).iterator.map { i =>
-          Row.fromSeq(row.toSeq ++ Seq[Any](i, extractor(bytes, i, n)))
+          val frame: Any = if (bytes == null) null else extractor(bytes, i, n)
+          Row.fromSeq(row.toSeq ++ Seq[Any](i, frame))
         }
       }
     }(Encoders.row(outSchema))

@@ -72,8 +72,18 @@ object Project {
     val n = rows.length
     val ids = rows.map(_.get(0))
     val xs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    require(n > 1, s"tsne needs at least 2 embedded rows, got $n")
-    val perp = math.min(perplexity, (n - 1) / 3.0) // standard perplexity clamp
+    // n >= 4 keeps the clamped perplexity >= 1 (entropy target >= 0);
+    // below that the beta search has no attainable target, every P
+    // underflows, and the output would be silent NaNs
+    require(n >= 4, s"tsne needs at least 4 embedded rows, got $n")
+    // refuse mixed dimensions instead of silently truncating to the
+    // common prefix — the library-wide guardrail convention
+    val dim0 = xs.head.length
+    val badDim = xs.indexWhere(_.length != dim0)
+    require(badDim < 0,
+      s"tsne embeddings must share one dimension: row ${ids(badDim)} has " +
+        s"${xs(badDim).length}, expected $dim0")
+    val perp = math.max(1.0, math.min(perplexity, (n - 1) / 3.0)) // >= 1 by the n guard
 
     // pairwise squared euclidean distances
     val d2 = Array.ofDim[Double](n, n)
@@ -125,6 +135,11 @@ object Project {
       while (j < n) { pSym(i)(j) = (p(i)(j) + p(j)(i)) / (2.0 * n); pTot += pSym(i)(j); j += 1 }
       i += 1
     }
+    // defensive: pTot > 0 is guaranteed by the n/perplexity guards
+    // above, but a zero here would turn into NaN coordinates (0/0 then
+    // max(NaN, eps) = NaN) — fail loudly instead
+    require(pTot > 0, "t-SNE affinity matrix underflowed to zero — " +
+      "inputs may be degenerate (all points identical?)")
     i = 0
     while (i < n) {
       var j = 0

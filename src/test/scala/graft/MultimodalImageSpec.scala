@@ -204,6 +204,22 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(frames.map(_.getInt(3)).toSeq == Seq(0, 2, 4))
     assert(frames.map(_.getAs[Array[Byte]](4).toSeq).toSeq ==
       Seq(Seq[Byte](0, 1), Seq[Byte](4, 5), Seq[Byte](8, 9)))
+    // NULL payload: scheduled rows with NULL frames (missing data must
+    // not hash as identical empty content); NULL n_frames: loud error
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, null, 4)), 1), schema)
+    val nullFrames = Multimodal.sampleFrames(withNull, "media", "n_frames", k = 3)
+      .collect()
+    assert(nullFrames.length == 3 && nullFrames.forall(_.isNullAt(4)))
+    val nSchema = StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val badN = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, payload, null)), 1), nSchema)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(badN, "media", "n_frames", k = 3).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("extractImageFeatures over synth PNGs: deterministic, null-safe, 40-dim") {

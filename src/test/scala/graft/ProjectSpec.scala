@@ -64,6 +64,28 @@ class ProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("tsne refuses degenerate and mixed-dimension inputs loudly") {
+    import spark.implicits._
+    // n < 4: the clamped perplexity would have no attainable entropy
+    // target and every coordinate would come back NaN — refuse instead
+    val tiny = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e1 = intercept[IllegalArgumentException] {
+      Project.tsne(tiny, "embedding", "id")
+    }
+    assert(e1.getMessage.contains("at least 4"))
+    // mixed dims: refuse, never truncate to the common prefix
+    val mixed = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(2f, 1f)),
+      (4L, Seq(1f, 2f, 3f)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e2 = intercept[IllegalArgumentException] {
+      Project.tsne(mixed, "embedding", "id")
+    }
+    assert(e2.getMessage.contains("dimension"))
+  }
+
   test("tsne drops NULL embeddings like viz_embeddings") {
     import spark.implicits._
     val df = clustered(5).unionByName(
