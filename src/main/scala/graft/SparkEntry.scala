@@ -263,6 +263,18 @@ object SparkEntry {
       Dedup.survivors(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D: winnowing (MOSS) substring-overlap pairs — rolling-hash
+    // character k-grams, window-min fingerprints, df-capped explode +
+    // long-key self-join (rows-only: the per-character rolling hash
+    // has no tractable SQL analog; the winnowing guarantee and
+    // normalization invariance are spec'd in DedupSimJoinSpec). k=16
+    // spans ~3 words, so single shared vocabulary words don't collide;
+    // the df cap drops corpus-wide boilerplate grams before the join.
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(Tables(s, d, "documents"), "text", "doc_id",
+        minShared = 3, k = 16, w = 8)
+        .select(col("id1"), col("id2"), col("n_shared"))
+        .orderBy(col("id1"), col("id2"))),
     // §2.3 J at scale: LSH-pruned cosine self-join (candidate pruning +
     // exact re-score; recall is approximate so no oracle — ScalaTest
     // checks recall against the exact join)

@@ -133,6 +133,46 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Substring-overlap near-dup pairs via winnowing fingerprints
+   * (rolling-hash k-grams, window-min selection — TextAnalysis.
+   * winnowFingerprint): pairs sharing ≥ `minShared` selected hashes.
+   * Catches COPIED PASSAGES (shared substrings of ≥ w+k−1 chars)
+   * that token-set Jaccard dilutes away in long documents — the
+   * plagiarism/contamination detector of the ladder.
+   *
+   * Distributed shape: explode the (small) fingerprint arrays → hash
+   * self-join on a single long key → count shared per pair. HOT
+   * fingerprints — substrings so common they appear in more than
+   * `maxDfFraction` of the corpus (boilerplate, templated phrasing) —
+   * are dropped BEFORE the join, exactly like stop-words in an
+   * inverted index: they carry no copy signal and their buckets are
+   * the only place the join could go quadratic. After the cap,
+   * candidate count tracks genuinely shared rare substrings.
+   */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      minShared: Int = 2, k: Int = 5, w: Int = 4,
+      maxDfFraction: Double = 0.05): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
+    val fps = df.select(col(idCol),
+      explode(TextAnalysis.winnowFingerprint(col(textCol), k, w)).as("__fp"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val maxDf = math.max(1L, (nDocs * maxDfFraction).toLong)
+    val rare = fps.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("__fp"))
+    val kept = fps.join(rare, Seq("__fp"))
+    val a = kept.select(col(idCol).as("id1"), col("__fp"))
+    val b = kept.select(col(idCol).as("id2"), col("__fp"))
+    a.join(b, Seq("__fp")).where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   private def shingles(textCol: Column, n: Int): Column = {
     val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
     if (n == 1) array_distinct(toks)

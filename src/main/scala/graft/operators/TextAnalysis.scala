@@ -28,6 +28,16 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(lower(text), "\\s+"), t => length(t) > 0)).cast("long")
 
+  /** Winnowing fingerprint set over a Rabin–Karp ROLLING character
+    * k-gram hash (the MOSS algorithm) — substring-level document
+    * fingerprints with the guarantee that any shared run of
+    * w + k − 1 characters yields a shared fingerprint. See
+    * [[graft.expressions.WinnowFingerprint]]. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WinnowFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
+
   /** BPE-ish subword proxy: runs of letters, runs of digits, or single
     * non-alnum-non-space chars — the standard pre-tokenizer shape. */
   val WordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

@@ -143,6 +143,58 @@ class DedupSimJoinSpec extends AnyFunSuite {
       pairs.head.getInt(2) == 0)
   }
 
+  test("winnowing: shared substrings >= w+k-1 chars guarantee a shared fingerprint") {
+    import graft.operators.TextAnalysis
+    val k = 5; val w = 4
+    val shared = "the stolen passage appears verbatim here" // >> w+k-1 = 8 chars
+    val d = Seq(
+      (1L, s"totally original opening words $shared and an original ending"),
+      (2L, s"different framing text $shared with unrelated conclusion"),
+      (3L, "nothing in common with either document whatsoever zebra")
+    ).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint (winnowing guarantee)")
+    // maxDfFraction = 1.0 disables the boilerplate cap — this corpus is
+    // 3 docs, so the planted passage's df of 2 would otherwise be "hot"
+    val pairs = Dedup.winnowOverlapPairs(d, "text", "doc_id", minShared = 2,
+        maxDfFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not pair")
+  }
+
+  test("winnowing df cap drops corpus-wide boilerplate, keeps rare shared passages") {
+    val boiler = "standard legal disclaimer attached to every document in the corpus"
+    val stolen = "a rare plagiarized sentence appearing twice only"
+    val d = (1L to 20L).map { i =>
+      val body = s"unique content ${i}a ${i}b ${i}c ${i}d for document number $i"
+      val extra = if (i <= 2) s" $stolen" else ""
+      (i, s"$body $boiler$extra")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(d, "text", "doc_id", minShared = 2,
+        k = 16, w = 8, maxDfFraction = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the stolen-passage pair should survive the boilerplate cap, got $pairs")
+  }
+
+  test("winnowing: whitespace-run normalization; short text -> empty; determinism") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "alpha    beta\tgamma"), (2L, " alpha beta gamma "), (3L, "ab")
+    ).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L) == fps(2L), "whitespace runs must not perturb fingerprints")
+    assert(fps(1L).nonEmpty)
+    assert(fps(3L).isEmpty, "texts shorter than k chars have no k-grams")
+  }
+
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
       shingleSize = 2, numHashTables = 16)
