@@ -651,10 +651,15 @@ object SparkEntry {
       val base = s"graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val path = s"/tmp/${base}_$fp"
       // reap caches of older fingerprints of the SAME fixture so
-      // regeneration doesn't accumulate stale index dirs in /tmp
+      // regeneration doesn't accumulate stale index dirs in /tmp. The
+      // remainder must match the <mtime>_<size> shape exactly — a bare
+      // startsWith would also match a DIFFERENT dataset whose sanitized
+      // path extends this one (e.g. .../fix vs .../fix_v2) and delete
+      // its live cache.
       Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(base + "_") &&
-          f.getName != s"${base}_$fp")
+          f.getName != s"${base}_$fp" &&
+          f.getName.stripPrefix(base + "_").matches("\\d+_\\d+"))
         .foreach { dir =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -156,13 +156,21 @@ object Dedup {
     require(minShared > 0, s"minShared must be positive, got $minShared")
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
+    // The winnow kernel is evaluated once per consumer below (the df
+    // aggregate and both join sides — ≤3×, linear each); staying
+    // cache-free keeps DataFrame construction side-effect-free and pins
+    // no executor blocks. Callers sweeping one corpus repeatedly can
+    // persist this frame themselves.
     val fps = df.select(col(idCol),
       explode(TextAnalysis.winnowFingerprint(col(textCol), k, w)).as("__fp"))
-    val nDocs = df.select(col(idCol)).distinct().count()
-    val maxDf = math.max(1L, (nDocs * maxDfFraction).toLong)
+    // corpus size enters the plan as a broadcast 1-row aggregate, so
+    // constructing this DataFrame launches no job
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__ndocs"))
     val rare = fps.groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__df"))
-      .where(col("__df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df") <=
+        greatest(lit(1L), (col("__ndocs") * lit(maxDfFraction)).cast("long")))
       .select(col("__fp"))
     val kept = fps.join(rare, Seq("__fp"))
     val a = kept.select(col(idCol).as("id1"), col("__fp"))

@@ -93,8 +93,8 @@ object Project {
       while (j < n) {
         var s = 0.0; var k = 0
         val a = xs(i); val b = xs(j)
-        val dim = math.min(a.length, b.length)
-        while (k < dim) { val d = a(k) - b(k); s += d * d; k += 1 }
+        // dims are uniform by the guard above — no truncation possible
+        while (k < dim0) { val d = a(k) - b(k); s += d * d; k += 1 }
         d2(i)(j) = s; d2(j)(i) = s
         j += 1
       }
