@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{Dedup, Fusion, IvfIndex, Multimodal, Nearest, Project, SimJoin, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, Multimodal, Nearest, Project, RangeJoin, SimJoin, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -546,6 +546,72 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_idx"))),
+    // §2.3 temporal: AS-OF (point-in-time) join — for each purchase,
+    // the latest click by the same user at or before the purchase
+    // (classic last-touch attribution). Single-shuffle union+window
+    // plan; Spark has no built-in as-of (operators/AsofJoin).
+    "asof_attribution" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.backward(purchases, clicks, "user_id", "user_id", "ts", "ts",
+          rightPayload = Seq("event_id"), rightTieBreak = "event_id")
+        .select(col("event_id").as("purchase_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("click_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          (col("ts").cast("long") - col("asof_ts").cast("long")).as("gap_sec"))
+        .orderBy(col("purchase_id"))
+    }),
+    // §2.3 temporal: RANGE (interval) join — ALL clicks in the 24h
+    // before each purchase, bucketized to a plain (key, bucket)
+    // equi-join + exact range filter (operators/RangeJoin); the
+    // multi-match counterpart of asof_attribution.
+    "range_attribution" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      RangeJoin.pointsInLookback(purchases, clicks, "user_id", "user_id",
+          "ts", "ts", rightPayload = Seq("event_id"),
+          lookbackSec = 86400L, bucketSec = 86400L)
+        .select(col("event_id").as("purchase_id"),
+          col("range_event_id").as("click_id"),
+          (col("ts").cast("long") - col("range_ts").cast("long")).as("gap_sec"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+    // §2.3 T: Gopher-style repetition quality signals (Rae et al. 2021
+    // §A1.1) — duplicate-word fraction, top-bigram occupancy, and the
+    // fraction of bigram occurrences that are duplicates. Tokenization
+    // matches the established oracle convention (lower + \s+ split).
+    "quality_repetition" -> ((s, d) => {
+      val ws = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val docs = Tables(s, d, "documents").select(col("doc_id"), ws.as("ws"))
+      val uni = docs.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      val bg = docs.where(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1)))).as("bg"))
+      val cnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      val m = cnt.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
+      uni.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          coalesce(round(col("top_cnt").cast("double") / col("n_bigrams"), 6),
+            lit(0.0)).as("top_bigram_frac"),
+          coalesce(round(col("dup_occ").cast("double") / col("n_bigrams"), 6),
+            lit(0.0)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.2: semi + anti joins (TPC-H Q4 shape, adapted to the fixture's
     // columns) — EXISTS/NOT EXISTS as left_semi/left_anti, the join
     // types that never widen rows and shuffle only the key columns
@@ -1202,6 +1268,62 @@ object SparkEntry {
           |       count(*) AS n_events, round(sum(value), 2) AS total_value
           |FROM sessions GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+      // Same union+running-last_value(IGNORE NULLS) shape as the Spark
+      // plan; gap on second-floored epochs mirrors Spark's
+      // timestamp→long cast (micros DIV 1e6).
+      "asof_attribution" ->
+        """WITH u AS (
+          |  SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tb,
+          |         event_id AS l_id, ts AS l_ts,
+          |         NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+          |  FROM events WHERE event_type = 'purchase'
+          |  UNION ALL
+          |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts
+          |  FROM events WHERE event_type = 'click'),
+          |w AS (
+          |  SELECT l_id, l_ts, side,
+          |         last_value(r_id IGNORE NULLS) OVER win AS m_id,
+          |         last_value(r_ts IGNORE NULLS) OVER win AS m_ts
+          |  FROM u
+          |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tb
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT l_id AS purchase_id,
+          |       strftime(l_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       m_id AS click_id,
+          |       strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          |       CAST(epoch(date_trunc('second', l_ts)) -
+          |            epoch(date_trunc('second', m_ts)) AS BIGINT) AS gap_sec
+          |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+      "range_attribution" ->
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          |       CAST(epoch(date_trunc('second', p.ts)) -
+          |            epoch(date_trunc('second', c.ts)) AS BIGINT) AS gap_sec
+          |FROM events p JOIN events c
+          |  ON p.user_id = c.user_id
+          | AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
+          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          |ORDER BY purchase_id, click_id""".stripMargin,
+      "quality_repetition" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '\s+'),
+          |                     t -> len(t) > 0) AS ws
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+          |  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)),
+          |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |m AS (SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_cnt,
+          |             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+          |      FROM c GROUP BY 1)
+          |SELECT w.doc_id, len(ws) AS n_words,
+          |       round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+          |         AS dup_word_frac,
+          |       coalesce(round(top_cnt::DOUBLE / n_bigrams, 6), 0.0)
+          |         AS top_bigram_frac,
+          |       coalesce(round(dup_occ::DOUBLE / n_bigrams, 6), 0.0)
+          |         AS dup_bigram_frac
+          |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
       "events_daily_users" ->
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
