@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfIndex, Nearest, SimJoin}
+import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin}
 
 /**
  * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
@@ -97,6 +97,37 @@ object ScaleProbe {
       }
       println(f"[scale-probe] ppjoin candidates=$nCands%d true_pairs=$nPairs%d " +
         f"(all-pairs would be ${n * (n - 1) / 2}%d)")
+      spark.stop()
+      return
+    }
+    // Temporal joins at 10M points: sbt "runMain graft.ScaleProbe 10000000 temporal".
+    // The as-of plan is one shuffle + one linear window scan per key
+    // partition; the range plan one bucketed equi-join — both should
+    // scale like a plain shuffle join on the key, which is the claim
+    // to check here (wall-clock tracks input size, no pair blow-up).
+    if (args.contains("temporal")) {
+      val users = math.max(1L, n / 100)
+      val monthSec = 2592000
+      val right = spark.range(n).toDF("id").select(col("id"),
+          pmod(hash(col("id")), lit(users)).as("k"),
+          timestamp_seconds(pmod(hash(col("id") * 7 + 1), lit(monthSec))).as("t"))
+        .repartition(32)
+      val left = spark.range(n / 10).toDF("id").select(col("id"),
+          pmod(hash(col("id") + 13), lit(users)).as("k"),
+          timestamp_seconds(pmod(hash(col("id") * 3 + 5), lit(monthSec))).as("t"))
+      var nAsof = -1L; var nRange = -1L
+      // count matched rows, not rows: a bare count() lets Catalyst
+      // prune the window column and time only the union+filter
+      time(s"asof join ${n / 10000000.0}M left x ${n / 1000000}M right") {
+        nAsof = AsofJoin.backward(left, right, "k", "k", "t", "t",
+            rightPayload = Seq("id"), rightTieBreak = "id")
+          .where(col("asof_id").isNotNull).count()
+      }
+      time(s"range join 1h lookback, same inputs") {
+        nRange = RangeJoin.pointsInLookback(left, right, "k", "k", "t", "t",
+          rightPayload = Seq("id"), lookbackSec = 3600, bucketSec = 3600).count()
+      }
+      println(s"[scale-probe] asof rows=$nAsof range pairs=$nRange")
       spark.stop()
       return
     }

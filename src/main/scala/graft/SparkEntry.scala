@@ -139,9 +139,14 @@ object SparkEntry {
     // §2 #8 rank-fusion hybrid: RRF over the exact-keyword and BM25
     // rankings (both SQL-expressible, so the fusion is oracle-checked)
     "hybrid_rrf" -> ((s, d) => {
+      // materialize each bounded top-20 list ONCE before fusing:
+      // without this the full_outer fusion plan re-derives both
+      // ranking subtrees (incl. the BM25 corpus-stats passes) inside
+      // the join. localCheckpoint on a ≤20-row deterministic frame is
+      // recompute-safe and pins negligible executor memory.
       val kw = queries("keyword_search")(s, d)
-        .withColumnRenamed("similarity", "score")
-      val bm = queries("bm25_search")(s, d)
+        .withColumnRenamed("similarity", "score").localCheckpoint()
+      val bm = queries("bm25_search")(s, d).localCheckpoint()
       Fusion.rrf(Seq(kw, bm), "doc_id", "score")
         .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(desc("rrf_score"), asc("doc_id"))
@@ -611,6 +616,25 @@ object SparkEntry {
           coalesce(round(col("dup_occ").cast("double") / col("n_bigrams"), 6),
             lit(0.0)).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+    // §2.3 T: sequence packing — the concat-then-chunk pretraining
+    // layout. Per shard (lang), documents form one token stream in
+    // doc_id order; each doc records the 512-token training sequence
+    // and offset where it starts. The window partitions by the shard
+    // key, so packing parallelizes across shards at any corpus size;
+    // within-shard order IS the stream, inherently sequential.
+    "pack_sequences" -> ((s, d) => {
+      val cum0 = coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum0", cum0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("cum0") / 512).cast("long").as("seq_idx"),
+          (col("cum0") % 512).cast("long").as("tok_offset"))
+        .orderBy(col("lang"), col("doc_id"))
     }),
     // §2.2: semi + anti joins (TPC-H Q4 shape, adapted to the fixture's
     // columns) — EXISTS/NOT EXISTS as left_semi/left_anti, the join
@@ -1324,6 +1348,22 @@ object SparkEntry {
           |       coalesce(round(dup_occ::DOUBLE / n_bigrams, 6), 0.0)
           |         AS dup_bigram_frac
           |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "pack_sequences" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT)
+           |           AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (
+           |           PARTITION BY lang ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cum0
+           |  FROM t)
+           |SELECT doc_id, lang, n_tokens,
+           |       cum0 // 512 AS seq_idx, cum0 % 512 AS tok_offset
+           |FROM c ORDER BY lang, doc_id""".stripMargin,
       "events_daily_users" ->
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
