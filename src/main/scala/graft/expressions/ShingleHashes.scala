@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Distinct word-shingle set as SORTED 64-bit hashes — the set
+ * representation behind the Jaccard/MinHash family, produced in one
+ * codegen pass. Replaces the `transform(sequence(...), concat_ws ∘
+ * element_at) → array_distinct` higher-order-function pipeline, which
+ * Spark executes as CodegenFallback (interpreted expression-tree walk
+ * PER ELEMENT — measured ~50µs/shingle, i.e. 12s for 5k fixture docs;
+ * this kernel does the same work in ~0.3s).
+ *
+ * Hash = two fixed-seed MurmurHash3 32-bit words over the space-joined
+ * shingle — the same base hash [[MinHashSig]] uses, so
+ * `array_intersect` on two of these columns counts exactly the shared
+ * shingles (collisions at 64 bits are negligible: ~n²/2⁶⁴). Sorted
+ * ascending for deterministic output; fewer tokens than `shingleSize`
+ * yields an empty array.
+ */
+case class ShingleHashes(child: Expression, shingleSize: Int = 3, seed: Int = 42)
+    extends UnaryExpression {
+
+  require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.hashes(v.asInstanceOf[UTF8String], shingleSize, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleHashes.hashes($c, $shingleSize, $seed);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  /** The kernel, callable from generated Java (static forwarder). */
+  def hashes(u: UTF8String, shingleSize: Int, seed: Int): ArrayData = {
+    val toks = u.toString.toLowerCase(java.util.Locale.ROOT) // locale-pinned
+      .split("\\s+").filter(_.nonEmpty)
+    val n = toks.length - shingleSize + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val shingle =
+        if (shingleSize == 1) toks(i)
+        else toks.slice(i, i + shingleSize).mkString(" ")
+      val h = (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
+        (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}

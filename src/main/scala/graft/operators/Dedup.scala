@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -454,30 +454,78 @@ object Dedup {
     df.join(pairs.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /**
-   * MinHash-LSH near-dedup — the sub-quadratic scale path: word
-   * shingles → binary feature-hash vector → MinHash signatures → banded
-   * candidate join (Jaccard distance ≤ 1−t) → survivors. Approximate
-   * recall, exact-Jaccard precision can be layered by re-scoring
-   * candidates with `jaccard`. Seed pinned.
+   * MinHash-LSH near-dedup — the sub-quadratic scale path: codegen'd
+   * MinHash signatures ([[graft.expressions.MinHashSig]], one pass over
+   * the tokens) → banded bucket join (bands of r = numHashes/bands
+   * consecutive slots, bucket = xxhash64 of the band slice; a pair
+   * collides with probability 1 − (1 − J^r)^bands) → EXACT-Jaccard
+   * verification of the candidates over distinct word shingles. Output
+   * precision is exact; recall is the banding probability (≈0.87 at
+   * J = t = 0.5 with 128/32, →1 above it). Seed pinned.
+   *
+   * Native replacement for the former spark.ml `HashingTF → MinHashLSH
+   * → approxSimilarityJoin` chain: no ml-Vector UDT serialization, no
+   * r=1 hash-table candidate explosion (ml ORs single-hash tables, so
+   * every pair sharing ONE minhash value becomes a candidate; banding
+   * with r=4 demands 4 consecutive matches), and the verify stage
+   * reuses the engine's integer cross-multiplied threshold. ~1.4×
+   * warm at the sf0.1 fixture; the structural win is the candidate
+   * count at corpus scale, where r=1 tables explode.
    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      shingleSize: Int = 3, numHashTables: Int = 8, numFeatures: Int = 1 << 18,
-      seed: Long = 42L): DataFrame = {
-    val toksCol = "__toks"; val shCol = "__shingles"; val vecCol = "__features"
-    val base = df
-      .withColumn(toksCol, filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
-      .where(size(col(toksCol)) >= shingleSize) // LSH requires ≥1 non-zero feature
-    val ngram = new NGram().setN(shingleSize).setInputCol(toksCol).setOutputCol(shCol)
-    val tf = new HashingTF().setInputCol(shCol).setOutputCol(vecCol)
-      .setNumFeatures(numFeatures).setBinary(true)
-    val featured = tf.transform(ngram.transform(base))
-    val lsh = new MinHashLSH().setInputCol(vecCol).setOutputCol("__hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 1.0 - threshold, "__jdist")
-      .select(col(s"datasetA.$idCol").as("id1"), col(s"datasetB.$idCol").as("id2"),
-        (lit(1.0) - col("__jdist")).as("similarity"))
-      .where(col("id1") < col("id2"))
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    val sigCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        numHashes, shingleSize, seed))
+    // distinct word-shingle sets for the verify, as sorted 64-bit
+    // hashes from the same codegen'd kernel family as the signature —
+    // NOT a transform/concat_ws HOF pipeline, which executes as
+    // CodegenFallback at ~50µs per shingle (see ShingleHashes docs)
+    val shCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        shingleSize, seed))
+    // materialize (id, signature) ONCE — the frame feeds both banding
+    // sides, and without pinning it the signature kernel re-evaluates
+    // per branch. Lazy localCheckpoint: construction runs no job;
+    // content is a deterministic pure function of the input. The
+    // shingle arrays stay OUT of the checkpoint: variable-width rows
+    // cost far more through the RDD boundary than the fixed-width
+    // signatures, while recomputing them is one narrow codegen pass.
+    val sigd = df.select(col(idCol), sigCol.as("__sig"))
+      .where(size(col("__sig")) > 0)
+      .localCheckpoint(false)
+    val sh = df.select(col(idCol), shCol.as("__sh"))
+    val banded = sigd.select(col(idCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.cast("int").as("band"),
+            xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))).as("key"))))
+          .as("bb"))
+      .select(col(idCol), col("bb.band").as("__band"), col("bb.key").as("__key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    // exact verification — the engine's integer cross-multiplied
+    // threshold (no fp division at the boundary); |A∪B| = |A|+|B|−I
+    val (p, q) = thresholdRational(threshold)
+    val s1 = sh.select(col(idCol).as("id1"), col("__sh").as("__sh1"))
+    val s2 = sh.select(col(idCol).as("id2"), col("__sh").as("__sh2"))
+    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("long")
+    val unionSz = (size(col("__sh1")) + size(col("__sh2"))).cast("long") - inter
+    cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("__i", inter).withColumn("__u", unionSz)
+      .where(col("__u") > 0 && col("__i") * lit(q) >= col("__u") * lit(p))
+      .select(col("id1"), col("id2"),
+        (col("__i").cast("double") / col("__u")).as("similarity"))
   }
 
   /**

@@ -197,9 +197,24 @@ class DedupSimJoinSpec extends AnyFunSuite {
 
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
-      shingleSize = 2, numHashTables = 16)
+      shingleSize = 2, bands = 16)
     val found = pairs.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((1L, 2L)), s"exact dup must be found, got $found")
+  }
+
+  test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {
+    val fixture = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.prefixJaccardPairs(fixture, "text", "doc_id", 0.5))
+    val mh = pairSet(Dedup.minhashPairs(fixture, "text", "doc_id", 0.5, shingleSize = 1))
+    assert(exact.nonEmpty)
+    // verify stage makes precision exact: every emitted pair IS a true pair
+    assert(mh.subsetOf(exact), s"false positives: ${(mh -- exact).take(5)}")
+    // banding recall at t=0.5 with 128/32 is ≥1−(1−J⁴)³² ≈ 0.87 at the
+    // boundary and →1 above it; the fixture's dup mass is well above t
+    assert(mh.size >= (0.8 * exact.size).toInt,
+      s"recall too low: ${mh.size}/${exact.size}")
   }
 
   test("knnJoin returns exactly k per query and agrees with single-query nearest") {
