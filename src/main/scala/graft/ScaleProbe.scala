@@ -108,13 +108,17 @@ object ScaleProbe {
     if (args.contains("temporal")) {
       val users = math.max(1L, n / 100)
       val monthSec = 2592000
+      // materialize both inputs BEFORE timing — otherwise the timed
+      // block includes generating + round-robin-shuffling the 10M-row
+      // side, which the production operator plan doesn't contain
       val right = spark.range(n).toDF("id").select(col("id"),
           pmod(hash(col("id")), lit(users)).as("k"),
           timestamp_seconds(pmod(hash(col("id") * 7 + 1), lit(monthSec))).as("t"))
-        .repartition(32)
+        .repartition(32).localCheckpoint(true)
       val left = spark.range(n / 10).toDF("id").select(col("id"),
           pmod(hash(col("id") + 13), lit(users)).as("k"),
           timestamp_seconds(pmod(hash(col("id") * 3 + 5), lit(monthSec))).as("t"))
+        .localCheckpoint(true)
       var nAsof = -1L; var nRange = -1L
       // count matched rows, not rows: a bare count() lets Catalyst
       // prune the window column and time only the union+filter

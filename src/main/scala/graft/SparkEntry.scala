@@ -139,14 +139,17 @@ object SparkEntry {
     // §2 #8 rank-fusion hybrid: RRF over the exact-keyword and BM25
     // rankings (both SQL-expressible, so the fusion is oracle-checked)
     "hybrid_rrf" -> ((s, d) => {
-      // materialize each bounded top-20 list ONCE before fusing:
-      // without this the full_outer fusion plan re-derives both
-      // ranking subtrees (incl. the BM25 corpus-stats passes) inside
-      // the join. localCheckpoint on a ≤20-row deterministic frame is
-      // recompute-safe and pins negligible executor memory.
+      // pin each bounded top-20 list so the full_outer fusion plan
+      // consumes it ONCE instead of re-deriving both ranking subtrees
+      // (incl. the BM25 corpus-stats passes) inside the join. LAZY
+      // localCheckpoint: constructing/explaining the frame runs no
+      // jobs (the repo's checkpoint convention, see Dedup); the ≤20
+      // rows materialize at the first action and pin negligible
+      // memory. Lineage truncation means executor loss fails loudly
+      // rather than recomputing — acceptable for list-sized frames.
       val kw = queries("keyword_search")(s, d)
-        .withColumnRenamed("similarity", "score").localCheckpoint()
-      val bm = queries("bm25_search")(s, d).localCheckpoint()
+        .withColumnRenamed("similarity", "score").localCheckpoint(false)
+      val bm = queries("bm25_search")(s, d).localCheckpoint(false)
       Fusion.rrf(Seq(kw, bm), "doc_id", "score")
         .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(desc("rrf_score"), asc("doc_id"))
@@ -592,31 +595,25 @@ object SparkEntry {
     // §A1.1) — duplicate-word fraction, top-bigram occupancy, and the
     // fraction of bigram occurrences that are duplicates. Tokenization
     // matches the established oracle convention (lower + \s+ split).
-    "quality_repetition" -> ((s, d) => {
-      val ws = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-      val docs = Tables(s, d, "documents").select(col("doc_id"), ws.as("ws"))
-      val uni = docs.select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
-      val bg = docs.where(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - 1),
-            i => concat_ws(" ", element_at(col("ws"), i),
-              element_at(col("ws"), i + 1)))).as("bg"))
-      val cnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      val m = cnt.groupBy(col("doc_id")).agg(
-        sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_cnt"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
-      uni.join(m, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
-            .as("dup_word_frac"),
-          coalesce(round(col("top_cnt").cast("double") / col("n_bigrams"), 6),
-            lit(0.0)).as("top_bigram_frac"),
-          coalesce(round(col("dup_occ").cast("double") / col("n_bigrams"), 6),
-            lit(0.0)).as("dup_bigram_frac"))
-        .orderBy(col("doc_id"))
-    }),
+    "quality_repetition" -> ((s, d) =>
+      // one codegen pass per doc (expressions/RepetitionStats) — the
+      // relational explode→groupBy×2 formulation would shuffle every
+      // bigram occurrence twice; this shuffles nothing. The DuckDB
+      // oracle keeps the relational formulation, so the counter values
+      // are cross-checked engine-independently.
+      Tables(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_words").as("n_words"),
+          when(col("st.n_words") > 0,
+            round(lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_words"), 6))
+            .otherwise(0.0).as("dup_word_frac"),
+          when(col("st.n_bigrams") > 0,
+            round(col("st.top_cnt").cast("double") / col("st.n_bigrams"), 6))
+            .otherwise(0.0).as("top_bigram_frac"),
+          when(col("st.n_bigrams") > 0,
+            round(col("st.dup_occ").cast("double") / col("st.n_bigrams"), 6))
+            .otherwise(0.0).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))),
     // §2.3 T: sequence packing — the concat-then-chunk pretraining
     // layout. Per shard (lang), documents form one token stream in
     // doc_id order; each doc records the 512-token training sequence
@@ -1341,8 +1338,9 @@ object SparkEntry {
           |             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
           |      FROM c GROUP BY 1)
           |SELECT w.doc_id, len(ws) AS n_words,
-          |       round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
-          |         AS dup_word_frac,
+          |       CASE WHEN len(ws) > 0
+          |            THEN round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+          |            ELSE 0.0 END AS dup_word_frac,
           |       coalesce(round(top_cnt::DOUBLE / n_bigrams, 6), 0.0)
           |         AS top_bigram_frac,
           |       coalesce(round(dup_occ::DOUBLE / n_bigrams, 6), 0.0)

@@ -74,10 +74,11 @@ object MinHashSig {
     slotConsts.computeIfAbsent((seed, numHashes),
       { case (s, h) => Array.tabulate(h)(j => mix64(s.toLong + j)) })
 
-  /** The kernel, callable from generated Java (static forwarder). */
+  /** The kernel, callable from generated Java (static forwarder).
+    * Tokenization and base hash are shared with [[ShingleHashes]] —
+    * the minhash verify stage depends on the two staying bit-identical. */
   def signature(u: UTF8String, numHashes: Int, shingleSize: Int, seed: Int): ArrayData = {
-    val toks = u.toString.toLowerCase(java.util.Locale.ROOT) // locale-pinned
-      .split("\\s+").filter(_.nonEmpty)
+    val toks = ShingleHashes.tokenize(u)
     val n = toks.length - shingleSize + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     // distinct shingle base hashes (MinHash is a SET estimator)
@@ -87,9 +88,7 @@ object MinHashSig {
       val shingle =
         if (shingleSize == 1) toks(i)
         else toks.slice(i, i + shingleSize).mkString(" ")
-      val h = (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
-        (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
-      baseHashes.add(h)
+      baseHashes.add(ShingleHashes.baseHash(shingle, seed))
       i += 1
     }
     val cs = consts(seed, numHashes)

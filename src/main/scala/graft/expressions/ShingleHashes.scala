@@ -51,10 +51,26 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3, seed: Int = 42
 }
 
 object ShingleHashes {
+
+  /** Shared tokenization of the Jaccard/MinHash family — lowercase
+    * (ROOT locale: executor JVM locale must not fork fingerprints),
+    * split on whitespace runs, drop empties. [[MinHashSig]] and
+    * [[RepetitionStats]] MUST use this same function: the minhash
+    * verify stage counts shared shingles across both kernels, so any
+    * tokenization drift silently breaks that invariant. */
+  def tokenize(u: UTF8String): Array[String] =
+    u.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Shared 64-bit base hash of one shingle string: two fixed-seed
+    * MurmurHash3 32-bit words. Same bit-identity requirement as
+    * [[tokenize]]. */
+  @inline def baseHash(shingle: String, seed: Int): Long =
+    (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
+      (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
+
   /** The kernel, callable from generated Java (static forwarder). */
   def hashes(u: UTF8String, shingleSize: Int, seed: Int): ArrayData = {
-    val toks = u.toString.toLowerCase(java.util.Locale.ROOT) // locale-pinned
-      .split("\\s+").filter(_.nonEmpty)
+    val toks = tokenize(u)
     val n = toks.length - shingleSize + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val set = new java.util.TreeSet[java.lang.Long]()
@@ -63,9 +79,7 @@ object ShingleHashes {
       val shingle =
         if (shingleSize == 1) toks(i)
         else toks.slice(i, i + shingleSize).mkString(" ")
-      val h = (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
-        (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
-      set.add(h)
+      set.add(baseHash(shingle, seed))
       i += 1
     }
     val out = new Array[Long](set.size)

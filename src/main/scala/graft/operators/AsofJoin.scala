@@ -60,12 +60,20 @@ object AsofJoin {
     // side ordering encodes inclusivity: right rows at equal time sort
     // BEFORE left rows (0 < 1) for `<=` semantics, AFTER (2 > 1) for `<`
     val rSide = if (strict) 2 else 0
+    // NULL-key/NULL-time right rows can never be an as-of match under
+    // equi-join semantics — drop them BEFORE the union, or the window's
+    // partitionBy would group NULL keys together and attribute
+    // NULL-key left rows to NULL-key right rows (a semantic a join
+    // would never produce). NULL-key/time LEFT rows are kept with a
+    // NULL match (left-join semantics: they partition alone /
+    // sort NULLS FIRST and see no right rows).
+    val rightClean = right.where(col(rightKey).isNotNull && col(rightTime).isNotNull)
     val lu = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(col): _*).as("__lrow"),
       lit(null).cast(rType).as("__rrow"))
-    val ru = right.select(
+    val ru = rightClean.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(rSide).as("__side"),
       col(rightTieBreak).as("__tb"),
       lit(null).cast(lType).as("__lrow"),

@@ -24,6 +24,13 @@ object TextAnalysis {
   def tokenSet(text: Column): Column =
     array_distinct(filter(split(lower(text), "\\s+"), t => length(t) > 0))
 
+  /** Gopher-style repetition counters in one codegen pass — see
+    * [[graft.expressions.RepetitionStats]]. */
+  def repetitionStats(text: Column, seed: Int = 42): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.RepetitionStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), seed))
+
   /** Whitespace token count (duplicates counted). */
   def tokenCount(text: Column): Column =
     size(filter(split(lower(text), "\\s+"), t => length(t) > 0)).cast("long")

@@ -53,6 +53,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ShuffleExchange"), "pure scan+score must not shuffle")
   }
 
+  test("as-of join is one key shuffle + one window — no range cross join") {
+    val p = plan("asof_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a cross join")
+    assert(p.contains("Window"), "running-last window expected")
+    // exactly one hash-partitioning exchange feeds the window (the
+    // union shuffles ONCE on the key); the final presentation sort adds
+    // a range exchange, which is above the window and bounded
+    val hashExchanges = "hashpartitioning".r.findAllIn(p.toLowerCase).size
+    assert(hashExchanges == 1, s"expected 1 key shuffle, found $hashExchanges:\n$p")
+  }
+
+  test("range join plans an equi hash/merge join on (key, bucket) — no cartesian") {
+    val p = plan("range_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketized range join must be an equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "equi-join expected")
+  }
+
+  test("pack_sequences window partitions by the shard key — not a global window") {
+    val q = SparkEntry.queries("pack_sequences")(spark, sf)
+    val p = q.queryExecution.optimizedPlan.toString
+    assert(p.contains("windowspecdefinition(lang"),
+      s"window must partition by the shard key (lang):\n$p")
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the

@@ -66,6 +66,19 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(m(104L).isEmpty)      // t=1000 vs t=9: beyond tolerance -> nulled
   }
 
+  test("asof NULL keys follow equi-join semantics: null-key rows never match each other") {
+    val l = Seq((1L, Some("a"), Some(ts(10))), (2L, None, Some(ts(10))),
+      (3L, Some("a"), None)).toDF("id", "k", "t")
+    val r = Seq((10L, Some("a"), Some(ts(5))), (11L, None, Some(ts(5))),
+      (12L, Some("a"), None)).toDF("id", "k", "t")
+    val m = matches(AsofJoin.backward(l, r, "k", "k", "t", "t",
+      rightPayload = Seq("id"), rightTieBreak = "id"))
+    assert(m.size == 3, "left-join semantics: all left rows kept")
+    assert(m(1L).contains(10L)) // normal match; null-time right row 12 ignored
+    assert(m(2L).isEmpty, "null-key left row must not match null-key right rows")
+    assert(m(3L).isEmpty, "null-time left row gets no match")
+  }
+
   test("asof matches a brute-force per-row computation on random data") {
     val rnd = new scala.util.Random(42)
     val l = (0 until 300).map(i =>
