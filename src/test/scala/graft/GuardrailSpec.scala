@@ -99,4 +99,45 @@ class GuardrailSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("searchMany"))
   }
+
+  test("temporal joins and minhash refuse malformed parameters at construction") {
+    import spark.implicits._
+    import graft.operators.{AsofJoin, Dedup, RangeJoin}
+    val df = Seq((1L, "a", new java.sql.Timestamp(1000L))).toDF("id", "k", "t")
+    // as-of: payload/tiebreak columns must exist on the right side
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(df, df, "k", "k", "t", "t",
+        rightPayload = Seq("nope"), rightTieBreak = "id")
+    }
+    assert(e1.getMessage.contains("rightPayload"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(df, df, "k", "k", "t", "t",
+        rightPayload = Seq("id"), rightTieBreak = "nope")
+    }
+    assert(e2.getMessage.contains("rightTieBreak"))
+    // range join: windows and buckets must be positive durations
+    val e3 = intercept[IllegalArgumentException] {
+      RangeJoin.pointsInLookback(df, df, "k", "k", "t", "t",
+        rightPayload = Seq("id"), lookbackSec = 0L, bucketSec = 60L)
+    }
+    assert(e3.getMessage.contains("lookbackSec"))
+    val e4 = intercept[IllegalArgumentException] {
+      RangeJoin.pointsInLookback(df, df, "k", "k", "t", "t",
+        rightPayload = Seq("id"), lookbackSec = 60L, bucketSec = -1L)
+    }
+    assert(e4.getMessage.contains("bucketSec"))
+    // minhash: band count must divide the signature width
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "text", "doc_id", 0.5, numHashes = 128, bands = 7)
+    }
+    assert(e5.getMessage.contains("divide"))
+    // signature expression: bounds on the hash count
+    val e6 = intercept[IllegalArgumentException] {
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+        numHashes = 0)
+    }
+    assert(e6.getMessage.contains("numHashes"))
+  }
 }
