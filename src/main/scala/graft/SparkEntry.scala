@@ -661,6 +661,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
           count(lit(1)).as("n_events"))
         .orderBy(col("day"))),
+    // §2.2 scale pairing for exact `percentile`: t-digest-style
+    // approximate percentiles — one pass, fixed-size sketch per group,
+    // no full per-group sort of the value column (rows-only: sketch
+    // estimates are engine-specific; spec bounds the error against the
+    // exact percentile, mirroring the HLL pairing)
+    "doc_length_stats_approx" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+            .cast("double").as("p50_approx"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(1000))
+            .cast("double").as("p90_approx"))
+        .orderBy(col("lang"))),
     // §2.2: pivot (long → wide) — event-type columns per day. The
     // pivot values are DECLARED, not discovered, so the plan is one
     // partial-aggregated groupBy with no extra distinct-values job,

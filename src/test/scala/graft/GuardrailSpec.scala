@@ -56,6 +56,20 @@ class GuardrailSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx stays within 5% of the exact per-group median") {
+    val d = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("doc_length_stats_approx")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("doc_length_stats")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, p50) =>
+      val a = approx(lang)
+      assert(math.abs(a - p50) / math.max(p50, 1.0) < 0.05,
+        s"$lang: approx p50 $a strays >5% from exact $p50")
+    }
+  }
+
   test("avg_vector throws on mixed dimensions instead of truncating") {
     import spark.implicits._
     val mixed = Seq(
