@@ -542,10 +542,44 @@ object Dedup {
    * and near-dup graphs are shallow in practice. `localCheckpoint`
    * truncates lineage so plans stay bounded. Returns (id, rep).
    */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 30,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().localCheckpoint()
+    // Adaptive execution strategy, same spirit as Spark's own
+    // broadcast-join threshold: the EDGE set is pair-sized (≪ corpus —
+    // near-dup pairs, not rows), so when it fits comfortably on the
+    // driver a single union-find pass replaces ~diameter iterative
+    // jobs, each of which costs a join + aggregation + convergence
+    // check. Long ids only (the engine's id convention); anything else
+    // falls through to the distributed loop. Result is IDENTICAL:
+    // min-id component representative either way (spec'd equal).
+    val idTypesAreLong = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nEdges = edges.count()
+    if (idTypesAreLong && nEdges > 0 && nEdges <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id so the root IS the component representative
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(id => out += ((id, find(id))))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "rep")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
     var converged = false

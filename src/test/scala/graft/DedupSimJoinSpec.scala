@@ -105,6 +105,21 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 2L, 4L))
   }
 
+  test("duplicateComponents: driver union-find equals the distributed iteration") {
+    val rnd = new scala.util.Random(11)
+    // random graph with chains, cycles, and isolated pairs
+    val pairs = (0 until 400).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b) + 1, 0.9) // +1 avoids self-loops
+    }.toDF("id1", "id2", "similarity")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = labelMap(Dedup.duplicateComponents(pairs))
+    val dist = labelMap(Dedup.duplicateComponents(pairs, maxDriverEdges = 0L))
+    assert(driver == dist, "driver fast path must reproduce the distributed labels")
+    assert(driver.nonEmpty && driver.forall { case (id, rep) => rep <= id })
+  }
+
   test("simhash: docs shorter than the shingle size are all kept, not merged as fingerprint-0 'duplicates'") {
     val short = Seq(
       (1L, "hello world"), (2L, "price list"), (3L, "totally different"),
