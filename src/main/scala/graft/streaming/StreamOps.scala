@@ -166,4 +166,27 @@ object StreamOps {
       sink(graft.operators.SimJoin.knnJoinAgg(
         batch, corpus, queryIdCol, queryEmbCol, corpusIdCol, corpusEmbCol, k), batchId)
     }.start()
+
+  /** Streaming point-in-time enrichment: each micro-batch of left rows
+    * is as-of joined against a STATIC right side (a dimension snapshot
+    * — the stream-static temporal join). Since the right side is fixed,
+    * the per-batch result equals the batch as-of join restricted to the
+    * batch's rows, so stream output == batch output once drained
+    * (spec'd). A stream-STREAM as-of would need state-store bookkeeping
+    * of the right history per key — out of scope; snapshot enrichment
+    * is the common production shape (orders enriched with the latest
+    * account state, events with the latest config push).
+    */
+  def asofEnrichPerBatch(
+      left: DataFrame, // streaming
+      right: DataFrame, // static
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightTieBreak: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    left.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.AsofJoin.backward(
+        batch, right, leftKey, rightKey, leftTime, rightTime,
+        rightPayload, rightTieBreak), batchId)
+    }.start()
 }

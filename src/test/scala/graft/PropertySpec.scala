@@ -86,4 +86,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MinHashSig is an unbiased Jaccard estimator: matching-slot fraction tracks true J") {
+    import graft.expressions.{MinHashSig, ShingleHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val H = 256
+    def sig(t: String): Array[Long] =
+      MinHashSig.signature(UTF8String.fromString(t), H, 1, 42).toLongArray()
+    def trueJ(a: String, b: String): Double = {
+      def s(t: String) = ShingleHashes.tokenize(UTF8String.fromString(t)).toSet
+      val (sa, sb) = (s(a), s(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    // word pools built so overlap is controlled; sd of the estimator at
+    // H=256 is sqrt(J(1-J)/256) <= 0.032 — assert within 5 sd
+    val pool = (0 until 60).map(i => s"w$i")
+    val pairs = Seq(
+      (pool.take(40), pool.take(40)),                 // J = 1
+      (pool.take(40), pool.slice(20, 60)),            // J = 20/60
+      (pool.take(30), pool.slice(15, 45)),            // J = 15/45
+      (pool.take(20), pool.slice(20, 40)))            // J = 0
+    pairs.foreach { case (wa, wb) =>
+      val (a, b) = (wa.mkString(" "), wb.mkString(" "))
+      val j = trueJ(a, b)
+      val (sa, sb) = (sig(a), sig(b))
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / H
+      val tol = 5 * math.sqrt(j * (1 - j) / H) + 1e-9
+      assert(math.abs(est - j) <= tol,
+        s"estimate $est strays from true J=$j beyond 5sd ($tol)")
+    }
+  }
 }

@@ -118,6 +118,36 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("streaming as-of enrichment against a static snapshot equals the batch join") {
+    import graft.streaming.StreamOps
+    val sfDir = "/root/testdata/sf0.001"
+    // stream the events fixture; enrich purchases with the latest prior
+    // click from the STATIC click snapshot (stream-static temporal join)
+    val ev = Tables(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val stream = StreamOps.readEventsStream(spark, sfDir,
+        globFilter = Some("events.parquet"))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = StreamOps.asofEnrichPerBatch(stream, clicks,
+      "user_id", "user_id", "ts", "ts",
+      rightPayload = Seq("event_id"), rightTieBreak = "event_id") { (out, _) =>
+      collected ++= out.select(col("event_id"), col("asof_event_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val batch = AsofJoin.backward(
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        clicks, "user_id", "user_id", "ts", "ts",
+        rightPayload = Seq("event_id"), rightTieBreak = "event_id")
+      .select(col("event_id"), col("asof_event_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(collected.nonEmpty && collected.toMap == batch)
+  }
+
   test("range join boundary: both interval endpoints are inclusive, outside excluded") {
     val l = Seq((1L, "a", ts(100))).toDF("id", "k", "t")
     val r = Seq((10L, "a", ts(70)),  // exactly t - lookback -> included
