@@ -64,11 +64,19 @@ object AsofJoin {
     // equi-join semantics — drop them BEFORE the union, or the window's
     // partitionBy would group NULL keys together and attribute
     // NULL-key left rows to NULL-key right rows (a semantic a join
-    // would never produce). NULL-key/time LEFT rows are kept with a
-    // NULL match (left-join semantics: they partition alone /
-    // sort NULLS FIRST and see no right rows).
+    // would never produce). NULL-key/time LEFT rows keep a NULL match
+    // (left-join semantics) and BYPASS the shuffle entirely: routing
+    // them through the window would concentrate every such row in one
+    // NULL partition — a self-inflicted hot key on data (events with
+    // missing user ids) where the match is already known to be NULL.
     val rightClean = right.where(col(rightKey).isNotNull && col(rightTime).isNotNull)
-    val lu = left.select(
+    val leftClean = left.where(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val rFields = rType.asInstanceOf[org.apache.spark.sql.types.StructType].fields
+    val leftBypass = left
+      .where(col(leftKey).isNull || col(leftTime).isNull)
+      .select(left.columns.map(col) ++
+        rFields.map(f => lit(null).cast(f.dataType).as(s"asof_${f.name}")): _*)
+    val lu = leftClean.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(col): _*).as("__lrow"),
@@ -94,5 +102,6 @@ object AsofJoin {
       .where(col("__side") === 1)
       .select(col("__lrow.*") +:
         payload.map(p => col(s"__m.$p").as(s"asof_$p")): _*)
+      .unionByName(leftBypass)
   }
 }

@@ -503,22 +503,31 @@ object Dedup {
       .where(size(col("__sig")) > 0)
       .localCheckpoint(false)
     val sh = df.select(col(idCol), shCol.as("__sh"))
-    val banded = sigd.select(col(idCol),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.cast("int").as("band"),
-            xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))).as("key"))))
-          .as("bb"))
-      .select(col(idCol), col("bb.band").as("__band"), col("bb.key").as("__key"))
+    // explode the band INDEX first, then hash the slice in an ordinary
+    // projection — keeping xxhash64(slice(...)) out of a transform()
+    // lambda keeps it in whole-stage codegen (HOF lambdas are
+    // CodegenFallback, the very cost ShingleHashes exists to avoid)
+    val banded = sigd.select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+      .select(col(idCol), col("__band"),
+        xxhash64(slice(col("__sig"), col("__band") * lit(r) + lit(1), lit(r)))
+          .as("__key"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
     // exact verification — the engine's integer cross-multiplied
-    // threshold (no fp division at the boundary); |A∪B| = |A|+|B|−I
+    // threshold (no fp division at the boundary); |A∪B| = |A|+|B|−I.
+    // Semi-join prune FIRST: only candidate ids get their shingle set
+    // computed and shuffled, so the verify cost is bounded by the
+    // candidate count (which tracks true pairs), not the corpus.
+    val candIds = cands.select(col("id1").as(idCol))
+      .union(cands.select(col("id2").as(idCol))).distinct()
+    val shPruned = sh.join(candIds, Seq(idCol), "left_semi")
     val (p, q) = thresholdRational(threshold)
-    val s1 = sh.select(col(idCol).as("id1"), col("__sh").as("__sh1"))
-    val s2 = sh.select(col(idCol).as("id2"), col("__sh").as("__sh2"))
+    val s1 = shPruned.select(col(idCol).as("id1"), col("__sh").as("__sh1"))
+    val s2 = shPruned.select(col(idCol).as("id2"), col("__sh").as("__sh2"))
     val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("long")
     val unionSz = (size(col("__sh1")) + size(col("__sh2"))).cast("long") - inter
     cands.join(s1, Seq("id1")).join(s2, Seq("id2"))
@@ -544,8 +553,14 @@ object Dedup {
    */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 30,
       maxDriverEdges: Long = 4000000L): DataFrame = {
+    // NULL ids carry no identity — an edge touching one cannot merge
+    // anything (and the driver path's getLong would silently read NULL
+    // as 0, corrupting doc 0's component). Drop them up front so both
+    // execution paths see the same graph.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull))
       .distinct().localCheckpoint()
     // Adaptive execution strategy, same spirit as Spark's own
     // broadcast-join threshold: the EDGE set is pair-sized (≪ corpus —
@@ -557,7 +572,12 @@ object Dedup {
     // min-id component representative either way (spec'd equal).
     val idTypesAreLong = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val nEdges = edges.count()
+    // one direction suffices for union-find: collect src <= dst only
+    // (src == dst keeps isolated self-loop nodes in the label set),
+    // halving driver transfer; maxDriverEdges therefore caps
+    // UNDIRECTED pairs
+    lazy val undirected = edges.where(col("src") <= col("dst")).localCheckpoint(false)
+    val nEdges = if (idTypesAreLong) undirected.count() else Long.MaxValue
     if (idTypesAreLong && nEdges > 0 && nEdges <= maxDriverEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -567,7 +587,7 @@ object Dedup {
         while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
         r
       }
-      edges.collect().foreach { row =>
+      undirected.collect().foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)

@@ -58,13 +58,19 @@ class GuardrailSpec extends AnyFunSuite {
 
   test("percentile_approx stays within 5% of the exact per-group median") {
     val d = "/root/testdata/sf0.001"
-    val approx = SparkEntry.queries("doc_length_stats_approx")(spark, d)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approxRows = SparkEntry.queries("doc_length_stats_approx")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = SparkEntry.queries("doc_length_stats")(spark, d)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (lang, p50) =>
-      val a = approx(lang)
+    assert(approxRows.keySet == exact.keySet)
+    // the sketch returns an actual element while exact percentile()
+    // interpolates — on tiny groups those can legitimately diverge, so
+    // bound the error only where the group is dense enough for the
+    // sketch's accuracy contract to be meaningful
+    val dense = exact.filter { case (lang, _) => approxRows(lang)._1 >= 30 }
+    assert(dense.nonEmpty, "fixture must have at least one dense language group")
+    dense.foreach { case (lang, p50) =>
+      val a = approxRows(lang)._2
       assert(math.abs(a - p50) / math.max(p50, 1.0) < 0.05,
         s"$lang: approx p50 $a strays >5% from exact $p50")
     }
