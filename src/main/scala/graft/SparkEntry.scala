@@ -257,6 +257,17 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D: INCREMENTAL dedup — the production ingest shape: dedup a
+    // new batch (odd doc ids) against the existing corpus (even ids)
+    // AND within itself, without re-pairing the corpus against itself
+    // (rows-only: MinHash signatures are not SQL-expressible)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      Dedup.incrementalSurvivors(fresh, base, "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")

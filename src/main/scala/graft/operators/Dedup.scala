@@ -475,8 +475,60 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       seed: Int = 42): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
+    val st = minhashStage(df, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val cands = st.banded.as("a").join(st.banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    verifyJaccard(cands, st.shingles, st.shingles, idCol, threshold)
+  }
+
+  /**
+   * Cross-corpus MinHash near-dup — pairs `(id_new, id_base)` where a
+   * NEW document near-duplicates an EXISTING corpus document: the
+   * incremental-ingest shape (dedup today's crawl against history,
+   * without re-pairing history against itself). Same banding + exact
+   * verify as [[minhashPairs]]; in production the corpus-side
+   * signatures are precomputed and stored (they are a pure function of
+   * the text), so the recurring cost is banding the BATCH and probing.
+   */
+  def minhashPairsAcross(newDf: DataFrame, baseDf: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): DataFrame = {
+    val sn = minhashStage(newDf, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val sb = minhashStage(baseDf, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val cands = sn.banded.as("a").join(sb.banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    verifyJaccard(cands, sn.shingles, sb.shingles, idCol, threshold)
+      .withColumnRenamed("id1", "id_new").withColumnRenamed("id2", "id_base")
+  }
+
+  /** Incremental batch dedup: rows of `newDf` that near-duplicate
+    * neither the existing corpus nor an earlier (smaller-id) row of the
+    * same batch — the compose-once form of "dedup the increment within
+    * itself AND against history". */
+  def incrementalSurvivors(newDf: DataFrame, baseDf: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): DataFrame = {
+    val vsBase = minhashPairsAcross(newDf, baseDf, textCol, idCol, threshold,
+      shingleSize, numHashes, bands, seed)
+    val inBatch = minhashPairs(newDf, textCol, idCol, threshold,
+      shingleSize, numHashes, bands, seed)
+    newDf
+      .join(vsBase.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  private case class MinhashStage(banded: DataFrame, shingles: DataFrame)
+
+  /** Shared signature/banding/shingle stage of the minhash family. */
+  private def minhashStage(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int, seed: Int): MinhashStage = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
@@ -492,12 +544,12 @@ object Dedup {
       graft.expressions.ShingleHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
         shingleSize, seed))
-    // materialize (id, signature) ONCE — the frame feeds both banding
-    // sides, and without pinning it the signature kernel re-evaluates
-    // per branch. Lazy localCheckpoint: construction runs no job;
-    // content is a deterministic pure function of the input. The
-    // shingle arrays stay OUT of the checkpoint: variable-width rows
-    // cost far more through the RDD boundary than the fixed-width
+    // materialize (id, signature) ONCE — the frame can feed both sides
+    // of a self-join, and without pinning it the signature kernel
+    // re-evaluates per branch. Lazy localCheckpoint: construction runs
+    // no job; content is a deterministic pure function of the input.
+    // The shingle arrays stay OUT of the checkpoint: variable-width
+    // rows cost far more through the RDD boundary than the fixed-width
     // signatures, while recomputing them is one narrow codegen pass.
     val sigd = df.select(col(idCol), sigCol.as("__sig"))
       .where(size(col("__sig")) > 0)
@@ -512,22 +564,26 @@ object Dedup {
       .select(col(idCol), col("__band"),
         xxhash64(slice(col("__sig"), col("__band") * lit(r) + lit(1), lit(r)))
           .as("__key"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
-    // exact verification — the engine's integer cross-multiplied
-    // threshold (no fp division at the boundary); |A∪B| = |A|+|B|−I.
-    // Semi-join prune FIRST: only candidate ids get their shingle set
-    // computed and shuffled, so the verify cost is bounded by the
-    // candidate count (which tracks true pairs), not the corpus.
-    val candIds = cands.select(col("id1").as(idCol))
-      .union(cands.select(col("id2").as(idCol))).distinct()
-    val shPruned = sh.join(candIds, Seq(idCol), "left_semi")
+    MinhashStage(banded, sh)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the two
+    * sides' shingle frames — integer cross-multiplied threshold (no fp
+    * division at the boundary); |A∪B| = |A|+|B|−I. Semi-join prunes
+    * FIRST: only candidate ids get their shingle set computed and
+    * shuffled, so the verify cost is bounded by the candidate count
+    * (which tracks true pairs), not the corpus. */
+  private def verifyJaccard(cands: DataFrame, shLeft: DataFrame, shRight: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     val (p, q) = thresholdRational(threshold)
-    val s1 = shPruned.select(col(idCol).as("id1"), col("__sh").as("__sh1"))
-    val s2 = shPruned.select(col(idCol).as("id2"), col("__sh").as("__sh2"))
+    val s1 = shLeft.join(cands.select(col("id1").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id1"), col("__sh").as("__sh1"))
+    val s2 = shRight.join(cands.select(col("id2").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id2"), col("__sh").as("__sh2"))
     val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("long")
     val unionSz = (size(col("__sh1")) + size(col("__sh2"))).cast("long") - inter
     cands.join(s1, Seq("id1")).join(s2, Seq("id2"))

@@ -217,6 +217,29 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(found.contains((1L, 2L)), s"exact dup must be found, got $found")
   }
 
+  test("incremental dedup: new batch deduped against history and within itself") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark plans")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // dup of base 0
+      (3L, "novel text one about streaming watermarks and state"),
+      (5L, "novel text one about streaming watermarks and state"), // dup of new 3
+      (7L, "entirely distinct fresh document with its own words")
+    ).toDF("doc_id", "text")
+    val across = Dedup.minhashPairsAcross(fresh, base, "text", "doc_id", 0.5,
+        shingleSize = 2)
+      .select("id_new", "id_base").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across.contains((1L, 0L)), s"cross-corpus dup must be found, got $across")
+    assert(!across.exists(_._1 == 7L), "unique new doc must not match history")
+    val surv = Dedup.incrementalSurvivors(fresh, base, "text", "doc_id", 0.5,
+        shingleSize = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(3L, 7L),
+      s"expected history-dup 1 and batch-dup 5 dropped, got $surv")
+  }
+
   test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {
     val fixture = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
