@@ -316,14 +316,17 @@ object SparkEntry {
       TextAnalysis.chunk(Tables(s, d, "documents"), "text", chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
-    // §2.3 composition: passage retrieval — chunk, embed chunks, rank
-    // chunks against a query, keep each doc's best chunk (RAG shape;
-    // hashing embedder -> rows-only)
+    // §2.3 composition, FULLY ORACLED: passage retrieval — chunk,
+    // embed chunks, rank against the query, keep each doc's best chunk
+    // (RAG shape). Embeds with the SQL-expressible vocab-count
+    // embedder (the hybrid_search oracle strategy): integer term
+    // counts ⇒ bit-identical double cosine in DuckDB, so the whole
+    // chunk→embed→rank→best-per-doc composition is oracle-checked.
     "passage_retrieval" -> ((s, d) => {
       val chunks = TextAnalysis.chunk(Tables(s, d, "documents"), "text",
         chunkSize = 32, overlap = 8)
-      val embedded = HashingEmbedder(dim = 64).embed(chunks, "chunk", "chunk_emb")
-      val q = HashingEmbedder(dim = 64)
+      val embedded = VocabCountEmbedder(HybridVocab).embed(chunks, "chunk", "chunk_emb")
+      val q = VocabCountEmbedder(HybridVocab)
         .embedQuery(s, KwQuery)
       val scored = embedded.withColumn("similarity",
         vectors.cosine_similarity(col("chunk_emb"), lit(q)))
@@ -1100,6 +1103,37 @@ object SparkEntry {
           |  FROM documents)
           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
       "bm25_search" -> TextSearch.bm25OracleSql("documents", "text", "doc_id", KwQuery, 20),
+      // passage retrieval: doc_chunk's chunking CTE + hybrid_search's
+      // integer-count cosine, ranked per doc then globally — the whole
+      // RAG composition reproduced relationally
+      "passage_retrieval" -> {
+        val (countCols, dot, na, nbSq) = countCosineSqlParts(HybridVocab, KwTerms)
+        s"""WITH d AS (SELECT doc_id,
+           |  list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS rawToks
+           |  FROM documents),
+           |ch AS (
+           |  SELECT doc_id, CAST(r.i // 24 AS BIGINT) AS chunk_idx,
+           |         list_transform(rawToks[r.i + 1 : r.i + 32], t -> lower(t)) AS toks
+           |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
+           |  WHERE r.i < len(rawToks)),
+           |c AS (
+           |  SELECT doc_id, chunk_idx,
+           |         $countCols
+           |  FROM ch),
+           |s AS (
+           |  SELECT doc_id, chunk_idx,
+           |         CASE WHEN ($na) = 0 THEN 0.0
+           |              ELSE ($dot) / (sqrt($na) * sqrt($nbSq.0)) END AS sim
+           |  FROM c),
+           |best AS (
+           |  SELECT doc_id, chunk_idx, sim,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY sim DESC, chunk_idx) AS rn
+           |  FROM s)
+           |SELECT doc_id, chunk_idx, round(sim, 6) AS similarity
+           |FROM best WHERE rn = 1
+           |ORDER BY similarity DESC, doc_id LIMIT 20""".stripMargin
+      },
       // Full hybrid, generated from the SAME constants as the Spark
       // side: term-count vectors over HybridVocab, cosine as
       // dot/(sqrt(na)·sqrt(nb)) with the zero-denominator guard, the
