@@ -948,15 +948,27 @@ object SparkEntry {
     * (doc_chunk's inline copy predates it; bm25_chunks and
     * pipeline_curate share this), so the convention cannot drift
     * between oracles. */
+  /** The chunk-window core every chunking oracle builds on — tokens +
+    * the stride-24 / width-32 window starts, via a PER-ROW
+    * generate_series (the former global `range(0, 100000, 24)` cross
+    * join silently dropped chunks past 100k tokens, a cap the Spark
+    * side's `sequence` does not have). Emits CTEs `d` (doc_id, toks)
+    * and `w` (doc_id, chunk_idx, ctoks). */
+  private def chunkWindowsCteSql(srcTable: String): String =
+    s"""d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+       |    FROM $srcTable),
+       |w AS (
+       |  SELECT doc_id, CAST(s.i // 24 AS BIGINT) AS chunk_idx,
+       |         toks[s.i + 1 : s.i + 32] AS ctoks
+       |  FROM d, LATERAL unnest(generate_series(0, len(toks) - 1, 24)) AS s(i))""".stripMargin
+
   private def chunkCteSql(srcTable: String): String =
     s"""c AS (
-       |  WITH d AS (SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
-       |    FROM $srcTable)
-       |  SELECT doc_id * 1000 + CAST(r.i // 24 AS BIGINT) AS chunk_id,
-       |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
-       |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
-       |  WHERE r.i < len(toks))""".stripMargin
+       |  WITH ${chunkWindowsCteSql(srcTable)}
+       |  SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+       |         array_to_string(ctoks, ' ') AS chunk
+       |  FROM w)""".stripMargin
 
   /** Shared count-vector-cosine SQL scaffolding for the
     * VocabCountEmbedder oracles (hybrid_search, multimodal_text_search):
@@ -1087,15 +1099,9 @@ object SparkEntry {
            |       ${TextAnalysisSql.punctCountSql("text")} AS n_punct
            |FROM documents ORDER BY doc_id""".stripMargin,
       "doc_chunk" ->
-        """WITH d AS (SELECT doc_id,
-          |  list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
-          |  FROM documents),
-          |c AS (
-          |  SELECT doc_id, CAST(r.i // 24 AS BIGINT) AS chunk_idx,
-          |         array_to_string(toks[r.i + 1 : r.i + 32], ' ') AS chunk
-          |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
-          |  WHERE r.i < len(toks))
-          |SELECT doc_id, chunk_idx, chunk FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+        s"""WITH ${chunkWindowsCteSql("documents")}
+           |SELECT doc_id, chunk_idx, array_to_string(ctoks, ' ') AS chunk
+           |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
       "vocab_topk" ->
         """SELECT term, count(*) AS n FROM (
           |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1108,14 +1114,11 @@ object SparkEntry {
       // RAG composition reproduced relationally
       "passage_retrieval" -> {
         val (countCols, dot, na, nbSq) = countCosineSqlParts(HybridVocab, KwTerms)
-        s"""WITH d AS (SELECT doc_id,
-           |  list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS rawToks
-           |  FROM documents),
+        s"""WITH ${chunkWindowsCteSql("documents")},
            |ch AS (
-           |  SELECT doc_id, CAST(r.i // 24 AS BIGINT) AS chunk_idx,
-           |         list_transform(rawToks[r.i + 1 : r.i + 32], t -> lower(t)) AS toks
-           |  FROM d CROSS JOIN range(0, 100000, 24) AS r(i)
-           |  WHERE r.i < len(rawToks)),
+           |  SELECT doc_id, chunk_idx,
+           |         list_transform(ctoks, t -> lower(t)) AS toks
+           |  FROM w),
            |c AS (
            |  SELECT doc_id, chunk_idx,
            |         $countCols

@@ -474,8 +474,78 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): DataFrame =
+    selfPairs(minhashStage(df, textCol, idCol, shingleSize, numHashes, bands, seed),
+      idCol, threshold)
+
+  /**
+   * Cross-corpus MinHash near-dup — pairs `(id_new, id_base)` where a
+   * NEW document near-duplicates an EXISTING corpus document: the
+   * incremental-ingest shape (dedup today's crawl against history,
+   * without re-pairing history against itself). Same banding + exact
+   * verify as [[minhashPairs]]. The corpus-side signatures are a pure
+   * function of the text — build the history's [[MinhashIndex]] ONCE
+   * with [[minhashIndex]] and pass it to the index overload, so the
+   * recurring cost is banding the BATCH and probing.
+   */
+  def minhashPairsAcross(newDf: DataFrame, baseDf: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): DataFrame =
+    minhashPairsAcross(
+      minhashIndex(newDf, textCol, idCol, shingleSize, numHashes, bands, seed),
+      minhashIndex(baseDf, textCol, idCol, shingleSize, numHashes, bands, seed),
+      idCol, threshold)
+
+  /** Index overload: probe a precomputed batch index against a
+    * precomputed corpus index (both from [[minhashIndex]], which must
+    * share parameters — enforced). */
+  def minhashPairsAcross(newIdx: MinhashIndex, baseIdx: MinhashIndex,
+      idCol: String, threshold: Double): DataFrame = {
+    require(newIdx.params == baseIdx.params,
+      s"minhash indexes built with different parameters cannot be joined: " +
+        s"${newIdx.params} vs ${baseIdx.params}")
+    val cands = newIdx.banded.as("a").join(baseIdx.banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    verifyJaccard(cands, newIdx.shingles, baseIdx.shingles, idCol, threshold)
+      .withColumnRenamed("id1", "id_new").withColumnRenamed("id2", "id_base")
+  }
+
+  /** Incremental batch dedup: rows of `newDf` that near-duplicate
+    * neither the existing corpus nor an earlier (smaller-id) row of the
+    * same batch — "dedup the increment within itself AND against
+    * history". The batch's index is built ONCE and feeds both the
+    * self-join and the cross-corpus probe. */
+  def incrementalSurvivors(newDf: DataFrame, baseDf: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       seed: Int = 42): DataFrame = {
-    val st = minhashStage(df, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val sn = minhashIndex(newDf, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val sb = minhashIndex(baseDf, textCol, idCol, shingleSize, numHashes, bands, seed)
+    val vsBase = minhashPairsAcross(sn, sb, idCol, threshold)
+    val inBatch = selfPairs(sn, idCol, threshold)
+    newDf
+      .join(vsBase.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Precomputed minhash artifacts for one corpus: banded signature
+    * buckets + shingle sets, both pure functions of the text — the
+    * history side of incremental dedup persists these instead of
+    * re-hashing the corpus every batch. */
+  case class MinhashIndex private[operators] (
+      banded: DataFrame, shingles: DataFrame, params: (Int, Int, Int, Int))
+
+  /** Build a [[MinhashIndex]] (see [[minhashPairsAcross]]). */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Int = 42): MinhashIndex =
+    minhashStage(df, textCol, idCol, shingleSize, numHashes, bands, seed)
+
+  /** Self-join candidates + verify over one index (id1 < id2). */
+  private def selfPairs(st: MinhashIndex, idCol: String, threshold: Double): DataFrame = {
     val cands = st.banded.as("a").join(st.banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -484,51 +554,9 @@ object Dedup {
     verifyJaccard(cands, st.shingles, st.shingles, idCol, threshold)
   }
 
-  /**
-   * Cross-corpus MinHash near-dup — pairs `(id_new, id_base)` where a
-   * NEW document near-duplicates an EXISTING corpus document: the
-   * incremental-ingest shape (dedup today's crawl against history,
-   * without re-pairing history against itself). Same banding + exact
-   * verify as [[minhashPairs]]; in production the corpus-side
-   * signatures are precomputed and stored (they are a pure function of
-   * the text), so the recurring cost is banding the BATCH and probing.
-   */
-  def minhashPairsAcross(newDf: DataFrame, baseDf: DataFrame,
-      textCol: String, idCol: String, threshold: Double,
-      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      seed: Int = 42): DataFrame = {
-    val sn = minhashStage(newDf, textCol, idCol, shingleSize, numHashes, bands, seed)
-    val sb = minhashStage(baseDf, textCol, idCol, shingleSize, numHashes, bands, seed)
-    val cands = sn.banded.as("a").join(sb.banded.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
-    verifyJaccard(cands, sn.shingles, sb.shingles, idCol, threshold)
-      .withColumnRenamed("id1", "id_new").withColumnRenamed("id2", "id_base")
-  }
-
-  /** Incremental batch dedup: rows of `newDf` that near-duplicate
-    * neither the existing corpus nor an earlier (smaller-id) row of the
-    * same batch — the compose-once form of "dedup the increment within
-    * itself AND against history". */
-  def incrementalSurvivors(newDf: DataFrame, baseDf: DataFrame,
-      textCol: String, idCol: String, threshold: Double,
-      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      seed: Int = 42): DataFrame = {
-    val vsBase = minhashPairsAcross(newDf, baseDf, textCol, idCol, threshold,
-      shingleSize, numHashes, bands, seed)
-    val inBatch = minhashPairs(newDf, textCol, idCol, threshold,
-      shingleSize, numHashes, bands, seed)
-    newDf
-      .join(vsBase.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
-      .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
-  }
-
-  private case class MinhashStage(banded: DataFrame, shingles: DataFrame)
-
   /** Shared signature/banding/shingle stage of the minhash family. */
   private def minhashStage(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int, numHashes: Int, bands: Int, seed: Int): MinhashStage = {
+      shingleSize: Int, numHashes: Int, bands: Int, seed: Int): MinhashIndex = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
@@ -564,7 +592,7 @@ object Dedup {
       .select(col(idCol), col("__band"),
         xxhash64(slice(col("__sig"), col("__band") * lit(r) + lit(1), lit(r)))
           .as("__key"))
-    MinhashStage(banded, sh)
+    MinhashIndex(banded, sh, (shingleSize, numHashes, bands, seed))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the two
