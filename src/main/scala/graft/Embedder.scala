@@ -75,6 +75,16 @@ case class HashingEmbedder(override val dim: Int = 64, seed: Int = 42) extends E
  */
 case class VocabCountEmbedder(vocab: Seq[String]) extends Embedder {
   require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab must be non-empty terms")
+  // params round-trips the vocabulary as a comma-joined string
+  // (EmbedderRegistry splits on ','); a term containing a comma would
+  // silently split into two terms on read_vec reload — changing dim and
+  // every embedding. Terms are matched against whitespace-split tokens,
+  // so commas (and whitespace) in a term could never match anyway:
+  // refuse loudly at construction instead of corrupting the round trip.
+  require(vocab.forall(t => !t.contains(",") && !t.exists(_.isWhitespace)),
+    s"vocab terms must be comma-free whitespace-free tokens (they are matched " +
+      s"against whitespace-split text tokens and serialized comma-joined): " +
+      vocab.filter(t => t.contains(",") || t.exists(_.isWhitespace)).mkString("'", "', '", "'"))
   override def name: String = "vocab_count"
   override def dim: Int = vocab.length
   override def params: Map[String, String] = Map("vocab" -> vocab.mkString(","))

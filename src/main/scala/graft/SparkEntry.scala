@@ -99,6 +99,35 @@ object SparkEntry {
       _ => IvfIndex.build(Tables(s, d, "embeddings"), "embedding", nlist))
   }
 
+  /** Reap persisted-IVF caches of OLDER fingerprints of the same
+    * fixture, so regeneration doesn't accumulate stale index dirs. The
+    * name remainder must match the `<mtime>_<size>` shape exactly — a
+    * bare startsWith would also match a DIFFERENT dataset whose
+    * sanitized path extends this one (e.g. `.../fix` vs `.../fix_v2`)
+    * and delete its live cache. Only dirs untouched for `graceMs` are
+    * reaped: two sessions probing different fingerprints of the same
+    * fixture path could otherwise reap a directory the other is
+    * mid-read on — the grace period keeps any cache written (or
+    * rewritten) within the last hour alive, which bounds the race to
+    * readers holding an index open for an hour across a fixture
+    * regeneration. */
+  private[graft] def reapStaleIvfCaches(tmpDir: java.io.File, base: String,
+      keepName: String, graceMs: Long = 3600000L): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    Option(tmpDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(base + "_") &&
+        f.getName != keepName &&
+        f.getName.stripPrefix(base + "_").matches("\\d+_\\d+") &&
+        f.lastModified() < cutoff)
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+  }
+
   /** Pre-build memoized artifacts (the IVF coarse quantizer) so bench
     * timings measure the recurring probe path, not one-time index
     * construction. */
@@ -765,23 +794,7 @@ object SparkEntry {
       val fp = s"${src.lastModified}_${src.length}"
       val base = s"graft_ivf_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val path = s"/tmp/${base}_$fp"
-      // reap caches of older fingerprints of the SAME fixture so
-      // regeneration doesn't accumulate stale index dirs in /tmp. The
-      // remainder must match the <mtime>_<size> shape exactly — a bare
-      // startsWith would also match a DIFFERENT dataset whose sanitized
-      // path extends this one (e.g. .../fix vs .../fix_v2) and delete
-      // its live cache.
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(base + "_") &&
-          f.getName != s"${base}_$fp" &&
-          f.getName.stripPrefix(base + "_").matches("\\d+_\\d+"))
-        .foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
-          }
-          rm(dir)
-        }
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
       if (!new java.io.File(s"$path/_ivf.json").exists()) ivfFor(s, d).save(path)
       val idx = IvfIndex.load(s, path)
       idx.search(q, k = 5, nprobe = idx.centroidVectors.length,

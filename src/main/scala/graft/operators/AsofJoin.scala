@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
  *
  * Ties among right rows at the same `(key, time)` are broken
  * deterministically: the greatest `rightTieBreak` wins (it sorts last
- * under the window order, and `last` takes the latest frame row).
+ * under the window order, and `last` takes the latest frame row). When
+ * even `(key, time, tieBreak)` collide, the full right payload struct
+ * is the final disambiguator (greatest payload wins, field-wise struct
+ * order) — so the result never depends on partition order. Payload
+ * types that Spark cannot order (maps) fall back to requiring the
+ * tie-break to be unique per `(key, time)`; that requirement is the
+ * caller's contract there.
  *
  * Unmatched left rows keep NULL payload columns (left-join semantics);
  * `tolerance` nulls out matches older than `t - tolerance` instead of
@@ -87,8 +93,19 @@ object AsofJoin {
       lit(null).cast(lType).as("__lrow"),
       struct(payload.map(col): _*).as("__rrow"))
 
+    // Final tie disambiguator: the whole payload struct. Left rows
+    // carry a NULL __rrow but never tie with right rows (the __side key
+    // already separates them), so the extra key only orders right-row
+    // duplicates. Structs are orderable iff every field is; for a
+    // non-orderable payload (maps) the struct key is dropped and the
+    // determinism contract reverts to "tieBreak unique per (key, time)".
+    val rrowOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rType)
+    val orderKeys =
+      Seq(col("__t").asc, col("__side").asc, col("__tb").asc) ++
+        (if (rrowOrderable) Seq(col("__rrow").asc) else Nil)
     val win = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("__rrow"), ignoreNulls = true).over(win)
     val matched = tolerance match {

@@ -166,11 +166,17 @@ object Dedup {
     // corpus size enters the plan as a broadcast 1-row aggregate, so
     // constructing this DataFrame launches no job
     val nDocs = df.agg(countDistinct(col(idCol)).as("__ndocs"))
+    // The df cap floors at 2, NOT at ndocs·maxDfFraction: on a small
+    // corpus that product drops below 2 and a literal cap would drop
+    // every fingerprint shared by even two documents — the operator
+    // would silently return zero pairs. A fingerprint in exactly 2 docs
+    // is the strongest copy signal there is, never boilerplate; it
+    // always survives.
     val rare = fps.groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .crossJoin(broadcast(nDocs))
       .where(col("__df") <=
-        greatest(lit(1L), (col("__ndocs") * lit(maxDfFraction)).cast("long")))
+        greatest(lit(2L), (col("__ndocs") * lit(maxDfFraction)).cast("long")))
       .select(col("__fp"))
     val kept = fps.join(rare, Seq("__fp"))
     val a = kept.select(col(idCol).as("id1"), col("__fp"))

@@ -160,4 +160,70 @@ class GuardrailSpec extends AnyFunSuite {
     }
     assert(e6.getMessage.contains("numHashes"))
   }
+
+  test("winnowOverlapPairs df-cap floors at 2: a 2-doc shared passage survives on a tiny corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 3 docs, copied passage shared by exactly 2; ndocs*maxDfFraction =
+    // 3*0.05 = 0.15 < 2 — a cap floored at 1 would drop EVERY shared
+    // fingerprint and silently return zero pairs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "prelude text then the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated content about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "text", "doc_id",
+      minShared = 2, maxDfFraction = 0.05).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L,
+      s"expected the copied passage pair (1,2), got ${pairs.mkString(",")}")
+  }
+
+  test("as-of join is deterministic under duplicate (key, time, tieBreak) right rows") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val ts = new java.sql.Timestamp(10000L)
+    val left = Seq((100L, "k", new java.sql.Timestamp(20000L))).toDF("lid", "k", "t")
+    // two right rows identical in key, time AND tie-break, differing
+    // only in payload — the full-payload disambiguator must pick the
+    // greatest payload struct regardless of partition order
+    val rightRows = Seq(("k", ts, 7L, "alpha"), ("k", ts, 7L, "zeta"))
+    for (right <- Seq(rightRows.toDF("k", "t", "tb", "payload").repartition(4),
+        rightRows.reverse.toDF("k", "t", "tb", "payload").coalesce(1))) {
+      val out = AsofJoin.backward(left, right, "k", "k", "t", "t",
+        rightPayload = Seq("payload"), rightTieBreak = "tb").collect()
+      assert(out.length == 1 && out.head.getAs[String]("asof_payload") == "zeta",
+        s"expected the greatest payload 'zeta' deterministically, got ${out.mkString(",")}")
+    }
+  }
+
+  test("VocabCountEmbedder refuses vocab terms that would corrupt the params round-trip") {
+    val e = intercept[IllegalArgumentException] { VocabCountEmbedder(Seq("ok", "a,b")) }
+    assert(e.getMessage.contains("comma"))
+    val e2 = intercept[IllegalArgumentException] { VocabCountEmbedder(Seq("two words")) }
+    assert(e2.getMessage.contains("whitespace"))
+    // clean vocab still round-trips through the registry
+    val emb = VocabCountEmbedder(Seq("alpha", "beta"))
+    val back = EmbedderRegistry.load(emb.name, emb.params, modelDir = "/nonexistent")
+    assert(back == emb)
+  }
+
+  test("IVF cache reap honors the grace period and the exact name shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reap").toFile
+    def mk(name: String, ageMs: Long): java.io.File = {
+      val f = new java.io.File(tmp, name)
+      assert(f.mkdir())
+      assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+      f
+    }
+    val keep = mk("graft_ivf_persist_fix_111_222", 7200000L)   // current fp
+    val stale = mk("graft_ivf_persist_fix_1_2", 7200000L)      // old fp, past grace
+    val recent = mk("graft_ivf_persist_fix_3_4", 1000L)        // old fp, within grace
+    val other = mk("graft_ivf_persist_fix_v2_5_6", 7200000L)   // different dataset
+    SparkEntry.reapStaleIvfCaches(tmp, "graft_ivf_persist_fix",
+      keepName = "graft_ivf_persist_fix_111_222")
+    assert(keep.exists(), "current fingerprint must survive")
+    assert(!stale.exists(), "old fingerprint past the grace period must be reaped")
+    assert(recent.exists(), "a cache touched within the grace period must survive (mid-read race)")
+    assert(other.exists(), "a different dataset whose name extends the base must survive")
+  }
 }
