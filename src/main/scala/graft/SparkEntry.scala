@@ -326,9 +326,31 @@ object SparkEntry {
     // §2.3 J at scale: LSH-pruned cosine self-join (candidate pruning +
     // exact re-score; recall is approximate so no oracle — ScalaTest
     // checks recall against the exact join)
+    // compound keys (3 projections ANDed per table, 8 tables ORed):
+    // at d = 64 single-projection buckets approach all-pairs (see
+    // approxCosineSelfJoin docs); this config holds recall ≥ 0.9 on
+    // the fixture (spec'd) with a candidate count that tracks true
+    // pairs, not n²
     "ann_cosine_lsh" -> ((s, d) =>
       SimJoin.approxCosineSelfJoin(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, bucketLength = 0.5, numHashTables = 6)
+        threshold = 0.35, bucketLength = 0.5, numHashTables = 8, projsPerTable = 3)
+        .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("id1"), col("id2"))),
+    // ORACLE ANCHOR for the LSH path: bucketLength ≥ 4 collapses every
+    // centered unit-projection key to bucket 0 (|dot| ≤ 1 <
+    // bucketLength/2), so candidate generation degenerates to all
+    // pairs and the operator EQUALS the exact threshold self-join —
+    // proving the banding + re-score machinery exact at full recall
+    // (the same trick ann_ivf_exact plays at nprobe = nlist). Bounded
+    // to a 2000-row subset: the degenerate mode routes ALL pairs
+    // through the candidate join + distinct, which is the point of the
+    // anchor but exactly what the approximate path exists to avoid at
+    // corpus scale.
+    "ann_cosine_lsh_exact" -> ((s, d) =>
+      SimJoin.approxCosineSelfJoin(
+        Tables(s, d, "embeddings").where(col("vec_id") < 2000),
+        "vec_id", "embedding",
+        threshold = 0.35, bucketLength = 8.0, numHashTables = 1)
         .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("id1"), col("id2"))),
     // §2.3 T: token counting + length stats
@@ -1009,6 +1031,24 @@ object SparkEntry {
       |       event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin
 
+  /** Exact all-pairs cosine-threshold SQL, shared (modulo the subset
+    * predicate) by neardup_embedding and ann_cosine_lsh_exact — the
+    * LSH path at bucketLength ≥ 4 provably degenerates to all pairs. */
+  private def neardupEmbeddingSql(extraWhere: String): String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+       |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+       |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id $extraWhere
+       |  CROSS JOIN range(1, 65) AS r(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |scored AS (SELECT id1, id2,
+       |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM p)
+       |SELECT id1, id2, round(cos, 6) AS similarity FROM scored
+       |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
+
   /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
     * and bitset physical strategies produce identical survivors. */
   private val oracleSqlJaccardSurvivors: String =
@@ -1086,20 +1126,11 @@ object SparkEntry {
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
       "ann_ivf_batch_exact" -> oracleSqlKnn,
-      "neardup_embedding" ->
-        """WITH p AS (
-          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
-          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |  CROSS JOIN range(1, 65) AS r(i)
-          |  GROUP BY a.vec_id, b.vec_id),
-          |scored AS (SELECT id1, id2,
-          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
-          |  FROM p)
-          |SELECT id1, id2, round(cos, 6) AS similarity FROM scored
-          |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+      "neardup_embedding" -> neardupEmbeddingSql(""),
+      // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
+      // query comment) — the exact baseline's oracle on the same subset
+      "ann_cosine_lsh_exact" ->
+        neardupEmbeddingSql("AND a.vec_id < 2000 AND b.vec_id < 2000"),
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

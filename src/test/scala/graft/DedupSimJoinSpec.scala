@@ -286,5 +286,43 @@ class DedupSimJoinSpec extends AnyFunSuite {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((approx -- exact).isEmpty, "LSH path must not emit sub-threshold pairs")
     assert(approx.size >= (exact.size * 0.9).toInt, s"recall ${approx.size}/${exact.size}")
+    // the compound-key config the ann_cosine_lsh query ships (3
+    // projections ANDed per table, 8 tables) must hold the same recall
+    // with far fewer candidates
+    val compound = SimJoin.approxCosineSelfJoin(e, "vec_id", "embedding", 0.35,
+      bucketLength = 0.5, numHashTables = 8, projsPerTable = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((compound -- exact).isEmpty, "compound LSH path must not emit sub-threshold pairs")
+    assert(compound.size >= (exact.size * 0.9).toInt,
+      s"compound recall ${compound.size}/${exact.size}")
+  }
+
+  test("approxCosineSelfJoin at bucketLength >= 4 EQUALS the exact join (pairs AND scores)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), round(col("similarity"), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(SimJoin.thresholdSelfJoin(e, "vec_id", "embedding", 0.35))
+    // centered keys: |dot| <= 1 < bucketLength/2 => every row in bucket
+    // 0 => all-pairs candidates => identical to the exact join
+    val degenerate = canon(SimJoin.approxCosineSelfJoin(e, "vec_id", "embedding", 0.35,
+      bucketLength = 8.0, numHashTables = 1))
+    assert(degenerate == exact,
+      s"degenerate LSH diverged: ${(degenerate -- exact).take(3)} / ${(exact -- degenerate).take(3)}")
+  }
+
+  test("random-projection keys: zero vectors land in a sentinel bucket no unit vector reaches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.fill(4)(0f)),
+      (2L, Seq.fill(4)(0f)),
+      (3L, Seq(1f, 0f, 0f, 0f))).toDF("id", "emb")
+    // zero vectors may bucket with each other but their exact re-score
+    // (cosine = 0 by engine convention) can never pass a positive
+    // threshold — and they must never collide with real vectors
+    val pairs = SimJoin.approxCosineSelfJoin(df, "id", "emb", 0.1,
+      bucketLength = 0.5, numHashTables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.isEmpty, s"zero vectors leaked through: ${pairs.mkString(",")}")
   }
 }
