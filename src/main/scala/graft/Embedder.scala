@@ -84,7 +84,11 @@ case class VocabCountEmbedder(vocab: Seq[String]) extends Embedder {
   require(vocab.forall(t => !t.contains(",") && !t.exists(_.isWhitespace)),
     s"vocab terms must be comma-free whitespace-free tokens (they are matched " +
       s"against whitespace-split text tokens and serialized comma-joined): " +
-      vocab.filter(t => t.contains(",") || t.exists(_.isWhitespace)).mkString("'", "', '", "'"))
+      vocab.filter(t => t.contains(",") || t.exists(_.isWhitespace)).mkString("'", "', '", "'") +
+      ". This can also fire on read_vec/EmbedderRegistry.load of a LEGACY sidecar " +
+      "persisted before this check existed — such a sidecar's comma-joined vocab was " +
+      "already ambiguous on disk; re-create the embedder with compliant terms and " +
+      "re-write the dataset.")
   override def name: String = "vocab_count"
   override def dim: Int = vocab.length
   override def params: Map[String, String] = Map("vocab" -> vocab.mkString(","))

@@ -135,6 +135,60 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // LSH cosine self-join telemetry at 1M×64:
+    // sbt "runMain graft.ScaleProbe 1000000 lsh". approxCosineSelfJoin's
+    // sub-quadratic claim is banded-candidate count tracking true pairs,
+    // not n² — reported per projsPerTable (the compound-key knob ml
+    // lacks). Fixture: zero-centered hash vectors (isotropic, so random
+    // cosines concentrate as N(0, 1/√d) and threshold 0.8 ≈ 6σ admits
+    // essentially only planted pairs); every id ≡ 1 (mod 100) is a
+    // 2%-noise copy of id-1 (~n/100 planted near-dups at cos ≳ 0.999).
+    if (args.contains("lsh")) {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import graft.expressions.RandomProjectionKeys
+      val lshPath = s"$path-lsh"
+      if (!new java.io.File(lshPath).exists()) {
+        val base = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+        val noise = when(col("id") % 100 === 1, lit(0.02)).otherwise(lit(0.0))
+        val comps = (0 until dim).map { i =>
+          (((pmod(hash(base * 31 + lit(i)), lit(2001)) - 1000).cast("double") / 1000.0) +
+            noise * ((pmod(hash(col("id") * 17 + lit(i)), lit(2001)) - 1000)
+              .cast("double") / 1000.0)).cast("float")
+        }
+        spark.range(n).toDF("id")
+          .select(col("id").as("vec_id"), array(comps: _*).as("embedding"))
+          .repartition(32).write.mode("overwrite").parquet(lshPath)
+      }
+      val v = spark.read.parquet(lshPath)
+      val planted = n / 100
+      for (p <- Seq(1, 2, 3)) {
+        val banded = v.select(col("vec_id"),
+            posexplode(ColumnBridge.column(RandomProjectionKeys(
+              ColumnBridge.expression(col("embedding")), 8, 0.5, 42, p))))
+          .withColumnRenamed("pos", "__table").withColumnRenamed("col", "__key")
+        var nCand = -1L
+        time(s"lsh banded candidate rows p=$p") {
+          nCand = banded.select(col("vec_id").as("id1"), col("__table"), col("__key"))
+            .join(banded.select(col("vec_id").as("id2"), col("__table"), col("__key")),
+              Seq("__table", "__key"))
+            .where(col("id1") < col("id2")).count()
+        }
+        var nOut = -1L; var nFound = -1L
+        time(s"lsh full operator p=$p") {
+          val out = SimJoin.approxCosineSelfJoin(v, "vec_id", "embedding", 0.8,
+            bucketLength = 0.5, numHashTables = 8, projsPerTable = p)
+            .localCheckpoint(true)
+          nOut = out.count()
+          nFound = out.where(col("id2") === col("id1") + 1 &&
+            col("id2") % 100 === 1).count()
+        }
+        println(f"[scale-probe] lsh p=$p candidates=$nCand output=$nOut " +
+          f"planted_found=$nFound/$planted " +
+          f"(all-pairs would be ${n * (n - 1) / 2})")
+      }
+      spark.stop()
+      return
+    }
     val idxPath = s"$path-ivf"
     time("ivf build nlist=64") {
       val idx = IvfIndex.build(e, "embedding", nlist = 64)

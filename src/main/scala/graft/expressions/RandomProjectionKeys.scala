@@ -99,11 +99,24 @@ object RandomProjectionKeys {
   // waste numTables·dim Gaussian draws per vector. Flat row-major
   // [table][dim] for cache-friendly dot loops; plane t's draws occupy
   // [t·dim, (t+1)·dim) so its content is independent of numTables.
+  // The cache lives for the executor JVM's lifetime, so it is bounded:
+  // once user-supplied (seed, dim) configs exceed the cap the whole map
+  // is dropped rather than leaking numTables·dim doubles per config
+  // forever. Plane sets are deterministic and cheap to regenerate, so
+  // eviction (and the benign regenerate-twice race it allows) can never
+  // change results.
+  private[graft] val MaxCachedPlaneSets = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def planes(seed: Int, numTables: Int, dim: Int): Array[Double] =
-    planeCache.computeIfAbsent((seed, numTables, dim), { case (s, t, d) =>
+  private[graft] def planeCacheSize: Int = planeCache.size
+
+  private def planes(seed: Int, numTables: Int, dim: Int): Array[Double] = {
+    val key = (seed, numTables, dim)
+    val hit = planeCache.get(key)
+    if (hit != null) return hit
+    if (planeCache.size >= MaxCachedPlaneSets) planeCache.clear()
+    planeCache.computeIfAbsent(key, { case (s, t, d) =>
       val rng = new java.util.Random(mix64(s.toLong ^ d.toLong * 0x9e3779b97f4a7c15L))
       val m = new Array[Double](t * d)
       var i = 0
@@ -121,6 +134,7 @@ object RandomProjectionKeys {
       }
       m
     })
+  }
 
   /** The kernel, callable from generated Java (static forwarder). */
   def keys(a: ArrayData, isFloat: Boolean, numTables: Int,

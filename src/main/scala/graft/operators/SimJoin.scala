@@ -152,7 +152,14 @@ object SimJoin {
       seed: Int = 42,
       simCol: String = "similarity",
       projsPerTable: Int = 1): DataFrame = {
-    require(threshold > -1.0 && threshold <= 1.0)
+    // threshold must be strictly positive: the zero-vector sentinel
+    // buckets zero vectors only with each other, and the exact-join
+    // equivalence at bucketLength ≥ 4 relies on zero-vs-real pairs
+    // (cosine = 0 by engine convention) never passing the filter — at
+    // threshold ≤ 0 the exact path would emit pairs the LSH path can
+    // never generate.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val rows = df.where(col(embCol).isNotNull)
     val banded = rows.select(col(idCol), col(embCol),
       posexplode(ColumnBridge.column(RandomProjectionKeys(

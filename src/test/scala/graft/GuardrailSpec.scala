@@ -207,6 +207,41 @@ class GuardrailSpec extends AnyFunSuite {
     assert(back == emb)
   }
 
+  test("approxCosineSelfJoin refuses thresholds outside (0, 1]") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "emb")
+    // at threshold ≤ 0 the exact join emits zero-vs-real pairs (cosine
+    // = 0 by convention) the LSH banding can never generate — refuse
+    for (t <- Seq(0.0, -0.5, 1.5)) {
+      intercept[IllegalArgumentException] {
+        SimJoin.approxCosineSelfJoin(df, "id", "emb", threshold = t)
+      }
+    }
+    // boundary 1.0 is legal
+    SimJoin.approxCosineSelfJoin(df, "id", "emb", threshold = 1.0)
+  }
+
+  test("RandomProjectionKeys plane cache stays bounded under many configs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = new GenericArrayData(Array[Double](1.0, 2.0, 3.0))
+    // 4× the cap of distinct seeds: an unbounded executor-lifetime map
+    // would reach 4·cap entries; the bound drops-and-refills instead
+    val cap = graft.expressions.RandomProjectionKeys.MaxCachedPlaneSets
+    for (seed <- 0 until cap * 4) {
+      graft.expressions.RandomProjectionKeys.keys(vec, isFloat = false,
+        numTables = 2, bucketLength = 1.0, seed = seed, projsPerTable = 1)
+    }
+    assert(graft.expressions.RandomProjectionKeys.planeCacheSize <= cap,
+      "plane cache exceeded its configured bound")
+    // determinism across eviction: regenerating after a clear yields
+    // identical keys (plane content is a pure function of the key)
+    val k1 = graft.expressions.RandomProjectionKeys.keys(vec, isFloat = false,
+      numTables = 2, bucketLength = 1.0, seed = 0, projsPerTable = 1)
+    val k2 = graft.expressions.RandomProjectionKeys.keys(vec, isFloat = false,
+      numTables = 2, bucketLength = 1.0, seed = 0, projsPerTable = 1)
+    assert(k1.toLongArray().sameElements(k2.toLongArray()))
+  }
+
   test("IVF cache reap honors the grace period and the exact name shape") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_reap").toFile
     def mk(name: String, ageMs: Long): java.io.File = {
