@@ -859,7 +859,9 @@ object SparkEntry {
       Tables(s, d, "documents").where(keep)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
-    // §2.3 multimodal: binary payload + typed metadata (decode stubbed)
+    // §2.3 multimodal: binary payload + typed metadata (metadata-only
+    // path — no decode needed; the real-codec decode paths are the
+    // multimodal_image_* queries below)
     "multimodal_meta" -> ((s, d) => {
       val packed = Multimodal.packTextAsMedia(Tables(s, d, "documents"), "text")
       Multimodal.withMeta(packed, "media")
@@ -950,6 +952,29 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy(col("doc_id"))
     }),
+    // §2.1 #8 multimodal ORACLED image-as-QUERY search — the
+    // reference's vignette queries an image collection with ANOTHER
+    // IMAGE (vignettes/getting-started.Rmd:218). The query PNG (an id
+    // OUTSIDE the corpus — an "external file") decodes driver-side to
+    // its imageFeatures vector; the corpus ranks over the PRECOMPUTED
+    // feature column by codegen cosine (scan → TakeOrderedAndProject,
+    // zero corpus shuffle; at 100 TB features are extracted once at
+    // ingest and the corpus is never re-decoded per query). grid=2 /
+    // bins=4 keeps the 16-dim descriptor closed-form: integer
+    // luma/histogram accumulators + one correctly-rounded division per
+    // dim + the float32 cast make every feature value BIT-identical to
+    // the synth-PNG band formulas, so the oracle rebuilds features,
+    // cosine, and ranking in pure SQL (synthPngFeatures16Sql).
+    "multimodal_image_query" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      val feats = Multimodal.extractImageFeatures(imgs, "media", grid = 2, bins = 4)
+        .drop("media")
+      Multimodal.searchByImage(feats, "features", Multimodal.synthPng(10007L),
+          k = 20, grid = 2, bins = 4, tieBreakers = Seq(asc("doc_id")))
+        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("doc_id"))
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
@@ -1022,6 +1047,66 @@ object SparkEntry {
     }.mkString(" + ")
     val na = vocab.indices.map(i => s"c$i*c$i").mkString(" + ")
     (countCols, dot, na, qCounts.map(q => q * q).sum)
+  }
+
+  /**
+   * Closed-form SQL for the 16-dim (grid=2, bins=4) `imageFeatures`
+   * descriptor of the two-band synthPng fixture — BIT-identical to the
+   * Scala integer-accumulator implementation
+   * (Multimodal.imageFeatures), not merely round-6 close:
+   *  - every pre-norm dim is an exact-integer numerator over an
+   *    exact-integer denominator, so the single double division is
+   *    correctly rounded to the same bits in both engines (the cell
+   *    values share one real ratio whatever x-multiplicity each engine
+   *    folds in);
+   *  - the norm sum is written LEFT-ASSOCIATED in dim order, mirroring
+   *    the Scala accumulation loop exactly;
+   *  - `CAST(… AS REAL)` reproduces the float32 round-to-nearest-even
+   *    quantization of `.toFloat`.
+   * All literals stay integers (a DuckDB decimal-point literal would
+   * switch the arithmetic to DECIMAL, not DOUBLE). Emits a subquery
+   * yielding (doc_id, f0..f15); dim order = 4 luma cells
+   * [top-left, top-right, bottom-left, bottom-right] then r/g/b
+   * histograms × 4 bins. With grid=2 the two top cells (and the two
+   * bottom cells) collapse to one closed form each: a band's color is
+   * constant across x, so the horizontal split changes only the
+   * pixel-count multiplicity, which cancels in the mean.
+   */
+  private def synthPngFeatures16Sql(src: String): String = {
+    val histCols = (0 until 12).map { j =>
+      val (cTop, cBot, bin) = j / 4 match {
+        case 0 => ("r1", "r2", j)
+        case 1 => ("g1", "g2", j - 4)
+        case _ => ("b1", "b2", j - 8)
+      }
+      s"CAST(w*top*(CASE WHEN ($cTop*4)//256 = $bin THEN 1 ELSE 0 END) + " +
+        s"w*(h-top)*(CASE WHEN ($cBot*4)//256 = $bin THEN 1 ELSE 0 END) AS DOUBLE) " +
+        s"/ CAST(w*h AS DOUBLE) AS h$j"
+    }.mkString(",\n       ")
+    val accNames = Seq("a_top", "a_top", "a_bot", "a_bot") ++ (0 until 12).map(j => s"h$j")
+    val normSum = accNames.map(a => s"$a*$a").mkString(" + ")
+    val fCols = accNames.zipWithIndex
+      .map { case (a, i) => s"CAST($a / sqrt(s) AS REAL) AS f$i" }.mkString(", ")
+    s"""(SELECT doc_id, $fCols FROM (
+       |   SELECT doc_id, a_top, a_bot, ${(0 until 12).map(j => s"h$j").mkString(", ")},
+       |          ($normSum) AS s FROM (
+       |     SELECT doc_id,
+       |       CAST(top*L1 + (g0-top)*L2 AS DOUBLE) / CAST(g0*255000 AS DOUBLE) AS a_top,
+       |       CAST(L2 AS DOUBLE) / CAST(255000 AS DOUBLE) AS a_bot,
+       |       w, h, top, r1, g1, b1, r2, g2, b2,
+       |       $histCols
+       |     FROM (
+       |       SELECT doc_id, w, h, h//2 AS top, (h+1)//2 AS g0,
+       |              299*r1 + 587*g1 + 114*b1 AS L1, 299*r2 + 587*g2 + 114*b2 AS L2,
+       |              r1, g1, b1, r2, g2, b2
+       |       FROM (
+       |         SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |                (doc_id*37+11) % 256 AS r1, (doc_id*59+23) % 256 AS g1,
+       |                (doc_id*83+5) % 256 AS b1,
+       |                (doc_id*101+7) % 256 AS r2, (doc_id*131+17) % 256 AS g2,
+       |                (doc_id*151+29) % 256 AS b2
+       |         FROM $src)))
+       |  ))""".stripMargin
   }
 
   /** Shared by events_hourly (batch) and events_hourly_stream (the same
@@ -1596,6 +1681,29 @@ object SparkEntry {
           |       round((g1*top + g2*(h-top)) * 1.0 / h, 6) AS mean_g,
           |       round((b1*top + b2*(h-top)) * 1.0 / h, 6) AS mean_b
           |FROM p ORDER BY doc_id""".stripMargin,
+      // Image-as-query search: rebuild the 16-dim descriptor of every
+      // corpus image AND of the external query image (id 10007, not in
+      // documents) from the band formulas — bit-identical to the Scala
+      // decode path (see synthPngFeatures16Sql) — then the cosine with
+      // per-index DOUBLE expansion in dim order (matching the
+      // CosineSimilarity accumulation loop), raw-score inner LIMIT,
+      // rounded outer ORDER BY.
+      "multimodal_image_query" -> {
+        val dot = (0 until 16)
+          .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
+        val na = (0 until 16)
+          .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(c.f$i AS DOUBLE)").mkString(" + ")
+        val nb = (0 until 16)
+          .map(i => s"CAST(q.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
+        s"""WITH sc AS (
+           |  SELECT c.doc_id,
+           |         ($dot) / (sqrt($na) * sqrt($nb)) AS raw
+           |  FROM ${synthPngFeatures16Sql("documents")} c
+           |  CROSS JOIN ${synthPngFeatures16Sql("(SELECT CAST(10007 AS BIGINT) AS doc_id)")} q),
+           |top AS (SELECT doc_id, raw FROM sc ORDER BY raw DESC, doc_id LIMIT 20)
+           |SELECT doc_id, round(raw, 6) AS similarity FROM top
+           |ORDER BY similarity DESC, doc_id""".stripMargin
+      },
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty,

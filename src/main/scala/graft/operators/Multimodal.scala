@@ -186,17 +186,28 @@ object Multimodal {
   }
 
   /** Grid-luminance + RGB-histogram descriptor from decoded pixels:
-    * `grid`×`grid` mean-luma cells followed by 3×`bins` channel
-    * histograms (pixel-count normalised), then L2-normalised. Dim =
-    * grid² + 3·bins. Resolution-invariant by construction (cell means,
-    * normalised counts) — the property a real embedding would share. */
+    * `grid`×`grid` mean-luma cells (Rec. 601 luma, kept in exact
+    * rational form (299·R + 587·G + 114·B)/255000) followed by
+    * 3×`bins` channel histograms (pixel-count normalised), then
+    * L2-normalised. Dim = grid² + 3·bins. Resolution-invariant by
+    * construction (cell means, normalised counts) — the property a
+    * real embedding would share.
+    *
+    * Accumulation is EXACT-INTEGER (luma numerators and histogram
+    * counts), with one correctly-rounded double division per output
+    * dim — so the descriptor of an analytically-known image (e.g. the
+    * two-band `synthPng` fixture) is bit-reproducible from closed-form
+    * arithmetic in any engine, which is what lets `searchByImage` be
+    * oracle-checked end-to-end (same trick as `imageStats`). Integer
+    * adds are also cheaper than fp adds in the w·h hot loop. */
   def imageFeatures(img: BufferedImage, grid: Int = 4, bins: Int = 8): Array[Float] = {
     require(grid > 0 && bins > 0, s"grid and bins must be positive, got grid=$grid bins=$bins")
     val w = img.getWidth; val h = img.getHeight
     val cells = grid * grid
     val dim = cells + 3 * bins
-    val acc = new Array[Double](dim)
-    val cellCount = new Array[Int](cells)
+    val lumAcc = new Array[Long](cells)   // Σ (299R + 587G + 114B), exact
+    val cellCount = new Array[Long](cells)
+    val hist = new Array[Long](3 * bins)
     // one bulk getRGB per image — identical sRGB values to per-pixel
     // calls, without w·h crossings of the ColorModel dispatch
     val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -210,19 +221,23 @@ object Multimodal {
         val p = px(rowOff + x)
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         val cell = gy * grid + gx
-        acc(cell) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        lumAcc(cell) += 299L * r + 587L * g + 114L * b
         cellCount(cell) += 1
-        acc(cells + r * bins / 256) += 1.0
-        acc(cells + bins + g * bins / 256) += 1.0
-        acc(cells + 2 * bins + b * bins / 256) += 1.0
+        hist(r * bins / 256) += 1
+        hist(bins + g * bins / 256) += 1
+        hist(2 * bins + b * bins / 256) += 1
         x += 1
       }
       y += 1
     }
     val nPix = (w.toLong * h).toDouble
+    val acc = new Array[Double](dim)
     var i = 0
-    while (i < cells) { if (cellCount(i) > 0) acc(i) /= cellCount(i); i += 1 }
-    while (i < dim) { acc(i) /= nPix; i += 1 }
+    while (i < cells) {
+      if (cellCount(i) > 0) acc(i) = lumAcc(i).toDouble / (cellCount(i) * 255000.0)
+      i += 1
+    }
+    while (i < dim) { acc(i) = hist(i - cells).toDouble / nPix; i += 1 }
     var s = 0.0; i = 0
     while (i < dim) { s += acc(i) * acc(i); i += 1 }
     val norm = math.sqrt(s)
@@ -252,6 +267,43 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ feats)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Image-as-query similarity search — the reference's vignette queries
+   * an image collection with ANOTHER IMAGE, not text
+   * (/root/reference/vignettes/getting-started.Rmd:218: `nearest(images,
+   * system.file("images", "dog-on-beach.jpeg", ...))`). The query
+   * payload is decoded ONCE on the driver (one image — never a
+   * distributed job), its feature vector becomes a broadcast literal,
+   * and ranking is the same zero-shuffle scan → codegen cosine →
+   * `TakeOrderedAndProject` plan as every other `nearest` path. The
+   * corpus side ranks over a PRECOMPUTED feature column
+   * (`extractImageFeatures`) — at 100 TB you extract features once at
+   * ingest and run every image query against the column, never
+   * re-decoding the corpus.
+   *
+   * `grid`/`bins` must match the values the corpus features were
+   * extracted with — checked against the column's array length at plan
+   * time where possible (a mismatched query vector would silently
+   * zero-pad in cosine).
+   */
+  def searchByImage(
+      df: DataFrame,
+      featCol: String,
+      queryImage: Array[Byte],
+      k: Int = 5,
+      grid: Int = 4,
+      bins: Int = 8,
+      minScore: Double = 0.0,
+      simCol: String = "similarity",
+      tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val img = decodeImage(queryImage).getOrElse(throw new IllegalArgumentException(
+      s"query image payload (${if (queryImage == null) 0 else queryImage.length} bytes) " +
+        "could not be decoded by the registered codecs"))
+    val qv = imageFeatures(img, grid, bins)
+    Nearest.topK(df, featCol, lit(qv).cast("array<float>"), n = k,
+      minScore = minScore, simCol = simCol, tieBreakers = tieBreakers)
   }
 
   // ---------------------------------------------------------------------

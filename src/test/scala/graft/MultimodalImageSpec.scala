@@ -237,4 +237,61 @@ class MultimodalImageSpec extends AnyFunSuite {
       assert(fa.length == 40 && fa == fb, s"doc ${a.getLong(0)} features drifted")
     }
   }
+
+  test("extractImageFeatures (distributed) is BIT-equal to driver imageFeatures at the oracle config") {
+    import spark.implicits._
+    // grid=2/bins=4 is the config multimodal_image_query's SQL oracle
+    // reproduces closed-form — pin the distributed path to the driver
+    // function bit-for-bit so the oracle anchors the whole decode path
+    val ids = (0L until 30L).toDF("doc_id").repartition(4)
+    val dist = Multimodal.extractImageFeatures(
+        Multimodal.withSynthPng(ids, "doc_id"), "media", grid = 2, bins = 4)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (id <- 0L until 30L) {
+      val local = Multimodal.imageFeatures(
+        Multimodal.decodeImage(Multimodal.synthPng(id)).get, grid = 2, bins = 4)
+      assert(dist(id).sameElements(local), s"doc $id distributed vs driver features differ")
+    }
+  }
+
+  test("searchByImage: a rescaled near-duplicate of the query image ranks first") {
+    import spark.implicits._
+    // synthPng colors cycle mod 256, so a query id sharing a residue
+    // with a corpus id (and the same top/h band fraction) has an
+    // IDENTICAL resolution-invariant descriptor — a genuine corpus
+    // near-duplicate that would legitimately tie the planted twin.
+    // 10100 ≡ 116 (mod 256) keeps the colors disjoint from ids 0..49.
+    val qid = 10100L
+    val qBytes = Multimodal.synthPng(qid)
+    // 2x nearest-neighbor upscale of the query image: identical band
+    // colors, identical band fractions — the resolution-invariant
+    // descriptor scores it ~1.0, the way a re-encoded/resized copy of a
+    // photo should outrank unrelated images
+    val orig = Multimodal.decodeImage(qBytes).get
+    val twin = new BufferedImage(orig.getWidth * 2, orig.getHeight * 2,
+      BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until twin.getHeight; x <- 0 until twin.getWidth)
+      twin.setRGB(x, y, orig.getRGB(x / 2, y / 2))
+    val corpus = (0L until 50L).map(id => (id, Multimodal.synthPng(id))) :+
+      (999L, png(twin))
+    val feats = Multimodal.extractImageFeatures(
+      corpus.toDF("doc_id", "media"), "media").drop("media")
+    val top = Multimodal.searchByImage(feats, "features", qBytes, k = 3,
+      tieBreakers = Seq(asc("doc_id"))).collect()
+    assert(top(0).getLong(0) == 999L, s"near-duplicate did not rank first: ${top.toSeq}")
+    val s0 = top(0).getAs[Double]("similarity")
+    val s1 = top(1).getAs[Double]("similarity")
+    assert(s0 > 0.999, s"near-duplicate similarity unexpectedly low: $s0")
+    assert(s0 > s1, "near-duplicate must strictly outrank the best unrelated image")
+  }
+
+  test("searchByImage refuses an undecodable query payload") {
+    import spark.implicits._
+    val feats = Seq((1L, Array(1f, 0f))).toDF("doc_id", "features")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.searchByImage(feats, "features", Array[Byte](1, 2, 3), k = 1)
+    }
+    assert(e.getMessage.contains("could not be decoded"))
+  }
 }
