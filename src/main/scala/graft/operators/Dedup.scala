@@ -23,6 +23,7 @@ import graft.functions.vectors
  * | PPJoin exact (`prefixJaccardPairs`) | Jaccard ≥ t, EXACT       | prefix inverted index, sub-quadratic (candidates ∝ true pairs) | need exact pairs without a blocking key; the default exact tier |
  * | all-pairs exact (`jaccardPairs`)    | Jaccard ≥ t, EXACT       | O(pairs) within blocks — needs `groupCol` blocking | small corpora or strong natural blocking; the oracle baseline |
  * | bitset exact (`bitsetJaccardPairs`) | Jaccard ≥ t, EXACT       | popcount arithmetic; vocab ≤ 4096 (refuses above) | bounded vocabularies (codes, tags, templated text): ~5× the hash tier |
+ * | winnowing (`winnowOverlapPairs`)    | shared SUBSTRINGS (copied passages) | codegen rolling-hash fingerprints + df-capped inverted index | plagiarism-style overlap that token-set Jaccard misses (reordered docs sharing a paragraph) |
  * | embedding (`embeddingPairs`)        | semantic near-dups       | threshold self-join; LSH twin at scale | paraphrase-level dedup after an embed stage |
  *
  * Precision need → exact tiers (PPJoin default); recall-tolerant scale

@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
  * (:66-67). Rendering is presentation, not dataflow — out of engine
  * scope.
  *
+ * UMAP — the reference's DEFAULT `method` — is a FORMAL NON-GOAL of
+ * this engine: uwot's stochastic SGD optimizer has no deterministic
+ * JVM analog, and a hand-rolled approximation would be neither the
+ * published algorithm nor reproducible across runs. Use `tsne` for
+ * the same small-n driver-side inspection use case (identical
+ * locality to the reference's own uwot call, which also collects to
+ * one process) or `pca` at corpus scale. Also stated in README's
+ * quickstart table and COVERAGE.md's deviations section.
+ *
  * Two projection methods, mirroring the reference's `method` argument
  * (visualization.R:40-57, default umap, fallback pca):
  *  - `pca` — fully distributed (treeAggregate moments + d×d Gramian on
