@@ -878,7 +878,10 @@ object SparkEntry {
       Multimodal.extractImageFeatures(imgs, "media", grid = 4, bins = 8)
         .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
           round(vectors.vector_norm(col("features")), 6).as("norm"),
-          round(element_at(col("features"), 1), 6).as("cell0"))
+          // widen BEFORE rounding: round() on a float column stays
+          // float32, whose nearest-to-0.038879 value is not the double
+          // the oracle produces
+          round(element_at(col("features"), 1).cast("double"), 6).as("cell0"))
         .orderBy(col("doc_id"))
     }),
     // §2.3 multimodal ORACLED text→IMAGE search: a TEXT query retrieves
@@ -1681,6 +1684,69 @@ object SparkEntry {
           |       round((g1*top + g2*(h-top)) * 1.0 / h, 6) AS mean_g,
           |       round((b1*top + b2*(h-top)) * 1.0 / h, 6) AS mean_b
           |FROM p ORDER BY doc_id""".stripMargin,
+      // The default 40-dim (grid=4, bins=8) descriptor, BIT-exactly:
+      // same integer-numerator/left-assoc-norm/REAL-cast contract as
+      // synthPngFeatures16Sql, but grid-4 row bands need actual row
+      // counts — a per-image y series (LATERAL generate_series over
+      // [0, h)) groups rows by (y*4)//h and counts how many fall in
+      // the top color band. A band's color is constant across x, so
+      // the 4 cells of one row band share a single closed form and the
+      // x-multiplicity cancels in the mean.
+      "multimodal_features" -> {
+        val hists = (for (c <- 0 until 3; j <- 0 until 8) yield {
+          val (cT, cB) = c match {
+            case 0 => ("r1", "r2"); case 1 => ("g1", "g2"); case _ => ("b1", "b2")
+          }
+          s"CAST(w*top*(CASE WHEN ($cT*8)//256 = $j THEN 1 ELSE 0 END) + " +
+            s"w*(h-top)*(CASE WHEN ($cB*8)//256 = $j THEN 1 ELSE 0 END) AS DOUBLE) " +
+            s"/ CAST(w*h AS DOUBLE) AS h${c * 8 + j}"
+        }).mkString(",\n           ")
+        val accNames = (0 until 16).map(i => s"a${i / 4}") ++ (0 until 24).map(k => s"h$k")
+        val normSum = accNames.map(a => s"$a*$a").mkString(" + ")
+        val fCols = accNames.zipWithIndex
+          .map { case (a, i) => s"CAST($a / sqrt(s) AS REAL) AS f$i" }.mkString(", ")
+        val n40 = (0 until 40)
+          .map(i => s"CAST(f$i AS DOUBLE)*CAST(f$i AS DOUBLE)").mkString(" + ")
+        s"""WITH p AS (
+           |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           |         (8 + doc_id % 7)//2 AS top,
+           |         299*((doc_id*37+11) % 256) + 587*((doc_id*59+23) % 256)
+           |           + 114*((doc_id*83+5) % 256) AS L1,
+           |         299*((doc_id*101+7) % 256) + 587*((doc_id*131+17) % 256)
+           |           + 114*((doc_id*151+29) % 256) AS L2,
+           |         (doc_id*37+11) % 256 AS r1, (doc_id*59+23) % 256 AS g1,
+           |         (doc_id*83+5) % 256 AS b1,
+           |         (doc_id*101+7) % 256 AS r2, (doc_id*131+17) % 256 AS g2,
+           |         (doc_id*151+29) % 256 AS b2
+           |  FROM documents),
+           |gy AS (
+           |  SELECT p.doc_id, (y.y * 4) // p.h AS g, count(*) AS rows_g,
+           |         sum(CASE WHEN y.y < p.top THEN 1 ELSE 0 END) AS toprows_g
+           |  FROM p, LATERAL unnest(generate_series(0, p.h - 1)) AS y(y)
+           |  GROUP BY p.doc_id, (y.y * 4) // p.h),
+           |cellv AS (
+           |  SELECT gy.doc_id, gy.g,
+           |         CAST(gy.toprows_g * p.L1 + (gy.rows_g - gy.toprows_g) * p.L2 AS DOUBLE)
+           |           / CAST(gy.rows_g * 255000 AS DOUBLE) AS val
+           |  FROM gy JOIN p ON gy.doc_id = p.doc_id),
+           |av AS (
+           |  SELECT doc_id,
+           |         max(CASE WHEN g = 0 THEN val END) AS a0,
+           |         max(CASE WHEN g = 1 THEN val END) AS a1,
+           |         max(CASE WHEN g = 2 THEN val END) AS a2,
+           |         max(CASE WHEN g = 3 THEN val END) AS a3
+           |  FROM cellv GROUP BY doc_id),
+           |acc AS (
+           |  SELECT p.doc_id, av.a0, av.a1, av.a2, av.a3,
+           |           $hists
+           |  FROM p JOIN av ON p.doc_id = av.doc_id),
+           |nrm AS (SELECT *, ($normSum) AS s FROM acc),
+           |f AS (SELECT doc_id, $fCols FROM nrm)
+           |SELECT doc_id, CAST(40 AS BIGINT) AS dim,
+           |       round(sqrt($n40), 6) AS norm,
+           |       round(CAST(f0 AS DOUBLE), 6) AS cell0
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
       // Image-as-query search: rebuild the 16-dim descriptor of every
       // corpus image AND of the external query image (id 10007, not in
       // documents) from the band formulas — bit-identical to the Scala
