@@ -137,12 +137,22 @@ object ScaleProbe {
     }
     // LSH cosine self-join telemetry at 1M×64:
     // sbt "runMain graft.ScaleProbe 1000000 lsh". approxCosineSelfJoin's
-    // sub-quadratic claim is banded-candidate count tracking true pairs,
-    // not n² — reported per projsPerTable (the compound-key knob ml
-    // lacks). Fixture: zero-centered hash vectors (isotropic, so random
-    // cosines concentrate as N(0, 1/√d) and threshold 0.8 ≈ 6σ admits
-    // essentially only planted pairs); every id ≡ 1 (mod 100) is a
-    // 2%-noise copy of id-1 (~n/100 planted near-dups at cos ≳ 0.999).
+    // sub-quadratic claim is banded-candidate count tracking true
+    // pairs, not n² — reported per projsPerTable (the compound-key
+    // knob ml lacks). Fixture: zero-centered hash vectors (isotropic,
+    // so random cosines concentrate as N(0, 1/√d) and essentially only
+    // planted pairs pass a 0.99 threshold); every id ≡ 1 (mod 100) is
+    // a 2%-noise copy of id-1 (~n/100 planted near-dups, cos ≈ 0.9998).
+    //
+    // Candidate counts are computed ANALYTICALLY from bucket occupancy
+    // (Σ n_b·(n_b−1)/2 over (table, key) cells — exactly the rows the
+    // banded self-join would materialize) so the pathological configs
+    // can be REPORTED instead of run: at d=64 a unit projection of a
+    // unit vector concentrates as N(0, 1/8), so at p=1 nearly the whole
+    // corpus lands in one bucket per table and the join approaches all
+    // pairs (~10¹² rows at 1M — this is the documented ml-scheme
+    // failure the compound keys exist to fix). The full operator runs
+    // only where the measured candidate count is feasible.
     if (args.contains("lsh")) {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       import graft.expressions.RandomProjectionKeys
@@ -159,31 +169,36 @@ object ScaleProbe {
           .select(col("id").as("vec_id"), array(comps: _*).as("embedding"))
           .repartition(32).write.mode("overwrite").parquet(lshPath)
       }
-      val v = spark.read.parquet(lshPath)
+      val v = spark.read.parquet(lshPath).localCheckpoint(true)
       val planted = n / 100
-      for (p <- Seq(1, 2, 3)) {
+      val tables = 8; val bucketLen = 0.125
+      for (p <- Seq(1, 2, 3, 4, 5, 6, 7, 8)) {
         val banded = v.select(col("vec_id"),
             posexplode(ColumnBridge.column(RandomProjectionKeys(
-              ColumnBridge.expression(col("embedding")), 8, 0.5, 42, p))))
+              ColumnBridge.expression(col("embedding")), tables, bucketLen, 42, p))))
           .withColumnRenamed("pos", "__table").withColumnRenamed("col", "__key")
         var nCand = -1L
-        time(s"lsh banded candidate rows p=$p") {
-          nCand = banded.select(col("vec_id").as("id1"), col("__table"), col("__key"))
-            .join(banded.select(col("vec_id").as("id2"), col("__table"), col("__key")),
-              Seq("__table", "__key"))
-            .where(col("id1") < col("id2")).count()
+        time(s"lsh analytic candidate count p=$p") {
+          // n·(n−1) is even and the sum stays < 2^53; divide AFTER the
+          // long sum (Column `/` is double division and would make
+          // getLong throw)
+          nCand = banded.groupBy("__table", "__key").count()
+            .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
         }
         var nOut = -1L; var nFound = -1L
-        time(s"lsh full operator p=$p") {
-          val out = SimJoin.approxCosineSelfJoin(v, "vec_id", "embedding", 0.8,
-            bucketLength = 0.5, numHashTables = 8, projsPerTable = p)
-            .localCheckpoint(true)
-          nOut = out.count()
-          nFound = out.where(col("id2") === col("id1") + 1 &&
-            col("id2") % 100 === 1).count()
+        if (nCand < 2000000000L) {
+          time(s"lsh full operator p=$p") {
+            val out = SimJoin.approxCosineSelfJoin(v, "vec_id", "embedding", 0.99,
+                bucketLength = bucketLen, numHashTables = tables, projsPerTable = p)
+              .localCheckpoint(true)
+            nOut = out.count()
+            nFound = out.where(col("id2") === col("id1") + 1 &&
+              col("id2") % 100 === 1).count()
+          }
         }
-        println(f"[scale-probe] lsh p=$p candidates=$nCand output=$nOut " +
-          f"planted_found=$nFound/$planted " +
+        val ran = if (nOut >= 0) s"output=$nOut planted_found=$nFound/$planted"
+          else "operator SKIPPED (candidate count infeasible by design at this p)"
+        println(f"[scale-probe] lsh p=$p candidates=$nCand $ran " +
           f"(all-pairs would be ${n * (n - 1) / 2})")
       }
       spark.stop()
