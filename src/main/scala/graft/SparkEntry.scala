@@ -978,6 +978,26 @@ object SparkEntry {
         .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("doc_id"))
     }),
+    // §2.3 J + M composition ORACLED: the image-as-query SCALE path —
+    // the same query served through an IVF ANN index built over the
+    // precomputed feature column (extract once at ingest, index once,
+    // probe nprobe cells per query instead of scanning the corpus). At
+    // nprobe = nlist the probe filter admits every cell, so the search
+    // is provably exact and SHARES multimodal_image_query's bit-exact
+    // oracle — the same anchoring pattern as ann_ivf_exact.
+    "multimodal_image_query_ivf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      val feats = Multimodal.extractImageFeatures(imgs, "media", grid = 2, bins = 4)
+        .drop("media")
+      val idx = IvfIndex.build(feats, "features", nlist = 8)
+      val q = Multimodal.imageFeatures(
+        Multimodal.decodeImage(Multimodal.synthPng(10007L)).get, grid = 2, bins = 4)
+      idx.search(q, k = 20, nprobe = idx.centroidVectors.length,
+          tieBreakers = Seq(asc("doc_id")))
+        .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("doc_id"))
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
@@ -1110,6 +1130,26 @@ object SparkEntry {
        |                (doc_id*151+29) % 256 AS b2
        |         FROM $src)))
        |  ))""".stripMargin
+  }
+
+  /** Shared by multimodal_image_query (brute-force scan) and
+    * multimodal_image_query_ivf (the IVF-served scale path, provably
+    * exact at nprobe = nlist — the ann_ivf_exact anchoring pattern). */
+  private lazy val oracleSqlImageQuery: String = {
+    val dot = (0 until 16)
+      .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
+    val na = (0 until 16)
+      .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(c.f$i AS DOUBLE)").mkString(" + ")
+    val nb = (0 until 16)
+      .map(i => s"CAST(q.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
+    s"""WITH sc AS (
+       |  SELECT c.doc_id,
+       |         ($dot) / (sqrt($na) * sqrt($nb)) AS raw
+       |  FROM ${synthPngFeatures16Sql("documents")} c
+       |  CROSS JOIN ${synthPngFeatures16Sql("(SELECT CAST(10007 AS BIGINT) AS doc_id)")} q),
+       |top AS (SELECT doc_id, raw FROM sc ORDER BY raw DESC, doc_id LIMIT 20)
+       |SELECT doc_id, round(raw, 6) AS similarity FROM top
+       |ORDER BY similarity DESC, doc_id""".stripMargin
   }
 
   /** Shared by events_hourly (batch) and events_hourly_stream (the same
@@ -1753,23 +1793,10 @@ object SparkEntry {
       // decode path (see synthPngFeatures16Sql) — then the cosine with
       // per-index DOUBLE expansion in dim order (matching the
       // CosineSimilarity accumulation loop), raw-score inner LIMIT,
-      // rounded outer ORDER BY.
-      "multimodal_image_query" -> {
-        val dot = (0 until 16)
-          .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
-        val na = (0 until 16)
-          .map(i => s"CAST(c.f$i AS DOUBLE)*CAST(c.f$i AS DOUBLE)").mkString(" + ")
-        val nb = (0 until 16)
-          .map(i => s"CAST(q.f$i AS DOUBLE)*CAST(q.f$i AS DOUBLE)").mkString(" + ")
-        s"""WITH sc AS (
-           |  SELECT c.doc_id,
-           |         ($dot) / (sqrt($na) * sqrt($nb)) AS raw
-           |  FROM ${synthPngFeatures16Sql("documents")} c
-           |  CROSS JOIN ${synthPngFeatures16Sql("(SELECT CAST(10007 AS BIGINT) AS doc_id)")} q),
-           |top AS (SELECT doc_id, raw FROM sc ORDER BY raw DESC, doc_id LIMIT 20)
-           |SELECT doc_id, round(raw, 6) AS similarity FROM top
-           |ORDER BY similarity DESC, doc_id""".stripMargin
-      },
+      // rounded outer ORDER BY. Shared with the IVF-served variant,
+      // which is provably exact at nprobe = nlist.
+      "multimodal_image_query" -> oracleSqlImageQuery,
+      "multimodal_image_query_ivf" -> oracleSqlImageQuery,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 2) AS sum_qty,

@@ -93,4 +93,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "TakeOrderedAndProject must be upstream (printed below) the decode — " +
         "decoding before ranking would run the codec over the whole corpus")
   }
+
+  test("image-as-query search ranks via TakeOrderedAndProject with no exchange under it") {
+    val p = plan("multimodal_image_query")
+    assert(p.contains("TakeOrderedAndProject"),
+      "image query must rank through the bounded-heap top-k, not a global sort")
+    // the query vector is a literal (decoded driver-side), so below the
+    // top-k there must be NO shuffle of the corpus: the feature scan +
+    // cosine scoring pipeline to the per-partition heaps directly
+    val belowTopK = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!belowTopK.contains("Exchange"),
+      "no corpus exchange may run under the image-query top-k")
+    assert(!belowTopK.contains("Sort"), "no sort may run under the top-k")
+  }
 }
