@@ -24,7 +24,8 @@ object Bench {
     // are not comparable with a build+query timing).
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val warmIvf = selected.keys.exists(_.startsWith("ann_ivf"))
+    val warmIvf = selected.keys.exists(k =>
+      k.startsWith("ann_ivf") || k == "multimodal_image_query_ivf")
     if (warmIvf)
       try SparkEntry.warm(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] IVF warm failed: $e") }
