@@ -24,10 +24,11 @@ object Bench {
     // are not comparable with a build+query timing).
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val warmIvf = selected.keys.exists(k =>
-      k.startsWith("ann_ivf") || k == "multimodal_image_query_ivf")
+    val warmText = selected.keys.exists(_.startsWith("ann_ivf"))
+    val warmImage = selected.contains("multimodal_image_query_ivf")
+    val warmIvf = warmText || warmImage
     if (warmIvf)
-      try SparkEntry.warm(spark, sfDir)
+      try SparkEntry.warm(spark, sfDir, text = warmText, image = warmImage)
       catch { case e: Throwable => System.err.println(s"[bench] IVF warm failed: $e") }
     // Median-of-5 for queries whose first run exceeds 1s: run-to-run
     // noise on this box is ~±15% of suite total (GC/JIT luck), so one
@@ -47,7 +48,13 @@ object Bench {
       // cache among them), which measurably SLOWS and destabilizes
       // every subsequent sample rather than quieting it.
       val first = once()
-      val t = if (first > 1.0) (first +: Seq.fill(4)(once())).sorted.apply(2) else first
+      val t = if (first > 1.0) {
+        // failed re-runs (-1 sentinel) must not enter the median — one
+        // transient failure would silently deflate the reported time.
+        // Median over the successful samples; all-failed reports -1.
+        val ok = (first +: Seq.fill(4)(once())).filter(_ >= 0.0)
+        if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+      } else first
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -101,17 +101,28 @@ object SparkEntry {
     perSessionIvf(s).computeIfAbsent(s"$d#$nlist",
       _ => IvfIndex.build(Tables(s, d, "embeddings"), "embedding", nlist))
 
+  /** The ONE image-feature frame the image-as-query pair ranks over:
+    * synth PNGs → real decode → 16-dim (grid=2, bins=4) descriptors.
+    * Shared by `multimodal_image_query` and `imageIvfFor` so the
+    * brute-force query and its IVF twin can never silently diverge on
+    * the extraction config while claiming one oracle. */
+  private def imageFeatureFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select("doc_id")
+    val imgs = Multimodal.withSynthPng(docs, "doc_id")
+    Multimodal.extractImageFeatures(imgs, "media", grid = 2, bins = 4).drop("media")
+  }
+
   /** Memoized IVF over the synthetic image FEATURE column — same
     * build-once rationale as `ivfFor` (deterministic: KMeans seed is
-    * pinned inside IvfIndex.build, features are exact). */
+    * pinned inside IvfIndex.build, features are exact). The feature
+    * frame is lazily localCheckpoint'ed before the build: without it
+    * `indexed` keeps the encode→decode→extract lineage and every probe
+    * re-runs the codec over the corpus — the opposite of the
+    * "extract once at ingest" shape this query demonstrates. */
   private def imageIvfFor(s: SparkSession, d: String, nlist: Int = 8): IvfIndex =
-    perSessionIvf(s).computeIfAbsent(s"$d#imgfeat#$nlist", { _ =>
-      val docs = Tables(s, d, "documents").select("doc_id")
-      val imgs = Multimodal.withSynthPng(docs, "doc_id")
-      val feats = Multimodal.extractImageFeatures(imgs, "media", grid = 2, bins = 4)
-        .drop("media")
-      IvfIndex.build(feats, "features", nlist)
-    })
+    perSessionIvf(s).computeIfAbsent(s"$d#imgfeat#$nlist",
+      _ => IvfIndex.build(imageFeatureFrame(s, d).localCheckpoint(false),
+        "features", nlist))
 
   /** Reap persisted-IVF caches of OLDER fingerprints of the same
     * fixture, so regeneration doesn't accumulate stale index dirs. The
@@ -145,9 +156,13 @@ object SparkEntry {
   /** Pre-build memoized artifacts (the IVF coarse quantizer) so bench
     * timings measure the recurring probe path, not one-time index
     * construction. */
-  def warm(spark: SparkSession, sfDir: String): Unit = {
-    ivfFor(spark, sfDir).indexed.count(): Unit
-    imageIvfFor(spark, sfDir).indexed.count(): Unit
+  /** Pre-build the memoized indexes the selected bench queries use —
+    * each only on request, so iterating on one query with
+    * SPARK_GRAFT_ONLY never pays the other index's KMeans fit. */
+  def warm(spark: SparkSession, sfDir: String,
+      text: Boolean = true, image: Boolean = true): Unit = {
+    if (text) ivfFor(spark, sfDir).indexed.count(): Unit
+    if (image) imageIvfFor(spark, sfDir).indexed.count(): Unit
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -985,11 +1000,8 @@ object SparkEntry {
     // the synth-PNG band formulas, so the oracle rebuilds features,
     // cosine, and ranking in pure SQL (synthPngFeatures16Sql).
     "multimodal_image_query" -> ((s, d) => {
-      val docs = Tables(s, d, "documents").select("doc_id")
-      val imgs = Multimodal.withSynthPng(docs, "doc_id")
-      val feats = Multimodal.extractImageFeatures(imgs, "media", grid = 2, bins = 4)
-        .drop("media")
-      Multimodal.searchByImage(feats, "features", Multimodal.synthPng(10007L),
+      Multimodal.searchByImage(imageFeatureFrame(s, d), "features",
+          Multimodal.synthPng(10007L),
           k = 20, grid = 2, bins = 4, tieBreakers = Seq(asc("doc_id")))
         .select(col("doc_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("doc_id"))

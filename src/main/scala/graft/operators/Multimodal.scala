@@ -284,9 +284,11 @@ object Multimodal {
    * re-decoding the corpus.
    *
    * `grid`/`bins` must match the values the corpus features were
-   * extracted with — checked against the column's array length at plan
-   * time where possible (a mismatched query vector would silently
-   * zero-pad in cosine).
+   * extracted with: a per-row dimension guard rides the feature column
+   * and throws on the first mismatched row (CosineSimilarity would
+   * otherwise silently score over the common prefix of mismatched
+   * lengths and return garbage rankings). NULL features pass through —
+   * they score 0, the engine's unembedded-row rule.
    */
   def searchByImage(
       df: DataFrame,
@@ -302,8 +304,18 @@ object Multimodal {
       s"query image payload (${if (queryImage == null) 0 else queryImage.length} bytes) " +
         "could not be decoded by the registered codecs"))
     val qv = imageFeatures(img, grid, bins)
-    Nearest.topK(df, featCol, lit(qv).cast("array<float>"), n = k,
-      minScore = minScore, simCol = simCol, tieBreakers = tieBreakers)
+    val guarded = when(col(featCol).isNull || size(col(featCol)) === lit(qv.length),
+        col(featCol))
+      .otherwise(raise_error(concat(
+        lit(s"searchByImage: feature column '$featCol' has dim "),
+        size(col(featCol)).cast("string"),
+        lit(s" but the query descriptor has dim ${qv.length} — " +
+          s"grid/bins ($grid/$bins) must match the extraction config"))))
+    val guardCol = "__graft_feat_guard"
+    Nearest.topK(df.withColumn(guardCol, guarded), guardCol,
+        lit(qv).cast("array<float>"), n = k,
+        minScore = minScore, simCol = simCol, tieBreakers = tieBreakers)
+      .drop(guardCol)
   }
 
   // ---------------------------------------------------------------------

@@ -14,24 +14,22 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
  * (:66-67). Rendering is presentation, not dataflow — out of engine
  * scope.
  *
- * UMAP — the reference's DEFAULT `method` — is a FORMAL NON-GOAL of
- * this engine: uwot's stochastic SGD optimizer has no deterministic
- * JVM analog, and a hand-rolled approximation would be neither the
- * published algorithm nor reproducible across runs. Use `tsne` for
- * the same small-n driver-side inspection use case (identical
- * locality to the reference's own uwot call, which also collects to
- * one process) or `pca` at corpus scale. Also stated in README's
- * quickstart table and COVERAGE.md's deviations section.
- *
- * Two projection methods, mirroring the reference's `method` argument
- * (visualization.R:40-57, default umap, fallback pca):
+ * Three projection methods, mirroring the reference's `method`
+ * argument (visualization.R:40-57, default umap, fallback pca):
  *  - `pca` — fully distributed (treeAggregate moments + d×d Gramian on
  *    the driver); THE method for corpus-scale frames.
- *  - `tsne` — exact Barnes-Hut-free t-SNE, DRIVER-side like the
- *    reference's own uwot::umap call (which collects the embedding
- *    matrix into R memory); seeded and deterministic, and it REFUSES
- *    inputs beyond `maxRows` instead of silently collecting a corpus —
- *    project a sample or use pca at scale.
+ *  - `umap` — the reference's DEFAULT method, here the published
+ *    algorithm (McInnes/Healy/Melville 2018) made deterministic:
+ *    exact kNN instead of NN-descent, seeded init, and a sequential
+ *    single-threaded edge-sampling SGD instead of uwot's hogwash-
+ *    parallel one (parallel SGD is where uwot's run-to-run
+ *    nondeterminism comes from — serializing it changes only the
+ *    update interleaving, not the objective). DRIVER-side with a hard
+ *    `maxRows` refusal, same locality as the reference's own
+ *    uwot::umap call (which also collects the matrix into R memory).
+ *  - `tsne` — exact Barnes-Hut-free t-SNE, DRIVER-side, seeded and
+ *    deterministic, same `maxRows` refusal contract — project a
+ *    sample or use pca at scale.
  *
  * Scale shape: StandardScaler and PCA both reduce via treeAggregate —
  * one pass for moments, one d×d Gramian solved on the driver (fine for

@@ -286,6 +286,21 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(s0 > s1, "near-duplicate must strictly outrank the best unrelated image")
   }
 
+  test("searchByImage throws on a grid/bins mismatch with the corpus feature column") {
+    import spark.implicits._
+    val corpus = (0L until 5L).map(id => (id, Multimodal.synthPng(id))).toDF("doc_id", "media")
+    val feats = Multimodal.extractImageFeatures(corpus, "media").drop("media") // 40-dim
+    val e = intercept[Exception] {
+      // 16-dim query descriptor vs 40-dim column: CosineSimilarity
+      // would silently score the common prefix — the guard must throw
+      Multimodal.searchByImage(feats, "features", Multimodal.synthPng(7L),
+        k = 3, grid = 2, bins = 4).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("dim"), s"unexpected error: ${messages(e)}")
+  }
+
   test("searchByImage refuses an undecodable query payload") {
     import spark.implicits._
     val feats = Seq((1L, Array(1f, 0f))).toDF("doc_id", "features")
