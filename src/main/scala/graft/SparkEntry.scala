@@ -153,9 +153,6 @@ object SparkEntry {
       }
   }
 
-  /** Pre-build memoized artifacts (the IVF coarse quantizer) so bench
-    * timings measure the recurring probe path, not one-time index
-    * construction. */
   /** Pre-build the memoized indexes the selected bench queries use —
     * each only on request, so iterating on one query with
     * SPARK_GRAFT_ONLY never pays the other index's KMeans fit. */
@@ -506,6 +503,17 @@ object SparkEntry {
     // determinism + cluster-preservation in ProjectSpec.
     "tsne_project" -> ((s, d) =>
       Project.tsne(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
+        "embedding", "vec_id")
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))),
+    // §2 #15 the reference's literal DEFAULT (R/visualization.R:41-46,
+    // umap::umap under set.seed(42)): deterministic UMAP — exact kNN,
+    // seeded init, sequential edge-sampling SGD — driver-side under the
+    // same maxRows refusal as tsne. Coordinates are layout (no
+    // cross-engine analog) -> rows-only; determinism +
+    // cluster-preservation in ProjectSpec.
+    "umap_project" -> ((s, d) =>
+      Project.umap(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
         "embedding", "vec_id")
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
         .orderBy(col("vec_id"))),

@@ -100,11 +100,13 @@ object RandomProjectionKeys {
   // [table][dim] for cache-friendly dot loops; plane t's draws occupy
   // [t·dim, (t+1)·dim) so its content is independent of numTables.
   // The cache lives for the executor JVM's lifetime, so it is bounded:
-  // once user-supplied (seed, dim) configs exceed the cap the whole map
-  // is dropped rather than leaking numTables·dim doubles per config
-  // forever. Plane sets are deterministic and cheap to regenerate, so
-  // eviction (and the benign regenerate-twice race it allows) can never
-  // change results.
+  // once user-supplied (seed, dim) configs exceed the cap, ONE arbitrary
+  // entry is evicted per insert (not a full clear — a workload
+  // alternating across >cap configs would otherwise regenerate every
+  // plane set on every alternation). The size check races benignly with
+  // concurrent inserts: the cap can be transiently exceeded by at most
+  // the thread count, and plane sets are deterministic and cheap to
+  // regenerate, so eviction can never change results.
   private[graft] val MaxCachedPlaneSets = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
@@ -115,7 +117,10 @@ object RandomProjectionKeys {
     val key = (seed, numTables, dim)
     val hit = planeCache.get(key)
     if (hit != null) return hit
-    if (planeCache.size >= MaxCachedPlaneSets) planeCache.clear()
+    while (planeCache.size >= MaxCachedPlaneSets) {
+      val it = planeCache.keySet().iterator()
+      if (it.hasNext) planeCache.remove(it.next()) else ()
+    }
     planeCache.computeIfAbsent(key, { case (s, t, d) =>
       val rng = new java.util.Random(mix64(s.toLong ^ d.toLong * 0x9e3779b97f4a7c15L))
       val m = new Array[Double](t * d)

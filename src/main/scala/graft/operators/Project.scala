@@ -64,32 +64,53 @@ object Project {
    * Returns (idCol, x, y). NULL embeddings are dropped, matching
    * `viz_embeddings`'s filter (R/visualization.R:28-29).
    */
-  def tsne(df: DataFrame, embCol: String, idCol: String,
-      perplexity: Double = 30.0, iterations: Int = 300, seed: Long = 42L,
-      maxRows: Int = 5000): DataFrame = {
-    val spark = df.sparkSession
+  /** Shared driver-side collect + guards for the two driver-local
+   *  layout methods (tsne/umap): deterministic row order, hard maxRows
+   *  refusal (a count, not a truncation), n >= 4, uniform dimension. */
+  private def collectMatrix(df: DataFrame, embCol: String, idCol: String,
+      maxRows: Int, op: String): (Array[Any], Array[Array[Double]]) = {
     // orderBy before collect: the row→seeded-init pairing must not
     // depend on partition arrival order
     val rows = df.where(col(embCol).isNotNull)
       .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"tsne collects the embedding matrix to the driver (like the reference's " +
+      s"$op collects the embedding matrix to the driver (like the reference's " +
         s"umap) and refuses inputs over maxRows=$maxRows — sample first, or use " +
         "Project.pca for corpus-scale projection")
-    val n = rows.length
     val ids = rows.map(_.get(0))
     val xs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    // n >= 4 keeps the clamped perplexity >= 1 (entropy target >= 0);
-    // below that the beta search has no attainable target, every P
-    // underflows, and the output would be silent NaNs
-    require(n >= 4, s"tsne needs at least 4 embedded rows, got $n")
+    require(rows.length >= 4, s"$op needs at least 4 embedded rows, got ${rows.length}")
     // refuse mixed dimensions instead of silently truncating to the
     // common prefix — the library-wide guardrail convention
     val dim0 = xs.head.length
     val badDim = xs.indexWhere(_.length != dim0)
     require(badDim < 0,
-      s"tsne embeddings must share one dimension: row ${ids(badDim)} has " +
+      s"$op embeddings must share one dimension: row ${ids(badDim)} has " +
         s"${xs(badDim).length}, expected $dim0")
+    (ids, xs)
+  }
+
+  private def layoutFrame(df: DataFrame, idCol: String,
+      ids: Array[Any], y: Array[Array[Double]]): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = new StructType()
+      .add(idField.name, idField.dataType, idField.nullable)
+      .add("x", DoubleType).add("y", DoubleType)
+    val out = ids.indices.map(k => Row(ids(k), y(k)(0), y(k)(1)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
+  }
+
+  def tsne(df: DataFrame, embCol: String, idCol: String,
+      perplexity: Double = 30.0, iterations: Int = 300, seed: Long = 42L,
+      maxRows: Int = 5000): DataFrame = {
+    val (ids, xs) = collectMatrix(df, embCol, idCol, maxRows, "tsne")
+    val n = ids.length
+    val dim0 = xs.head.length
+    // n >= 4 (enforced in collectMatrix) keeps the clamped perplexity
+    // >= 1 (entropy target >= 0); below that the beta search has no
+    // attainable target, every P underflows, and the output would be
+    // silent NaNs
     val perp = math.max(1.0, math.min(perplexity, (n - 1) / 3.0)) // >= 1 by the n guard
 
     // pairwise squared euclidean distances
@@ -225,11 +246,231 @@ object Project {
       it += 1
     }
 
-    val idField = df.schema(idCol)
-    val outSchema = new StructType()
-      .add(idField.name, idField.dataType, idField.nullable)
-      .add("x", DoubleType).add("y", DoubleType)
-    val out = (0 until n).map(k => Row(ids(k), y(k)(0), y(k)(1)))
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
+    layoutFrame(df, idCol, ids, y)
+  }
+
+  /**
+   * Fit the low-dimensional similarity curve 1/(1 + a·x^(2b)) to the
+   * target membership psi(x) = 1 for x <= minDist, exp(-(x-minDist)/
+   * spread) beyond — UMAP's `find_ab_params`. Instead of an iterative
+   * curve_fit, linearize: 1/(1+a·x^(2b)) = y  ⇔  log(1/y − 1) =
+   * log a + 2b·log x, and solve the least-squares line in log space
+   * over 300 samples of x ∈ (0, 3·spread] — deterministic, no RNG, no
+   * convergence tolerance. For the (0.1, 1.0) defaults this lands
+   * within a few percent of umap-learn's (1.577, 0.895).
+   */
+  private[graft] def fitAB(minDist: Double, spread: Double): (Double, Double) = {
+    val m = 300
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0; var cnt = 0
+    var i = 1
+    while (i <= m) {
+      val x = 3.0 * spread * i / m
+      val y = if (x <= minDist) 1.0 else math.exp(-(x - minDist) / spread)
+      // log(1/y - 1) is defined only strictly inside (0, 1)
+      if (y > 1e-9 && y < 1.0 - 1e-9) {
+        val lx = math.log(x); val ly = math.log(1.0 / y - 1.0)
+        sx += lx; sy += ly; sxx += lx * lx; sxy += lx * ly; cnt += 1
+      }
+      i += 1
+    }
+    require(cnt > 1, s"degenerate (minDist=$minDist, spread=$spread): no curve samples")
+    val slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / cnt
+    (math.exp(intercept), slope / 2.0)
+  }
+
+  /**
+   * Deterministic UMAP (McInnes, Healy & Melville 2018) to 2-D — the
+   * reference's DEFAULT viz method (R/visualization.R:41-46 calls
+   * `umap::umap(embeddings, n_neighbors)` under `set.seed(42)`).
+   *
+   * The published algorithm with its three nondeterminism sources
+   * pinned:
+   *  - exact kNN (O(n²·d) partial-select) instead of NN-descent;
+   *  - seeded uniform[-10,10] init (umap-learn's random init) instead
+   *    of spectral;
+   *  - SEQUENTIAL edge-sampling SGD with a single seeded RNG for
+   *    negative samples instead of hogwild-parallel threads (parallel
+   *    SGD is where uwot/umap-learn run-to-run jitter comes from;
+   *    serializing changes only the update interleaving).
+   * Everything else follows umap-learn: smooth-kNN sigma by binary
+   * search to log2(k) with rho = nearest-neighbor distance, fuzzy
+   * union symmetrization w + wᵀ − w∘wᵀ, epochs_per_sample = wMax/w
+   * scheduling, negative_sample_rate 5, gradient clip ±4, linearly
+   * decaying learning rate.
+   *
+   * DRIVER-side with the same hard `maxRows` refusal contract as
+   * [[tsne]] — the same locality as the reference's own uwot call
+   * (which also collects the matrix into R memory). Returns
+   * (idCol, x, y); NULL embeddings dropped (R/visualization.R:28-29).
+   */
+  def umap(df: DataFrame, embCol: String, idCol: String,
+      nNeighbors: Int = 15, minDist: Double = 0.1, spread: Double = 1.0,
+      nEpochs: Int = 300, negativeSampleRate: Int = 5, seed: Long = 42L,
+      maxRows: Int = 5000): DataFrame = {
+    require(nNeighbors >= 2, s"umap needs nNeighbors >= 2, got $nNeighbors")
+    require(nEpochs >= 1 && negativeSampleRate >= 1,
+      "umap needs nEpochs >= 1 and negativeSampleRate >= 1")
+    val (ids, xs) = collectMatrix(df, embCol, idCol, maxRows, "umap")
+    val n = ids.length
+    val dim0 = xs.head.length
+    val k = math.min(nNeighbors, n - 1)
+
+    // ---- exact kNN: per-row distance pass + bounded insertion select
+    // (O(n·k) memory — no full n×n matrix)
+    val knnIdx = Array.ofDim[Int](n, k)
+    val knnDist = Array.ofDim[Double](n, k)
+    var i = 0
+    while (i < n) {
+      val idx = knnIdx(i); val dst = knnDist(i)
+      java.util.Arrays.fill(dst, Double.PositiveInfinity)
+      java.util.Arrays.fill(idx, -1)
+      val a = xs(i)
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          var s = 0.0; var t = 0
+          val b = xs(j)
+          while (t < dim0) { val d = a(t) - b(t); s += d * d; t += 1 }
+          val d = math.sqrt(s)
+          if (d < dst(k - 1)) {
+            // insertion keeps ties resolved by ascending j — deterministic
+            var p = k - 1
+            while (p > 0 && dst(p - 1) > d) { dst(p) = dst(p - 1); idx(p) = idx(p - 1); p -= 1 }
+            dst(p) = d; idx(p) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+
+    // ---- smooth-kNN calibration: rho_i = nearest non-zero distance,
+    // sigma_i solves sum_j exp(-(max(0, d_ij - rho_i))/sigma) = log2(k)
+    val target = math.log(k) / math.log(2.0)
+    val rho = new Array[Double](n)
+    val sigma = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val dst = knnDist(i)
+      var r = 0.0
+      var j = 0
+      while (j < k && r == 0.0) { if (dst(j) > 0.0) r = dst(j); j += 1 }
+      rho(i) = r
+      var lo = 0.0; var hi = Double.PositiveInfinity; var mid = 1.0
+      var iter = 0
+      while (iter < 64) {
+        var psum = 0.0
+        j = 0
+        while (j < k) { psum += math.exp(-math.max(0.0, dst(j) - r) / mid); j += 1 }
+        if (psum > target) { hi = mid; mid = (lo + hi) / 2 }
+        else { lo = mid; mid = if (hi.isPosInfinity) mid * 2 else (lo + hi) / 2 }
+        iter += 1
+      }
+      sigma(i) = math.max(mid, 1e-12)
+      i += 1
+    }
+
+    // ---- directed memberships, then fuzzy-union symmetrization
+    // w_sym = w + wᵀ − w∘wᵀ over the sparse union; store i<j once
+    val directed = new java.util.HashMap[Long, Double]()
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < k) {
+        val w = math.exp(-math.max(0.0, knnDist(i)(j) - rho(i)) / sigma(i))
+        directed.put(i.toLong * n + knnIdx(i)(j), w)
+        j += 1
+      }
+      i += 1
+    }
+    val pairKeys = new java.util.TreeSet[Long]() // sorted ⇒ deterministic edge order
+    directed.forEach { (key, _) =>
+      val a = (key / n).toInt; val b = (key % n).toInt
+      pairKeys.add(math.min(a, b).toLong * n + math.max(a, b)): Unit
+    }
+    val nPairs = pairKeys.size()
+    val headArr = new Array[Int](nPairs)
+    val tailArr = new Array[Int](nPairs)
+    val wArr = new Array[Double](nPairs)
+    var e = 0
+    var wMax = 0.0
+    val keyIt = pairKeys.iterator()
+    while (keyIt.hasNext) {
+      val key = keyIt.next()
+      val a = (key / n).toInt; val b = (key % n).toInt
+      val wab = Option(directed.get(a.toLong * n + b)).map(_.doubleValue).getOrElse(0.0)
+      val wba = Option(directed.get(b.toLong * n + a)).map(_.doubleValue).getOrElse(0.0)
+      val w = wab + wba - wab * wba
+      headArr(e) = a; tailArr(e) = b; wArr(e) = w
+      if (w > wMax) wMax = w
+      e += 1
+    }
+    require(wMax > 0, "UMAP fuzzy graph is empty — degenerate input")
+
+    // ---- epoch scheduling (umap-learn's make_epochs_per_sample):
+    // edge e fires every wMax/w(e) epochs; edges rarer than one firing
+    // per run never fire and are dropped up front
+    val live = (0 until nPairs).filter(wArr(_) >= wMax / nEpochs).toArray
+    val eps = live.map(wMax / wArr(_))
+    val nextSample = eps.clone()
+    val epsNeg = eps.map(_ / negativeSampleRate)
+    val nextNeg = new Array[Double](live.length)
+
+    val (aCoef, bCoef) = fitAB(minDist, spread)
+    val rnd = new java.util.Random(seed)
+    val y = Array.fill(n, 2)(rnd.nextDouble() * 20.0 - 10.0)
+
+    def clip(x: Double): Double = math.max(-4.0, math.min(4.0, x))
+
+    var epoch = 0
+    while (epoch < nEpochs) {
+      val alpha = 1.0 - epoch.toDouble / nEpochs
+      var ei = 0
+      while (ei < live.length) {
+        if (nextSample(ei) <= epoch.toDouble + 1.0) {
+          val h = headArr(live(ei)); val t = tailArr(live(ei))
+          val yh = y(h); val yt = y(t)
+          val dx = yh(0) - yt(0); val dyy = yh(1) - yt(1)
+          val d2 = dx * dx + dyy * dyy
+          if (d2 > 0.0) {
+            // attractive: ∇ of log(1/(1+a·d^2b)) — both endpoints move
+            val gc = -2.0 * aCoef * bCoef * math.pow(d2, bCoef - 1.0) /
+              (aCoef * math.pow(d2, bCoef) + 1.0)
+            val gx = clip(gc * dx) * alpha; val gy = clip(gc * dyy) * alpha
+            yh(0) += gx; yh(1) += gy
+            yt(0) -= gx; yt(1) -= gy
+          }
+          nextSample(ei) += eps(ei)
+          // negative samples accrued since the last firing; head-only
+          val nNeg = ((epoch.toDouble + 1.0 - nextNeg(ei)) / epsNeg(ei)).toInt
+          var p = 0
+          while (p < nNeg) {
+            val kn = rnd.nextInt(n)
+            if (kn != h) {
+              val yk = y(kn)
+              val rx = yh(0) - yk(0); val ry = yh(1) - yk(1)
+              val rd2 = rx * rx + ry * ry
+              // repulsive: pushes the head away; at rd2 = 0 umap-learn
+              // applies the clip ceiling (+4) to escape the collision
+              if (rd2 > 0.0) {
+                val gc = 2.0 * bCoef /
+                  ((0.001 + rd2) * (aCoef * math.pow(rd2, bCoef) + 1.0))
+                yh(0) += clip(gc * rx) * alpha
+                yh(1) += clip(gc * ry) * alpha
+              } else {
+                yh(0) += 4.0 * alpha; yh(1) += 4.0 * alpha
+              }
+            }
+            p += 1
+          }
+          nextNeg(ei) += nNeg * epsNeg(ei)
+        }
+        ei += 1
+      }
+      epoch += 1
+    }
+
+    layoutFrame(df, idCol, ids, y)
   }
 }

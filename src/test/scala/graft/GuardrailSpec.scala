@@ -225,15 +225,17 @@ class GuardrailSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val vec = new GenericArrayData(Array[Double](1.0, 2.0, 3.0))
     // 4× the cap of distinct seeds: an unbounded executor-lifetime map
-    // would reach 4·cap entries; the bound drops-and-refills instead
+    // would reach 4·cap entries; the bound evicts one entry per insert
+    // instead, so the steady state is exactly full — never above, and
+    // never the empty map a clear()-style eviction would leave behind
     val cap = graft.expressions.RandomProjectionKeys.MaxCachedPlaneSets
     for (seed <- 0 until cap * 4) {
       graft.expressions.RandomProjectionKeys.keys(vec, isFloat = false,
         numTables = 2, bucketLength = 1.0, seed = seed, projsPerTable = 1)
     }
-    assert(graft.expressions.RandomProjectionKeys.planeCacheSize <= cap,
-      "plane cache exceeded its configured bound")
-    // determinism across eviction: regenerating after a clear yields
+    assert(graft.expressions.RandomProjectionKeys.planeCacheSize == cap,
+      "plane cache should sit exactly at its bound under single-entry eviction")
+    // determinism across eviction: regenerating an evicted entry yields
     // identical keys (plane content is a pure function of the key)
     val k1 = graft.expressions.RandomProjectionKeys.keys(vec, isFloat = false,
       numTables = 2, bucketLength = 1.0, seed = 0, projsPerTable = 1)
