@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{PCA, StandardScaler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 /**
  * 2-D projection of the embedding space — the engine half of
@@ -97,6 +97,72 @@ object Project {
       .add(idField.name, idField.dataType, idField.nullable)
       .add("x", DoubleType).add("y", DoubleType)
     val out = ids.indices.map(k => Row(ids(k), y(k)(0), y(k)(1)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
+  }
+
+  /** Exact euclidean kNN over a driver-collected matrix: per-row
+   *  distance pass + bounded insertion select (O(n·k) memory — no full
+   *  n×n matrix). Ties resolve to the ASCENDING row index —
+   *  deterministic. Returns (indices, distances), each n×k. */
+  private def knnArrays(xs: Array[Array[Double]], k: Int): (Array[Array[Int]], Array[Array[Double]]) = {
+    val n = xs.length
+    val dim0 = xs.head.length
+    val knnIdx = Array.ofDim[Int](n, k)
+    val knnDist = Array.ofDim[Double](n, k)
+    var i = 0
+    while (i < n) {
+      val idx = knnIdx(i); val dst = knnDist(i)
+      java.util.Arrays.fill(dst, Double.PositiveInfinity)
+      java.util.Arrays.fill(idx, -1)
+      val a = xs(i)
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          var s = 0.0; var t = 0
+          val b = xs(j)
+          while (t < dim0) { val d = a(t) - b(t); s += d * d; t += 1 }
+          val d = math.sqrt(s)
+          if (d < dst(k - 1)) {
+            // insertion keeps ties resolved by ascending j — deterministic
+            var p = k - 1
+            while (p > 0 && dst(p - 1) > d) { dst(p) = dst(p - 1); idx(p) = idx(p - 1); p -= 1 }
+            dst(p) = d; idx(p) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (knnIdx, knnDist)
+  }
+
+  /**
+   * The exact-kNN stage of [[umap]] exposed as a DataFrame —
+   * (idCol, rank, neighbor_id, dist), rank 1-based, euclidean, ties
+   * broken by ascending neighbor id. Exists so the graph-construction
+   * half of UMAP (the half where a silent bug — wrong metric, tie
+   * nondeterminism, an off-by-one in the insertion select — would
+   * corrupt every downstream coordinate) can be pinned vec-for-vec
+   * against an ANSI-SQL self-join oracle, the same anchoring pattern
+   * as `ann_ivf_exact`. Same driver locality and hard `maxRows`
+   * refusal as [[umap]] itself.
+   */
+  def knnExact(df: DataFrame, embCol: String, idCol: String, k: Int,
+      maxRows: Int = 5000): DataFrame = {
+    require(k >= 1, s"knnExact needs k >= 1, got $k")
+    val (ids, xs) = collectMatrix(df, embCol, idCol, maxRows, "knnExact")
+    val n = ids.length
+    val kk = math.min(k, n - 1)
+    val (knnIdx, knnDist) = knnArrays(xs, kk)
+    val idField = df.schema(idCol)
+    val outSchema = new StructType()
+      .add(idField.name, idField.dataType, idField.nullable)
+      .add("rank", LongType)
+      .add("neighbor_id", idField.dataType, idField.nullable)
+      .add("dist", DoubleType)
+    val out = for { i <- 0 until n; r <- 0 until kk }
+      yield Row(ids(i), (r + 1).toLong, ids(knnIdx(i)(r)), knnDist(i)(r))
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
   }
@@ -256,8 +322,18 @@ object Project {
    * curve_fit, linearize: 1/(1+a·x^(2b)) = y  ⇔  log(1/y − 1) =
    * log a + 2b·log x, and solve the least-squares line in log space
    * over 300 samples of x ∈ (0, 3·spread] — deterministic, no RNG, no
-   * convergence tolerance. For the (0.1, 1.0) defaults this lands
-   * within a few percent of umap-learn's (1.577, 0.895).
+   * convergence tolerance.
+   *
+   * The fit is deliberately TAIL-ONLY: plateau samples (y = 1 for
+   * x <= minDist) have no log-space image (log(1/y − 1) is undefined
+   * at y = 1) and are excluded by the (1e-9, 1−1e-9) band, so the line
+   * is fit to the exponential decay only — unlike umap-learn's
+   * linear-space curve_fit over the full target. Clamping plateau
+   * samples to just under 1 would inject ly ≈ −14 leverage points and
+   * bias the line far MORE than omitting them. For the (0.1, 1.0)
+   * defaults this lands at (1.6530, 0.9368) — within 5% of
+   * umap-learn's (1.577, 0.895); ProjectSpec pins that exact
+   * neighborhood.
    */
   private[graft] def fitAB(minDist: Double, spread: Double): (Double, Double) = {
     val m = 300
@@ -313,37 +389,10 @@ object Project {
       "umap needs nEpochs >= 1 and negativeSampleRate >= 1")
     val (ids, xs) = collectMatrix(df, embCol, idCol, maxRows, "umap")
     val n = ids.length
-    val dim0 = xs.head.length
     val k = math.min(nNeighbors, n - 1)
 
-    // ---- exact kNN: per-row distance pass + bounded insertion select
-    // (O(n·k) memory — no full n×n matrix)
-    val knnIdx = Array.ofDim[Int](n, k)
-    val knnDist = Array.ofDim[Double](n, k)
+    val (knnIdx, knnDist) = knnArrays(xs, k)
     var i = 0
-    while (i < n) {
-      val idx = knnIdx(i); val dst = knnDist(i)
-      java.util.Arrays.fill(dst, Double.PositiveInfinity)
-      java.util.Arrays.fill(idx, -1)
-      val a = xs(i)
-      var j = 0
-      while (j < n) {
-        if (j != i) {
-          var s = 0.0; var t = 0
-          val b = xs(j)
-          while (t < dim0) { val d = a(t) - b(t); s += d * d; t += 1 }
-          val d = math.sqrt(s)
-          if (d < dst(k - 1)) {
-            // insertion keeps ties resolved by ascending j — deterministic
-            var p = k - 1
-            while (p > 0 && dst(p - 1) > d) { dst(p) = dst(p - 1); idx(p) = idx(p - 1); p -= 1 }
-            dst(p) = d; idx(p) = j
-          }
-        }
-        j += 1
-      }
-      i += 1
-    }
 
     // ---- smooth-kNN calibration: rho_i = nearest non-zero distance,
     // sigma_i solves sum_j exp(-(max(0, d_ij - rho_i))/sigma) = log2(k)
@@ -415,7 +464,11 @@ object Project {
     val eps = live.map(wMax / wArr(_))
     val nextSample = eps.clone()
     val epsNeg = eps.map(_ / negativeSampleRate)
-    val nextNeg = new Array[Double](live.length)
+    // umap-learn initializes epoch_of_next_negative_sample to
+    // epochs_per_negative_sample (optimize_layout's setup), NOT 0 — a
+    // zero init would hand every edge one extra batch of negative
+    // samples at its first firing
+    val nextNeg = epsNeg.clone()
 
     val (aCoef, bCoef) = fitAB(minDist, spread)
     val rnd = new java.util.Random(seed)
@@ -459,6 +512,13 @@ object Project {
                 yh(0) += clip(gc * rx) * alpha
                 yh(1) += clip(gc * ry) * alpha
               } else {
+                // exactly-coincident points escape along a FIXED (+x,+y)
+                // diagonal at the clip ceiling — deliberate: umap-learn's
+                // escape direction is whatever its thread-local RNG says,
+                // ours is pinned for run-to-run determinism. Exact
+                // coincidence is measure-zero under the seeded random
+                // init, so the shared direction never synchronizes a
+                // visible artifact. Do NOT "fix" this into randomness.
                 yh(0) += 4.0 * alpha; yh(1) += 4.0 * alpha
               }
             }

@@ -210,6 +210,43 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(fps(3L).isEmpty, "texts shorter than k chars have no k-grams")
   }
 
+  test("winnowing at w=1 degenerates to shared-distinct-k-gram counts (oracle anchor)") {
+    // At window w = 1 every k-gram hash is its window's minimum, so
+    // selection prunes nothing and n_shared must equal the cardinality
+    // of the intersection of the docs' DISTINCT normalized k-gram SETS
+    // — the degenerate-parameter equivalence the dedup_winnow_exact
+    // DuckDB oracle relies on (the oracle counts substrings, the
+    // operator counts their hashes; intersection cardinality is
+    // invariant under the renaming, modulo 64-bit collisions).
+    val k = 6
+    val d = Seq(
+      (1L, "the stolen passage appears verbatim in both documents"),
+      (2L, "framing text the stolen passage appears verbatim elsewhere"),
+      (3L, "Entirely   unrelated\tcontent with odd   spacing"),
+      (4L, "entirely unrelated content with odd spacing") // = 3 after normalization
+    ).toDF("doc_id", "text")
+    def normalize(s: String) =
+      s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val gramSets = Seq(
+      1L -> "the stolen passage appears verbatim in both documents",
+      2L -> "framing text the stolen passage appears verbatim elsewhere",
+      3L -> "Entirely   unrelated\tcontent with odd   spacing",
+      4L -> "entirely unrelated content with odd spacing"
+    ).map { case (id, t) =>
+      val nt = normalize(t)
+      id -> (0 to nt.length - k).map(i => nt.substring(i, i + k)).toSet
+    }.toMap
+    val want = (for {
+      (i1, g1) <- gramSets; (i2, g2) <- gramSets
+      if i1 < i2 && (g1 intersect g2).nonEmpty
+    } yield (i1, i2) -> (g1 intersect g2).size.toLong).toMap
+    val got = Dedup.winnowOverlapPairs(d, "text", "doc_id", minShared = 1,
+        k = k, w = 1, maxDfFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"w=1 winnow must equal brute-force distinct-gram intersection: $got vs $want")
+  }
+
   test("minhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
       shingleSize = 2, bands = 16)
