@@ -348,6 +348,40 @@ object SparkEntry {
       Dedup.incrementalSurvivors(fresh, base, "text", "doc_id", threshold = 0.5)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED anchor for incremental dedup: at threshold = 1.0
+    // the MinHash path is provably EXACT, not approximate — a
+    // Jaccard-1 pair has identical shingle sets, hence identical
+    // MinHash signatures, hence collides in EVERY band (recall 1 by
+    // construction, pigeonhole not needed), and the exact-Jaccard
+    // verify then admits precisely the identical-set pairs. Survivors
+    // therefore degenerate to "fresh docs whose distinct word set
+    // matches neither a base doc's nor an earlier fresh doc's" —
+    // which DuckDB computes on the token STRINGS via sorted-list
+    // equality, no MurmurHash reproduction needed (the hash only
+    // renames set elements; set equality is rename-invariant modulo
+    // ~1e-10 64-bit collisions). shingleSize = 1 (word sets), NOT the
+    // production 3-grams: the fixture has zero Jaccard-1 3-gram pairs
+    // but 37 same-word-set pairs, so unigrams give the anchor actual
+    // drops to disagree about. bands = 1 (r = 128): at threshold 1 a
+    // candidate only matters if its FULL signature matches — J=1 pairs
+    // still collide with certainty (identical sets ⇒ identical
+    // signatures), while near-miss candidates (unigram J between
+    // random docs is large — shared stopwords) vanish instead of
+    // flooding the verify join: the banded join degenerates to
+    // signature-identity grouping, the correct production shape for
+    // exact-duplicate detection at any scale. The production config
+    // (threshold 0.5, 3-grams, 32 bands, recall ≈ 0.87 at the
+    // boundary) stays covered by dedup_incremental + the planted-dup
+    // specs; the degenerate equivalence itself is spec'd in
+    // DedupSimJoinSpec.
+    "dedup_incremental_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+      Dedup.incrementalSurvivors(fresh, base, "text", "doc_id",
+          threshold = 1.0, shingleSize = 1, bands = 1)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")
@@ -536,6 +570,24 @@ object SparkEntry {
       val vf = VecFrame(Tables(s, d, "embeddings"), "embedding")
         .clusterEmbeddings(nClusters = 10)
       vf.df.select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
+    }),
+    // §2 #9 ORACLED golden anchor for KMeans (round 8): the sorted
+    // cluster-SIZE histogram is invariant under label permutation —
+    // the one thing cross-engine label equality can't promise — so it
+    // pins the PARTITION STRUCTURE the seed-123 k-means‖ run finds,
+    // not the arbitrary numbering. DuckDB cannot run KMeans; the
+    // oracle is the committed histogram from the pinned build
+    // (repartition(8, vec_id) + sortWithinPartitions makes the k-means‖
+    // seeding independent of file-split geometry and thread count —
+    // verified identical at 4 vs 32 threads — the same pinning as the
+    // Word2Vec fit). An init/seed/convergence regression reshapes the
+    // histogram; label renumbering does not.
+    "cluster_kmeans_anchor" -> ((s, d) => {
+      val pinned = Tables(s, d, "embeddings")
+        .repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+      val vf = VecFrame(pinned, "embedding").clusterEmbeddings(nClusters = 10)
+      vf.df.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .select(col("n")).orderBy(col("n"))
     }),
     // §2 #15 engine half of viz_embeddings: standardized PCA to 2-D
     "pca_project" -> ((s, d) =>
@@ -1965,6 +2017,37 @@ object SparkEntry {
           |  (CAST(3 AS BIGINT), CAST(0.026859 AS DOUBLE), CAST(-0.016949 AS DOUBLE), CAST(1.0 AS DOUBLE)),
           |  (CAST(4 AS BIGINT), CAST(0.020683 AS DOUBLE), CAST(-0.019452 AS DOUBLE), CAST(1.0 AS DOUBLE))
           |) AS t(doc_id, e0, e1, norm) ORDER BY doc_id""".stripMargin,
+      // GOLDEN regression pin (see the query comment): the sorted
+      // cluster-size histogram of the pinned seed-123 KMeans run at
+      // sf0.01, label-permutation-invariant by construction.
+      "cluster_kmeans_anchor" ->
+        """SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (18), (26), (43),
+          |  (49), (57), (61), (71), (80), (91)) AS t(n) ORDER BY n""".stripMargin,
+      // Incremental dedup at threshold = 1.0, shingleSize = 1 (see the
+      // query comment): survivors = fresh docs whose distinct word SET
+      // equals neither a base doc's nor an earlier fresh doc's. Same
+      // tokenization as ShingleHashes (lowercase, whitespace runs,
+      // drop empties); empty-text docs have an empty set, which NEVER
+      // pairs (union 0 → similarity 0 on the Spark side) — the
+      // len(grams) > 0 guard inside both NOT EXISTS.
+      "dedup_incremental_exact" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '\s+'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, list_sort(list_distinct(toks)) AS grams
+          |  FROM d),
+          |fresh AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 1),
+          |base AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 0)
+          |SELECT f.doc_id FROM fresh f
+          |WHERE NOT EXISTS (SELECT 1 FROM base b
+          |                  WHERE len(f.grams) > 0 AND b.grams = f.grams)
+          |  AND NOT EXISTS (SELECT 1 FROM fresh f2
+          |                  WHERE f2.doc_id < f.doc_id
+          |                    AND len(f.grams) > 0 AND f2.grams = f.grams)
+          |ORDER BY f.doc_id""".stripMargin,
       // The salted join must be row-identical to the plain inner
       // equi-join — salting is a physical rewrite, not a semantic one.
       "skew_join" ->

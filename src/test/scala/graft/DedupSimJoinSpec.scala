@@ -277,6 +277,61 @@ class DedupSimJoinSpec extends AnyFunSuite {
       s"expected history-dup 1 and batch-dup 5 dropped, got $surv")
   }
 
+  test("incremental dedup at threshold=1.0 is provably exact (oracle anchor)") {
+    // A Jaccard-1 pair has identical shingle sets -> identical MinHash
+    // signatures -> collides in EVERY band (recall 1 by construction);
+    // the exact-Jaccard verify then admits precisely the
+    // identical-set pairs. So survivors must equal the brute-force
+    // "fresh docs whose distinct word-3-gram set matches neither base
+    // nor an earlier fresh doc" — the equivalence the
+    // dedup_incremental_exact DuckDB oracle relies on.
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+    val fresh = Seq(
+      (1L, "  ALPHA beta\tgamma delta epsilon zeta eta THETA "), // = base 0 after normalization
+      (3L, "one two three four five six seven eight"),  // strict SUBSET of base 2 -> J < 1 -> survives
+      (5L, "novel streaming watermark state content here"),
+      (7L, "novel streaming watermark state content here"),     // = fresh 5 -> dropped (later id)
+      (9L, "too short"))                                        // < 3 tokens: no signal, never pairs
+    val surv = Dedup.incrementalSurvivors(fresh.toDF("doc_id", "text"),
+        base.toDF("doc_id", "text"), "text", "doc_id", threshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val baseSets = base.map { case (_, t) => grams(t) }.filter(_.nonEmpty).toSet
+    val want = fresh.filter { case (id, t) =>
+      val g = grams(t)
+      g.isEmpty || (!baseSets.contains(g) &&
+        !fresh.exists { case (id2, t2) => id2 < id && grams(t2) == g })
+    }.map(_._1).sorted
+    assert(surv == want, s"threshold=1.0 survivors diverge from brute force: $surv vs $want")
+    // pin the intended fixture semantics explicitly, not just the mirror
+    assert(surv == Seq(3L, 5L, 9L),
+      s"expected: fresh 1 dropped (J=1 vs base 0), 7 dropped (J=1 vs fresh 5), " +
+        s"3 survives (strict subset, J<1), 9 survives (no signal); got $surv")
+    // same equivalence at shingleSize = 1 (the dedup_incremental_exact
+    // config): J=1 now means equal distinct word SETS — 3 still
+    // survives ("nine" missing from its set), 9 now has signal
+    // ({"too","short"}, unique) and still survives
+    val surv1 = Dedup.incrementalSurvivors(fresh.toDF("doc_id", "text"),
+        base.toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 1.0, shingleSize = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def wordSet(t: String): Set[String] =
+      t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSet
+    val baseWordSets = base.map { case (_, t) => wordSet(t) }.filter(_.nonEmpty).toSet
+    val want1 = fresh.filter { case (id, t) =>
+      val g = wordSet(t)
+      g.isEmpty || (!baseWordSets.contains(g) &&
+        !fresh.exists { case (id2, t2) => id2 < id && wordSet(t2) == g })
+    }.map(_._1).sorted
+    assert(surv1 == want1 && surv1 == Seq(3L, 5L, 9L),
+      s"unigram threshold=1.0 survivors diverge: $surv1 vs $want1")
+  }
+
   test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {
     val fixture = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
