@@ -337,6 +337,22 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED anchor for the MinHash tier — the single-corpus
+    // twin of dedup_incremental_exact (same proof: threshold = 1 ⇒
+    // identical-set pairs have identical signatures ⇒ recall 1 through
+    // ANY banding; exact-Jaccard verify ⇒ precision 1; bands = 1
+    // degenerates the banded join to signature-identity grouping so
+    // near-miss unigram candidates never flood the verify). Survivors
+    // = docs whose distinct word set matches no earlier doc — 54 real
+    // drops at sf0.01, checked by DuckDB sorted-list equality. The
+    // production approximate config stays covered by dedup_minhash +
+    // the precision/recall specs.
+    "dedup_minhash_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 1.0,
+        shingleSize = 1, bands = 1)
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: INCREMENTAL dedup — the production ingest shape: dedup a
     // new batch (odd doc ids) against the existing corpus (even ids)
     // AND within itself, without re-pairing the corpus against itself
@@ -2023,6 +2039,21 @@ object SparkEntry {
       "cluster_kmeans_anchor" ->
         """SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (18), (26), (43),
           |  (49), (57), (61), (71), (80), (91)) AS t(n) ORDER BY n""".stripMargin,
+      // Single-corpus MinHash at threshold = 1.0 (see the query
+      // comment): survivors keep the min-id representative of every
+      // identical-word-set group.
+      "dedup_minhash_exact" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '\s+'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_sort(list_distinct(toks)) AS grams FROM d)
+          |SELECT g.doc_id FROM g
+          |WHERE NOT EXISTS (SELECT 1 FROM g g2
+          |                  WHERE g2.doc_id < g.doc_id
+          |                    AND len(g.grams) > 0 AND g2.grams = g.grams)
+          |ORDER BY g.doc_id""".stripMargin,
       // Incremental dedup at threshold = 1.0, shingleSize = 1 (see the
       // query comment): survivors = fresh docs whose distinct word SET
       // equals neither a base doc's nor an earlier fresh doc's. Same

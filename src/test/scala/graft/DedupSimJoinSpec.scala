@@ -330,6 +330,18 @@ class DedupSimJoinSpec extends AnyFunSuite {
     }.map(_._1).sorted
     assert(surv1 == want1 && surv1 == Seq(3L, 5L, 9L),
       s"unigram threshold=1.0 survivors diverge: $surv1 vs $want1")
+    // single-corpus variant (dedup_minhash_exact's config, bands = 1:
+    // the banded join IS signature-identity grouping): all docs
+    // pooled, keep-min-id within each identical-word-set group
+    val all = (base ++ fresh).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(all, "text", "doc_id", threshold = 1.0,
+      shingleSize = 1, bands = 1)
+    val surv2 = Dedup.survivors(all, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 1 duplicates 0 (same word set, different case/spacing), 7
+    // duplicates 5; everyone else unique
+    assert(surv2 == Seq(0L, 2L, 3L, 5L, 9L),
+      s"single-corpus threshold=1.0 survivors diverge: $surv2")
   }
 
   test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {

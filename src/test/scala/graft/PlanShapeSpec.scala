@@ -80,6 +80,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must partition by the shard key (lang):\n$p")
   }
 
+  test("salted skew join broadcasts the replicated small side — no big-side shuffle") {
+    val p = plan("skew_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the factor-replicated small side must broadcast; a shuffle join here " +
+        "would defeat the point of salting (the hot key still lands on one task)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the
