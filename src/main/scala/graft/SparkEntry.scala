@@ -220,6 +220,24 @@ object SparkEntry {
         round(vectors.vector_norm(col("embedding")), 6).as("norm"))
         .orderBy(col("doc_id"))
     }),
+    // §2 #7 ORACLED golden anchor for the hashing embedder (round 8):
+    // L1 mass + nonzero count per vector — the bucket-assignment
+    // signature of the MurmurHash kernel (a hash/seed/normalization
+    // regression reshuffles buckets and flips nnz/l1; the individual
+    // components are too sparse to pin directly). DuckDB cannot run
+    // MurmurHash3; the oracle is committed goldens from the codegen
+    // expression at sf0.01 (deterministic per-row function — no
+    // partitioning pin needed, verified identical at 4 vs 32 threads).
+    "embed_hashing_anchor" -> ((s, d) => {
+      val vf = VecFrame.vec(Tables(s, d, "documents"),
+        embedder = Some(HashingEmbedder(dim = 64))).embed("text")
+      vf.df.filter(col("doc_id") < 5)
+        .select(col("doc_id"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, v) => a + abs(v.cast("double"))), 6).as("l1"),
+          size(filter(col("embedding"), v => v =!= 0f)).cast("long").as("nnz"))
+        .orderBy(col("doc_id"))
+    }),
     // §2 #13: trainable in-JVM embedder (Word2Vec fit on the corpus;
     // learned vectors -> rows-only, invariants in spec)
     "embed_word2vec" -> ((s, d) => {
@@ -610,6 +628,22 @@ object SparkEntry {
       Project.pca(Tables(s, d, "embeddings"), "embedding")
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
         .orderBy(col("vec_id"))),
+    // §2 #15 ORACLED golden anchor for PCA (round 8): coordinates of
+    // five fixed vectors from the pinned build. The treeAggregate
+    // moments/Gramian sums depend on input partitioning, so the scan
+    // is repartition-pinned exactly like the Word2Vec fit (verified
+    // bit-identical at 4 vs 32 threads); given identical Gramian bits
+    // the eigendecomposition — including component SIGNS — is
+    // deterministic. A scaler/Gramian/eigen regression moves every
+    // coordinate.
+    "pca_project_anchor" -> ((s, d) => {
+      val pinned = Tables(s, d, "embeddings")
+        .repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+      Project.pca(pinned, "embedding")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))
+    }),
     // §2 #15 the reference's DEFAULT viz method (umap/tsne,
     // R/visualization.R:40-57): exact seeded t-SNE, driver-side like
     // the reference's own uwot call, hard-capped (no silent corpus
@@ -619,6 +653,19 @@ object SparkEntry {
     "tsne_project" -> ((s, d) =>
       Project.tsne(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
         "embedding", "vec_id")
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))),
+    // §2 #15 ORACLED golden anchor for t-SNE (round 8): coordinates of
+    // five fixed vectors from the same 500-row layout. The entire
+    // pipeline after the ordered collect is sequential driver math —
+    // bit-stable across thread counts and partitionings by
+    // construction (ProjectSpec proves it) — so the committed goldens
+    // pin the P-matrix calibration, gradient schedule, and gain
+    // heuristics against silent drift.
+    "tsne_project_anchor" -> ((s, d) =>
+      Project.tsne(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
+        "embedding", "vec_id")
+        .filter(col("vec_id") < 5)
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
         .orderBy(col("vec_id"))),
     // §2 #15 the reference's literal DEFAULT (R/visualization.R:41-46,
@@ -2033,6 +2080,34 @@ object SparkEntry {
           |  (CAST(3 AS BIGINT), CAST(0.026859 AS DOUBLE), CAST(-0.016949 AS DOUBLE), CAST(1.0 AS DOUBLE)),
           |  (CAST(4 AS BIGINT), CAST(0.020683 AS DOUBLE), CAST(-0.019452 AS DOUBLE), CAST(1.0 AS DOUBLE))
           |) AS t(doc_id, e0, e1, norm) ORDER BY doc_id""".stripMargin,
+      // GOLDEN regression pins (see each query's comment): committed
+      // outputs of deterministic kernels DuckDB cannot run, recorded
+      // from the pinned build at sf0.01 and verified thread-count-
+      // independent before committing.
+      "embed_hashing_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(3.198011 AS DOUBLE), CAST(14 AS BIGINT)),
+          |  (1, CAST(3.890226 AS DOUBLE), 20),
+          |  (2, CAST(4.233244 AS DOUBLE), 22),
+          |  (3, CAST(3.904344 AS DOUBLE), 17),
+          |  (4, CAST(4.230144 AS DOUBLE), 20)
+          |) AS t(doc_id, l1, nnz) ORDER BY doc_id""".stripMargin,
+      "pca_project_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(-0.8704 AS DOUBLE), CAST(0.2443 AS DOUBLE)),
+          |  (1, CAST(-0.4035 AS DOUBLE), CAST(0.7583 AS DOUBLE)),
+          |  (2, CAST(-1.3602 AS DOUBLE), CAST(0.7827 AS DOUBLE)),
+          |  (3, CAST(2.1047 AS DOUBLE), CAST(-0.2147 AS DOUBLE)),
+          |  (4, CAST(-0.1431 AS DOUBLE), CAST(0.0145 AS DOUBLE))
+          |) AS t(vec_id, x, y) ORDER BY vec_id""".stripMargin,
+      "tsne_project_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(13.8819 AS DOUBLE), CAST(-4.8177 AS DOUBLE)),
+          |  (1, CAST(-0.7504 AS DOUBLE), CAST(-14.1837 AS DOUBLE)),
+          |  (2, CAST(13.6862 AS DOUBLE), CAST(-20.8029 AS DOUBLE)),
+          |  (3, CAST(16.9991 AS DOUBLE), CAST(3.2603 AS DOUBLE)),
+          |  (4, CAST(-15.6875 AS DOUBLE), CAST(-0.6258 AS DOUBLE))
+          |) AS t(vec_id, x, y) ORDER BY vec_id""".stripMargin,
       // GOLDEN regression pin (see the query comment): the sorted
       // cluster-size histogram of the pinned seed-123 KMeans run at
       // sf0.01, label-permutation-invariant by construction.
