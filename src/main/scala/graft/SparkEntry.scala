@@ -1154,6 +1154,29 @@ object SparkEntry {
           round(col("mean_r"), 2).as("mean_r_2dp"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 multimodal ORACLED resize (round 8): the same decode →
+    // resize → re-encode → decode pipeline, through the
+    // SPECIFIED-arithmetic bilinear kernel (resizeImageDeterministic)
+    // instead of Graphics2D. Graphics2D's interpolation belongs to the
+    // platform renderer — fine for display, wrong for a pipeline that
+    // wants identical bytes from every executor and backfill run; the
+    // deterministic kernel pins the half-pixel mapping, lerp order,
+    // and rounding in IEEE double, so DuckDB replays the identical
+    // expressions over the synth-PNG band formulas and matches every
+    // channel mean at 6dp (pixel-exact underneath: the means are
+    // integer sums / 30). multimodal_resize keeps covering the real
+    // Graphics2D path rows-only.
+    "multimodal_resize_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id")
+      val imgs = Multimodal.withSynthPng(docs, "doc_id")
+      val resized = Multimodal.resizeImagesDeterministic(imgs, "media", w = 6, h = 5)
+      Multimodal.imageStats(resized.drop("media"), "resized")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 multimodal ORACLED frame sampling: the video-pipeline stage
     // with the codec behind a documented seam (SliceFrameExtractor is
     // the deterministic fake — no video codec in this JVM). The frame
@@ -1935,6 +1958,53 @@ object SparkEntry {
       // Mirrors Multimodal.synthPng's band arithmetic: mean over the
       // image = (c_top*top + c_bot*(h-top)) / h (rows are uniform across
       // width, so w cancels; integer sums → exact double division).
+      // Deterministic bilinear resize, pixel-for-pixel: replay the
+      // kernel's EXACT double expressions (half-pixel map, y-lerp a,
+      // x-lerp (1−fx)·a + fx·a — NOT simplified to a, floating point
+      // doesn't cancel it — then ⌊·+0.5⌋) over the two-band formulas.
+      // No clamp terms: for h in 8..14 / w in 8..16 mapped to 5x6 the
+      // source coordinates are provably interior. Means are integer
+      // pixel sums / 30, same contract as multimodal_image_stats.
+      "multimodal_resize_exact" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+          |         (8 + doc_id % 7) // 2 AS top,
+          |         (doc_id*37+11) % 256 AS r1, (doc_id*59+23) % 256 AS g1, (doc_id*83+5) % 256 AS b1,
+          |         (doc_id*101+7) % 256 AS r2, (doc_id*131+17) % 256 AS g2, (doc_id*151+29) % 256 AS b2
+          |  FROM documents),
+          |yy AS (
+          |  SELECT p.*, (y.j + 0.5) * p.h / 5.0 - 0.5 AS sy
+          |  FROM p, LATERAL unnest(generate_series(0, 4)) AS y(j)),
+          |ylerp AS (
+          |  SELECT doc_id, w, sy - floor(sy) AS fy,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) < top THEN r1 ELSE r2 END AS cr0,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) + 1 < top THEN r1 ELSE r2 END AS cr1,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) < top THEN g1 ELSE g2 END AS cg0,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) + 1 < top THEN g1 ELSE g2 END AS cg1,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) < top THEN b1 ELSE b2 END AS cb0,
+          |         CASE WHEN CAST(floor(sy) AS BIGINT) + 1 < top THEN b1 ELSE b2 END AS cb1
+          |  FROM yy),
+          |ya AS (
+          |  SELECT doc_id, w,
+          |         (1.0 - fy) * cr0 + fy * cr1 AS ar,
+          |         (1.0 - fy) * cg0 + fy * cg1 AS ag,
+          |         (1.0 - fy) * cb0 + fy * cb1 AS ab
+          |  FROM ylerp),
+          |xx AS (
+          |  SELECT ya.*, (x.j + 0.5) * ya.w / 6.0 - 0.5 AS sx
+          |  FROM ya, LATERAL unnest(generate_series(0, 5)) AS x(j)),
+          |pix AS (
+          |  SELECT doc_id,
+          |         CAST(floor((1.0 - (sx - floor(sx))) * ar + (sx - floor(sx)) * ar + 0.5) AS BIGINT) AS vr,
+          |         CAST(floor((1.0 - (sx - floor(sx))) * ag + (sx - floor(sx)) * ag + 0.5) AS BIGINT) AS vg,
+          |         CAST(floor((1.0 - (sx - floor(sx))) * ab + (sx - floor(sx)) * ab + 0.5) AS BIGINT) AS vb
+          |  FROM xx)
+          |SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+          |       round(sum(vr) / 30.0, 6) AS mean_r,
+          |       round(sum(vg) / 30.0, 6) AS mean_g,
+          |       round(sum(vb) / 30.0, 6) AS mean_b
+          |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "multimodal_image_stats" ->
         """WITH p AS (
           |  SELECT doc_id,

@@ -335,12 +335,79 @@ object Multimodal {
     out
   }
 
+  /**
+   * Bilinear resize with FULLY SPECIFIED arithmetic — the
+   * bit-reproducible alternative to [[resizeImage]]'s Graphics2D path
+   * (whose interpolation is the platform renderer's business and may
+   * differ across JDK builds). A 100 TB training pipeline that resizes
+   * at ingest wants the same bytes from every executor, JVM, and
+   * backfill run; this kernel promises exactly:
+   *
+   *   half-pixel source mapping  s = (d + 0.5)·src/dst − 0.5,
+   *   clamp-to-edge, 4-tap separable lerp evaluated as
+   *   a = (1−fy)·c00 + fy·c01;  b = (1−fy)·c10 + fy·c11;
+   *   c = (1−fx)·a + fx·b;  out = ⌊c + 0.5⌋
+   *
+   * in IEEE-754 double, in THAT order — so any engine replaying the
+   * same expressions (the DuckDB oracle does, for the closed-form
+   * synthPng fixture) reproduces every output pixel bit-for-bit.
+   */
+  def resizeImageDeterministic(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val sw = img.getWidth; val sh = img.getHeight
+    val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y + 0.5) * sh / h - 0.5
+      val syc = math.max(0.0, math.min(sy, sh - 1.0))
+      val y0 = math.floor(syc).toInt
+      val y1 = math.min(y0 + 1, sh - 1)
+      val fy = syc - y0
+      var x = 0
+      while (x < w) {
+        val sx = (x + 0.5) * sw / w - 0.5
+        val sxc = math.max(0.0, math.min(sx, sw - 1.0))
+        val x0 = math.floor(sxc).toInt
+        val x1 = math.min(x0 + 1, sw - 1)
+        val fx = sxc - x0
+        var rgb = 0
+        var shift = 16
+        while (shift >= 0) {
+          val c00 = (px(y0 * sw + x0) >> shift) & 0xff
+          val c01 = (px(y1 * sw + x0) >> shift) & 0xff
+          val c10 = (px(y0 * sw + x1) >> shift) & 0xff
+          val c11 = (px(y1 * sw + x1) >> shift) & 0xff
+          val a = (1.0 - fy) * c00 + fy * c01
+          val b = (1.0 - fy) * c10 + fy * c11
+          val c = (1.0 - fx) * a + fx * b
+          rgb |= math.floor(c + 0.5).toInt << shift
+          shift -= 8
+        }
+        out.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode → resize → re-encode PNG per row (NULL for undecodable
     * payloads) — the standard normalize-resolution stage before a
     * vision model. Same per-partition codec-init seam as the other
     * image stages. */
   def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int,
-      outCol: String = "resized"): DataFrame = {
+      outCol: String = "resized"): DataFrame =
+    resizeWith(df, binCol, w, h, outCol)(resizeImage)
+
+  /** [[resizeImages]] through the bit-reproducible
+    * [[resizeImageDeterministic]] kernel instead of Graphics2D. */
+  def resizeImagesDeterministic(df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String = "resized"): DataFrame =
+    resizeWith(df, binCol, w, h, outCol)(resizeImageDeterministic)
+
+  private def resizeWith(df: DataFrame, binCol: String, w: Int, h: Int,
+      outCol: String)(kernel: (BufferedImage, Int, Int) => BufferedImage): DataFrame = {
     val idx = df.schema.fieldIndex(binCol)
     val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
     df.mapPartitions { rows =>
@@ -349,7 +416,7 @@ object Multimodal {
         val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
         val resized = decodeImage(bytes).map { img =>
           val bos = new ByteArrayOutputStream()
-          ImageIO.write(resizeImage(img, w, h), "png", bos)
+          ImageIO.write(kernel(img, w, h), "png", bos)
           bos.toByteArray
         }.orNull
         Row.fromSeq(row.toSeq :+ resized)

@@ -187,6 +187,40 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2), "undecodable payload must resize to NULL stats")
   }
 
+  test("resizeImageDeterministic: hand-computed lerp, solid invariance, spec'd arithmetic") {
+    // 1x2 vertical gradient (rows 100, 200) -> 1x4: sy for output rows
+    // 0..3 = (j+0.5)*2/4-0.5 = -0.25, 0.25, 0.75, 1.25; clamped to
+    // [0, 1]: 0, 0.25, 0.75, 1 -> values 100, 125, 175, 200 by the
+    // documented half-pixel/clamp/round contract (hand-computed)
+    val grad = new BufferedImage(1, 2, BufferedImage.TYPE_INT_RGB)
+    grad.setRGB(0, 0, (100 << 16) | (100 << 8) | 100)
+    grad.setRGB(0, 1, (200 << 16) | (200 << 8) | 200)
+    val up = Multimodal.resizeImageDeterministic(grad, 1, 4)
+    val got = (0 until 4).map(y => (up.getRGB(0, y) >> 16) & 0xff)
+    assert(got == Seq(100, 125, 175, 200), s"hand-computed lerp mismatch: $got")
+    // solid color: every interpolated pixel is a convex combination of
+    // one value -> survives any resize exactly
+    val out = Multimodal.imageStats(
+      Multimodal.resizeImagesDeterministic(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(1L, png(solid(16, 12, 77, 140, 201)))), 1),
+          StructType(Seq(StructField("id", LongType),
+            StructField("media", BinaryType, nullable = true)))),
+        "media", w = 4, h = 3).drop("media"), "resized").collect().head
+    assert(out.getInt(2) == 4 && out.getInt(3) == 3)
+    assert(out.getDouble(4) == 77.0 && out.getDouble(5) == 140.0 &&
+      out.getDouble(6) == 201.0)
+    // determinism: byte-identical output across calls (the property
+    // Graphics2D does not promise across platforms)
+    val a = Multimodal.resizeImageDeterministic(
+      Multimodal.decodeImage(Multimodal.synthPng(7L)).get, 6, 5)
+    val b = Multimodal.resizeImageDeterministic(
+      Multimodal.decodeImage(Multimodal.synthPng(7L)).get, 6, 5)
+    val pa = a.getRGB(0, 0, 6, 5, null, 0, 6)
+    val pb = b.getRGB(0, 0, 6, 5, null, 0, 6)
+    assert(pa.sameElements(pb))
+  }
+
   test("sampleFrames: uniform schedule, duplicate collapse, exact byte slices") {
     assert(Multimodal.sampleFrameIndices(6, 3) == Seq(0, 2, 5))
     assert(Multimodal.sampleFrameIndices(2, 3) == Seq(0, 1)) // duplicates collapse
