@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin}
+import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin, Skew}
 
 /**
  * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
@@ -201,6 +201,47 @@ object ScaleProbe {
         println(f"[scale-probe] lsh p=$p candidates=$nCand $ran " +
           f"(all-pairs would be ${n * (n - 1) / 2})")
       }
+      spark.stop()
+      return
+    }
+    // Salted-join skew telemetry: sbt "runMain graft.ScaleProbe 4000000 skew".
+    // The scenario salting exists for: one hot key carrying 30% of the
+    // big side, and a small side BEYOND broadcast reach (emulated by
+    // autoBroadcastJoinThreshold = -1; under the threshold the big side
+    // never shuffles and skew cannot hurt — PlanShapeSpec pins that
+    // case instead). Three timings on identical inputs: the naive
+    // shuffle join (hot key → one straggler task), Skew.saltedJoin
+    // (hot key spread over `factor` tasks at the cost of replicating
+    // the small side), and the plain join again with AQE's adaptive
+    // skew-split enabled — the modern default this operator is the
+    // explicit form of (documented so users reach for AQE first and
+    // salting where AQE can't help: non-sort-merge plans, pre-AQE
+    // clusters, aggregations).
+    if (args.contains("skew")) {
+      val keys = math.max(1000L, n / 20)
+      val big = spark.range(n).toDF("id").select(col("id"),
+          when(pmod(col("id"), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(keys))).as("k"))
+        .repartition(32).localCheckpoint(true)
+      val small = spark.range(keys).toDF("k").select(col("k"),
+          pmod(hash(col("k") * 13 + 7), lit(1000)).as("attr"))
+        .repartition(32).localCheckpoint(true)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      var nPlain = -1L; var nSalted = -1L; var nAqe = -1L
+      time(s"plain shuffle join, 30%-hot key, ${n / 1000000}M rows (AQE skew OFF)") {
+        nPlain = big.join(small, Seq("k")).count()
+      }
+      time("salted join factor=8 (same configs)") {
+        nSalted = Skew.saltedJoin(big, small, "k", factor = 8).count()
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      time("plain shuffle join (AQE skew split ON)") {
+        nAqe = big.join(small, Seq("k")).count()
+      }
+      require(nPlain == nSalted && nPlain == nAqe,
+        s"skew variants must agree: plain=$nPlain salted=$nSalted aqe=$nAqe")
+      println(s"[scale-probe] skew join rows=$nPlain (plain = salted = aqe)")
       spark.stop()
       return
     }

@@ -12,7 +12,22 @@ import org.apache.spark.sql.functions._
  * replicates the matching small-side rows once per sub-key, restoring
  * parallelism at the cost of a `factor`× copy of the SMALL side only.
  *
- * Result-equivalent to a plain inner equi-join (spec'd).
+ * Result-equivalent to a plain inner equi-join (spec'd; the skew_join
+ * entry oracles it row-for-row against DuckDB).
+ *
+ * When to reach for it (measured by `ScaleProbe … skew`, 4M rows with
+ * a 30%-hot key, small side beyond broadcast reach: plain SMJ 2.3s,
+ * salted 1.7s, AQE skew-split 0.9s):
+ *  - if the small side BROADCASTS, the big side never shuffles and
+ *    skew cannot hurt — don't salt (PlanShapeSpec pins that salting
+ *    keeps the broadcast);
+ *  - if AQE's skew split applies (sort-merge/shuffled-hash joins on a
+ *    modern cluster), prefer it — it splits only the oversized
+ *    partitions, adaptively, and beat manual salting on the probe;
+ *  - salt when neither does: pre-AQE clusters, plans AQE's split
+ *    doesn't cover (e.g. skewed AGGREGATIONS via a two-phase
+ *    salt-then-merge), or when the skew is known up front and you
+ *    want it handled deterministically in the plan.
  */
 object Skew {
 

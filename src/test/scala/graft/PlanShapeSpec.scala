@@ -80,11 +80,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must partition by the shard key (lang):\n$p")
   }
 
-  test("salted skew join broadcasts the replicated small side — no big-side shuffle") {
+  test("salted join keeps a broadcastable small side broadcast — salting must not force a shuffle") {
+    // When the small side fits the broadcast threshold, the big side
+    // never shuffles and skew cannot hurt — salting must then be a
+    // no-op physically, NOT a regression that blocks the broadcast
+    // (e.g. if the explode-replication ever defeated size estimation).
+    // The case salting exists for — a small side beyond broadcast
+    // reach, where the salted SMJ spreads the hot key over `factor`
+    // tasks — is measured by `ScaleProbe ... skew`, not plan-testable
+    // at fixture scale.
     val p = plan("skew_join")
     assert(p.contains("BroadcastHashJoin"),
-      "the factor-replicated small side must broadcast; a shuffle join here " +
-        "would defeat the point of salting (the hot key still lands on one task)")
+      "factor-replicated small side no longer broadcasts — explode defeated " +
+        "the size estimate?")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
