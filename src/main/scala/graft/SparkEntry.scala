@@ -679,6 +679,22 @@ object SparkEntry {
         "embedding", "vec_id")
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
         .orderBy(col("vec_id"))),
+    // §2 #15 ORACLED golden anchor for UMAP (round 8): coordinates of
+    // five fixed vectors from the same 500-row layout — completes the
+    // anchor trio (pca/tsne/umap each pin a committed golden). Like
+    // tsne, everything after the ordered collect is sequential driver
+    // math, bit-stable across thread counts and partitionings
+    // (verified identical for the FULL 500 rows at 4 vs 32 threads
+    // before committing), so the goldens pin the smooth-kNN
+    // calibration, fuzzy union, a/b curve, and SGD schedule against
+    // silent drift; umap_knn_exact below pins the graph stage against
+    // an independent derivation.
+    "umap_project_anchor" -> ((s, d) =>
+      Project.umap(Tables(s, d, "embeddings").filter(col("vec_id") < 500),
+        "embedding", "vec_id")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+        .orderBy(col("vec_id"))),
     // §2 #15 ORACLED anchor for umap_project's graph half: the exact
     // euclidean kNN stage (the reference's umap::umap runs the same
     // kNN inside uwot) emitted vec-for-vec — (point, rank, neighbor,
@@ -2169,6 +2185,14 @@ object SparkEntry {
           |  (2, CAST(-1.3602 AS DOUBLE), CAST(0.7827 AS DOUBLE)),
           |  (3, CAST(2.1047 AS DOUBLE), CAST(-0.2147 AS DOUBLE)),
           |  (4, CAST(-0.1431 AS DOUBLE), CAST(0.0145 AS DOUBLE))
+          |) AS t(vec_id, x, y) ORDER BY vec_id""".stripMargin,
+      "umap_project_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(1.5760 AS DOUBLE), CAST(-1.2433 AS DOUBLE)),
+          |  (1, CAST(-0.5853 AS DOUBLE), CAST(0.5213 AS DOUBLE)),
+          |  (2, CAST(-0.9582 AS DOUBLE), CAST(-3.6386 AS DOUBLE)),
+          |  (3, CAST(0.0694 AS DOUBLE), CAST(1.7564 AS DOUBLE)),
+          |  (4, CAST(-1.3484 AS DOUBLE), CAST(1.5396 AS DOUBLE))
           |) AS t(vec_id, x, y) ORDER BY vec_id""".stripMargin,
       "tsne_project_anchor" ->
         """SELECT * FROM (VALUES
