@@ -589,6 +589,26 @@ object SparkEntry {
       Tables(s, d, "documents").select(
         col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 8): CCNet-style unigram-LM surprisal — the
+    // perplexity-quality signal, with per-token surprisal quantized to
+    // integer micro-nats BEFORE the per-doc sum so the aggregation is
+    // exact integer arithmetic (partition-order-free) and DuckDB
+    // replays it bit-for-bit. Docs with zero tokens are absent (no
+    // surprisal to average), matching the oracle's GROUP BY.
+    "quality_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("lm_nll"))
+        .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 8): temperature-based domain mixing at
+    // α = 0.5 (mBERT/XLM-R exponent-smoothed sampling) — keep rate
+    // min(1, T/(√n_d·Σ√n_e)) per language, decided by the same
+    // md5-bucket scheme as train_split. sqrt is IEEE-correctly-rounded,
+    // so the rates reproduce bit-for-bit cross-engine; the Σ folds in
+    // ascending-domain order on both sides.
+    "sample_temperature" -> ((s, d) =>
+      TextAnalysis.sampleTemperature(Tables(s, d, "documents"), "doc_id", "lang",
+        targetRows = 300)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     // §2.3 A: per-label centroid via the avg_vector aggregator, long form
     "centroid_by_label" -> ((s, d) =>
       Tables(s, d, "embeddings")
@@ -1661,6 +1681,12 @@ object SparkEntry {
       "fingerprint" ->
         s"""SELECT doc_id, ${TextAnalysisSql.contentFingerprintSql("text")} AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "quality_lm_score" ->
+        (TextAnalysisSql.lmScoreSql("documents", "doc_id", "text") +
+          "\nORDER BY t.doc_id"),
+      "sample_temperature" ->
+        (TextAnalysisSql.sampleTemperatureSql("documents", "doc_id", "lang", 300) +
+          "\nORDER BY d.doc_id"),
       "centroid_by_label" ->
         """SELECT CAST(label AS BIGINT) AS label, r.i - 1 AS pos,
           |       round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS v

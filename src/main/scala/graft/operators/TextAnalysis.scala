@@ -170,6 +170,103 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram-LM surprisal scoring — the CCNet-style data-quality signal
+   * (Wenzek et al. 2020 rank documents by LM perplexity; the unigram
+   * variant is its engine-portable core). Each document gets the mean
+   * negative log-likelihood per token under the corpus's own unigram
+   * distribution with add-one smoothing: p(t) = (c_t + 1)/(N + V).
+   * Low scores = stereotyped/common text, high = rare or noisy —
+   * filter either tail.
+   *
+   * Cross-engine determinism is designed in, not hoped for: the
+   * per-token surprisal is quantized to INTEGER micro-nats
+   * (round(1e6·−ln p)) BEFORE the per-document aggregation, so the
+   * sum is exact integer arithmetic — commutative, hence identical
+   * under any partitioning, shuffle order, or engine; the only float
+   * steps (one division, one ln, one multiply) happen per DISTINCT
+   * token where both JVM and DuckDB agree to ≤1 ulp, far inside the
+   * micro-nat quantum. The DuckDB oracle replays the identical
+   * expressions.
+   *
+   * Scale shape: explode → count (one shuffle on token) → join tokens
+   * to counts (AQE broadcasts the counts side when small; shuffle
+   * join on the token key otherwise — the canonical 100 TB shape) →
+   * integer-sum groupBy on the doc key. Docs with zero tokens have no
+   * surprisal and are absent from the output (documented, matches the
+   * oracle's GROUP BY over unnested tokens).
+   */
+  def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      outCol: String = "lm_nll"): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum("__c").as("__n_total"), count(lit(1)).as("__vocab"))
+    toks.join(counts, "__tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("__nll_micro",
+        round(lit(-1e6) * log((col("__c") + 1).cast("double") /
+          (col("__n_total") + col("__vocab")).cast("double"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum("__nll_micro").cast("double") / (lit(1e6) * count(lit(1))), 6).as(outCol))
+  }
+
+  /**
+   * Temperature-based domain mixing — the multilingual/multi-domain
+   * resampling rule (mBERT/XLM-R exponent-smoothed sampling; the
+   * static form of DoReMi-style reweighting): domain d with n_d of N
+   * rows is sampled with probability q_d ∝ (n_d/N)^α, which for a
+   * target of T rows without replacement means keeping each of d's
+   * rows with rate r_d = min(1, T·q_d/n_d). α < 1 upweights
+   * low-resource domains; α = 1 is proportional (uniform r_d = T/N).
+   *
+   * This entry point fixes α = 0.5, where q_d ∝ √n_d and
+   * r_d = min(1, T/(√n_d·Σ_e√n_e)) — chosen because IEEE-754
+   * guarantees sqrt is CORRECTLY rounded (pow is not), so the keep
+   * rate is bit-reproducible in any engine and the DuckDB oracle can
+   * replay it (the Σ is folded in ascending-domain order on both
+   * sides). The per-row keep decision reuses [[splitAssign]]'s
+   * md5-bucket scheme (256ths) — stable across runs, partitionings,
+   * and engines, unlike `rand()`.
+   *
+   * Scale shape: one small groupBy-count on the domain column
+   * (driver-collected, REFUSED above `maxDomains` — the guardrail
+   * convention), then a broadcast join of the (domain, boundary)
+   * table against the corpus and a codegen'd hex-prefix filter — no
+   * when-chain to blow codegen, no shuffle of the big side. NULL
+   * domains are dropped (inner join), documented.
+   */
+  def sampleTemperature(df: org.apache.spark.sql.DataFrame, idCol: String,
+      domainCol: String, targetRows: Long,
+      maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counted = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("__domain"))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxDomains + 1).collect()
+    require(counted.length <= maxDomains,
+      s"sampleTemperature collects per-domain counts to the driver and refuses " +
+        s"more than maxDomains=$maxDomains distinct domains — coarsen the domain " +
+        "column or raise the cap")
+    val counts = counted.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ascending-domain fold order is part of the cross-engine contract
+    val sqrtSum = counts.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val ends = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      val frac = math.min(1.0, targetRows.toDouble / (math.sqrt(n.toDouble) * sqrtSum))
+      val end = math.min(256L, math.round(frac * 256)).toInt
+      (d, f"$end%02x", end >= 256)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val endsDf = ends.toDF("__domain", "__end", "__all")
+    df.join(broadcast(endsDf), col(domainCol).cast("string") === col("__domain"))
+      .where(col("__all") ||
+        substring(md5(col(idCol).cast("string")), 1, 2) < col("__end"))
+      .drop("__domain", "__end", "__all")
+  }
+
+  /**
    * Token-window chunking with overlap — the RAG/pretraining splitter
    * (the reference's vignette demonstrates exactly this document-chunks
    * shape, /root/reference/vignettes/getting-started.Rmd:245-263, built
@@ -237,4 +334,37 @@ object TextAnalysisSql {
 
   def contentFingerprintSql(t: String): String =
     s"md5(regexp_replace(trim(lower($t)), '\\s+', ' ', 'g'))"
+
+  /** [[TextAnalysis.lmScore]]'s oracle: the same tokenization, the same
+    * add-one unigram model, the same integer micro-nat quantization
+    * before the per-doc sum. `table`/`id`/`text` name the input. */
+  def lmScoreSql(table: String, id: String, text: String): String =
+    s"""WITH toks AS (
+       |  SELECT $id, unnest(list_filter(string_split_regex(lower($text), '\\s+'),
+       |                     x -> len(x) > 0)) AS tok
+       |  FROM $table),
+       |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt)
+       |SELECT t.$id, count(*) AS n_toks,
+       |       round(sum(CAST(round(-1000000.0 * ln((cnt.c + 1) * 1.0
+       |                 / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
+       |             / (1000000.0 * count(*)), 6) AS lm_nll
+       |FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+       |GROUP BY t.$id""".stripMargin
+
+  /** [[TextAnalysis.sampleTemperature]]'s oracle (α = 0.5): same
+    * sqrt-based keep rates, same ascending-domain Σ fold, same
+    * md5-bucket decision. */
+  def sampleTemperatureSql(table: String, id: String, domain: String,
+      targetRows: Long): String =
+    s"""WITH c AS (SELECT $domain AS dom, count(*) AS n FROM $table
+       |           WHERE $domain IS NOT NULL GROUP BY $domain),
+       |s AS (SELECT list_sum(list_transform(list(CAST(n AS DOUBLE) ORDER BY dom),
+       |                                     x -> sqrt(x))) AS sq FROM c),
+       |e AS (SELECT dom, least(256, CAST(round(least(1.0,
+       |        $targetRows.0 / (sqrt(CAST(n AS DOUBLE)) * s.sq)) * 256) AS INT)) AS endb
+       |      FROM c, s)
+       |SELECT d.$id, d.$domain FROM $table d JOIN e ON d.$domain = e.dom
+       |WHERE e.endb >= 256
+       |   OR substr(md5(CAST(d.$id AS VARCHAR)), 1, 2) < printf('%02x', e.endb)""".stripMargin
 }

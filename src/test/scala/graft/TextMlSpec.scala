@@ -108,6 +108,54 @@ class TextMlSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("lmScore: hand-computed surprisal, rare scores above common, zero-token docs absent, partition-invariant") {
+    // corpus: tokens a:3 b:1 c:1 -> N=5, V=3; add-one p(a)=4/8, p(b)=p(c)=2/8
+    // micro-nats: -ln(1/2) -> 693147, -ln(1/4) -> 1386294 (exact integer quanta)
+    val df = Seq((1L, "a A b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L), "zero-token doc must be absent")
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    // doc1 = (693147 + 693147 + 1386294)/3e6, doc2 = (693147 + 1386294)/2e6
+    assert(math.abs(out(1L)._2 - 2772588.0 / 3e6) < 2e-6)
+    assert(math.abs(out(2L)._2 - 2079441.0 / 2e6) < 2e-6)
+    assert(out(2L)._2 > out(1L)._2, "doc with the rarer token mix must score higher")
+    // integer micro-nat sums commute -> identical under any partitioning
+    val p1 = TextAnalysis.lmScore(df.repartition(7), "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val p2 = TextAnalysis.lmScore(df.coalesce(1), "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(p1 == p2)
+  }
+
+  test("sampleTemperature: upweights the small domain, keeps everything when target >= N, refuses domain blowup") {
+    val big = (0L until 900L).map(i => (i, "big"))
+    val small = (1000L until 1010L).map(i => (i, "small"))
+    val df = (big ++ small).toDF("id", "dom")
+    val kept = TextAnalysis.sampleTemperature(df, "id", "dom", targetRows = 100)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep RATES: small ~0.95, big ~0.10 — alpha=0.5 upweights the rare domain
+    val rBig = kept.getOrElse("big", 0L).toDouble / 900
+    val rSmall = kept.getOrElse("small", 0L).toDouble / 10
+    assert(rSmall > rBig * 3, s"small rate $rSmall should dominate big rate $rBig")
+    assert(rBig > 0.03 && rBig < 0.25, s"big keep rate $rBig out of band")
+    // deterministic: identical output on recompute
+    val a = TextAnalysis.sampleTemperature(df, "id", "dom", 100).orderBy("id").collect().toSeq
+    val b = TextAnalysis.sampleTemperature(df.repartition(5), "id", "dom", 100)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // target >= N keeps every row
+    assert(TextAnalysis.sampleTemperature(df, "id", "dom", 10000).count() == 910)
+    // NULL domains are dropped, not kept silently
+    val withNull = df.union(Seq((5000L, null.asInstanceOf[String])).toDF("id", "dom"))
+    assert(TextAnalysis.sampleTemperature(withNull, "id", "dom", 10000).count() == 910)
+    // guardrail: more distinct domains than maxDomains refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.sampleTemperature(df, "id", "dom", 100, maxDomains = 1)
+    }
+    assert(err.getMessage.contains("maxDomains"))
+  }
+
   test("chunk: windows with overlap, partial tail kept, empty text yields no chunks") {
     val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, "text", chunkSize = 3, overlap = 1)
