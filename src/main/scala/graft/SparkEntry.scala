@@ -416,6 +416,22 @@ object SparkEntry {
           threshold = 1.0, shingleSize = 1, bands = 1)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED (round 8): eval-set decontamination — remove
+    // training docs sharing any 13-word-gram with the benchmark set
+    // (GPT-3 App. C / Lee et al. 2022 / Dolma's leak-hygiene step; 13
+    // is the GPT-3 number). Eval = doc_id % 7 (a stand-in benchmark
+    // split), corpus = the rest; the fixture's planted near-dups give
+    // 8 genuinely contaminated docs at sf0.01. The eval side's
+    // distinct grams BROADCAST (benchmarks are small by nature), so
+    // the corpus never shuffles; the gram is matched as its joined
+    // string, which DuckDB replays verbatim.
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.decontaminate(corpus, evalSet, "text", "doc_id", n = 13)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")
@@ -1684,6 +1700,21 @@ object SparkEntry {
       "quality_lm_score" ->
         (TextAnalysisSql.lmScoreSql("documents", "doc_id", "text") +
           "\nORDER BY t.doc_id"),
+      // Same tokenization and 13-gram windows as Dedup.wordNgrams;
+      // survivors = corpus docs sharing no gram with the eval split.
+      "decontaminate" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
+          |                i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                                   x -> len(x) > 0) AS toks FROM documents)),
+          |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+          |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING(gram)
+          |         WHERE g.doc_id % 7 <> 0)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+          |ORDER BY doc_id""".stripMargin,
       "sample_temperature" ->
         (TextAnalysisSql.sampleTemperatureSql("documents", "doc_id", "lang", 300) +
           "\nORDER BY d.doc_id"),

@@ -538,6 +538,44 @@ object Dedup {
       .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /**
+   * Eval-set decontamination — the pretraining hygiene step (GPT-3
+   * App. C / Lee et al. 2022 / Dolma all remove training documents
+   * that share a long word n-gram with an evaluation benchmark, so
+   * test answers can't leak into the training set). Returns the rows
+   * of `corpus` that share NO word n-gram with any `evalDf` document.
+   *
+   * Scale shape: the eval side is benchmarks — thousands of rows, not
+   * corpus-scale — so its distinct n-gram hashes BROADCAST and the
+   * corpus side never shuffles: explode corpus n-gram hashes →
+   * broadcast inner join → distinct contaminated ids → left-anti
+   * against the corpus. Both sides hash with the codegen'd
+   * [[graft.expressions.ShingleHashes]] kernel (one pass per doc, the
+   * same 64-bit gram identity the Jaccard/MinHash family shares) —
+   * NOT a transform/concat_ws HOF pipeline, which executes as
+   * CodegenFallback per element and measured 4.2× slower end-to-end
+   * at sf0.1 (4.7s → 1.1s). Matching hashes instead of strings leaves the
+   * CONTAMINATED-ID SET unchanged modulo 64-bit collisions (~1e-10
+   * at benchmark gram counts — the same argument the winnow tier's
+   * oracle makes), which is why the DuckDB oracle matches gram
+   * STRINGS and still agrees on every surviving id. No driver
+   * collect; the broadcast is planner-built.
+   */
+  def decontaminate(corpus: DataFrame, evalDf: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def gramHashes(c: Column): Column =
+      ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(c), n))
+    val evalGrams = evalDf
+      .select(explode(gramHashes(col(textCol))).as("__g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Precomputed minhash artifacts for one corpus: banded signature
     * buckets + shingle sets, both pure functions of the text — the
     * history side of incremental dedup persists these instead of

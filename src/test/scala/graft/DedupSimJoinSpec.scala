@@ -344,6 +344,26 @@ class DedupSimJoinSpec extends AnyFunSuite {
       s"single-corpus threshold=1.0 survivors diverge: $surv2")
   }
 
+  test("decontaminate: drops exactly the corpus docs sharing an n-gram with the eval set") {
+    val evalDf = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "tiny")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the eval 4-gram "the capital of france" (case/space-insensitively)
+      (1L, "students asked what is THE  Capital of France during class"),
+      // shares only shorter runs (3 consecutive words max) -> clean
+      (2L, "the capital city of great france is lovely"),
+      (3L, "completely unrelated text about spark physical plans"),
+      // fewer than n tokens -> no grams -> trivially clean
+      (4L, "tiny")).toDF("doc_id", "text")
+    val surv = Dedup.decontaminate(corpus, evalDf, "text", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(2L, 3L, 4L), s"got $surv")
+    // n larger than every doc: nothing can match, everything survives
+    val all = Dedup.decontaminate(corpus, evalDf, "text", "doc_id", n = 50).count()
+    assert(all == 4)
+  }
+
   test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {
     val fixture = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

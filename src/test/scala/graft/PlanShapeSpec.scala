@@ -96,6 +96,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("temperature sampling broadcasts the domain-boundary table — the corpus side must not shuffle") {
+    // The whole point of the (domain, boundary) join form (vs a
+    // when-chain) is that the corpus side stays shuffle-free: the
+    // boundary table is tiny by the maxDomains guardrail and must
+    // broadcast.
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-boundary table no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side of the sampling join must not sort-merge")
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the
