@@ -191,9 +191,12 @@ object TextAnalysis {
    * Scale shape: explode → count (one shuffle on token) → join tokens
    * to counts (AQE broadcasts the counts side when small; shuffle
    * join on the token key otherwise — the canonical 100 TB shape) →
-   * integer-sum groupBy on the doc key. Docs with zero tokens have no
-   * surprisal and are absent from the output (documented, matches the
-   * oracle's GROUP BY over unnested tokens).
+   * integer-sum groupBy on the doc key. Like CCNet itself this is a
+   * TWO-pass design — the corpus is tokenized once for the model and
+   * once for scoring; persist the exploded projection before calling
+   * if the same frame feeds other token-level stages. Docs with zero
+   * tokens have no surprisal and are absent from the output
+   * (documented, matches the oracle's GROUP BY over unnested tokens).
    */
   def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       outCol: String = "lm_nll"): org.apache.spark.sql.DataFrame = {
