@@ -245,6 +245,39 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Decontamination at 1M docs: sbt "runMain graft.ScaleProbe 1000000 decon".
+    // The scale claim to check: the eval side's gram hashes BROADCAST,
+    // so the corpus side never shuffles and wall-clock tracks one
+    // corpus pass (explode + broadcast probe), not a pair join.
+    // Corpus: 12 uniform tokens from a 50k vocab per doc; eval set:
+    // n/1000 docs, each the EXACT text of corpus doc (j·997 mod n), so
+    // the planted contaminated set is known exactly (accidental shared
+    // 8-grams across a 50k vocab are ~0) and the survivor count is a
+    // closed-form correctness check, not just a timing.
+    if (args.contains("decon")) {
+      def docText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("t"), pmod(hash(idCol * lit(31 + i) + lit(i)), lit(50000)))): _*)
+      val corpus = spark.range(n).toDF("id")
+        .select(col("id"), docText(col("id")).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val nEval = math.max(1L, n / 1000)
+      val evalDf = spark.range(nEval).toDF("j")
+        .select(pmod(col("j") * 997, lit(n)).as("src"))
+        .select(col("src").as("id"), docText(col("src")).as("text"))
+        .localCheckpoint(true)
+      val planted = evalDf.select("id").distinct().count()
+      var surv = -1L
+      time(s"decontaminate ${n / 1000000}M docs vs $nEval eval docs (8-grams)") {
+        surv = Dedup.decontaminate(corpus, evalDf, "text", "id", n = 8).count()
+      }
+      require(surv == n - planted,
+        s"decontamination must drop exactly the $planted planted docs: " +
+          s"survivors=$surv expected=${n - planted}")
+      println(s"[scale-probe] decon survivors=$surv dropped=$planted (exact)")
+      spark.stop()
+      return
+    }
     val idxPath = s"$path-ivf"
     time("ivf build nlist=64") {
       val idx = IvfIndex.build(e, "embedding", nlist = 64)
