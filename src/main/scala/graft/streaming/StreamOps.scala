@@ -167,6 +167,27 @@ object StreamOps {
         batch, corpus, queryIdCol, queryEmbCol, corpusIdCol, corpusEmbCol, k), batchId)
     }.start()
 
+  /** Streaming eval-set decontamination (SURVEY §2.3 S × D): each
+    * arriving micro-batch of documents is decontaminated against a
+    * STATIC benchmark set — the ingest-time form of the leak-hygiene
+    * step, so contaminated docs never land in the corpus at all
+    * instead of being swept later. Structured Streaming has no
+    * stream-static left-ANTI join, so this rides the same
+    * foreachBatch seam as [[nearestPerBatch]]; since the eval side is
+    * static and the decision is per-document, the per-batch result
+    * equals the batch operator restricted to the batch's rows —
+    * stream output == batch output once drained (spec'd). The eval
+    * gram broadcast is planner-built per batch from the same static
+    * frame. */
+  def decontaminatePerBatch(
+      docs: DataFrame, // streaming
+      evalDf: DataFrame, // static
+      textCol: String, idCol: String, n: Int = 13)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.decontaminate(batch, evalDf, textCol, idCol, n), batchId)
+    }.start()
+
   /** Streaming point-in-time enrichment: each micro-batch of left rows
     * is as-of joined against a STATIC right side (a dimension snapshot
     * — the stream-static temporal join). Since the right side is fixed,

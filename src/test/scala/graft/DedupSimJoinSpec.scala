@@ -364,6 +364,28 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(all == 4)
   }
 
+  test("streaming decontaminatePerBatch drains to exactly the batch survivors") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_stream_decon")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStatic = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalDf = docsStatic.where(col("doc_id") % 7 === 0)
+    val want = Dedup.decontaminate(docsStatic.where(col("doc_id") % 7 =!= 0),
+        evalDf, "text", "doc_id", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stream = spark.readStream.schema(docsStatic.schema).parquet(dir.toString)
+      .where(col("doc_id") % 7 =!= 0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamOps.decontaminatePerBatch(
+      stream, evalDf, "text", "doc_id") { (df, _) =>
+      got ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(got.size == want.size, s"stream emitted ${got.size} vs batch ${want.size}")
+    assert(got.toSet == want)
+  }
+
   test("minhashPairs: exact precision (subset of PPJoin pairs), high recall on the fixture") {
     val fixture = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
