@@ -128,6 +128,19 @@ class TextMlSpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("lmScore on an all-empty corpus returns empty, not an error") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.lmScore(df, "text", "doc_id").count() == 0)
+  }
+
+  test("sampleTemperature refuses a non-positive target") {
+    val df = Seq((1L, "a")).toDF("id", "dom")
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.sampleTemperature(df, "id", "dom", targetRows = 0)
+    }
+    assert(err.getMessage.contains("targetRows"))
+  }
+
   test("sampleTemperature: upweights the small domain, keeps everything when target >= N, refuses domain blowup") {
     val big = (0L until 900L).map(i => (i, "big"))
     val small = (1000L until 1010L).map(i => (i, "small"))
