@@ -133,6 +133,27 @@ class TextMlSpec extends AnyFunSuite {
     assert(TextAnalysis.lmScore(df, "text", "doc_id").count() == 0)
   }
 
+  test("sampleTemperature keep-set is monotone in the target (growing T only adds rows)") {
+    // per-domain boundaries end_d = min(256, round(min(1, T/(√n_d·Σ√n_e))·256))
+    // are nondecreasing in T and the md5 buckets are fixed, so a larger
+    // target must keep a SUPERSET — the invariant a boundary-rounding
+    // regression would break first
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1010L).map(i => (i, "small"))).toDF("id", "dom")
+    val keeps = Seq(30L, 100L, 300L, 910L, 10000L).map { t =>
+      TextAnalysis.sampleTemperature(df, "id", "dom", t)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    keeps.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), s"target growth removed rows: ${(a -- b).take(5)}")
+    }
+    // at T = N the BIG domain is deliberately undersampled (rate
+    // 910/(√900·Σ√n) ≈ 0.91 < 1) while the small one saturates — the
+    // temperature shift itself; only T far above N keeps every row
+    assert(keeps(3).size < 910 && keeps(3).size > 700)
+    assert(keeps.last.size == 910)
+  }
+
   test("sampleTemperature refuses a non-positive target") {
     val df = Seq((1L, "a")).toDF("id", "dom")
     val err = intercept[IllegalArgumentException] {
