@@ -97,7 +97,7 @@ case class VocabCountEmbedder(vocab: Seq[String]) extends Embedder {
     // |vocab| count expressions would re-split the text per term
     // (Catalyst does not CSE across array-HOF projections)
     val tokCol = "__graft_vocab_toks"
-    val toks = filter(split(lower(col(contentCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(contentCol)), graft.expressions.ShingleHashes.WsRegex), t => length(t) > 0)
     val counts = vocab.map(term =>
       size(filter(col(tokCol), t => t === lit(term))).cast("float"))
     df.withColumn(tokCol, toks)
@@ -157,7 +157,7 @@ object TfIdfEmbedder {
   def fit(corpus: DataFrame, textCol: String, minFreq: Int = 2): TfIdfEmbedder = {
     val pipeline = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol(TextCol).setOutputCol(TokensCol)
-        .setPattern("\\s+").setToLowercase(true),
+        .setPattern(graft.expressions.ShingleHashes.WsRegex).setToLowercase(true),
       new CountVectorizer().setInputCol(TokensCol).setOutputCol(TfCol)
         .setMinDF(minFreq.toDouble),
       new IDF().setInputCol(TfCol).setOutputCol(TfIdfCol)))
@@ -206,7 +206,7 @@ object Word2VecEmbedder {
       fitPartitions: Int = 8): Word2VecEmbedder = {
     val pipeline = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol(TextCol).setOutputCol(TokensCol)
-        .setPattern("\\s+").setToLowercase(true),
+        .setPattern(graft.expressions.ShingleHashes.WsRegex).setToLowercase(true),
       new org.apache.spark.ml.feature.Word2Vec()
         .setInputCol(TokensCol).setOutputCol(VecCol)
         .setVectorSize(vectorSize).setMinCount(minCount).setSeed(seed)))

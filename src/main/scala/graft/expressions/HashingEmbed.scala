@@ -54,7 +54,7 @@ object HashingEmbed {
     val n = text.length
     var start = 0; var i = 0
     while (i <= n) {
-      if (i == n || Character.isWhitespace(text.charAt(i))) {
+      if (i == n || ShingleHashes.isWs(text.charAt(i))) { // pinned family ws class
         if (i > start) {
           val h = scala.util.hashing.MurmurHash3.stringHash(text.substring(start, i), seed)
           val idx = java.lang.Math.floorMod(h, dim)

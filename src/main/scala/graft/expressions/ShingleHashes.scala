@@ -52,14 +52,38 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3, seed: Int = 42
 
 object ShingleHashes {
 
+  /** THE whitespace token boundary, pinned as an explicit character
+    * class so Java regex (every Spark-side tokenizer and kernel) and
+    * RE2 (the DuckDB oracle's `string_split_regex`) split on the
+    * IDENTICAL character set. The two engines' `\s` differ: Java's is
+    * exactly `[ \t\n\x0B\f\r]` while RE2's is `[ \t\n\f\r]` — no
+    * U+000B vertical tab — a latent cross-engine divergence whenever
+    * both sides spell `\s` (ASCII fixtures mask it). Spelling the
+    * class out (`\x0B` is a valid hex escape in BOTH dialects) makes
+    * the boundary set identical by construction; JVM-side behavior is
+    * bit-for-bit unchanged because the class IS Java's `\s`. Oracle
+    * SQL must interpolate [[WsRegex]] instead of writing `'\s+'`. */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+  val WsRegex = s"[$WsClass]+"
+  val WsPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(WsRegex)
+
+  /** Character-predicate form of [[WsClass]] for the character-scanning
+    * kernels ([[WinnowFingerprint]], [[HashingEmbed]]) — the same six
+    * chars, no regex. `Character.isWhitespace` is a THIRD boundary set
+    * (adds U+001C–1F and Unicode space separators) and must not be
+    * used where an oracle or a sibling kernel tokenizes with `\s`. */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Shared tokenization of the Jaccard/MinHash family — lowercase
     * (ROOT locale: executor JVM locale must not fork fingerprints),
-    * split on whitespace runs, drop empties. [[MinHashSig]] and
-    * [[RepetitionStats]] MUST use this same function: the minhash
-    * verify stage counts shared shingles across both kernels, so any
-    * tokenization drift silently breaks that invariant. */
+    * split on whitespace runs ([[WsRegex]]), drop empties.
+    * [[MinHashSig]] and [[RepetitionStats]] MUST use this same
+    * function: the minhash verify stage counts shared shingles across
+    * both kernels, so any tokenization drift silently breaks that
+    * invariant. */
   def tokenize(u: UTF8String): Array[String] =
-    u.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    WsPattern.split(u.toString.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** Shared 64-bit base hash of one shingle string: two fixed-seed
     * MurmurHash3 32-bit words. Same bit-identity requirement as

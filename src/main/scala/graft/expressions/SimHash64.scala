@@ -47,8 +47,8 @@ case class SimHash64(child: Expression, shingleSize: Int = 1, seed: Int = 42)
 object SimHash64 {
   /** The simhash kernel, callable from generated Java (static forwarder). */
   def simhashText(u: UTF8String, shingleSize: Int, seed: Int): Long = {
-    val toks = u.toString.toLowerCase(java.util.Locale.ROOT) // locale-pinned fingerprints
-      .split("\\s+").filter(_.nonEmpty)
+    val toks = ShingleHashes.WsPattern // locale-pinned fingerprints, pinned ws class
+      .split(u.toString.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     val votes = new Array[Int](64)
     val n = math.max(0, toks.length - shingleSize + 1)
     var i = 0

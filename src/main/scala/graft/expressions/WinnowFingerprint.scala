@@ -68,7 +68,7 @@ object WinnowFingerprint {
     var lastSpace = true // also trims leading whitespace
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (ShingleHashes.isWs(c)) { // pinned class — the DuckDB oracle replays it
         if (!lastSpace) { sb.append(' '); lastSpace = true }
       } else { sb.append(c); lastSpace = false }
       i += 1

@@ -189,7 +189,7 @@ object Dedup {
   }
 
   private def shingles(textCol: Column, n: Int): Column = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(textCol), graft.expressions.ShingleHashes.WsRegex), t => length(t) > 0)
     if (n == 1) array_distinct(toks)
     else {
       // sequence(0, size-n) only when size >= n: sequence() with a
@@ -401,7 +401,7 @@ object Dedup {
   def bitsetJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, groupCol: Option[String] = None,
       maxVocab: Int = 4096): DataFrame = {
-    val toksCol = array_distinct(filter(split(lower(col(textCol)), "\\s+"),
+    val toksCol = array_distinct(filter(split(lower(col(textCol)), graft.expressions.ShingleHashes.WsRegex),
       t => length(t) > 0))
     val vocab = df.select(explode(toksCol).as("__t")).distinct()
       .orderBy("__t").collect().map(_.getString(0))
@@ -560,6 +560,15 @@ object Dedup {
    * oracle makes), which is why the DuckDB oracle matches gram
    * STRINGS and still agrees on every surviving id. No driver
    * collect; the broadcast is planner-built.
+   *
+   * PRECONDITION: `idCol` must be non-null on every corpus row (the
+   * as-of join's convention for its tie-break column). The
+   * contaminated-id set is subtracted with a left-ANTI equi-join, and
+   * SQL null never equi-joins — a null-id row would always survive
+   * even when its text shares a gram with the eval set, silently
+   * defeating the hygiene step. Rows are not filtered here (dropping
+   * data behind the caller's back is worse); assign surrogate ids
+   * upstream if the corpus key can be null.
    */
   def decontaminate(corpus: DataFrame, evalDf: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {

@@ -33,10 +33,10 @@ object Nearest {
     * per occurrence via the `%in%` sum; text terms dedup via set
     * membership). */
   def keywordScore(text: Column, query: String): Column = {
-    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val qTerms = graft.expressions.ShingleHashes.WsPattern.split(query.toLowerCase).filter(_.nonEmpty)
     if (qTerms.isEmpty) lit(0.0)
     else {
-      val textTerms = split(lower(text), "\\s+")
+      val textTerms = split(lower(text), graft.expressions.ShingleHashes.WsRegex)
       val hits = qTerms.map(t => when(array_contains(textTerms, t), 1).otherwise(0))
         .reduce(_ + _)
       hits.cast("double") / lit(qTerms.length.toDouble)

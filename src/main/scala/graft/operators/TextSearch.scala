@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object TextSearch {
 
   private def toksAll(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), graft.expressions.ShingleHashes.WsRegex), t => length(t) > 0)
 
   /** (N, avgdl, df per query term) — the BM25 corpus statistics as ONE
     * aggregation job over ONE tokenized projection: count, average
@@ -53,7 +53,7 @@ object TextSearch {
     * per query term (Catalyst does not CSE across array-HOF uses). */
   def bm25ScoreFromToks(toks: Column, query: String, n: Long, avgdl: Double,
       dfs: Map[String, Long], k1: Double = 1.2, b: Double = 0.75): Column = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val terms = graft.expressions.ShingleHashes.WsPattern.split(query.toLowerCase).filter(_.nonEmpty).distinct
     val dl = size(toks).cast("double")
     terms.map { t =>
       val df = dfs.getOrElse(t, 0L)
@@ -73,7 +73,7 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String, query: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       simCol: String = "score"): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val terms = graft.expressions.ShingleHashes.WsPattern.split(query.toLowerCase).filter(_.nonEmpty).distinct.toSeq
     val (n, avgdl, dfs) = bm25Stats(docs, textCol, terms)
     val tokCol = "__bm25_score_toks"
     if (n == 0) docs.withColumn(simCol, lit(0.0)).limit(0)
@@ -90,8 +90,8 @@ object TextSearch {
   /** DuckDB replica of [[bm25TopK]], generated from the same formula. */
   def bm25OracleSql(table: String, textCol: String, idCol: String, query: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val tk = s"list_filter(string_split_regex(lower($textCol), '\\s+'), t -> len(t) > 0)"
+    val terms = graft.expressions.ShingleHashes.WsPattern.split(query.toLowerCase).filter(_.nonEmpty).distinct.toSeq
+    val tk = s"list_filter(string_split_regex(lower($textCol), '${graft.expressions.ShingleHashes.WsRegex}'), t -> len(t) > 0)"
     val scoreTerms = terms.map { t0 =>
       val t = sqlLit(t0)
       val dfSub = s"(SELECT count(*) FROM $table WHERE list_contains(list_distinct($tk), '$t'))"
