@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Pinned whitespace boundary (explicit char class, identical in
+    * Java regex and DuckDB's RE2 — `\s` is NOT: RE2's lacks U+000B) —
+    * see [[graft.expressions.ShingleHashes.WsRegex]]. Every tokenizer
+    * here and every oracle fragment below spells this class, so the
+    * token boundary set is identical across engines by construction. */
+  val WsClass: String = graft.expressions.ShingleHashes.WsClass
+  val Ws: String = graft.expressions.ShingleHashes.WsRegex
+
   /** Distinct lowercase whitespace tokens (set semantics). */
   def tokenSet(text: Column): Column =
-    array_distinct(filter(split(lower(text), "\\s+"), t => length(t) > 0))
+    array_distinct(filter(split(lower(text), Ws), t => length(t) > 0))
 
   /** Gopher-style repetition counters in one codegen pass — see
     * [[graft.expressions.RepetitionStats]]. */
@@ -33,7 +41,7 @@ object TextAnalysis {
 
   /** Whitespace token count (duplicates counted). */
   def tokenCount(text: Column): Column =
-    size(filter(split(lower(text), "\\s+"), t => length(t) > 0)).cast("long")
+    size(filter(split(lower(text), Ws), t => length(t) > 0)).cast("long")
 
   /** Winnowing fingerprint set over a Rabin–Karp ROLLING character
     * k-gram hash (the MOSS algorithm) — substring-level document
@@ -47,13 +55,13 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy: runs of letters, runs of digits, or single
     * non-alnum-non-space chars — the standard pre-tokenizer shape. */
-  val WordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val WordRegex = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsClass]"
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit(WordRegex)).cast("long")
 
   /** Non-alphanumeric, non-space character count (punctuation mass). */
   def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    length(regexp_replace(text, s"[A-Za-z0-9$WsClass]", ""))
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Order = tie precedence. */
@@ -99,7 +107,7 @@ object TextAnalysis {
     * lowercase text — the exact-dedup key that survives formatting
     * noise. */
   def contentFingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(regexp_replace(trim(lower(text)), Ws, " "))
 
   /** Redaction patterns shared by the Column API and the oracle SQL —
     * written in the common Java-regex/RE2 subset (no lookaround, no
@@ -201,7 +209,7 @@ object TextAnalysis {
   def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       outCol: String = "lm_nll"): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol),
-      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("__tok"))
+      explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val totals = counts.agg(sum("__c").as("__n_total"), count(lit(1)).as("__vocab"))
     toks.join(counts, "__tok")
@@ -228,9 +236,17 @@ object TextAnalysis {
    * guarantees sqrt is CORRECTLY rounded (pow is not), so the keep
    * rate is bit-reproducible in any engine and the DuckDB oracle can
    * replay it (the Σ is folded in ascending-domain order on both
-   * sides). The per-row keep decision reuses [[splitAssign]]'s
-   * md5-bucket scheme (256ths) — stable across runs, partitionings,
-   * and engines, unlike `rand()`.
+   * sides). The per-row keep decision uses [[splitAssign]]'s md5-hex
+   * scheme but at 2³² buckets (first EIGHT hex chars), not 256: a
+   * dominant web domain downsampled to a realistic mixture target
+   * needs keep rates of 1e-3–1e-4, where 1/256 resolution rounds to
+   * "drop the whole domain" (end = 0) or a 2.5× over-keep of a true
+   * 4e-3 rate — the boundary must resolve far below the smallest
+   * practical rate. 1/2³² ≈ 2.3e-10 leaves three orders of magnitude
+   * of headroom under a 1e-6 keep rate; the decision is still one
+   * codegen fixed-width-hex string comparison, still exactly
+   * replayable in any engine with md5 (the DuckDB oracle does).
+   * Stable across runs, partitionings, and engines, unlike `rand()`.
    *
    * Scale shape: one small groupBy-count on the domain column
    * (driver-collected, REFUSED above `maxDomains` — the guardrail
@@ -239,9 +255,12 @@ object TextAnalysis {
    * when-chain to blow codegen, no shuffle of the big side. NULL
    * domains are dropped (inner join), documented.
    */
-  def sampleTemperature(df: org.apache.spark.sql.DataFrame, idCol: String,
-      domainCol: String, targetRows: Long,
-      maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
+  /** Per-domain boundary table shared by [[sampleTemperature]] and
+    * [[sampleTemperatureStats]]: (domain, n, keepRate, endHex, all).
+    * One small groupBy-count driver-collect under the `maxDomains`
+    * refusal; the same ascending-domain Σ fold both engines replay. */
+  private def temperatureEnds(df: org.apache.spark.sql.DataFrame, domainCol: String,
+      targetRows: Long, maxDomains: Int): Seq[(String, Long, Double, String, Boolean)] = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val counted = df.where(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("__domain"))
@@ -255,18 +274,56 @@ object TextAnalysis {
     // ascending-domain fold order is part of the cross-engine contract
     val sqrtSum = counts.toSeq.sortBy(_._1)
       .foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
-    val ends = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+    // 2^32 buckets: an 8-hex-char boundary. Math.round(double) is
+    // floor(x+0.5) and DuckDB's round() is half-away-from-zero — they
+    // agree on every non-negative value, so the boundary integer is
+    // the same on both engines.
+    val FullScale = 1L << 32
+    counts.toSeq.sortBy(_._1).map { case (d, n) =>
       val frac = math.min(1.0, targetRows.toDouble / (math.sqrt(n.toDouble) * sqrtSum))
-      val end = math.min(256L, math.round(frac * 256)).toInt
-      (d, f"$end%02x", end >= 256)
+      val end = math.min(FullScale, math.round(frac * FullScale.toDouble))
+      (d, n, frac, f"$end%08x", end >= FullScale)
     }
+  }
+
+  def sampleTemperature(df: org.apache.spark.sql.DataFrame, idCol: String,
+      domainCol: String, targetRows: Long,
+      maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val endsDf = ends.toDF("__domain", "__end", "__all")
+    val endsDf = temperatureEnds(df, domainCol, targetRows, maxDomains)
+      .map { case (d, _, _, endHex, all) => (d, endHex, all) }
+      .toDF("__domain", "__end", "__all")
     df.join(broadcast(endsDf), col(domainCol).cast("string") === col("__domain"))
       .where(col("__all") ||
-        substring(md5(col(idCol).cast("string")), 1, 2) < col("__end"))
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__end"))
       .drop("__domain", "__end", "__all")
+  }
+
+  /**
+   * Realized-mixture telemetry for [[sampleTemperature]]: one row per
+   * domain — corpus count `n`, the keep rate `rate` the α = 0.5 rule
+   * encodes, and the realized `kept` count under the SAME md5
+   * boundaries — so a 100 TB user audits the mixture a sampling run
+   * will produce (or just produced) without re-scanning its output.
+   * Cost is one aggregate over the corpus (the keep decision is a
+   * per-row codegen predicate; the groupBy shuffles one long per
+   * domain), independent of the sampled payload width. Same
+   * `maxDomains` refusal and NULL-domain drop as the sampler.
+   */
+  def sampleTemperatureStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      domainCol: String, targetRows: Long,
+      maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val endsDf = temperatureEnds(df, domainCol, targetRows, maxDomains)
+      .map { case (d, n, rate, endHex, all) => (d, n, rate, endHex, all) }
+      .toDF("domain", "n", "rate", "__end", "__all")
+    df.join(broadcast(endsDf), col(domainCol).cast("string") === col("domain"))
+      .groupBy(col("domain"), col("n"), col("rate"))
+      .agg(sum(when(col("__all") ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__end"), 1L)
+        .otherwise(0L)).as("kept"))
   }
 
   /**
@@ -284,7 +341,7 @@ object TextAnalysis {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(col(textCol), Ws), t => length(t) > 0)
     // chunk start indices: 0, step, 2·step, … while start < nTokens
     val starts = when(size(toks) > 0,
       sequence(lit(0), size(toks) - 1, lit(step))).otherwise(array().cast("array<int>"))
@@ -303,13 +360,13 @@ object TextAnalysisSql {
   import TextAnalysis._
 
   val tokenSetSql: String => String = t =>
-    s"list_distinct(list_filter(string_split_regex(lower($t), '\\s+'), x -> len(x) > 0))"
+    s"list_distinct(list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0))"
   val tokenCountSql: String => String = t =>
-    s"len(list_filter(string_split_regex(lower($t), '\\s+'), x -> len(x) > 0))"
+    s"len(list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0))"
   val regexTokenCountSql: String => String = t =>
     s"len(regexp_extract_all($t, '$WordRegex'))"
   val punctCountSql: String => String = t =>
-    s"length(regexp_replace($t, '[A-Za-z0-9\\s]', '', 'g'))"
+    s"length(regexp_replace($t, '[A-Za-z0-9$WsClass]', '', 'g'))"
 
   def langHitsSql(t: String, lang: String): String = {
     val words = LangProfiles.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -336,14 +393,14 @@ object TextAnalysisSql {
   }
 
   def contentFingerprintSql(t: String): String =
-    s"md5(regexp_replace(trim(lower($t)), '\\s+', ' ', 'g'))"
+    s"md5(regexp_replace(trim(lower($t)), '$Ws', ' ', 'g'))"
 
   /** [[TextAnalysis.lmScore]]'s oracle: the same tokenization, the same
     * add-one unigram model, the same integer micro-nat quantization
     * before the per-doc sum. `table`/`id`/`text` name the input. */
   def lmScoreSql(table: String, id: String, text: String): String =
     s"""WITH toks AS (
-       |  SELECT $id, unnest(list_filter(string_split_regex(lower($text), '\\s+'),
+       |  SELECT $id, unnest(list_filter(string_split_regex(lower($text), '$Ws'),
        |                     x -> len(x) > 0)) AS tok
        |  FROM $table),
        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
@@ -357,17 +414,18 @@ object TextAnalysisSql {
 
   /** [[TextAnalysis.sampleTemperature]]'s oracle (α = 0.5): same
     * sqrt-based keep rates, same ascending-domain Σ fold, same
-    * md5-bucket decision. */
+    * 2³²-bucket md5 decision (8 hex chars; round() agrees with JVM
+    * Math.round on non-negative values). */
   def sampleTemperatureSql(table: String, id: String, domain: String,
       targetRows: Long): String =
     s"""WITH c AS (SELECT $domain AS dom, count(*) AS n FROM $table
        |           WHERE $domain IS NOT NULL GROUP BY $domain),
        |s AS (SELECT list_sum(list_transform(list(CAST(n AS DOUBLE) ORDER BY dom),
        |                                     x -> sqrt(x))) AS sq FROM c),
-       |e AS (SELECT dom, least(256, CAST(round(least(1.0,
-       |        $targetRows.0 / (sqrt(CAST(n AS DOUBLE)) * s.sq)) * 256) AS INT)) AS endb
+       |e AS (SELECT dom, least(4294967296, CAST(round(least(1.0,
+       |        $targetRows.0 / (sqrt(CAST(n AS DOUBLE)) * s.sq)) * 4294967296) AS BIGINT)) AS endb
        |      FROM c, s)
        |SELECT d.$id, d.$domain FROM $table d JOIN e ON d.$domain = e.dom
-       |WHERE e.endb >= 256
-       |   OR substr(md5(CAST(d.$id AS VARCHAR)), 1, 2) < printf('%02x', e.endb)""".stripMargin
+       |WHERE e.endb >= 4294967296
+       |   OR substr(md5(CAST(d.$id AS VARCHAR)), 1, 8) < printf('%08x', e.endb)""".stripMargin
 }

@@ -134,7 +134,7 @@ class TextMlSpec extends AnyFunSuite {
   }
 
   test("sampleTemperature keep-set is monotone in the target (growing T only adds rows)") {
-    // per-domain boundaries end_d = min(256, round(min(1, T/(√n_d·Σ√n_e))·256))
+    // per-domain boundaries end_d = min(2³², round(min(1, T/(√n_d·Σ√n_e))·2³²))
     // are nondecreasing in T and the md5 buckets are fixed, so a larger
     // target must keep a SUPERSET — the invariant a boundary-rounding
     // regression would break first
@@ -152,6 +152,54 @@ class TextMlSpec extends AnyFunSuite {
     // temperature shift itself; only T far above N keeps every row
     assert(keeps(3).size < 910 && keeps(3).size > 700)
     assert(keeps.last.size == 910)
+  }
+
+  test("sampleTemperature resolves keep rates far below 1/256 (the 100 TB mixture case)") {
+    // One dominant web domain of 10⁶ rows and a tiny target: the web
+    // keep rate T/(√n·Σ√n) ≈ 2e-4 sits far under 1/256, where the old
+    // 2-hex-char (256-bucket) boundary rounded to 0 and silently DROPPED the whole
+    // domain (or to 1 — a 2.5× over-keep of a 4e-3 rate). At 2³²
+    // buckets the realized keep count must land near n·rate. md5 is
+    // deterministic, so the count is exact per run — the band below
+    // is uniformity slack (±50% ≈ 7 binomial σ), not flakiness.
+    val n = 1000000L
+    val df = spark.range(n).select(col("id"), lit("web").as("dom"))
+      .union(spark.range(2000000L, 2000100L).select(col("id"), lit("rare").as("dom")))
+    val t = 200L
+    val sqrtSum = math.sqrt(n.toDouble) + math.sqrt(100.0)
+    val rateWeb = t / (math.sqrt(n.toDouble) * sqrtSum) // ≈ 1.98e-4
+    val kept = TextAnalysis.sampleTemperature(df, "id", "dom", t)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expWeb = n * rateWeb // ≈ 198
+    val gotWeb = kept.getOrElse("web", 0L)
+    assert(gotWeb > 0, "sub-1/256 keep rate dropped the entire dominant domain")
+    assert(math.abs(gotWeb - expWeb) < expWeb * 0.5,
+      s"web kept $gotWeb rows, expected ≈ ${expWeb.round} (rate $rateWeb)")
+    // the rare domain saturates (rate min(1, 200/(10·1010)) ≈ 0.0198 →
+    // a couple of rows) — just pin that it neither vanishes by rounding
+    // nor over-keeps past its boundary
+    val gotRare = kept.getOrElse("rare", 0L)
+    assert(gotRare <= 10L, s"rare domain over-kept: $gotRare")
+  }
+
+  test("sampleTemperatureStats reports the exact realized per-domain keep counts") {
+    // the audit frame must agree row-for-row with what the sampler
+    // actually keeps (same boundary table, same md5 predicate), and
+    // carry every domain even when its realized keep count is 0
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1010L).map(i => (i, "small"))).toDF("id", "dom")
+    val stats = TextAnalysis.sampleTemperatureStats(df, "id", "dom", 100)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val kept = TextAnalysis.sampleTemperature(df, "id", "dom", 100)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set("big", "small"))
+    assert(stats("big")._1 == 900L && stats("small")._1 == 10L)
+    assert(stats("big")._3 == kept.getOrElse("big", 0L))
+    assert(stats("small")._3 == kept.getOrElse("small", 0L))
+    // rates replay the α = 0.5 rule exactly
+    val sqrtSum = math.sqrt(900.0) + math.sqrt(10.0)
+    assert(stats("big")._2 == math.min(1.0, 100.0 / (math.sqrt(900.0) * sqrtSum)))
+    assert(stats("small")._2 == math.min(1.0, 100.0 / (math.sqrt(10.0) * sqrtSum)))
   }
 
   test("sampleTemperature refuses a non-positive target") {
