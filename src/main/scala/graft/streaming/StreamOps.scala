@@ -36,6 +36,16 @@ object StreamOps {
     graft.Tables.normalizeNanoTs(stream)
   }
 
+  /** Open one parquet fixture file as a micro-batch stream (schema
+    * from a batch footer read, like [[readEventsStream]] but with no
+    * events-specific timestamp rebuild) — the generic source for
+    * driving a batch-equivalent operator as a real `StreamingQuery`
+    * over a bounded fixture. */
+  def readParquetStream(spark: SparkSession, dir: String, file: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", file).parquet(dir).schema
+    spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
+  }
+
   /** Execute a streaming aggregation to completion against a bounded
     * file source and return the final sink contents: start a real
     * `StreamingQuery` into a memory sink, drain every available

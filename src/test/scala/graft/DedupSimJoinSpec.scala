@@ -63,6 +63,56 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(surv == Seq(1L, 3L, 4L))
   }
 
+  test("simhash bucket dedup: merges every multiset-dup, AND near-dups whose votes don't flip") {
+    // One direction is algebraic: the fingerprint is a pure function of
+    // the token MULTISET (per-bit votes sum over shingles, order-free),
+    // so multiset-equal docs always share a fingerprint and bucket
+    // dedup merges them — simhash survivors ⊆ multiset-dedup survivors.
+    // The CONVERSE IS FALSE BY DESIGN, and not just at the ~2⁻⁶⁴
+    // collision level: simhash is locality-sensitive, so a near-dup
+    // whose edit doesn't flip any bit's majority vote lands in the SAME
+    // bucket (radius-0 merging of near-identical texts is the
+    // operator's value over exact dedup). The sf0.001 fixture
+    // demonstrates it — its planted near-dups produce fingerprint-equal
+    // pairs with DIFFERENT multisets — which is exactly why the tier
+    // has a GOLDEN anchor (dedup_simhash_anchor / _drops) instead of a
+    // token-level DuckDB derivation: no engine without the hash can
+    // predict which near-dups merge.
+    def multisetDedup(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val toks = array_sort(filter(
+        split(lower(col("text")), graft.expressions.ShingleHashes.WsRegex),
+        t => length(t) > 0))
+      val keyed = df.select(col("doc_id"), toks.as("__toks"))
+      val empty = keyed.where(size(col("__toks")) === 0).select("doc_id")
+      val grouped = keyed.where(size(col("__toks")) > 0)
+        .groupBy(col("__toks")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      empty.unionByName(grouped).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // planted corpus: texts far apart except the multiset-dup pair →
+    // simhash == multiset dedup exactly (incl. the no-signal rule:
+    // empty/blank docs all kept; set-equal but multiset-unequal NOT
+    // merged — multiplicity shifts the votes)
+    val planted = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "alpha alpha gamma beta"), // multiset dup of 1
+      (3L, "alpha beta gamma"),                                       // SET-equal, multiset-unequal
+      (4L, ""), (5L, "   "),                                          // no signal: both kept
+      (6L, "something else entirely")).toDF("doc_id", "text")
+    val viaSimhash = Dedup.simhash(planted, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSimhash == Seq(1L, 3L, 4L, 5L, 6L))
+    assert(viaSimhash == multisetDedup(planted))
+    // fixture: subset relation holds, and the near-dup merges are REAL
+    // (simhash drops strictly more than multiset equality explains)
+    val docs01 = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val fixtureSimhash = Dedup.simhash(docs01, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fixtureMultiset = multisetDedup(docs01).toSet
+    assert(fixtureSimhash.subsetOf(fixtureMultiset),
+      s"simhash kept docs multiset dedup merged: ${(fixtureSimhash -- fixtureMultiset).take(5)}")
+    assert((fixtureMultiset -- fixtureSimhash).nonEmpty,
+      "expected the fixture's planted near-dups to produce radius-0 fingerprint merges")
+  }
+
   test("bitsetJaccardPairs equals jaccardPairs exactly; rejects >64-term vocabularies") {
     val docs01 = Tables(spark, "/root/testdata/sf0.001", "documents")
     val viaHash = Dedup.jaccardPairs(docs01, "text", "doc_id", 0.8,
