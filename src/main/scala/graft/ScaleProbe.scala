@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin, Skew}
+import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin, Skew, TextAnalysis}
 
 /**
  * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
@@ -275,6 +275,76 @@ object ScaleProbe {
         s"decontamination must drop exactly the $planted planted docs: " +
           s"survivors=$surv expected=${n - planted}")
       println(s"[scale-probe] decon survivors=$surv dropped=$planted (exact)")
+      spark.stop()
+      return
+    }
+    // Unigram-LM scoring under Zipf skew at ~100M tokens:
+    // sbt "runMain graft.ScaleProbe 1000000 lmscore".
+    // The one shape in the curation operators that changes character
+    // when the counts frame outgrows broadcast is lmScore's scoring
+    // join on the token key (a natural-language head token is ~5% of
+    // ALL token rows). Probe: (a) time the operator on a log-uniform
+    // (Zipf-1) token distribution where the head token alone is ~6% of
+    // the corpus's 100M tokens; (b) report the scoring-join strategy
+    // the planner actually chose (AQE broadcasts the vocab-sized
+    // counts frame; the shuffle regime only starts when counts outgrow
+    // broadcast — THEN pre-aggregate per (doc, token) first, the shape
+    // the replay below demonstrates, which shrinks the join's probe
+    // side from n_tokens to n_distinct(doc, token) and caps any one
+    // key's rows at n_docs); (c) ASSERT three fixed docs' scores
+    // against that independently-shaped computation folded driver-side
+    // with the same integer micro-nat quantization — a correctness
+    // check, not just a timing.
+    if (args.contains("lmscore")) {
+      val tokensPerDoc = 100
+      val vocab = 50000
+      // inverse-CDF log-uniform token draw: p(rank r) ∝ 1/r over the
+      // vocab (Zipf exponent 1); P(rank 1) = ln2/ln(vocab) ≈ 6.4%
+      def tok(i: Int): org.apache.spark.sql.Column = {
+        val u = (pmod(hash(col("id") * lit(31 + i) + lit(i)), lit(1000000))
+          .cast("double") + 0.5) / 1000000.0
+        concat(lit("w"), floor(exp(u * math.log(vocab.toDouble))).cast("long"))
+      }
+      val corpus = spark.range(n).toDF("id")
+        .select(col("id"), concat_ws(" ", (0 until tokensPerDoc).map(tok): _*).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val scored = TextAnalysis.lmScore(corpus, "text", "id")
+      time(s"lmScore ${n / 1000000}M docs x $tokensPerDoc Zipf toks " +
+        s"(${n * tokensPerDoc / 1000000}M tokens)") {
+        require(scored.count() == n, "every doc has tokens; every doc must be scored")
+      }
+      val plan = scored.queryExecution.executedPlan.toString
+      val strategy =
+        if (plan.contains("BroadcastHashJoin")) "broadcast (counts frame under AQE threshold)"
+        else if (plan.contains("skew=true")) "shuffle join WITH AQE skew split"
+        else "shuffle join (no skew split engaged)"
+      println(s"[scale-probe] lmscore scoring-join strategy: $strategy")
+      // independent replay via (doc, token) pre-aggregation — the
+      // skew-robust shape — folded driver-side for 3 fixed docs
+      val toksAll = corpus.select(col("id"),
+        explode(split(lower(col("text")), graft.expressions.ShingleHashes.WsRegex)).as("tok"))
+      val perDocTok = toksAll.groupBy("id", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val totRow = perDocTok.agg(sum("c"), countDistinct("tok")).head()
+      val (nTotal, nVocab) = (totRow.getLong(0), totRow.getLong(1))
+      val globalCounts = perDocTok.groupBy("tok").agg(sum("c").as("ct"))
+      val sampleRows = perDocTok.where(col("id") < 3).join(globalCounts, "tok")
+        .select("id", "c", "ct").collect()
+      val got = scored.where(col("id") < 3).select("id", "lm_nll").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      sampleRows.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+        var nll = 0L; var nTok = 0L
+        rows.foreach { r =>
+          val c = r.getLong(1); val ct = r.getLong(2)
+          nll += c * math.round(-1e6 * math.log((ct + 1).toDouble / (nTotal + nVocab).toDouble))
+          nTok += c
+        }
+        val e = nll.toDouble / (1e6 * nTok)
+        require(math.abs(got(id) - e) <= 5e-7,
+          s"doc $id: operator ${got(id)} vs independent replay $e")
+      }
+      println(s"[scale-probe] lmscore 3-doc independent replay matches " +
+        s"(N=$nTotal V=$nVocab)")
       spark.stop()
       return
     }
