@@ -309,9 +309,15 @@ object ScaleProbe {
         .select(col("id"), concat_ws(" ", (0 until tokensPerDoc).map(tok): _*).as("text"))
         .repartition(32).localCheckpoint(true)
       val scored = TextAnalysis.lmScore(corpus, "text", "id")
+      // Count through scored's OWN QueryExecution (toRdd), not
+      // Dataset.count() — count() compiles a separate execution, so
+      // inspecting scored.queryExecution afterwards would show the
+      // PRE-execution adaptive plan (isFinalPlan=false, always a
+      // sort-merge join) and misreport whatever AQE actually did.
       time(s"lmScore ${n / 1000000}M docs x $tokensPerDoc Zipf toks " +
         s"(${n * tokensPerDoc / 1000000}M tokens)") {
-        require(scored.count() == n, "every doc has tokens; every doc must be scored")
+        require(scored.queryExecution.toRdd.count() == n,
+          "every doc has tokens; every doc must be scored")
       }
       val plan = scored.queryExecution.executedPlan.toString
       val strategy =

@@ -325,6 +325,20 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables(s, d, "documents"), Seq("text"), "doc_id")
         .select(col("doc_id"), col("n_copies")).orderBy(col("doc_id"))),
+    // §2.3 D: paragraph-level (sub-document) dedup — the corpus-wide
+    // FIRST occurrence of each repeated unit survives, documents are
+    // reassembled from their surviving units. The driver fixture is
+    // single-line prose (zero '\n', zero '. '), so the gate query
+    // splits on a frequent stop-word (sep = " the "), which carves
+    // each doc into a few multi-word sentence-like units — at sf0.01
+    // that is ~1,270 units of which ~54 are repeat occurrences that
+    // drop, every one replayed relationally by the oracle at every
+    // SF, with all 500 docs surviving edited. Newline-paragraph
+    // semantics, the minLen bypass, and the identity round-trip are
+    // ParagraphDedupSpec's.
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupParagraphs(Tables(s, d, "documents"), "text", "doc_id", sep = " the ")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -1653,6 +1667,23 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+      // paragraph dedup at stop-word-separated unit granularity:
+      // positional unnest → first-occurrence winner by (doc_id, pos) →
+      // positional rejoin. row_number here == Spark's min-struct winner
+      // (occurrences are unique on (doc_id, pos), so both pick the
+      // same total-order min)
+      "dedup_paragraphs" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+          |p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+          |      FROM d, LATERAL unnest(generate_series(1, len(ps))) AS s(i)),
+          |f AS (SELECT para, doc_id, pos,
+          |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          |      FROM p WHERE len(para) >= 1),
+          |kept AS (SELECT doc_id, pos, para FROM f WHERE rn = 1
+          |         UNION ALL SELECT doc_id, pos, para FROM p WHERE len(para) < 1),
+          |r AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
+          |      FROM kept GROUP BY doc_id)
+          |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

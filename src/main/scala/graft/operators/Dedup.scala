@@ -18,6 +18,7 @@ import graft.functions.vectors
  * | Tier (entry point)                  | Finds                    | Cost shape                          | Use when |
  * |-------------------------------------|--------------------------|-------------------------------------|----------|
  * | exact (`exact`/`exactGroups`)       | byte-identical content   | 1 shuffle of (hash, id)             | always run first — it's nearly free |
+ * | paragraph (`dedupParagraphs`)       | repeated SUB-document units (boilerplate, quoted chains) | explode + 2 key shuffles, no pair stage | run before the doc-level tiers: strips shared boilerplate that makes distinct pages look like near-dups |
  * | simhash (`simhash`)                 | reordered / near-identical tokens | 1 shuffle, same as exact   | cheap fuzz pass after exact; no threshold control |
  * | minhash-LSH (`minhashPairs`)        | Jaccard ≥ t, probabilistic recall | banded LSH join, sub-quadratic | web-scale corpora where missing a few % of dups is fine |
  * | PPJoin exact (`prefixJaccardPairs`) | Jaccard ≥ t, EXACT       | prefix inverted index, sub-quadratic (candidates ∝ true pairs) | need exact pairs without a blocking key; the default exact tier |
@@ -70,6 +71,71 @@ object Dedup {
   def exactGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /**
+   * Paragraph-level exact dedup — the SUB-document tier of the ladder
+   * (Dolma's paragraph dedup; CCNet dedups at the same granularity
+   * with per-shard line hashes): every occurrence of a repeated
+   * paragraph EXCEPT the corpus-wide first is removed from its
+   * document's text, and documents are reassembled from their
+   * surviving paragraphs in original order (a doc left with no
+   * paragraphs disappears). The doc-level tiers see boilerplate-laden
+   * pages as mutual near-dups; running this tier first strips the
+   * shared boilerplate (headers, nav bars, quoted reply chains) so
+   * doc-level passes compare unique content.
+   *
+   * Deterministic where the published pipelines are not: Dolma keeps
+   * whichever occurrence its Bloom filter ingests first (a race under
+   * distributed execution); here the winner is the minimum (id,
+   * position) pair under struct ordering — a total order — so the
+   * output is a pure function of the input regardless of partitioning.
+   * `idCol` must be non-null on every row (same convention as
+   * [[decontaminate]]; null ids have no place in a total order).
+   *
+   * `sep` is a LITERAL separator (regex-quoted internally): "\n" for
+   * Dolma-style paragraphs, "\n\n" for blocks. Paragraphs shorter than
+   * `minLen` characters BYPASS dedup and are always kept — the
+   * min-length guard every published pipeline applies (deduping every
+   * empty line or one-word paragraph corpus-wide would shred document
+   * formatting). Bypass and subject classes are disjoint by length, so
+   * a bypass row can never shadow a winner. When nothing repeats, the
+   * output text is byte-identical to the input (split/rejoin on a
+   * literal separator is lossless with trailing fields kept).
+   *
+   * Scale shape: explode → groupBy(paragraph) min-struct — PARTIAL
+   * aggregation absorbs the boilerplate hot keys (the same cookie
+   * banner on 1% of a 100 TB corpus pre-aggregates map-side to one row
+   * per task; min over a struct plans as SortAggregate, so the combine
+   * pays a per-partition sort rather than a hash probe — still
+   * map-side) → LEFT equi-join ALL occurrences back to winners (keep
+   * iff no winner exists — the bypass class, disjoint by length — or
+   * the occurrence IS the winner; one join instead of a join ∪ bypass
+   * union keeps the corpus at TWO explode passes, and at fixture
+   * scale the winners frame broadcasts so the occurrence side never
+   * shuffles at all; past broadcast reach it is a para-key shuffle
+   * whose hot keys are AQE skew-split territory) → groupBy(doc)
+   * sorted-struct reassembly → equi-join onto the original frame by id
+   * to restore untouched columns. Paragraph payloads ride each shuffle
+   * once; no stage is quadratic in anything.
+   */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val paras = df.select(col(idCol).as("__did"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__para")))
+    val winners = paras.where(length(col("__para")) >= minLen)
+      .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
+    val kept = paras.join(winners, Seq("__para"), "left")
+      .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
+    val reassembled = kept.groupBy("__did")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          p => p("__para")),
+        sep).as(textCol))
+    df.drop(textCol).join(reassembled.withColumnRenamed("__did", idCol), Seq(idCol))
+  }
 
   /** Append a 64-bit SimHash fingerprint column. */
   def withSimHash(df: DataFrame, textCol: String, outCol: String = "simhash",

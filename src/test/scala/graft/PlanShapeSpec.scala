@@ -108,6 +108,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus side of the sampling join must not sort-merge")
   }
 
+  test("paragraph dedup explodes the corpus exactly twice and broadcasts the winners frame") {
+    // One explode feeds the winner aggregation, one feeds the
+    // occurrence side of the left join; the union-free bypass
+    // formulation exists precisely so there is no THIRD pass over the
+    // corpus text. At fixture scale the winners frame must broadcast —
+    // the occurrence side then never shuffles before reassembly.
+    val p = plan("dedup_paragraphs")
+    assert(p.sliding("posexplode".length).count(_ == "posexplode") == 2,
+      s"corpus text exploded more (or fewer) than twice:\n$p")
+    assert(p.contains("LeftOuter, BuildRight"),
+      "winners frame no longer broadcasts under the left join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the
