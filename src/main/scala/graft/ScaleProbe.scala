@@ -325,6 +325,14 @@ object ScaleProbe {
         else if (plan.contains("skew=true")) "shuffle join WITH AQE skew split"
         else "shuffle join (no skew split engaged)"
       println(s"[scale-probe] lmscore scoring-join strategy: $strategy")
+      // the bounded-vocab path: counts broadcast explicitly (AQE never
+      // offers this upgrade — it reads the counts side's stats at its
+      // shuffle, before aggregation collapses it), token stream
+      // unshuffled, doc partials collapse to one row per doc
+      val scoredB = TextAnalysis.lmScore(corpus, "text", "id", broadcastCounts = true)
+      time(s"  same with broadcastCounts=true (vocab=$vocab)") {
+        require(scoredB.queryExecution.toRdd.count() == n, "broadcast path must score every doc")
+      }
       // independent replay via (doc, token) pre-aggregation — the
       // skew-robust shape — folded driver-side for 3 fixed docs
       val toksAll = corpus.select(col("id"),

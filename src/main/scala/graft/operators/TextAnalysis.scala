@@ -196,23 +196,39 @@ object TextAnalysis {
    * micro-nat quantum. The DuckDB oracle replays the identical
    * expressions.
    *
-   * Scale shape: explode → count (one shuffle on token) → join tokens
-   * to counts (AQE broadcasts the counts side when small; shuffle
-   * join on the token key otherwise — the canonical 100 TB shape) →
-   * integer-sum groupBy on the doc key. Like CCNet itself this is a
-   * TWO-pass design — the corpus is tokenized once for the model and
-   * once for scoring; persist the exploded projection before calling
-   * if the same frame feeds other token-level stages. Docs with zero
-   * tokens have no surprisal and are absent from the output
-   * (documented, matches the oracle's GROUP BY over unnested tokens).
+   * Scale shape: explode → count (one shuffle on token, map-side
+   * combined) → join tokens to counts → integer-sum groupBy on the
+   * doc key. The scoring join SHUFFLES both sides on the token key by
+   * default — the 100 TB-safe shape (an open-vocabulary corpus's
+   * distinct-token table can outgrow any broadcast budget), and NOT a
+   * shape AQE upgrades on its own: the counts side's runtime stats are
+   * read at its shuffle, BEFORE the aggregation collapses ~n_tokens
+   * map-combined rows to one per distinct token, so the planner never
+   * sees how small the model really is (measured at 100M tokens by
+   * `ScaleProbe ... lmscore`). When the caller KNOWS the vocabulary is
+   * bounded — tokenizer-normalized text, code identifiers, any closed
+   * token set — pass `broadcastCounts = true`: the token stream then
+   * never shuffles at all, and the per-doc partial sums collapse to
+   * one row per doc BEFORE the doc shuffle because docs stay
+   * co-partitioned through a broadcast join (a token-key shuffle
+   * scatters each doc's tokens across every partition, making the
+   * doc-sum partials ~n_docs × n_partitions rows). Results are
+   * bit-identical either way (integer micro-nat sums commute).
+   * Like CCNet itself this is a TWO-pass design — the corpus is
+   * tokenized once for the model and once for scoring; persist the
+   * exploded projection before calling if the same frame feeds other
+   * token-level stages. Docs with zero tokens have no surprisal and
+   * are absent from the output (documented, matches the oracle's
+   * GROUP BY over unnested tokens).
    */
   def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
-      outCol: String = "lm_nll"): org.apache.spark.sql.DataFrame = {
+      outCol: String = "lm_nll",
+      broadcastCounts: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol),
       explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val totals = counts.agg(sum("__c").as("__n_total"), count(lit(1)).as("__vocab"))
-    toks.join(counts, "__tok")
+    toks.join(if (broadcastCounts) broadcast(counts) else counts, "__tok")
       .crossJoin(broadcast(totals))
       .withColumn("__nll_micro",
         round(lit(-1e6) * log((col("__c") + 1).cast("double") /

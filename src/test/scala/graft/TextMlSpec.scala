@@ -128,6 +128,16 @@ class TextMlSpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("lmScore broadcastCounts path is bit-identical to the shuffle path") {
+    val df = Seq((1L, "a A b"), (2L, "a c"), (3L, "b b a x"), (4L, ""))
+      .toDF("doc_id", "text").repartition(5)
+    val shuffle = TextAnalysis.lmScore(df, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val bcast = TextAnalysis.lmScore(df, "text", "doc_id", broadcastCounts = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(shuffle == bcast)
+  }
+
   test("lmScore on an all-empty corpus returns empty, not an error") {
     val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(TextAnalysis.lmScore(df, "text", "doc_id").count() == 0)
