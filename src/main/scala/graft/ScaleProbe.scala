@@ -295,6 +295,46 @@ object ScaleProbe {
     // against that independently-shaped computation folded driver-side
     // with the same integer micro-nat quantization — a correctness
     // check, not just a timing.
+    // sbt "runMain graft.ScaleProbe 1000000 paragraphs".
+    // Paragraph dedup at the shape it exists for: every doc carries the
+    // SAME boilerplate paragraph (a 1M-occurrence hot key — the cookie
+    // banner case) between two per-doc-unique paragraphs. Closed form,
+    // asserted not just timed: all n docs survive; exactly ONE doc —
+    // the (id, pos) minimum, id 0 — keeps the banner; every other doc
+    // keeps exactly its two unique paragraphs. The hot key exercises
+    // the map-side-combined SortAggregate partial min (1M occurrences
+    // collapse to one row per task before the winner shuffle).
+    if (args.contains("paragraphs")) {
+      val corpus = spark.range(n).toDF("id")
+        .select(col("id"), concat(
+          lit("unique opening line of doc "), col("id").cast("string"), lit("\n"),
+          lit("shared cookie banner paragraph\n"),
+          lit("unique closing line of doc "), col("id").cast("string")).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val out = Dedup.dedupParagraphs(corpus, "text", "id")
+      time(s"dedupParagraphs ${n / 1000000}M docs, 1M-occurrence shared para + 2 unique each") {
+        require(out.queryExecution.toRdd.count() == n,
+          "every doc keeps its unique paragraphs and must survive")
+      }
+      val plan = out.queryExecution.executedPlan.toString
+      val strategy =
+        if (plan.contains("LeftOuter, BuildRight")) "winners BROADCAST"
+        else if (plan.contains("LeftOuter"))
+          "winners shuffle join" +
+            (if (plan.contains("ReusedExchange")) ", occurrence exchange REUSED" else "")
+        else "unrecognized - inspect plan"
+      println(s"[scale-probe] paragraphs winner-join strategy: $strategy")
+      val withBanner = out.where(col("text").contains("shared cookie banner"))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      require(withBanner == Seq(0L),
+        s"exactly doc 0 must keep the banner, got ${withBanner.take(5).mkString(",")}")
+      val d1 = out.where(col("id") === 1).head().getAs[String]("text")
+      require(d1 == "unique opening line of doc 1\nunique closing line of doc 1",
+        s"doc 1 must keep exactly its unique paragraphs, got: $d1")
+      println(s"[scale-probe] paragraphs closed-form survivor check passed (n=$n)")
+      spark.stop()
+      return
+    }
     if (args.contains("lmscore")) {
       val tokensPerDoc = 100
       val vocab = 50000
