@@ -452,6 +452,20 @@ object SparkEntry {
       Dedup.decontaminate(corpus, evalSet, "text", "doc_id", n = 13)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D (round 9): contamination ATTRIBUTION — the audit frame
+    // behind decontaminate's silent drop: (corpus doc, eval doc,
+    // distinct shared 13-grams), the per-benchmark contamination
+    // table every published run reports (GPT-3 App. C, Dolma). Same
+    // eval split as decontaminate; the 8 contaminated docs at sf0.01
+    // become attributed pairs with exact gram counts.
+    "decontaminate_report" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.decontaminateReport(corpus, evalSet, "text", "doc_id", "eval_id", n = 13)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
     // §2.3 S × D EXECUTED AS A STREAM (round 9): the same eval-set
     // decontamination driven through a real StreamingQuery — the
     // documents fixture as a file micro-batch source, each batch
@@ -1830,6 +1844,23 @@ object SparkEntry {
       // this oracle verbatim — see the alias entry below.
       "decontaminate" -> oracleSqlDecontaminate,
       "decontaminate_stream" -> oracleSqlDecontaminate,
+      // attribution: same gram CTE, grouped per (corpus, eval) pair;
+      // DuckDB counts distinct gram STRINGS where Spark counts their
+      // 64-bit hashes — equal absent a within-doc hash collision
+      // (~grams²/2⁶⁴), which this gate row would surface
+      "decontaminate_report" ->
+        s"""WITH g AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
+          |                i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'),
+          |                                   x -> len(x) > 0) AS toks FROM documents)),
+          |eg AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 7 = 0),
+          |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+          |SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared_grams
+          |FROM cg JOIN eg USING(gram)
+          |GROUP BY cg.doc_id, eg.eval_id
+          |ORDER BY cg.doc_id, eg.eval_id""".stripMargin,
       "sample_temperature" ->
         (TextAnalysisSql.sampleTemperatureSql("documents", "doc_id", "lang", 300) +
           "\nORDER BY d.doc_id"),

@@ -651,6 +651,44 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Contamination ATTRIBUTION — the audit half of [[decontaminate]]:
+   * one row per (corpus doc, eval doc) pair sharing at least one
+   * word n-gram, with the count of DISTINCT shared grams. Every
+   * published decontamination run reports this (GPT-3 Appendix C's
+   * per-benchmark contamination tables; Dolma's decontamination
+   * stats): "which benchmark leaked into which training doc, and how
+   * hard" is the first question after "what got dropped" — and the
+   * evidence for tuning `n` when a benchmark's phrasing is generic.
+   *
+   * Same scale shape as [[decontaminate]]: the eval side's distinct
+   * (eval id, gram) pairs broadcast; the corpus explodes its per-doc
+   * DISTINCT gram hashes (deduped inside the array — no shuffle) and
+   * only MATCHING rows — contaminated spans, rare by construction —
+   * reach the groupBy shuffle. The corpus never shuffles in bulk.
+   * Counts are over 64-bit gram hashes; a within-doc hash collision
+   * would undercount by one (probability ~ grams²/2⁶⁴ per doc —
+   * vanishing; the DuckDB oracle counts gram STRINGS and agrees at
+   * the gate). Non-null ids required, as in [[decontaminate]];
+   * `idCol` and `evalIdCol` must be distinctly named.
+   */
+  def decontaminateReport(corpus: DataFrame, evalDf: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(idCol != evalIdCol,
+      s"corpus id and eval id columns must have distinct names, both were '$idCol'")
+    def gramHashes(c: Column): Column =
+      ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(c), n))
+    val evalGrams = evalDf
+      .select(col(evalIdCol), explode(gramHashes(col(textCol))).as("__g")).distinct()
+    corpus
+      .select(col(idCol), explode(array_distinct(gramHashes(col(textCol)))).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .groupBy(col(idCol), col(evalIdCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Precomputed minhash artifacts for one corpus: banded signature
     * buckets + shingle sets, both pure functions of the text — the
     * history side of incremental dedup persists these instead of

@@ -414,6 +414,32 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(all == 4)
   }
 
+  test("decontaminateReport attributes each contaminated doc to its eval doc with exact gram counts") {
+    val evalDf = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "omega psi chi phi")).toDF("eval_id", "text")
+    val corpus = Seq(
+      // shares 4-grams "alpha beta gamma delta" AND "beta gamma delta epsilon" with eval 100
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // shares exactly one 4-gram with eval 100 and one with eval 101
+      (2L, "alpha beta gamma delta then omega psi chi phi"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateReport(corpus, evalDf, "text", "doc_id", "eval_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 100L) -> 2L, (2L, 100L) -> 1L, (2L, 101L) -> 1L), s"got $got")
+    // the attributed doc set is exactly the decontaminate drop set
+    val dropped = corpus.select("doc_id")
+      .except(Dedup.decontaminate(corpus, evalDf, "text", "doc_id", n = 4).select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keys.map(_._1).toSet == dropped)
+    // repeated gram inside a corpus doc must not inflate the count
+    val rep = Seq((9L, "alpha beta gamma delta and alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val repGot = Dedup.decontaminateReport(rep, evalDf, "text", "doc_id", "eval_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(repGot == Map((9L, 100L) -> 1L), s"got $repGot")
+  }
+
   test("streaming decontaminatePerBatch drains to exactly the batch survivors") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_stream_decon")
