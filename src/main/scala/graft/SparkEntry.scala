@@ -716,6 +716,21 @@ object SparkEntry {
       TextAnalysis.lmScore(Tables(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 9): CCNet's head/middle/tail split —
+    // within each language, documents are cut at cumulative-fraction
+    // 0.3/0.7 of the lm_nll ranking (Wenzek et al. 2020 §4.3; head =
+    // the well-modeled third used to select training subsets). The
+    // quantile comes from per-(lang, score) counts + a window over
+    // DISTINCT scores — nothing buffers a language's values — and the
+    // cut fractions divide identical integers in both engines.
+    "quality_buckets" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val scored = TextAnalysis.lmScore(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 8; granularity widened round 9): domain
     // mixing at α = 0.5 (mBERT/XLM-R exponent-smoothed sampling) —
     // keep rate min(1, T/(√n_d·Σ√n_e)) per language, decided by
@@ -1836,7 +1851,11 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "quality_lm_score" ->
         (TextAnalysisSql.lmScoreSql("documents", "doc_id", "text") +
-          "\nORDER BY t.doc_id"),
+          "\nORDER BY doc_id"),
+      // CCNet head/middle/tail over the same lmScore CTEs; cumulative
+      // fractions divide identical integers in both engines
+      "quality_buckets" ->
+        TextAnalysisSql.qualityBucketsSql("documents", "doc_id", "text", "lang"),
       // Same tokenization and 13-gram windows as Dedup.wordNgrams;
       // survivors = corpus docs sharing no gram with the eval split.
       // decontaminate_stream drains the SAME semantics through a real

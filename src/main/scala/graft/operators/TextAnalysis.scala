@@ -343,6 +343,52 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet quality bucketing — the head/middle/tail split (Wenzek et
+   * al. 2020 §4.3: rank each language's documents by LM score, cut
+   * the corpus at fixed cumulative fractions; head = best-scoring
+   * third in the original, used to pick training subsets). Each row
+   * gets the label of the first cut its within-group cumulative
+   * fraction falls under: F(s) = (# group rows with score ≤ s) / n,
+   * label = labels(i) for the first cuts(i) ≥ F, else labels.last.
+   * Ties share F and therefore share a bucket — deterministic, no
+   * rank arbitration.
+   *
+   * Scale shape — the quantile is computed WITHOUT buffering a
+   * group's values (Spark's exact `percentile` buffers per group;
+   * CCNet sorts per shard): (1) count per (group, score) — one
+   * map-side-combined narrow shuffle; (2) running + total sums by
+   * group over the DISTINCT-SCORE frame (a window over n_distinct
+   * rows, not n rows — quantized scores like lmScore's 6-dp output
+   * keep this frame small by construction); (3) equi-join the labels
+   * back on (group, score). Cumulative fractions divide identical
+   * integers in both engines, so bucket boundaries are
+   * bit-reproducible. Rows with NULL score or NULL group are dropped
+   * (they have no place in a quantile; filter or impute upstream).
+   */
+  def qualityBuckets(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      outCol: String = "bucket"): org.apache.spark.sql.DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      s"cuts must be sorted fractions in (0, 1), got $cuts")
+    require(labels.length == cuts.length + 1,
+      s"need ${cuts.length + 1} labels for ${cuts.length} cuts, got ${labels.length}")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val frac = counts
+      .withColumn("__f",
+        sum("__c").over(Window.partitionBy(groupCol).orderBy(scoreCol))
+          .cast("double") /
+        sum("__c").over(Window.partitionBy(groupCol)))
+    val label = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((cut, l), acc) => when(col("__f") <= cut, lit(l)).otherwise(acc)
+    }
+    df.join(frac.select(col(groupCol), col(scoreCol), label.as(outCol)),
+      Seq(groupCol, scoreCol))
+  }
+
+  /**
    * Token-window chunking with overlap — the RAG/pretraining splitter
    * (the reference's vignette demonstrates exactly this document-chunks
    * shape, /root/reference/vignettes/getting-started.Rmd:245-263, built
@@ -414,19 +460,45 @@ object TextAnalysisSql {
   /** [[TextAnalysis.lmScore]]'s oracle: the same tokenization, the same
     * add-one unigram model, the same integer micro-nat quantization
     * before the per-doc sum. `table`/`id`/`text` name the input. */
-  def lmScoreSql(table: String, id: String, text: String): String =
-    s"""WITH toks AS (
+  /** The lmScore CTE chain ending in `scored(id, n_toks, lm_nll)` —
+    * shared by the standalone oracle and the bucketing oracle. */
+  private def lmScoreCtes(table: String, id: String, text: String): String =
+    s"""toks AS (
        |  SELECT $id, unnest(list_filter(string_split_regex(lower($text), '$Ws'),
        |                     x -> len(x) > 0)) AS tok
        |  FROM $table),
        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt)
-       |SELECT t.$id, count(*) AS n_toks,
-       |       round(sum(CAST(round(-1000000.0 * ln((cnt.c + 1) * 1.0
-       |                 / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
-       |             / (1000000.0 * count(*)), 6) AS lm_nll
-       |FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
-       |GROUP BY t.$id""".stripMargin
+       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
+       |scored AS (
+       |  SELECT t.$id, count(*) AS n_toks,
+       |         round(sum(CAST(round(-1000000.0 * ln((cnt.c + 1) * 1.0
+       |                   / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
+       |               / (1000000.0 * count(*)), 6) AS lm_nll
+       |  FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+       |  GROUP BY t.$id)""".stripMargin
+
+  def lmScoreSql(table: String, id: String, text: String): String =
+    s"""WITH ${lmScoreCtes(table, id, text)}
+       |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
+
+  /** [[TextAnalysis.qualityBuckets]]'s oracle over the lmScore CTEs:
+    * same per-(group, score) counts, same windowed cumulative-fraction
+    * division of identical integers, same cut boundaries. */
+  def qualityBucketsSql(table: String, id: String, text: String,
+      group: String): String =
+    s"""WITH ${lmScoreCtes(table, id, text)},
+       |j AS (SELECT s.$id, d.$group, s.lm_nll
+       |      FROM scored s JOIN $table d USING($id)),
+       |c AS (SELECT $group, lm_nll, count(*) AS c FROM j GROUP BY $group, lm_nll),
+       |f AS (SELECT $group, lm_nll,
+       |        sum(c) OVER (PARTITION BY $group ORDER BY lm_nll) * 1.0 /
+       |        sum(c) OVER (PARTITION BY $group) AS f
+       |      FROM c)
+       |SELECT j.$id, j.$group, j.lm_nll,
+       |       CASE WHEN f.f <= 0.3 THEN 'head' WHEN f.f <= 0.7 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM j JOIN f USING($group, lm_nll)
+       |ORDER BY j.$id""".stripMargin
 
   /** [[TextAnalysis.sampleTemperature]]'s oracle (α = 0.5): same
     * sqrt-based keep rates, same ascending-domain Σ fold, same

@@ -138,6 +138,32 @@ class TextMlSpec extends AnyFunSuite {
     assert(shuffle == bcast)
   }
 
+  test("qualityBuckets: hand-computed head/middle/tail cuts, tie cohesion, null drop") {
+    // group g: scores 1,2,3,4,5 -> F = 0.2, 0.4, 0.6, 0.8, 1.0
+    // cuts (0.3, 0.7): 1 -> head; 2,3 -> middle; 4,5 -> tail
+    val df = Seq(
+      ("a", "g", 1.0), ("b", "g", 2.0), ("c", "g", 3.0),
+      ("d", "g", 4.0), ("e", "g", 5.0),
+      // group h: a 3-way tie shares F = 0.75 -> all tail together
+      ("f", "h", 7.0), ("g1", "h", 9.0), ("g2", "h", 9.0), ("g3", "h", 9.0),
+      // null score and null group are dropped, not mislabeled
+      ("x", "g", Double.NaN), ("y", null.asInstanceOf[String], 1.0)
+    ).toDF("id", "grp", "score")
+      .withColumn("score", when(isnan(col("score")), lit(null)).otherwise(col("score")))
+    val got = TextAnalysis.qualityBuckets(df, "score", "grp")
+      .collect().map(r => r.getString(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("bucket"))).toMap
+    assert(got == Map("a" -> "head", "b" -> "middle", "c" -> "middle",
+      "d" -> "tail", "e" -> "tail",
+      "f" -> "head", "g1" -> "tail", "g2" -> "tail", "g3" -> "tail"), s"got $got")
+    // every group's bucket fractions are computed within the group,
+    // independent of partitioning
+    val re = TextAnalysis.qualityBuckets(df.repartition(7), "score", "grp")
+      .collect().map(r => r.getString(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("bucket"))).toMap
+    assert(re == got)
+  }
+
   test("lmScore on an all-empty corpus returns empty, not an error") {
     val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(TextAnalysis.lmScore(df, "text", "doc_id").count() == 0)
