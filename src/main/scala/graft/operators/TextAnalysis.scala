@@ -355,37 +355,56 @@ object TextAnalysis {
    *
    * Scale shape — the quantile is computed WITHOUT buffering a
    * group's values (Spark's exact `percentile` buffers per group;
-   * CCNet sorts per shard): (1) count per (group, score) — one
+   * CCNet sorts per shard): (1) round the score to `quantizeDp`
+   * decimals and count per (group, rounded score) — one
    * map-side-combined narrow shuffle; (2) running + total sums by
-   * group over the DISTINCT-SCORE frame (a window over n_distinct
-   * rows, not n rows — quantized scores like lmScore's 6-dp output
-   * keep this frame small by construction); (3) equi-join the labels
-   * back on (group, score). Cumulative fractions divide identical
-   * integers in both engines, so bucket boundaries are
-   * bit-reproducible. Rows with NULL score or NULL group are dropped
-   * (they have no place in a quantile; filter or impute upstream).
+   * group over the distinct-rounded-score frame; (3) equi-join the
+   * labels back on (group, rounded score). Cumulative fractions
+   * divide identical integers in both engines, so bucket boundaries
+   * are bit-reproducible. Rows with NULL score or NULL group are
+   * dropped (they have no place in a quantile; filter or impute
+   * upstream).
+   *
+   * `quantizeDp` is the 100 TB lever, not a convenience: a window
+   * PARTITIONed BY group runs each group's frame in ONE task, so the
+   * per-group input must be bounded by something other than corpus
+   * size. Raw LM scores are near-unique per document — at the default
+   * 6 dp the distinct-score frame IS the corpus and a billion-doc
+   * language would sort in a single task. At 3 dp the frame is
+   * bounded by the SCORE RANGE (lm_nll spans ~[0, 25] ⇒ ≤ 25k rows
+   * per group, forever, regardless of corpus size) and a document can
+   * shift bucket only if an exact cut falls inside its half-quantum —
+   * the histogram-quantile trade every production sketch makes,
+   * except deterministic. The default stays 6 dp (exact for scores
+   * already rounded to 6 dp, like [[lmScore]]'s output — the gate
+   * oracle replays it verbatim); drop it to 2–3 dp at corpus scale.
    */
   def qualityBuckets(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
       labels: Seq[String] = Seq("head", "middle", "tail"),
-      outCol: String = "bucket"): org.apache.spark.sql.DataFrame = {
+      outCol: String = "bucket", quantizeDp: Int = 6): org.apache.spark.sql.DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
       s"cuts must be sorted fractions in (0, 1), got $cuts")
     require(labels.length == cuts.length + 1,
       s"need ${cuts.length + 1} labels for ${cuts.length} cuts, got ${labels.length}")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input frame")
+    require(quantizeDp >= 0 && quantizeDp <= 10,
+      s"quantizeDp must be in [0, 10], got $quantizeDp")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol), col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .withColumn("__q", round(col(scoreCol), quantizeDp))
+    val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
     val frac = counts
       .withColumn("__f",
-        sum("__c").over(Window.partitionBy(groupCol).orderBy(scoreCol))
+        sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))
           .cast("double") /
         sum("__c").over(Window.partitionBy(groupCol)))
     val label = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
       case ((cut, l), acc) => when(col("__f") <= cut, lit(l)).otherwise(acc)
     }
-    df.join(frac.select(col(groupCol), col(scoreCol), label.as(outCol)),
-      Seq(groupCol, scoreCol))
+    q.join(frac.select(col(groupCol), col("__q"), label.as(outCol)),
+      Seq(groupCol, "__q")).drop("__q")
   }
 
   /**

@@ -164,6 +164,19 @@ class TextMlSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("qualityBuckets quantizeDp bounds the distinct-score frame and merges half-quantum ties") {
+    val df = Seq(
+      ("a", "g", 1.0001), ("b", "g", 1.0002), ("c", "g", 2.0), ("d", "g", 3.0)
+    ).toDF("id", "grp", "score")
+    def run(dp: Int) = TextAnalysis.qualityBuckets(df, "score", "grp", quantizeDp = dp)
+      .collect().map(r => r.getString(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("bucket"))).toMap
+    // exact (6 dp): F = .25/.5/.75/1 -> head, middle, tail, tail
+    assert(run(6) == Map("a" -> "head", "b" -> "middle", "c" -> "tail", "d" -> "tail"))
+    // 3 dp: a and b collapse into one score bin, F(bin) = 0.5 -> both middle
+    assert(run(3) == Map("a" -> "middle", "b" -> "middle", "c" -> "tail", "d" -> "tail"))
+  }
+
   test("lmScore on an all-empty corpus returns empty, not an error") {
     val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(TextAnalysis.lmScore(df, "text", "doc_id").count() == 0)
