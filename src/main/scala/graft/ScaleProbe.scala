@@ -295,6 +295,37 @@ object ScaleProbe {
     // against that independently-shaped computation folded driver-side
     // with the same integer micro-nat quantization — a correctness
     // check, not just a timing.
+    // sbt "runMain graft.ScaleProbe 10000000 buckets".
+    // qualityBuckets at the shape its quantizeDp knob exists for: n
+    // rows over 30 groups with NEAR-UNIQUE raw scores (uniform on
+    // [0, 25] — the lm_nll regime). At 6 dp the per-group window input
+    // would be ~n/30 rows in ONE task; at 3 dp it is bounded by the
+    // score range (≤ 25k bins/group, FOREVER). Closed form asserted:
+    // uniform scores ⇒ each group's realized head/middle/tail
+    // fractions sit within a bin-width of 0.3/0.4/0.3.
+    if (args.contains("buckets")) {
+      val corpus = spark.range(n).toDF("id")
+        .select(col("id"), (col("id") % 30).cast("string").as("grp"),
+          (pmod(hash(col("id")), lit(1000000)).cast("double") / 40000.0).as("score"))
+        .repartition(32).localCheckpoint(true)
+      val out = TextAnalysis.qualityBuckets(corpus, "score", "grp", quantizeDp = 3)
+      time(s"qualityBuckets ${n / 1000000}M rows x 30 groups, quantizeDp=3") {
+        require(out.queryExecution.toRdd.count() == n, "every row must be labeled")
+      }
+      val fracs = out.groupBy("grp", "bucket").count()
+        .groupBy("grp").agg(
+          max(when(col("bucket") === "head", col("count"))).as("h"),
+          max(when(col("bucket") === "middle", col("count"))).as("m"),
+          sum(col("count")).as("t")).collect()
+      fracs.foreach { r =>
+        val (h, m, t) = (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)
+        require(math.abs(h / t - 0.3) < 0.01 && math.abs(m / t - 0.4) < 0.01,
+          s"group ${r.getString(0)}: head ${h / t}, middle ${m / t} off the uniform closed form")
+      }
+      println(s"[scale-probe] buckets closed-form fractions within tolerance (n=$n, 30 groups)")
+      spark.stop()
+      return
+    }
     // sbt "runMain graft.ScaleProbe 1000000 paragraphs".
     // Paragraph dedup at the shape it exists for: every doc carries the
     // SAME boilerplate paragraph (a 1M-occurrence hot key — the cookie
