@@ -122,6 +122,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pretraining pipeline composes without a cartesian and keeps the eval grams broadcast") {
+    // Four chained operators must still make one sane plan: the
+    // decontamination stage's eval-gram side broadcasts (corpus never
+    // bulk-shuffles for the anti-join) and no stage degenerates into
+    // a cartesian product.
+    val p = plan("pipeline_pretrain")
+    assert(!p.contains("CartesianProduct"), s"composition produced a cartesian:\n$p")
+    assert(p.contains("LeftAnti"), "decontamination left-anti join missing from the chain")
+    assert(p.contains("BroadcastExchange"), "eval-gram side no longer broadcasts")
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the
