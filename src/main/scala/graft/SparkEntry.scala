@@ -339,6 +339,27 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupParagraphs(Tables(s, d, "documents"), "text", "doc_id", sep = " the ")
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))),
+    // §2.3 S × D EXECUTED AS A STREAM (round 9): the same paragraph
+    // dedup driven through a real StreamingQuery with the accumulated
+    // seen-paragraph store (Dolma's ingest-time deployment shape,
+    // exact instead of Bloom). The fixture is one file ⇒ one
+    // micro-batch ⇒ the drained output equals the batch operator and
+    // SHARES its oracle verbatim; the multi-batch cross-store path is
+    // ParagraphDedupSpec's two-batch equivalence test.
+    "dedup_paragraphs_stream" -> ((s, d) => {
+      val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamOps.dedupParagraphsPerBatch(docsStream, "text", "doc_id",
+        sep = " the ") { (cleaned, _) =>
+        buf.synchronized {
+          buf ++= cleaned.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+    }),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -1617,6 +1638,26 @@ object SparkEntry {
        |SELECT id1, id2, round(cos, 6) AS similarity FROM scored
        |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
 
+  /** Shared by dedup_paragraphs (batch) and dedup_paragraphs_stream
+    * (the same decision drained through a real StreamingQuery; the
+    * one-file fixture is one micro-batch, so stream == batch).
+    * Stop-word-separated unit granularity: positional unnest →
+    * first-occurrence winner by (doc_id, pos) → positional rejoin.
+    * row_number == Spark's min-struct winner (occurrences are unique
+    * on (doc_id, pos), so both pick the same total-order min). */
+  private val oracleSqlDedupParagraphs: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+      |p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+      |      FROM d, LATERAL unnest(generate_series(1, len(ps))) AS s(i)),
+      |f AS (SELECT para, doc_id, pos,
+      |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      |      FROM p WHERE len(para) >= 1),
+      |kept AS (SELECT doc_id, pos, para FROM f WHERE rn = 1
+      |         UNION ALL SELECT doc_id, pos, para FROM p WHERE len(para) < 1),
+      |r AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
+      |      FROM kept GROUP BY doc_id)
+      |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin
+
   /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
     * and bitset physical strategies produce identical survivors. */
   /** Shared by decontaminate (batch) and decontaminate_stream (the
@@ -1719,23 +1760,8 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
-      // paragraph dedup at stop-word-separated unit granularity:
-      // positional unnest → first-occurrence winner by (doc_id, pos) →
-      // positional rejoin. row_number here == Spark's min-struct winner
-      // (occurrences are unique on (doc_id, pos), so both pick the
-      // same total-order min)
-      "dedup_paragraphs" ->
-        """WITH d AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
-          |p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
-          |      FROM d, LATERAL unnest(generate_series(1, len(ps))) AS s(i)),
-          |f AS (SELECT para, doc_id, pos,
-          |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-          |      FROM p WHERE len(para) >= 1),
-          |kept AS (SELECT doc_id, pos, para FROM f WHERE rn = 1
-          |         UNION ALL SELECT doc_id, pos, para FROM p WHERE len(para) < 1),
-          |r AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
-          |      FROM kept GROUP BY doc_id)
-          |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin,
+      "dedup_paragraphs" -> oracleSqlDedupParagraphs,
+      "dedup_paragraphs_stream" -> oracleSqlDedupParagraphs,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

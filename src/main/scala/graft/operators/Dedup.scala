@@ -122,19 +122,75 @@ object Dedup {
       sep: String = "\n", minLen: Int = 1): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val paras = df.select(col(idCol).as("__did"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
-        .as(Seq("__pos", "__para")))
+    val paras = explodeParas(df, textCol, idCol, sep)
     val winners = paras.where(length(col("__para")) >= minLen)
       .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
     val kept = paras.join(winners, Seq("__para"), "left")
       .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
+    reassembleParas(kept, df, textCol, idCol, sep)
+  }
+
+  /** One row per paragraph occurrence: (`__did`, `__pos`, `__para`). */
+  private def explodeParas(df: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame =
+    df.select(col(idCol).as("__did"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__para")))
+
+  /** Rebuild each doc's text from its kept occurrences (in position
+    * order) and restore the untouched columns by id. */
+  private def reassembleParas(kept: DataFrame, original: DataFrame,
+      textCol: String, idCol: String, sep: String): DataFrame = {
     val reassembled = kept.groupBy("__did")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
           p => p("__para")),
         sep).as(textCol))
-    df.drop(textCol).join(reassembled.withColumnRenamed("__did", idCol), Seq(idCol))
+    original.drop(textCol).join(reassembled.withColumnRenamed("__did", idCol), Seq(idCol))
+  }
+
+  /** Distinct dedup-subject paragraphs (length ≥ `minLen`) of a corpus —
+    * the seen-store delta for [[dedupParagraphsAcross]]. */
+  def paragraphFrame(df: DataFrame, textCol: String, sep: String = "\n",
+      minLen: Int = 1): DataFrame =
+    df.select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as("__para"))
+      .where(length(col("__para")) >= minLen).distinct()
+
+  /**
+   * Incremental paragraph dedup — the batch-append/streaming half of
+   * [[dedupParagraphs]], and the shape Dolma actually DEPLOYS its
+   * paragraph dedup in (a Bloom filter accumulating paragraphs across
+   * the ingest stream; here the store is an exact paragraph frame, so
+   * the decision is deterministic and false-positive-free — at 100 TB
+   * swap the store's strings for 128-bit hashes and accept the 2⁻¹²⁸
+   * caveat, or keep strings in a bucketed table on `__para` so the
+   * anti-join co-locates without a shuffle of the store).
+   *
+   * A new-batch paragraph drops if it was EVER shipped before
+   * (`seenParas`: one `__para` column — build deltas with
+   * [[paragraphFrame]] over each batch's OUTPUT) or if an earlier
+   * (id, pos) occurrence exists within the batch. The bypass class
+   * (length < `minLen`) never enters the store, and the store's
+   * subject class can't collide with it, so the left-anti against the
+   * store passes bypass rows through untouched. Equals
+   * [[dedupParagraphs]] over history ∪ batch whenever batch ids
+   * follow history ids (first-arrival order replaces (id, pos) order
+   * ACROSS batches — the stream's own semantics).
+   */
+  def dedupParagraphsAcross(newDf: DataFrame, seenParas: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n", minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(seenParas.columns.toSeq == Seq("__para"),
+      s"seenParas must be a single '__para' column, got ${seenParas.columns.mkString(",")}")
+    val fresh = explodeParas(newDf, textCol, idCol, sep)
+      .join(seenParas, Seq("__para"), "left_anti")
+    val winners = fresh.where(length(col("__para")) >= minLen)
+      .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
+    val kept = fresh.join(winners, Seq("__para"), "left")
+      .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
+    reassembleParas(kept, newDf, textCol, idCol, sep)
   }
 
   /** Append a 64-bit SimHash fingerprint column. */

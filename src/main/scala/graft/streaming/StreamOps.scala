@@ -198,6 +198,38 @@ object StreamOps {
       sink(graft.operators.Dedup.decontaminate(batch, evalDf, textCol, idCol, n), batchId)
     }.start()
 
+  /** Streaming paragraph dedup — Dolma's ingest-time paragraph filter
+    * made exact and deterministic: each micro-batch is deduped against
+    * the paragraphs shipped by ALL previous batches
+    * ([[graft.operators.Dedup.dedupParagraphsAcross]]), then the store
+    * grows by the batch's shipped paragraphs. foreachBatch because the
+    * store is stream-accumulated state driving an anti-join (not a
+    * supported streaming join) and the decision is per occurrence, not
+    * per key. Both the batch output and the store are localCheckpoint-
+    * materialized each batch — the store's lineage would otherwise
+    * chain through every batch ever seen. First-arrival order replaces
+    * (id, pos) order ACROSS batches, so the drained stream equals the
+    * batch operator whenever batch ids arrive in order (spec'd).
+    */
+  def dedupParagraphsPerBatch(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String,
+      sep: String = "\n", minLen: Int = 1)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    var seen = spark.createDataset(Seq.empty[String])(
+      org.apache.spark.sql.Encoders.STRING).toDF("__para")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cleaned = graft.operators.Dedup
+        .dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen)
+        .localCheckpoint(true)
+      seen = seen.union(graft.operators.Dedup
+          .paragraphFrame(cleaned, textCol, sep, minLen))
+        .distinct().localCheckpoint(true)
+      sink(cleaned, batchId)
+    }.start()
+  }
+
   /** Streaming point-in-time enrichment: each micro-batch of left rows
     * is as-of joined against a STATIC right side (a dimension snapshot
     * — the stream-static temporal join). Since the right side is fixed,

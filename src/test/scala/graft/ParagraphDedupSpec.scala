@@ -79,6 +79,57 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(textsOf(base) == textsOf(shuffled))
   }
 
+  test("dedupParagraphsAcross drops paragraphs ever shipped before, bypass passes the store") {
+    val seen = Seq("shared cookie banner").toDF("__para")
+    val batch = Seq(
+      (10L, "fresh paragraph ten\nshared cookie banner\nok"),
+      (11L, "fresh paragraph ten\nanother fresh line\nok")
+    ).toDF("doc_id", "text")
+    // minLen=3: "ok" bypasses both the store and within-batch dedup;
+    // the banner drops everywhere (seen); "fresh paragraph ten" keeps
+    // only its (10, 0) occurrence
+    val out = textsOf(Dedup.dedupParagraphsAcross(batch, seen, "text", "doc_id", minLen = 3))
+    assert(out(10L) == "fresh paragraph ten\nok")
+    assert(out(11L) == "another fresh line\nok")
+    // empty store == the batch operator
+    val empty = spark.createDataset(Seq.empty[String])(
+      org.apache.spark.sql.Encoders.STRING).toDF("__para")
+    assert(textsOf(Dedup.dedupParagraphsAcross(batch, empty, "text", "doc_id", minLen = 3)) ==
+      textsOf(Dedup.dedupParagraphs(batch, "text", "doc_id", minLen = 3)))
+  }
+
+  test("streaming dedupParagraphsPerBatch drains to the batch operator's output") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream_paradedup")
+    val batch1 = Seq(
+      (1L, "unique intro one\nshared cookie banner\nbody of doc one"),
+      (2L, "shared cookie banner\nunique body two")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "unique article three\nshared cookie banner\nbody of doc one"),
+      (4L, "shared cookie banner")).toDF("doc_id", "text")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    batch2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    // order the two files by modification time so arrival order == id order
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = graft.streaming.StreamOps.dedupParagraphsPerBatch(
+      stream, "text", "doc_id") { (cleaned, _) =>
+      got.synchronized { got ++= textsOf(cleaned) }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val want = textsOf(Dedup.dedupParagraphs(
+      batch1.unionByName(batch2), "text", "doc_id"))
+    assert(got.toMap == want, s"stream $got vs batch $want")
+    // the cross-batch drop actually happened: doc 3 lost both repeats
+    assert(got(3L) == "unique article three")
+    assert(!got.contains(4L))
+  }
+
   test("separator is literal, not regex") {
     val df = Seq((1L, "a.b"), (2L, "a.b")).toDF("doc_id", "text")
     // "." must split on the literal dot (both docs' "a"/"b" dedup),
