@@ -89,8 +89,11 @@ object Dedup {
    * distributed execution); here the winner is the minimum (id,
    * position) pair under struct ordering — a total order — so the
    * output is a pure function of the input regardless of partitioning.
-   * `idCol` must be non-null on every row (same convention as
-   * [[decontaminate]]; null ids have no place in a total order).
+   * `idCol` must be non-null AND unique per row (same convention as
+   * [[decontaminate]]; null ids have no place in a total order, and
+   * the final reassembly equi-joins the original frame on `idCol` —
+   * duplicate ids would cross-multiply rows there and break the
+   * min-(id, pos) winner total order).
    *
    * `sep` is a LITERAL separator (regex-quoted internally): "\n" for
    * Dolma-style paragraphs, "\n\n" for blocks. Paragraphs shorter than
@@ -122,12 +125,25 @@ object Dedup {
       sep: String = "\n", minLen: Int = 1): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    requireNotReservedPara(idCol, textCol)
     val paras = explodeParas(df, textCol, idCol, sep)
     val winners = paras.where(length(col("__para")) >= minLen)
       .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
     val kept = paras.join(winners, Seq("__para"), "left")
       .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
     reassembleParas(kept, df, textCol, idCol, sep)
+  }
+
+  /** The paragraph family's internal column names are reserved for the
+    * id/text arguments (the exploded frames SELECT only those two, so
+    * other input columns can't collide — but an id column literally
+    * named `__pos` would). */
+  private def requireNotReservedPara(idCol: String, textCol: String): Unit = {
+    val reserved = Set("__did", "__pos", "__para", "__w")
+    val clash = Set(idCol, textCol).intersect(reserved)
+    require(clash.isEmpty,
+      s"paragraph dedup reserves internal column name(s) ${clash.mkString(", ")} — " +
+        "rename the id/text columns")
   }
 
   /** One row per paragraph occurrence: (`__did`, `__pos`, `__para`). */
@@ -169,23 +185,30 @@ object Dedup {
    *
    * A new-batch paragraph drops if it was EVER shipped before
    * (`seenParas`: one `__para` column — build deltas with
-   * [[paragraphFrame]] over each batch's OUTPUT) or if an earlier
-   * (id, pos) occurrence exists within the batch. The bypass class
-   * (length < `minLen`) never enters the store, and the store's
-   * subject class can't collide with it, so the left-anti against the
-   * store passes bypass rows through untouched. Equals
-   * [[dedupParagraphs]] over history ∪ batch whenever batch ids
-   * follow history ids (first-arrival order replaces (id, pos) order
-   * ACROSS batches — the stream's own semantics).
+   * [[paragraphFrame]] over each batch's OUTPUT, with the SAME `sep`
+   * and `minLen`: a store split on a different separator matches
+   * different units and silently changes every decision) or if an
+   * earlier (id, pos) occurrence exists within the batch. The bypass
+   * class (length < `minLen`) never enters a [[paragraphFrame]]-built
+   * store, and is defensively re-filtered out of the store here, so
+   * the left-anti passes bypass rows through untouched even against a
+   * store assembled by other means. Equals [[dedupParagraphs]] over
+   * history ∪ batch whenever batch ids follow history ids
+   * (first-arrival order replaces (id, pos) order ACROSS batches —
+   * the stream's own semantics).
    */
   def dedupParagraphsAcross(newDf: DataFrame, seenParas: DataFrame,
       textCol: String, idCol: String, sep: String = "\n", minLen: Int = 1): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    requireNotReservedPara(idCol, textCol)
     require(seenParas.columns.toSeq == Seq("__para"),
       s"seenParas must be a single '__para' column, got ${seenParas.columns.mkString(",")}")
+    // defensive: sub-minLen strings in the store must not delete bypass
+    // paragraphs (the require above can't see the store's CONTENTS)
+    val store = seenParas.where(length(col("__para")) >= minLen)
     val fresh = explodeParas(newDf, textCol, idCol, sep)
-      .join(seenParas, Seq("__para"), "left_anti")
+      .join(store, Seq("__para"), "left_anti")
     val winners = fresh.where(length(col("__para")) >= minLen)
       .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
     val kept = fresh.join(winners, Seq("__para"), "left")
@@ -695,6 +718,7 @@ object Dedup {
   def decontaminate(corpus: DataFrame, evalDf: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(idCol != "__g", "decontaminate reserves '__g' for the gram hash column")
     def gramHashes(c: Column): Column =
       ColumnBridge.column(graft.expressions.ShingleHashes(
         ColumnBridge.expression(c), n))
@@ -733,6 +757,8 @@ object Dedup {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(idCol != evalIdCol,
       s"corpus id and eval id columns must have distinct names, both were '$idCol'")
+    require(idCol != "__g" && evalIdCol != "__g",
+      "decontaminateReport reserves '__g' for the gram hash column")
     def gramHashes(c: Column): Column =
       ColumnBridge.column(graft.expressions.ShingleHashes(
         ColumnBridge.expression(c), n))

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Reserved-internal-name guard (the refuse-don't-wedge convention):
+    * operators that ride `__`-prefixed temp columns on the CALLER's
+    * frame reject inputs that already carry those names — silently
+    * overwriting (then dropping) a user column is data loss. */
+  private def requireNoReserved(df: org.apache.spark.sql.DataFrame,
+      reserved: Seq[String], op: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$op reserves internal column name(s) ${clash.mkString(", ")} — " +
+        "rename them on the input frame")
+  }
+
   /** Pinned whitespace boundary (explicit char class, identical in
     * Java regex and DuckDB's RE2 — `\s` is NOT: RE2's lacks U+000B) —
     * see [[graft.expressions.ShingleHashes.WsRegex]]. Every tokenizer
@@ -305,6 +317,7 @@ object TextAnalysis {
   def sampleTemperature(df: org.apache.spark.sql.DataFrame, idCol: String,
       domainCol: String, targetRows: Long,
       maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
+    requireNoReserved(df, Seq("__domain", "__end", "__all"), "sampleTemperature")
     val spark = df.sparkSession
     import spark.implicits._
     val endsDf = temperatureEnds(df, domainCol, targetRows, maxDomains)
@@ -325,21 +338,29 @@ object TextAnalysis {
    * Cost is one aggregate over the corpus (the keep decision is a
    * per-row codegen predicate; the groupBy shuffles one long per
    * domain), independent of the sampled payload width. Same
-   * `maxDomains` refusal and NULL-domain drop as the sampler.
+   * `maxDomains` refusal and NULL-domain drop as the sampler. The
+   * join rides `__`-prefixed internal keys (like the sampler itself)
+   * and renames to the public `domain`/`n`/`rate`/`kept` only on
+   * output, so a corpus whose domain column is literally named
+   * "domain" — or that carries `n`/`rate` columns — works unchanged.
    */
   def sampleTemperatureStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       domainCol: String, targetRows: Long,
       maxDomains: Int = 10000): org.apache.spark.sql.DataFrame = {
+    requireNoReserved(df, Seq("__domain", "__n", "__rate", "__end", "__all"),
+      "sampleTemperatureStats")
     val spark = df.sparkSession
     import spark.implicits._
     val endsDf = temperatureEnds(df, domainCol, targetRows, maxDomains)
       .map { case (d, n, rate, endHex, all) => (d, n, rate, endHex, all) }
-      .toDF("domain", "n", "rate", "__end", "__all")
-    df.join(broadcast(endsDf), col(domainCol).cast("string") === col("domain"))
-      .groupBy(col("domain"), col("n"), col("rate"))
+      .toDF("__domain", "__n", "__rate", "__end", "__all")
+    df.join(broadcast(endsDf), col(domainCol).cast("string") === col("__domain"))
+      .groupBy(col("__domain"), col("__n"), col("__rate"))
       .agg(sum(when(col("__all") ||
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__end"), 1L)
         .otherwise(0L)).as("kept"))
+      .select(col("__domain").as("domain"), col("__n").as("n"),
+        col("__rate").as("rate"), col("kept"))
   }
 
   /**
@@ -378,11 +399,23 @@ object TextAnalysis {
    * except deterministic. The default stays 6 dp (exact for scores
    * already rounded to 6 dp, like [[lmScore]]'s output — the gate
    * oracle replays it verbatim); drop it to 2–3 dp at corpus scale.
+   *
+   * The lever is GUARDED, not just documented (the family's
+   * refuse-don't-wedge convention, like `maxDomains`/`maxRows`): an
+   * eager pre-check counts distinct quantized scores per group — one
+   * map-side-combined narrow pass over the input — and REFUSES, naming
+   * `quantizeDp`, when any group would feed its window more than
+   * `maxDistinctPerGroup` rows. The check re-evaluates the input's
+   * lineage once; persist upstream if that lineage is expensive, or
+   * pass `maxDistinctPerGroup = Long.MaxValue` to skip the pass when
+   * the cardinality is known bounded (e.g. scores already quantized
+   * at the source).
    */
   def qualityBuckets(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
       labels: Seq[String] = Seq("head", "middle", "tail"),
-      outCol: String = "bucket", quantizeDp: Int = 6): org.apache.spark.sql.DataFrame = {
+      outCol: String = "bucket", quantizeDp: Int = 6,
+      maxDistinctPerGroup: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
       s"cuts must be sorted fractions in (0, 1), got $cuts")
     require(labels.length == cuts.length + 1,
@@ -391,10 +424,24 @@ object TextAnalysis {
       s"output column '$outCol' already exists on the input frame")
     require(quantizeDp >= 0 && quantizeDp <= 10,
       s"quantizeDp must be in [0, 10], got $quantizeDp")
+    require(maxDistinctPerGroup >= 1,
+      s"maxDistinctPerGroup must be >= 1, got $maxDistinctPerGroup")
+    requireNoReserved(df, Seq("__q"), "qualityBuckets")
     import org.apache.spark.sql.expressions.Window
     val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
       .withColumn("__q", round(col(scoreCol), quantizeDp))
     val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    if (maxDistinctPerGroup < Long.MaxValue) {
+      val over = counts.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)
+        .select(col(groupCol).cast("string"), col("__nq")).limit(1).collect()
+      require(over.isEmpty,
+        s"qualityBuckets: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
+          s"distinct scores at quantizeDp=$quantizeDp, over maxDistinctPerGroup=" +
+          s"$maxDistinctPerGroup — its quantile window would buffer that entire frame " +
+          "in one task; lower quantizeDp (the distinct count is then bounded by the " +
+          "score range, not the corpus) or raise the cap deliberately")
+    }
     val frac = counts
       .withColumn("__f",
         sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))

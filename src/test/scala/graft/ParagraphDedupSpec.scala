@@ -98,6 +98,19 @@ class ParagraphDedupSpec extends AnyFunSuite {
       textsOf(Dedup.dedupParagraphs(batch, "text", "doc_id", minLen = 3)))
   }
 
+  test("a store polluted with sub-minLen strings cannot delete bypass paragraphs") {
+    // regression (r9 ADVICE): the anti-join used to run BEFORE the
+    // minLen bypass check, so a store containing short strings (built
+    // by other means than paragraphFrame) silently deleted bypass
+    // paragraphs from every batch document
+    val polluted = Seq("ok", "shared cookie banner").toDF("__para")
+    val batch = Seq((10L, "fresh paragraph ten\nshared cookie banner\nok"))
+      .toDF("doc_id", "text")
+    val out = textsOf(Dedup.dedupParagraphsAcross(batch, polluted, "text", "doc_id", minLen = 3))
+    assert(out(10L) == "fresh paragraph ten\nok",
+      s"bypass paragraph 'ok' must survive a polluted store, got ${out(10L)}")
+  }
+
   test("streaming dedupParagraphsPerBatch drains to the batch operator's output") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream_paradedup")
