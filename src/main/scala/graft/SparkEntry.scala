@@ -760,6 +760,22 @@ object SparkEntry {
       TextAnalysis.lmScore(Tables(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 10): FROZEN-model LM scoring — CCNet's
+    // deployed shape (fit the reference model once, score every shard
+    // against it) using the decontaminate split pattern: the model is
+    // fit on the doc_id % 7 = 0 reference split, everything else is
+    // scored against that frozen denominator. OOV tokens take the
+    // same add-one formula at count 0 (LEFT join + coalesce); the
+    // model's N and V are the denominator — the scored shard
+    // contributes nothing to the distribution.
+    "quality_lm_score_frozen" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitUnigramLm(docs.where(col("doc_id") % 7 === 0), "text")
+      TextAnalysis.lmScoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("lm_nll"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 9): CCNet's head/middle/tail split —
     // within each language, documents are cut at cumulative-fraction
     // 0.3/0.7 of the lm_nll ranking (Wenzek et al. 2020 §4.3; head =
@@ -1900,6 +1916,13 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "quality_lm_score" ->
         (TextAnalysisSql.lmScoreSql("documents", "doc_id", "text") +
+          "\nORDER BY doc_id"),
+      // frozen-model scoring: model CTEs restricted to the reference
+      // split, scored rows LEFT-joined so OOV takes count 0 under the
+      // model's own (N + V) denominator
+      "quality_lm_score_frozen" ->
+        (TextAnalysisSql.lmScoreFrozenSql("documents", "doc_id", "text",
+          "doc_id % 7 = 0", "doc_id % 7 <> 0") +
           "\nORDER BY doc_id"),
       // CCNet head/middle/tail over the same lmScore CTEs; cumulative
       // fractions divide identical integers in both engines

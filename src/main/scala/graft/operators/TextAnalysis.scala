@@ -251,6 +251,88 @@ object TextAnalysis {
   }
 
   /**
+   * A FROZEN unigram LM — the persistable counts-frame artifact that
+   * turns [[lmScore]]'s self-fit scoring into CCNet's deployed shape:
+   * fit the model ONCE on a reference corpus ([[fitUnigramLm]]),
+   * persist it ([[saveUnigramLm]]/[[loadUnigramLm]], the
+   * `MinhashIndex` convention), and score every new shard against it
+   * ([[lmScoreAgainst]]) — so two shards score comparably, and a
+   * stream can score per batch without the per-batch refit that would
+   * change the model under it. `counts` is the (token, count) frame;
+   * `nTotal`/`vocab` are its totals, collected once at fit (two
+   * longs — not corpus-scale data).
+   */
+  case class UnigramLm private[operators] (
+      counts: org.apache.spark.sql.DataFrame, nTotal: Long, vocab: Long)
+
+  /** Fit a [[UnigramLm]] on a reference corpus: one explode + one
+    * map-side-combined token shuffle (the same model pass [[lmScore]]
+    * runs), plus a two-long totals aggregate. */
+  def fitUnigramLm(df: org.apache.spark.sql.DataFrame, textCol: String): UnigramLm = {
+    val counts = df
+      .select(explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val t = counts.agg(sum("__c"), count(lit(1))).head()
+    UnigramLm(counts, if (t.isNullAt(0)) 0L else t.getLong(0), t.getLong(1))
+  }
+
+  /** Persist a [[UnigramLm]]: the counts frame as parquet plus a
+    * one-row totals table (pure data — reloadable by any engine). */
+  def saveUnigramLm(model: UnigramLm, path: String): Unit = {
+    val spark = model.counts.sparkSession
+    import spark.implicits._
+    model.counts.write.mode("overwrite").parquet(s"$path/counts")
+    Seq((model.nTotal, model.vocab)).toDF("__n_total", "__vocab")
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  def loadUnigramLm(spark: org.apache.spark.sql.SparkSession, path: String): UnigramLm = {
+    val t = spark.read.parquet(s"$path/totals").head()
+    UnigramLm(spark.read.parquet(s"$path/counts"), t.getLong(0), t.getLong(1))
+  }
+
+  /**
+   * Score a corpus against a FROZEN [[UnigramLm]] — [[lmScore]]'s
+   * `Across` variant, completing the family convention (dedup,
+   * decontamination, and paragraph dedup all score new data against a
+   * fixed artifact). Semantics pin down to one convention choice:
+   * add-one smoothing with the MODEL's denominator — p(t) =
+   * (c_t + 1)/(N + V) where c_t is the model count (0 for OOV — the
+   * same formula, no special case) and N, V are the model corpus's
+   * token total and vocabulary size, NOT the scored shard's. The
+   * scored shard contributes nothing to the distribution, so when the
+   * model corpus IS the scored corpus this reproduces [[lmScore]]
+   * bit-for-bit (spec'd), and an OOV-only document scores exactly
+   * ln(N + V) per token (quantized to micro-nats like everything
+   * else).
+   *
+   * Scale shape: the scoring join is a LEFT join of the token stream
+   * against the counts frame — shuffle-both-sides by default (open
+   * vocabulary, same argument as [[lmScore]]), `broadcastCounts` when
+   * the model's vocabulary is known bounded; either way the model is
+   * fit ZERO times per shard. Docs with zero tokens are absent from
+   * the output, as in [[lmScore]].
+   */
+  def lmScoreAgainst(df: org.apache.spark.sql.DataFrame, model: UnigramLm,
+      textCol: String, idCol: String, outCol: String = "lm_nll",
+      broadcastCounts: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(model.vocab > 0,
+      "lmScoreAgainst needs a non-empty model (vocab = 0: the reference corpus " +
+        "had no tokens, so p(t) is undefined for every token)")
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+    val denom = (model.nTotal + model.vocab).toDouble
+    toks.join(if (broadcastCounts) broadcast(model.counts) else model.counts,
+        Seq("__tok"), "left")
+      .withColumn("__nll_micro",
+        round(lit(-1e6) * log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          lit(denom))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum("__nll_micro").cast("double") / (lit(1e6) * count(lit(1))), 6).as(outCol))
+  }
+
+  /**
    * Temperature-based domain mixing — the multilingual/multi-domain
    * resampling rule (mBERT/XLM-R exponent-smoothed sampling; the
    * static form of DoReMi-style reweighting): domain d with n_d of N
@@ -545,6 +627,32 @@ object TextAnalysisSql {
 
   def lmScoreSql(table: String, id: String, text: String): String =
     s"""WITH ${lmScoreCtes(table, id, text)}
+       |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
+
+  /** [[TextAnalysis.lmScoreAgainst]]'s oracle: the model's counts and
+    * totals come from `modelWhere` rows ONLY; `scoreWhere` rows are
+    * scored with a LEFT join (OOV count = 0) against the frozen
+    * denominator — the same add-one formula, the same micro-nat
+    * quantization. */
+  def lmScoreFrozenSql(table: String, id: String, text: String,
+      modelWhere: String, scoreWhere: String): String =
+    s"""WITH mtoks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower($text), '$Ws'),
+       |                x -> len(x) > 0)) AS tok
+       |  FROM $table WHERE $modelWhere),
+       |cnt AS (SELECT tok, count(*) AS c FROM mtoks GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
+       |stoks AS (
+       |  SELECT $id, unnest(list_filter(string_split_regex(lower($text), '$Ws'),
+       |                     x -> len(x) > 0)) AS tok
+       |  FROM $table WHERE $scoreWhere),
+       |scored AS (
+       |  SELECT t.$id, count(*) AS n_toks,
+       |         round(sum(CAST(round(-1000000.0 * ln((coalesce(cnt.c, 0) + 1) * 1.0
+       |                   / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
+       |               / (1000000.0 * count(*)), 6) AS lm_nll
+       |  FROM stoks t LEFT JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+       |  GROUP BY t.$id)
        |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
 
   /** [[TextAnalysis.qualityBuckets]]'s oracle over the lmScore CTEs:
