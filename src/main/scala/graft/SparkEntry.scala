@@ -791,6 +791,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 10): the FROZEN-threshold twin — cut
+    // boundaries extracted once (bucketBoundaries), rows labeled
+    // against them with a broadcast join + codegen when-chain
+    // (applyBuckets: no window, stream-safe). On the fitting corpus
+    // this is provably identical to qualityBuckets (score ≤ boundary
+    // ⟺ F(score) ≤ cut, by monotonicity of F), so it SHARES the
+    // quality_buckets oracle — the gate row proves the frozen
+    // artifact path, not new semantics.
+    "quality_buckets_frozen" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val scored = TextAnalysis.lmScore(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scored, "lm_nll", "lang")
+      TextAnalysis.applyBuckets(scored, bounds, "lm_nll", "lang")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 8; granularity widened round 9): domain
     // mixing at α = 0.5 (mBERT/XLM-R exponent-smoothed sampling) —
     // keep rate min(1, T/(√n_d·Σ√n_e)) per language, decided by
@@ -1927,6 +1944,10 @@ object SparkEntry {
       // CCNet head/middle/tail over the same lmScore CTEs; cumulative
       // fractions divide identical integers in both engines
       "quality_buckets" ->
+        TextAnalysisSql.qualityBucketsSql("documents", "doc_id", "text", "lang"),
+      // frozen thresholds applied back to the fitting corpus ==
+      // qualityBuckets (monotone-F boundary argument) — shared oracle
+      "quality_buckets_frozen" ->
         TextAnalysisSql.qualityBucketsSql("documents", "doc_id", "text", "lang"),
       // the full pretraining chain replayed stage by stage: paragraph
       // dedup's reassembled text feeds the decontamination grams,

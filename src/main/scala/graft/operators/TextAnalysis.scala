@@ -537,6 +537,93 @@ object TextAnalysis {
   }
 
   /**
+   * FROZEN bucket boundaries — the artifact half of [[qualityBuckets]]
+   * (the [[UnigramLm]] convention applied to the quantile cuts): per
+   * group, the maximum quantized score whose cumulative fraction sits
+   * at or under each cut, computed ONCE on a reference corpus. New
+   * shards are then labeled against these fixed thresholds with
+   * [[applyBuckets]] — CCNet's deployment shape, where a shard's
+   * head/middle/tail assignment must not depend on the shard's own
+   * score distribution (per-shard quantiles would re-cut every batch
+   * of a stream under itself).
+   *
+   * Output: one row per group — (`groupCol`, `__b` array of
+   * `cuts.length` boundary scores, NULL where no score's cumulative
+   * fraction reaches under the cut, e.g. a dominant lowest tie). By
+   * monotonicity of the cumulative fraction, `score ≤ boundary(i)` ⟺
+   * `F(score) ≤ cuts(i)`, so applying these boundaries back to the
+   * REFERENCE corpus reproduces [[qualityBuckets]] exactly (spec'd).
+   * Same quantize/guard levers and NULL-drop rule as
+   * [[qualityBuckets]]; the result is small (rows = groups) and
+   * broadcast by [[applyBuckets]].
+   */
+  def bucketBoundaries(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
+      quantizeDp: Int = 6,
+      maxDistinctPerGroup: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      s"cuts must be sorted fractions in (0, 1), got $cuts")
+    require(quantizeDp >= 0 && quantizeDp <= 10,
+      s"quantizeDp must be in [0, 10], got $quantizeDp")
+    require(maxDistinctPerGroup >= 1,
+      s"maxDistinctPerGroup must be >= 1, got $maxDistinctPerGroup")
+    requireNoReserved(df, Seq("__q"), "bucketBoundaries")
+    import org.apache.spark.sql.expressions.Window
+    val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .withColumn("__q", round(col(scoreCol), quantizeDp))
+    val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    if (maxDistinctPerGroup < Long.MaxValue) {
+      val over = counts.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)
+        .select(col(groupCol).cast("string"), col("__nq")).limit(1).collect()
+      require(over.isEmpty,
+        s"bucketBoundaries: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
+          s"distinct scores at quantizeDp=$quantizeDp, over maxDistinctPerGroup=" +
+          s"$maxDistinctPerGroup — lower quantizeDp or raise the cap deliberately")
+    }
+    val frac = counts
+      .withColumn("__f",
+        sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))
+          .cast("double") /
+        sum("__c").over(Window.partitionBy(groupCol)))
+    frac.groupBy(col(groupCol))
+      .agg(array(cuts.map(c => max(when(col("__f") <= c, col("__q")))): _*).as("__b"))
+  }
+
+  /**
+   * Label rows against FROZEN [[bucketBoundaries]]: row gets
+   * `labels(i)` for the first boundary its quantized score sits at or
+   * under, else `labels.last`. One broadcast join (the boundaries
+   * frame has one row per group) plus a codegen when-chain — no
+   * shuffle of the scored side, no window, stream-safe. Rows whose
+   * group is absent from the boundaries frame are DROPPED (inner
+   * join, the [[sampleTemperature]] NULL-domain convention): a group
+   * the reference corpus never saw has no thresholds, and silently
+   * labeling it `labels.last` would misread "unknown" as "worst".
+   */
+  def applyBuckets(df: org.apache.spark.sql.DataFrame, boundaries: org.apache.spark.sql.DataFrame,
+      scoreCol: String, groupCol: String,
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      outCol: String = "bucket", quantizeDp: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input frame")
+    requireNoReserved(df, Seq("__q", "__b"), "applyBuckets")
+    require(boundaries.columns.toSeq == Seq(groupCol, "__b"),
+      s"boundaries must be a ($groupCol, __b) frame from bucketBoundaries, " +
+        s"got ${boundaries.columns.mkString(",")}")
+    val nCuts = labels.length - 1
+    require(nCuts >= 1, s"need at least 2 labels, got $labels")
+    val qv = round(col(scoreCol), quantizeDp)
+    val label = (0 until nCuts).foldRight(lit(labels.last): Column) {
+      case (i, acc) => when(qv <= col("__b").getItem(i), lit(labels(i))).otherwise(acc)
+    }
+    df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(boundaries), Seq(groupCol))
+      .withColumn(outCol, label)
+      .drop("__b")
+  }
+
+  /**
    * Token-window chunking with overlap — the RAG/pretraining splitter
    * (the reference's vignette demonstrates exactly this document-chunks
    * shape, /root/reference/vignettes/getting-started.Rmd:245-263, built
