@@ -360,6 +360,25 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
     }),
+    // §2.3 S × D (round 10): the same streaming paragraph dedup on the
+    // HASHED 128-bit seen-store — 16 bytes of state per distinct
+    // paragraph instead of its text, the corpus-scale store shape.
+    // Decision-identical to the string store modulo the 2⁻¹²⁸
+    // collision caveat, so it shares the batch oracle too.
+    "dedup_paragraphs_stream_hashed" -> ((s, d) => {
+      val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamOps.dedupParagraphsPerBatch(docsStream, "text", "doc_id",
+        sep = " the ", hashedStore = true) { (cleaned, _) =>
+        buf.synchronized {
+          buf ++= cleaned.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+    }),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -1795,6 +1814,7 @@ object SparkEntry {
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
       "dedup_paragraphs" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream" -> oracleSqlDedupParagraphs,
+      "dedup_paragraphs_stream_hashed" -> oracleSqlDedupParagraphs,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

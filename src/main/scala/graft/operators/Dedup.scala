@@ -173,6 +173,58 @@ object Dedup {
         .as("__para"))
       .where(length(col("__para")) >= minLen).distinct()
 
+  /** The two independent 64-bit paragraph hashes backing the HASHED
+    * seen-store: xxhash64 of the paragraph alone, and of the paragraph
+    * mixed with a fixed salt (two different functions of the text — a
+    * 128-bit combined identity). */
+  private def paraHash1(c: Column): Column = xxhash64(c)
+  private def paraHash2(c: Column): Column = xxhash64(c, lit(0x9e3779b97f4a7c15L))
+
+  /** Distinct 128-bit hashes of a corpus's dedup-subject paragraphs —
+    * the seen-store delta for [[dedupParagraphsAcrossHashed]]. The
+    * store carries two longs per paragraph instead of the paragraph
+    * bytes: at corpus scale (Dolma's deployment accumulates the store
+    * across the whole ingest) this shrinks the ingest-time state by
+    * roughly the corpus's distinct-paragraph bytes, at the price of
+    * treating a 128-bit collision as a duplicate — probability
+    * ~ paragraphs²/2¹²⁸ (~1e-18 even at 10¹⁰ distinct paragraphs),
+    * the same accept-the-hash argument the MinHash and winnowing
+    * tiers make. Build deltas over each batch's OUTPUT with the SAME
+    * `sep`/`minLen`, like [[paragraphFrame]]. */
+  def paragraphHashFrame(df: DataFrame, textCol: String, sep: String = "\n",
+      minLen: Int = 1): DataFrame =
+    paragraphFrame(df, textCol, sep, minLen)
+      .select(paraHash1(col("__para")).as("__h1"), paraHash2(col("__para")).as("__h2"))
+      .distinct()
+
+  /** [[dedupParagraphsAcross]] against a HASHED seen-store (two-long
+    * 128-bit keys from [[paragraphHashFrame]]) — decision-identical to
+    * the string store modulo the 2⁻¹²⁸ collision caveat (spec'd
+    * equivalent on fixtures). Bypass paragraphs (length < `minLen`)
+    * never consult the store at all, so a polluted store cannot touch
+    * them; within-batch winner semantics are unchanged. */
+  def dedupParagraphsAcrossHashed(newDf: DataFrame, seenHashes: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n", minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    requireNotReservedPara(idCol, textCol)
+    require(seenHashes.columns.toSeq == Seq("__h1", "__h2"),
+      s"seenHashes must be a (__h1, __h2) frame from paragraphHashFrame, " +
+        s"got ${seenHashes.columns.mkString(",")}")
+    val paras = explodeParas(newDf, textCol, idCol, sep)
+    val subject = paras.where(length(col("__para")) >= minLen)
+      .withColumn("__h1", paraHash1(col("__para")))
+      .withColumn("__h2", paraHash2(col("__para")))
+      .join(seenHashes, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
+    val fresh = subject.unionByName(paras.where(length(col("__para")) < minLen))
+    val winners = subject
+      .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
+    val kept = fresh.join(winners, Seq("__para"), "left")
+      .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
+    reassembleParas(kept, newDf, textCol, idCol, sep)
+  }
+
   /**
    * Incremental paragraph dedup — the batch-append/streaming half of
    * [[dedupParagraphs]], and the shape Dolma actually DEPLOYS its

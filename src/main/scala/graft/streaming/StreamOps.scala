@@ -214,18 +214,31 @@ object StreamOps {
   def dedupParagraphsPerBatch(
       docs: DataFrame, // streaming
       textCol: String, idCol: String,
-      sep: String = "\n", minLen: Int = 1)(
+      sep: String = "\n", minLen: Int = 1,
+      hashedStore: Boolean = false)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    var seen = spark.createDataset(Seq.empty[String])(
-      org.apache.spark.sql.Encoders.STRING).toDF("__para")
+    import spark.implicits._
+    // hashedStore swaps the accumulated state from paragraph STRINGS to
+    // 128-bit hash pairs (Dedup.paragraphHashFrame) — the corpus-scale
+    // store shape (state ∝ 16 bytes per distinct paragraph instead of
+    // its text), decision-identical modulo the documented 2⁻¹²⁸ caveat
+    var seen =
+      if (hashedStore) Seq.empty[(Long, Long)].toDF("__h1", "__h2")
+      else Seq.empty[String].toDF("__para")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val cleaned = graft.operators.Dedup
-        .dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen)
+      val cleaned = (if (hashedStore)
+        graft.operators.Dedup
+          .dedupParagraphsAcrossHashed(batch, seen, textCol, idCol, sep, minLen)
+      else
+        graft.operators.Dedup
+          .dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen))
         .localCheckpoint(true)
-      seen = seen.union(graft.operators.Dedup
-          .paragraphFrame(cleaned, textCol, sep, minLen))
-        .distinct().localCheckpoint(true)
+      val delta =
+        if (hashedStore)
+          graft.operators.Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen)
+        else graft.operators.Dedup.paragraphFrame(cleaned, textCol, sep, minLen)
+      seen = seen.union(delta).distinct().localCheckpoint(true)
       sink(cleaned, batchId)
     }.start()
   }

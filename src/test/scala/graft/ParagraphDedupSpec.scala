@@ -111,6 +111,46 @@ class ParagraphDedupSpec extends AnyFunSuite {
       s"bypass paragraph 'ok' must survive a polluted store, got ${out(10L)}")
   }
 
+  test("hashed 128-bit store is decision-identical to the string store across batches") {
+    // batch 1 ships; its paragraphs enter BOTH store shapes; batch 2
+    // must lose exactly the same occurrences under either store
+    val batch1 = Seq(
+      (1L, "unique intro one\nshared cookie banner\nok"),
+      (2L, "shared cookie banner\nunique body two")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "unique article three\nshared cookie banner\nunique body two\nok"),
+      (4L, "shared cookie banner")).toDF("doc_id", "text")
+    val emptyS = Seq.empty[String].toDF("__para")
+    val emptyH = Seq.empty[(Long, Long)].toDF("__h1", "__h2")
+    // string path
+    val s1 = Dedup.dedupParagraphsAcross(batch1, emptyS, "text", "doc_id", minLen = 3)
+    val storeS = Dedup.paragraphFrame(s1, "text", minLen = 3)
+    val s2 = Dedup.dedupParagraphsAcross(batch2, storeS, "text", "doc_id", minLen = 3)
+    // hashed path
+    val h1 = Dedup.dedupParagraphsAcrossHashed(batch1, emptyH, "text", "doc_id", minLen = 3)
+    val storeH = Dedup.paragraphHashFrame(h1, "text", minLen = 3)
+    val h2 = Dedup.dedupParagraphsAcrossHashed(batch2, storeH, "text", "doc_id", minLen = 3)
+    assert(textsOf(h1) == textsOf(s1))
+    assert(textsOf(h2) == textsOf(s2))
+    // and the cross-batch drop really happened: doc 3 keeps only its
+    // fresh paragraph plus the bypass "ok"
+    assert(textsOf(h2)(3L) == "unique article three\nok")
+    assert(!textsOf(h2).contains(4L))
+    // the hashed store is two longs per paragraph, not text
+    assert(storeH.schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "long"))
+  }
+
+  test("hashed store: bypass paragraphs never consult the store") {
+    val polluted = Dedup.paragraphHashFrame(
+      Seq((0L, "ok\nshared cookie banner")).toDF("doc_id", "text"), "text", minLen = 1)
+    val batch = Seq((10L, "fresh paragraph ten\nshared cookie banner\nok"))
+      .toDF("doc_id", "text")
+    // store built at minLen=1 contains the hash of "ok"; at minLen=3
+    // "ok" is bypass and must survive anyway
+    val out = textsOf(Dedup.dedupParagraphsAcrossHashed(batch, polluted, "text", "doc_id", minLen = 3))
+    assert(out(10L) == "fresh paragraph ten\nok")
+  }
+
   test("streaming dedupParagraphsPerBatch drains to the batch operator's output") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream_paradedup")
@@ -141,6 +181,14 @@ class ParagraphDedupSpec extends AnyFunSuite {
     // the cross-batch drop actually happened: doc 3 lost both repeats
     assert(got(3L) == "unique article three")
     assert(!got.contains(4L))
+    // the hashed-store twin drains to the identical output
+    val gotH = scala.collection.mutable.Map.empty[Long, String]
+    val qh = graft.streaming.StreamOps.dedupParagraphsPerBatch(
+      stream, "text", "doc_id", hashedStore = true) { (cleaned, _) =>
+      gotH.synchronized { gotH ++= textsOf(cleaned) }
+    }
+    try qh.processAllAvailable() finally qh.stop()
+    assert(gotH.toMap == want, s"hashed stream $gotH vs batch $want")
   }
 
   test("separator is literal, not regex") {
