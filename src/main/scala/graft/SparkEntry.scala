@@ -737,6 +737,43 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 S × composition (round 10): the SAME pretraining chain
+    // EXECUTED AS A STREAM with every corpus-derived artifact frozen —
+    // CCNet/Dolma's actual deployment shape. The frozen artifacts
+    // (UnigramLm, bucket boundaries) are fit once on the
+    // batch-equivalent cleaned corpus; the stream then dedups against
+    // the accumulated hashed paragraph store, decontaminates against
+    // the static eval split, scores against the frozen model, and
+    // labels against the frozen cuts. One-file fixture ⇒ one
+    // micro-batch ⇒ drained output equals the batch pipeline (frozen
+    // == self-fit on the fitting corpus, spec'd), so it SHARES the
+    // pipeline_pretrain oracle verbatim; the multi-batch carry of
+    // store + model is PretrainStreamSpec's.
+    "pipeline_pretrain_stream" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val cleanRef = Dedup.decontaminate(
+        Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", sep = " the "),
+        evalSet, "text", "doc_id", n = 13)
+      val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+      val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "lang")
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, String)]
+      val q = StreamOps.pipelinePretrainPerBatch(stream, evalSet, model, bounds,
+        "text", "doc_id", "lang", sep = " the ") { (shipped, _) =>
+        buf.synchronized {
+          buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
+    }),
     // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
     "vocab_topk" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -1744,6 +1781,67 @@ object SparkEntry {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT dropped FROM pairs) ORDER BY doc_id""".stripMargin
 
+  /** The full pretraining chain replayed stage by stage: paragraph
+    * dedup's reassembled text feeds the decontamination grams, whose
+    * survivors feed the LM model AND the scoring, whose scores feed
+    * the per-language cuts — one CTE pipeline, so the row checks the
+    * COMPOSITION, not just each operator. Shared by pipeline_pretrain
+    * (batch) and pipeline_pretrain_stream (the same chain drained
+    * through a real StreamingQuery with frozen artifacts — identical
+    * on the one-file fixture because frozen == self-fit on the
+    * fitting corpus). */
+  private val oracleSqlPipelinePretrain: String =
+    s"""WITH dd0 AS (SELECT doc_id, string_split(text, ' the ') AS ps
+      |             FROM documents WHERE doc_id % 7 <> 0),
+      |pp AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+      |       FROM dd0, LATERAL unnest(generate_series(1, len(ps))) AS s(i)),
+      |pw AS (SELECT para, doc_id, pos,
+      |              row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      |       FROM pp WHERE len(para) >= 1),
+      |pk AS (SELECT doc_id, pos, para FROM pw WHERE rn = 1
+      |       UNION ALL SELECT doc_id, pos, para FROM pp WHERE len(para) < 1),
+      |dd AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
+      |       FROM pk GROUP BY doc_id),
+      |cg AS (SELECT doc_id,
+      |              unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
+      |                     i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
+      |       FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'),
+      |                                        x -> len(x) > 0) AS toks FROM dd)),
+      |eg AS (SELECT DISTINCT
+      |              unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
+      |                     i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
+      |       FROM (SELECT list_filter(string_split_regex(lower(text), '$Ws'),
+      |                                x -> len(x) > 0) AS toks
+      |             FROM documents WHERE doc_id % 7 = 0)),
+      |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING(gram)),
+      |surv AS (SELECT doc_id, text FROM dd
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+      |                               x -> len(x) > 0)) AS tok FROM surv),
+      |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_toks,
+      |         round(sum(CAST(round(-1000000.0 * ln((cnt.c + 1) * 1.0
+      |                   / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
+      |               / (1000000.0 * count(*)), 6) AS lm_nll
+      |  FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+      |  GROUP BY t.doc_id),
+      |lj AS (SELECT s.doc_id, d.lang, s.lm_nll
+      |       FROM scored s JOIN documents d USING(doc_id)),
+      |bc AS (SELECT lang, lm_nll, count(*) AS c FROM lj GROUP BY lang, lm_nll),
+      |bf AS (SELECT lang, lm_nll,
+      |              sum(c) OVER (PARTITION BY lang ORDER BY lm_nll) * 1.0 /
+      |              sum(c) OVER (PARTITION BY lang) AS f
+      |       FROM bc),
+      |lab AS (SELECT lj.doc_id, lj.lang, lj.lm_nll,
+      |               CASE WHEN bf.f <= 0.3 THEN 'head'
+      |                    WHEN bf.f <= 0.7 THEN 'middle'
+      |                    ELSE 'tail' END AS bucket
+      |        FROM lj JOIN bf USING(lang, lm_nll))
+      |SELECT doc_id, lang, lm_nll, bucket FROM lab
+      |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     def scoredCte =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1974,57 +2072,11 @@ object SparkEntry {
       // whose survivors feed the LM model AND the scoring, whose
       // scores feed the per-language cuts — one CTE pipeline, so the
       // row checks the COMPOSITION, not just each operator
-      "pipeline_pretrain" ->
-        s"""WITH dd0 AS (SELECT doc_id, string_split(text, ' the ') AS ps
-          |             FROM documents WHERE doc_id % 7 <> 0),
-          |pp AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
-          |       FROM dd0, LATERAL unnest(generate_series(1, len(ps))) AS s(i)),
-          |pw AS (SELECT para, doc_id, pos,
-          |              row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-          |       FROM pp WHERE len(para) >= 1),
-          |pk AS (SELECT doc_id, pos, para FROM pw WHERE rn = 1
-          |       UNION ALL SELECT doc_id, pos, para FROM pp WHERE len(para) < 1),
-          |dd AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
-          |       FROM pk GROUP BY doc_id),
-          |cg AS (SELECT doc_id,
-          |              unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
-          |                     i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
-          |       FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'),
-          |                                        x -> len(x) > 0) AS toks FROM dd)),
-          |eg AS (SELECT DISTINCT
-          |              unnest(list_transform(range(0, greatest(0, len(toks) - 13 + 1)),
-          |                     i -> array_to_string(list_slice(toks, i + 1, i + 13), ' '))) AS gram
-          |       FROM (SELECT list_filter(string_split_regex(lower(text), '$Ws'),
-          |                                x -> len(x) > 0) AS toks
-          |             FROM documents WHERE doc_id % 7 = 0)),
-          |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING(gram)),
-          |surv AS (SELECT doc_id, text FROM dd
-          |         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-          |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws'),
-          |                               x -> len(x) > 0)) AS tok FROM surv),
-          |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-          |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
-          |scored AS (
-          |  SELECT t.doc_id, count(*) AS n_toks,
-          |         round(sum(CAST(round(-1000000.0 * ln((cnt.c + 1) * 1.0
-          |                   / (tot.n_total + tot.vocab))) AS BIGINT)) * 1.0
-          |               / (1000000.0 * count(*)), 6) AS lm_nll
-          |  FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
-          |  GROUP BY t.doc_id),
-          |lj AS (SELECT s.doc_id, d.lang, s.lm_nll
-          |       FROM scored s JOIN documents d USING(doc_id)),
-          |bc AS (SELECT lang, lm_nll, count(*) AS c FROM lj GROUP BY lang, lm_nll),
-          |bf AS (SELECT lang, lm_nll,
-          |              sum(c) OVER (PARTITION BY lang ORDER BY lm_nll) * 1.0 /
-          |              sum(c) OVER (PARTITION BY lang) AS f
-          |       FROM bc),
-          |lab AS (SELECT lj.doc_id, lj.lang, lj.lm_nll,
-          |               CASE WHEN bf.f <= 0.3 THEN 'head'
-          |                    WHEN bf.f <= 0.7 THEN 'middle'
-          |                    ELSE 'tail' END AS bucket
-          |        FROM lj JOIN bf USING(lang, lm_nll))
-          |SELECT doc_id, lang, lm_nll, bucket FROM lab
-          |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin,
+      "pipeline_pretrain" -> oracleSqlPipelinePretrain,
+      // the streamed pipeline drains to the identical rows (frozen
+      // artifacts == self-fit on the fitting corpus; one-file fixture
+      // == one micro-batch) — shared oracle
+      "pipeline_pretrain_stream" -> oracleSqlPipelinePretrain,
       // Same tokenization and 13-gram windows as Dedup.wordNgrams;
       // survivors = corpus docs sharing no gram with the eval split.
       // decontaminate_stream drains the SAME semantics through a real

@@ -243,6 +243,63 @@ object StreamOps {
     }.start()
   }
 
+  /** The INGEST-TIME pretraining pipeline — the streaming composition
+    * of the batch `pipeline_pretrain` chain, every corpus-derived
+    * artifact FROZEN so the stream cannot drift under itself:
+    * per-batch paragraph dedup against the accumulated seen-store
+    * (hashed 128-bit by default — 16 bytes of state per distinct
+    * paragraph), 13-gram decontamination against the static eval set,
+    * LM scoring against a frozen [[graft.operators.TextAnalysis.UnigramLm]]
+    * (a per-batch refit would change the model under the stream —
+    * the reason [[graft.operators.TextAnalysis.lmScoreAgainst]]
+    * exists), and head/middle/tail labeling against frozen
+    * [[graft.operators.TextAnalysis.bucketBoundaries]] (per-batch
+    * quantiles would re-cut each batch under itself). `sink` receives
+    * each batch's shippable rows (buckets in `shipLabels`).
+    *
+    * ONE foreachBatch: the paragraph store is the only accumulated
+    * state (localCheckpoint-materialized per batch); everything else
+    * is a pure per-document decision, so the drained stream equals
+    * the frozen-artifact batch pipeline over the concatenated corpus
+    * whenever batch ids arrive in order (spec'd two-batch; the gate
+    * row's one-file fixture makes stream == batch == the
+    * `pipeline_pretrain` oracle). */
+  def pipelinePretrainPerBatch(
+      docs: DataFrame, // streaming
+      evalDf: DataFrame, // static
+      model: graft.operators.TextAnalysis.UnigramLm, // frozen
+      boundaries: DataFrame, // frozen (group, __b) from bucketBoundaries
+      textCol: String, idCol: String, groupCol: String,
+      sep: String = "\n", minLen: Int = 1, n: Int = 13,
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      shipLabels: Seq[String] = Seq("head", "middle"),
+      quantizeDp: Int = 6,
+      hashedStore: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seen =
+      if (hashedStore) Seq.empty[(Long, Long)].toDF("__h1", "__h2")
+      else Seq.empty[String].toDF("__para")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cleaned = (if (hashedStore)
+        Dedup.dedupParagraphsAcrossHashed(batch, seen, textCol, idCol, sep, minLen)
+      else Dedup.dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen))
+        .localCheckpoint(true)
+      val delta =
+        if (hashedStore) Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen)
+        else Dedup.paragraphFrame(cleaned, textCol, sep, minLen)
+      seen = seen.union(delta).distinct().localCheckpoint(true)
+      val decon = Dedup.decontaminate(cleaned, evalDf, textCol, idCol, n)
+      val scored = TextAnalysis.lmScoreAgainst(decon, model, textCol, idCol)
+        .join(decon.select(col(idCol), col(groupCol)), idCol)
+      val bucketed = TextAnalysis.applyBuckets(scored, boundaries,
+        "lm_nll", groupCol, labels, quantizeDp = quantizeDp)
+      sink(bucketed.where(col("bucket").isin(shipLabels: _*)), batchId)
+    }.start()
+  }
+
   /** Streaming point-in-time enrichment: each micro-batch of left rows
     * is as-of joined against a STATIC right side (a dimension snapshot
     * — the stream-static temporal join). Since the right side is fixed,

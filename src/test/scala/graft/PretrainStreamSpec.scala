@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.streaming.StreamOps
+
+/** Multi-batch semantics of [[StreamOps.pipelinePretrainPerBatch]] —
+  * the one thing the gate row's one-file fixture cannot exercise: the
+  * paragraph seen-store and the frozen artifacts (UnigramLm, bucket
+  * boundaries) must CARRY across micro-batches, so the drained stream
+  * equals the frozen-artifact batch pipeline over the concatenated
+  * corpus when batch ids arrive in order. */
+class PretrainStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // short 2-grams + newline paragraphs keep the fixture readable; the
+  // eval doc shares the 2-gram "secret answer" with corpus doc 3
+  private val N = 2
+
+  private def batch1 = Seq(
+    (1L, "en", "alpha beta gamma\nshared cookie banner\ndelta epsilon"),
+    (2L, "en", "zeta eta theta\nshared cookie banner"),
+    (5L, "de", "der hund lief\nund sprang hoch")).toDF("doc_id", "lang", "text")
+  private def batch2 = Seq(
+    (3L, "en", "iota kappa\nthe secret answer lives here"),
+    (4L, "en", "shared cookie banner\nlambda mu nu xi"),
+    (6L, "de", "der hund lief\nganz neu hier")).toDF("doc_id", "lang", "text")
+  private def evalDf = Seq((100L, "what is the secret answer")).toDF("doc_id", "text")
+
+  /** The frozen-artifact BATCH pipeline over one corpus — the spec's
+    * expected value, stage for stage what the stream composes. */
+  private def batchPipeline(corpus: org.apache.spark.sql.DataFrame,
+      model: TextAnalysis.UnigramLm,
+      bounds: org.apache.spark.sql.DataFrame): Map[Long, (String, Double, String)] = {
+    val dd = Dedup.dedupParagraphs(corpus, "text", "doc_id")
+    val decon = Dedup.decontaminate(dd, evalDf, "text", "doc_id", n = N)
+    val scored = TextAnalysis.lmScoreAgainst(decon, model, "text", "doc_id")
+      .join(decon.select(col("doc_id"), col("lang")), "doc_id")
+    // ship ALL buckets here so the spec observes every surviving doc's
+    // label (the gate row exercises the default head+middle filter)
+    TextAnalysis.applyBuckets(scored, bounds, "lm_nll", "lang")
+      .select("doc_id", "lang", "lm_nll", "bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+  }
+
+  test("two-batch drain == frozen batch pipeline; store and model carry across batches") {
+    val union = batch1.unionByName(batch2)
+    // frozen artifacts fit once, on the batch-equivalent cleaned union
+    val cleanRef = Dedup.decontaminate(
+      Dedup.dedupParagraphs(union, "text", "doc_id"), evalDf, "text", "doc_id", n = N)
+    val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+    val bounds = TextAnalysis.bucketBoundaries(
+      TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id"),
+      "lm_nll", "lang")
+    val want = batchPipeline(union, model, bounds)
+
+    // sanity on the fixture itself: the decontaminated doc is gone and
+    // the cross-batch paragraph drop will bite doc 4
+    assert(!want.contains(3L), "doc 3 shares the eval 2-gram and must be dropped")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_stream")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    batch2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+
+    val got = scala.collection.mutable.Map.empty[Long, (String, Double, String)]
+    var batches = 0
+    val q = StreamOps.pipelinePretrainPerBatch(stream, evalDf, model, bounds,
+      "text", "doc_id", "lang", n = N,
+      shipLabels = Seq("head", "middle", "tail")) { (shipped, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toMap == want, s"stream ${got.toMap} vs batch $want")
+    // the STORE carried: doc 4's banner arrived in batch 2 but was
+    // shipped by batch 1, so its (stream-scored) token count reflects
+    // ONLY the surviving paragraph "lambda mu nu xi" — its banner-free
+    // lm_nll matches the banner-free batch text by the map equality;
+    // pin the fixture's batch side to make that bite
+    val dd = Dedup.dedupParagraphs(union, "text", "doc_id")
+    val doc4 = dd.where(col("doc_id") === 4L).select("text").head().getString(0)
+    assert(doc4 == "lambda mu nu xi", s"doc 4 must lose the cross-batch banner, got '$doc4'")
+    assert(got.contains(4L), "doc 4 survives (deduped, not dropped)")
+    // cross-batch paragraph dedup also bit doc 6 ("der hund lief" was
+    // doc 5's in batch 1); its de-scored text shipped with a bucket
+    assert(got.contains(6L))
+  }
+}
