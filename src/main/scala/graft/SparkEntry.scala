@@ -737,6 +737,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T × composition (round 10): the COMPLETE Dolma-style tail —
+    // the base pipeline continues through α = 0.5 temperature mixing
+    // over the shipped per-language counts (target 100 rows: real
+    // downsampling at sf0.01/0.1, saturating keep-all at sf0.001 —
+    // both regimes replayed by the oracle) and the deterministic
+    // md5-bucket train/val/test assignment. Six chained stages, one
+    // lazy plan, one replay oracle: dedup → decontaminate → score →
+    // cut → mix → split.
+    "pipeline_pretrain_full" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
+      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+      TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
+        .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 S × composition (round 10): the SAME pretraining chain
     // EXECUTED AS A STREAM with every corpus-derived artifact frozen —
     // CCNet/Dolma's actual deployment shape. The frozen artifacts
@@ -1842,6 +1865,38 @@ object SparkEntry {
       |SELECT doc_id, lang, lm_nll, bucket FROM lab
       |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin
 
+  /** [[oracleSqlPipelinePretrain]] extended two stages down the Dolma
+    * tail: α = 0.5 temperature mixing over the shipped rows (the
+    * sampleTemperature algebra — same ascending-domain √-sum fold,
+    * same 2³²-bucket md5 boundary) and the deterministic md5-bucket
+    * train/val/test assignment. The chain is now the COMPLETE
+    * curation path: dedup → decontaminate → score → cut → mix →
+    * split, each stage feeding the next. */
+  private val oracleSqlPipelinePretrainFull: String = {
+    // everything up to `lab` is shared verbatim with the base pipeline
+    val ctes = oracleSqlPipelinePretrain
+      .stripSuffix("""
+      |SELECT doc_id, lang, lm_nll, bucket FROM lab
+      |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin)
+    s"""$ctes,
+      |ship AS (SELECT doc_id, lang, lm_nll, bucket FROM lab WHERE bucket <> 'tail'),
+      |tc AS (SELECT lang AS dom, count(*) AS n FROM ship
+      |       WHERE lang IS NOT NULL GROUP BY lang),
+      |ts AS (SELECT list_sum(list_transform(list(CAST(n AS DOUBLE) ORDER BY dom),
+      |                                      x -> sqrt(x))) AS sq FROM tc),
+      |te AS (SELECT dom, least(4294967296, CAST(round(least(1.0,
+      |         100.0 / (sqrt(CAST(n AS DOUBLE)) * ts.sq)) * 4294967296) AS BIGINT)) AS endb
+      |       FROM tc, ts),
+      |mixed AS (SELECT ship.* FROM ship JOIN te ON ship.lang = te.dom
+      |          WHERE te.endb >= 4294967296
+      |             OR substr(md5(CAST(ship.doc_id AS VARCHAR)), 1, 8) < printf('%08x', te.endb))
+      |SELECT doc_id, lang, lm_nll, bucket,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM mixed ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     def scoredCte =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -2077,6 +2132,8 @@ object SparkEntry {
       // artifacts == self-fit on the fitting corpus; one-file fixture
       // == one micro-batch) — shared oracle
       "pipeline_pretrain_stream" -> oracleSqlPipelinePretrain,
+      // base chain + temperature mixing + split — the full Dolma tail
+      "pipeline_pretrain_full" -> oracleSqlPipelinePretrainFull,
       // Same tokenization and 13-gram windows as Dedup.wordNgrams;
       // survivors = corpus docs sharing no gram with the eval split.
       // decontaminate_stream drains the SAME semantics through a real
