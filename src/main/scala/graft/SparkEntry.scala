@@ -855,6 +855,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 10): FROZEN interpolated BIGRAM scoring —
+    // one modeling step toward CCNet's 5-gram KenLM: λ·ML-bigram
+    // backed off onto (1−λ)·add-one unigram, every probability a
+    // closed-form rational of integer counts so DuckDB replays the
+    // arithmetic. Same split pattern as the unigram frozen row; the
+    // scored side exercises OOV tokens AND unseen contexts (bigram
+    // term exactly 0 → the unigram floor carries the score).
+    "quality_lm_score_bigram" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitBigramLm(docs.where(col("doc_id") % 7 === 0), "text")
+      TextAnalysis.lmScoreBigramAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("lm_nll"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 9): CCNet's head/middle/tail split —
     // within each language, documents are cut at cumulative-fraction
     // 0.3/0.7 of the lm_nll ranking (Wenzek et al. 2020 §4.3; head =
@@ -2112,6 +2127,12 @@ object SparkEntry {
       // model's own (N + V) denominator
       "quality_lm_score_frozen" ->
         (TextAnalysisSql.lmScoreFrozenSql("documents", "doc_id", "text",
+          "doc_id % 7 = 0", "doc_id % 7 <> 0") +
+          "\nORDER BY doc_id"),
+      // interpolated bigram against the same frozen split: identical
+      // expression tree term for term, micro-nat quantization underneath
+      "quality_lm_score_bigram" ->
+        (TextAnalysisSql.lmScoreBigramSql("documents", "doc_id", "text",
           "doc_id % 7 = 0", "doc_id % 7 <> 0") +
           "\nORDER BY doc_id"),
       // CCNet head/middle/tail over the same lmScore CTEs; cumulative

@@ -333,6 +333,133 @@ object TextAnalysis {
   }
 
   /**
+   * A FROZEN interpolated BIGRAM LM — one modeling step from
+   * [[UnigramLm]] toward CCNet's 5-gram KenLM (Wenzek et al. 2020 use
+   * a Kneser-Ney 5-gram; the interpolation-with-lower-order idea is
+   * the same, at n = 2 with Jelinek-Mercer weights so every
+   * probability is a closed-form rational of integer counts and the
+   * DuckDB oracle can replay the arithmetic bit-for-bit — KN's
+   * discounting would add nothing verifiable here). `uni` carries the
+   * token counts and totals; `bigrams` is the (`__prev`, `__tok`,
+   * `__c2`) count frame. Context totals Σ_t c(prev, t) are derived
+   * from `bigrams` at scoring time (one vocab-sized aggregate — NOT
+   * stored, so the two frames can never disagree).
+   */
+  case class BigramLm private[operators] (
+      uni: UnigramLm, bigrams: org.apache.spark.sql.DataFrame)
+
+  /** Fit a [[BigramLm]]: the [[fitUnigramLm]] pass plus ONE more
+    * explode — within-document adjacent pairs built in ARRAY land
+    * (`arrays_zip` of the two shifted slices: no self-join on
+    * position, no window) — and one map-side-combined pair shuffle. */
+  def fitBigramLm(df: org.apache.spark.sql.DataFrame, textCol: String): BigramLm = {
+    val base = df.select(
+      filter(split(lower(col(textCol)), Ws), t => length(t) > 0).as("__l"))
+    val uniCounts = base.select(explode(col("__l")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val t = uniCounts.agg(sum("__c"), count(lit(1))).head()
+    val bigrams = pairFrame(base).groupBy("__prev", "__tok")
+      .agg(count(lit(1)).as("__c2"))
+    BigramLm(UnigramLm(uniCounts,
+      if (t.isNullAt(0)) 0L else t.getLong(0), t.getLong(1)), bigrams)
+  }
+
+  /** (id?, `__l` array) → exploded (`__prev`, `__tok`) adjacent pairs,
+    * keeping any other columns. A doc with k tokens emits k−1 pairs;
+    * k ≤ 1 emits none (empty zip). */
+  private def pairFrame(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = greatest(size(col("__l")) - 1, lit(0))
+    base.withColumn("__p",
+        explode(arrays_zip(slice(col("__l"), lit(1), n), slice(col("__l"), lit(2), n))))
+      .select(base.columns.filter(_ != "__l").map(col) :+
+        col("__p").getField("0").as("__prev") :+
+        col("__p").getField("1").as("__tok"): _*)
+  }
+
+  /** Persist a [[BigramLm]]: [[saveUnigramLm]]'s layout plus the
+    * bigram counts frame — pure parquet data, any engine reloads it. */
+  def saveBigramLm(model: BigramLm, path: String): Unit = {
+    saveUnigramLm(model.uni, path)
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+  }
+
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(loadUnigramLm(spark, path), spark.read.parquet(s"$path/bigrams"))
+
+  /**
+   * Score a corpus against a FROZEN [[BigramLm]] with Jelinek-Mercer
+   * interpolation: token t after context p scores
+   * p(t|p) = λ·c(p,t)/Σ_u c(p,u) + (1−λ)·(c(t)+1)/(N+V) — the ML
+   * bigram backed off onto the add-one unigram, so the probability is
+   * strictly positive for ANY (p, t), including OOV tokens and
+   * contexts the model never saw (their bigram term is exactly 0 and
+   * the unigram floor carries the score). The FIRST token of a
+   * document has no context and scores under the pure add-one unigram
+   * — exactly [[lmScoreAgainst]]'s per-token formula — so a one-token
+   * document scores identically under both models (spec'd). Per-token
+   * surprisal is quantized to integer micro-nats BEFORE the per-doc
+   * sum, same as the whole family: the aggregation is exact
+   * commutative arithmetic, partition-order-free, and DuckDB replays
+   * it (every float step is a correctly-rounded IEEE op on integer
+   * counts in an identical expression tree, then one `ln` whose ≤1-ulp
+   * divergence sits far inside the micro-nat quantum).
+   *
+   * This is what unigram surprisal cannot see: two documents with the
+   * SAME token multiset — one fluent repetition, one shuffled word
+   * soup — score identically under [[lmScoreAgainst]] but the soup's
+   * unseen transitions pay the λ-discounted unigram floor here
+   * (spec'd on exactly that fixture pair).
+   *
+   * Scale shape: pairs are built in array land (one explode, no
+   * self-join, no window), then THREE left scoring joins — bigram
+   * counts on (prev, tok), derived context totals on prev, unigram
+   * counts on tok — shuffle joins by default (open vocabulary),
+   * `broadcastCounts` when the model is known bounded; the pair
+   * stream is the corpus's token stream minus one row per doc, and
+   * the model is fit ZERO times per shard. The bigram frame is model
+   * data (distinct observed pairs — Zipf-bounded far under vocab²),
+   * not corpus-scale data.
+   */
+  def lmScoreBigramAgainst(df: org.apache.spark.sql.DataFrame, model: BigramLm,
+      textCol: String, idCol: String, outCol: String = "lm_nll",
+      lambda: Double = 0.75,
+      broadcastCounts: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(model.uni.vocab > 0,
+      "lmScoreBigramAgainst needs a non-empty model (vocab = 0: the reference " +
+        "corpus had no tokens, so p(t) is undefined for every token)")
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1) — at 1.0 an unseen transition would score " +
+        s"ln(0), at 0.0 the bigram counts are dead weight; got $lambda")
+    val denom = (model.uni.nTotal + model.uni.vocab).toDouble
+    val side = (f: org.apache.spark.sql.DataFrame) =>
+      if (broadcastCounts) broadcast(f) else f
+    val ctx = model.bigrams.groupBy("__prev").agg(sum("__c2").as("__cx"))
+    val base = df.select(col(idCol),
+      filter(split(lower(col(textCol)), Ws), t => length(t) > 0).as("__l"))
+    val uniNll = round(lit(-1e6) *
+      log((coalesce(col("__c"), lit(0L)) + 1).cast("double") / lit(denom)))
+      .cast("long")
+    val firsts = base.where(size(col("__l")) >= 1)
+      .select(col(idCol), element_at(col("__l"), 1).as("__tok"))
+      .join(side(model.uni.counts), Seq("__tok"), "left")
+      .select(col(idCol), uniNll.as("__nll_micro"))
+    val pairs = pairFrame(base)
+      .join(side(model.bigrams), Seq("__prev", "__tok"), "left")
+      .join(side(ctx), Seq("__prev"), "left")
+      .join(side(model.uni.counts), Seq("__tok"), "left")
+      .select(col(idCol), round(lit(-1e6) * log(
+        lit(lambda) * when(col("__cx").isNull, lit(0.0))
+          .otherwise(coalesce(col("__c2"), lit(0L)).cast("double") / col("__cx")) +
+        lit(1.0 - lambda) *
+          ((coalesce(col("__c"), lit(0L)) + 1).cast("double") / lit(denom))))
+        .cast("long").as("__nll_micro"))
+    firsts.unionByName(pairs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum("__nll_micro").cast("double") / (lit(1e6) * count(lit(1))), 6).as(outCol))
+  }
+
+  /**
    * Temperature-based domain mixing — the multilingual/multi-domain
    * resampling rule (mBERT/XLM-R exponent-smoothed sampling; the
    * static form of DoReMi-style reweighting): domain d with n_d of N
@@ -741,6 +868,56 @@ object TextAnalysisSql {
        |  FROM stoks t LEFT JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
        |  GROUP BY t.$id)
        |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
+
+  /** [[TextAnalysis.lmScoreBigramAgainst]]'s oracle (λ = 0.75): the
+    * same array-land adjacent pairs (shifted-slice zip), the same
+    * three LEFT joins against the frozen counts, the same
+    * interpolation expression tree term for term — λ·c2/cx with a
+    * NULL-context CASE, plus (1−λ)·add-one unigram — and the same
+    * micro-nat quantization before the per-doc sum. First tokens
+    * score pure add-one unigram, matching the Spark side. */
+  def lmScoreBigramSql(table: String, id: String, text: String,
+      modelWhere: String, scoreWhere: String): String = {
+    val toksOf = (t: String) =>
+      s"list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0)"
+    s"""WITH ml AS (SELECT ${toksOf(text)} AS l FROM $table WHERE $modelWhere),
+       |cnt AS (SELECT unnest(l) AS tok FROM ml),
+       |cnt2 AS (SELECT tok, count(*) AS c FROM cnt GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt2),
+       |mp AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+       |       FROM ml WHERE len(l) >= 2),
+       |big AS (SELECT struct_extract(pr, 1) AS prev,
+       |               struct_extract(pr, 2) AS tok, count(*) AS c2
+       |        FROM mp GROUP BY 1, 2),
+       |ctx AS (SELECT prev, sum(c2) AS cx FROM big GROUP BY prev),
+       |sl AS (SELECT $id, ${toksOf(text)} AS l FROM $table WHERE $scoreWhere),
+       |ftok AS (
+       |  SELECT f.$id, CAST(round(-1000000.0 * ln((coalesce(cnt2.c, 0) + 1) * 1.0
+       |           / (tot.n_total + tot.vocab))) AS BIGINT) AS nm
+       |  FROM (SELECT $id, l[1] AS tok FROM sl WHERE len(l) >= 1) f
+       |  LEFT JOIN cnt2 ON f.tok = cnt2.tok CROSS JOIN tot),
+       |sp AS (SELECT $id, struct_extract(pr, 1) AS prev,
+       |              struct_extract(pr, 2) AS tok
+       |       FROM (SELECT $id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+       |             FROM sl WHERE len(l) >= 2)),
+       |ptok AS (
+       |  SELECT p.$id, CAST(round(-1000000.0 * ln(
+       |           0.75 * (CASE WHEN ctx.cx IS NULL THEN 0.0
+       |                        ELSE coalesce(big.c2, 0) * 1.0 / ctx.cx END)
+       |         + 0.25 * ((coalesce(cnt2.c, 0) + 1) * 1.0
+       |                   / (tot.n_total + tot.vocab)))) AS BIGINT) AS nm
+       |  FROM sp p
+       |  LEFT JOIN big ON p.prev = big.prev AND p.tok = big.tok
+       |  LEFT JOIN ctx ON p.prev = ctx.prev
+       |  LEFT JOIN cnt2 ON p.tok = cnt2.tok
+       |  CROSS JOIN tot),
+       |scored AS (
+       |  SELECT $id, count(*) AS n_toks,
+       |         round(sum(nm) * 1.0 / (1000000.0 * count(*)), 6) AS lm_nll
+       |  FROM (SELECT * FROM ftok UNION ALL SELECT * FROM ptok)
+       |  GROUP BY $id)
+       |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
+  }
 
   /** [[TextAnalysis.qualityBuckets]]'s oracle over the lmScore CTEs:
     * same per-(group, score) counts, same windowed cumulative-fraction
