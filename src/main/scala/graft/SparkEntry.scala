@@ -1257,6 +1257,19 @@ object SparkEntry {
     // and offset where it starts. The window partitions by the shard
     // key, so packing parallelizes across shards at any corpus size;
     // within-shard order IS the stream, inherently sequential.
+    // §2.3 T ORACLED (round 10): GLOBAL token-budget shard assignment —
+    // pack_sequences' global sibling (that one windows per lang; this
+    // one needs ONE total order). Spark side runs the two-level prefix
+    // sum (quantile range buckets + per-bucket window + broadcast
+    // offsets — no single-task global window); the oracle IS the naive
+    // global window, which is the point: the scalable formulation must
+    // equal it row for row.
+    "pack_shards" -> ((s, d) =>
+      TextAnalysis.packShards(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "doc_id", budgetTokens = 2000, nBuckets = 16)
+        .orderBy(col("doc_id"))),
     "pack_sequences" -> ((s, d) => {
       val cum0 = coalesce(sum(col("n_tokens")).over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -2364,6 +2377,24 @@ object SparkEntry {
           |       coalesce(round(dup_occ::DOUBLE / n_bigrams, 6), 0.0)
           |         AS dup_bigram_frac
           |FROM w LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // the scalable two-level prefix sum must equal the naive global
+      // window exactly (bucketing cancels out of the cumsum)
+      "pack_shards" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT)
+           |           AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (
+           |           ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cum0
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |       CAST(floor(cum0 * 1.0 / 2000) AS BIGINT) AS shard
+           |FROM c ORDER BY doc_id""".stripMargin,
       "pack_sequences" ->
         s"""WITH t AS (
            |  SELECT doc_id, lang,

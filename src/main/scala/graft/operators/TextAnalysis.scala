@@ -573,6 +573,91 @@ object TextAnalysis {
   }
 
   /**
+   * Token-budget SHARD assignment — the output-writing half of a
+   * pretraining run ([[packSequences]]'s global sibling): documents
+   * taken in `orderCol` order fill shard 0 until `budgetTokens` is
+   * reached, then shard 1, and so on — `shard = floor(exclusive-cumsum
+   * (tokens) / budget)`. Data loaders want shards of near-equal token
+   * mass, and the boundary decision must be a pure function of the
+   * corpus (not of partitioning or engine) so a backfill writes the
+   * same shard layout. A document larger than the budget still lands
+   * in ONE shard (documents are atomic here) and later ids then skip —
+   * shard ids are monotone but not necessarily dense.
+   *
+   * Scale shape — the naive formulation is a cumulative sum over ONE
+   * global window (a single task sorting the corpus); this one is the
+   * classic two-level prefix sum, with a correctness property that
+   * makes it safe: for ANY bucketing that is monotone in `orderCol`,
+   * within-bucket-cumsum + per-bucket-offset equals the global cumsum
+   * EXACTLY. So the bucket cut points come from `approxQuantile` on
+   * the order key — their precision affects only BALANCE, never the
+   * assignment (spec'd: nBuckets 1 vs 16 are row-identical). One
+   * stats pass for the cuts, one map-side-combined aggregate for
+   * per-bucket token sums (collected: `nBuckets` longs on the
+   * driver), then the final plan = bucket tag (codegen when-chain) →
+   * per-BUCKET window cumsum (each task sorts corpus/nBuckets rows) +
+   * broadcast-joined bucket offset. Raise `nBuckets` with corpus
+   * size; the driver state stays `nBuckets` longs.
+   *
+   * Preconditions (the [[Dedup.dedupParagraphs]] id convention):
+   * `orderCol` must be NUMERIC (range cuts come from quantiles),
+   * non-null, and UNIQUE per row — the exclusive cumsum needs a total
+   * order, and ties would make it partition-order-dependent.
+   * `tokenCol` must be a non-null, non-negative integral count; both
+   * are validated in the sums pass (refuse, don't mis-assign).
+   * Token totals are exact in double up to 2⁵³ (a 100 TB corpus is
+   * ~2⁴⁵ tokens — three orders under the cliff).
+   */
+  def packShards(df: org.apache.spark.sql.DataFrame, tokenCol: String,
+      orderCol: String, budgetTokens: Long,
+      nBuckets: Int = 256, outCol: String = "shard"): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets must be in [1, 4096] (per-bucket sums are collected), got $nBuckets")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input frame")
+    requireNoReserved(df, Seq("__bk", "__off", "__cum0"), "packShards")
+    require(df.schema(orderCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"orderCol '$orderCol' must be numeric (range bucketing uses quantiles), " +
+        s"got ${df.schema(orderCol).dataType.simpleString}")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cuts =
+      if (nBuckets == 1) Seq.empty[Double]
+      else df.stat.approxQuantile(orderCol,
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001).toSeq.distinct
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(orderCol).cast("double") > c, 1).otherwise(0)
+    }
+    val tagged = df.withColumn("__bk", bucket)
+    val stats = tagged.groupBy("__bk")
+      .agg(sum(tokenCol).as("__s"),
+        sum(when(col(tokenCol).isNull || col(tokenCol) < 0, 1L).otherwise(0L)).as("__bad"),
+        count(lit(1)).as("__n"),
+        count(col(orderCol)).as("__nOrd"),
+        countDistinct(col(orderCol)).as("__nDist"))
+      .collect()
+    stats.foreach { r =>
+      require(r.getLong(2) == 0L,
+        s"packShards: ${r.getLong(2)} null/negative values in token column '$tokenCol'")
+      require(r.getLong(5) == r.getLong(4) && r.getLong(4) == r.getLong(3),
+        s"packShards: order column '$orderCol' must be non-null and unique " +
+          "(the exclusive cumsum needs a total order)")
+    }
+    val offsets = stats.sortBy(_.getInt(0)).foldLeft((0L, List.empty[(Int, Long)])) {
+      case ((acc, out), r) => (acc + r.getLong(1), (r.getInt(0), acc) :: out)
+    }._2.toDF("__bk", "__off")
+    val cum0 = coalesce(sum(col(tokenCol)).over(
+      Window.partitionBy(col("__bk")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    tagged.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__cum0", col("__off") + cum0)
+      .withColumn(outCol, floor(col("__cum0") / lit(budgetTokens)).cast("long"))
+      .drop("__bk", "__off", "__cum0")
+  }
+
+  /**
    * CCNet quality bucketing — the head/middle/tail split (Wenzek et
    * al. 2020 §4.3: rank each language's documents by LM score, cut
    * the corpus at fixed cumulative fractions; head = best-scoring
