@@ -36,10 +36,11 @@ object ScaleProbe {
     val e = spark.read.parquet(path)
     val query = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
 
-    def time[T](name: String)(f: => T): Unit = {
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      f
+      val r = f
       println(f"[scale-probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
 
     time("warmup count")(e.count())
@@ -366,19 +367,23 @@ object ScaleProbe {
       spark.stop()
       return
     }
-    if (args.contains("lmscore")) {
-      val tokensPerDoc = 100
-      val vocab = 50000
-      // inverse-CDF log-uniform token draw: p(rank r) ∝ 1/r over the
-      // vocab (Zipf exponent 1); P(rank 1) = ln2/ln(vocab) ≈ 6.4%
+    // inverse-CDF log-uniform token draw: p(rank r) ∝ 1/r over the
+    // vocab (Zipf exponent 1); P(rank 1) = ln2/ln(vocab) ≈ 6.4%
+    def zipfCorpus(tokensPerDoc: Int, vocab: Int) = {
       def tok(i: Int): org.apache.spark.sql.Column = {
         val u = (pmod(hash(col("id") * lit(31 + i) + lit(i)), lit(1000000))
           .cast("double") + 0.5) / 1000000.0
         concat(lit("w"), floor(exp(u * math.log(vocab.toDouble))).cast("long"))
       }
-      val corpus = spark.range(n).toDF("id")
+      spark.range(n).toDF("id")
         .select(col("id"), concat_ws(" ", (0 until tokensPerDoc).map(tok): _*).as("text"))
         .repartition(32).localCheckpoint(true)
+    }
+
+    if (args.contains("lmscore")) {
+      val tokensPerDoc = 100
+      val vocab = 50000
+      val corpus = zipfCorpus(tokensPerDoc, vocab)
       val scored = TextAnalysis.lmScore(corpus, "text", "id")
       // Count through scored's OWN QueryExecution (toRdd), not
       // Dataset.count() — count() compiles a separate execution, so
@@ -430,6 +435,119 @@ object ScaleProbe {
       }
       println(s"[scale-probe] lmscore 3-doc independent replay matches " +
         s"(N=$nTotal V=$nVocab)")
+      spark.stop()
+      return
+    }
+    // Round-10 frozen-artifact deployment shape at scale:
+    // sbt "runMain graft.ScaleProbe 1000000 frozen". Fit + persist the
+    // unigram model on the even-id half, score the odd half against the
+    // RELOADED model (the cross-JVM path a backfill takes), then label
+    // it against frozen bucketBoundaries (dp=3: the window input is
+    // bounded by score range, not corpus size). Asserts: 3-doc
+    // independent replay of the frozen scores (model-side counts, OOV
+    // coalesce), realized head/middle/tail fractions ≈ the 0.3/0.7
+    // cuts (same generator both halves), and the labeling join is a
+    // BROADCAST (the scored stream never shuffles to get its label).
+    if (args.contains("frozen")) {
+      val tokensPerDoc = 100
+      val vocab = 50000
+      val corpus = zipfCorpus(tokensPerDoc, vocab)
+      val ref = corpus.where(col("id") % 2 === 0)
+      val shard = corpus.where(col("id") % 2 =!= 0)
+      val mPath = s"$path-unigram-lm"
+      time(s"fitUnigramLm + save (${n / 2000000.0}M docs)") {
+        TextAnalysis.saveUnigramLm(TextAnalysis.fitUnigramLm(ref, "text"), mPath)
+      }
+      val model = TextAnalysis.loadUnigramLm(spark, mPath)
+      val scored = TextAnalysis.lmScoreAgainst(shard, model, "text", "id")
+      time(s"lmScoreAgainst reloaded model (${n * tokensPerDoc / 2000000}M tokens)") {
+        require(scored.queryExecution.toRdd.count() == n / 2,
+          "every shard doc must be scored")
+      }
+      // independent replay for 3 shard docs: per-doc token counts LEFT
+      // joined to the REF half's global counts (the frozen denominator)
+      val Ws = graft.expressions.ShingleHashes.WsRegex
+      val refCounts = ref
+        .select(explode(split(lower(col("text")), Ws)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("ct")).localCheckpoint(true)
+      val totRow = refCounts.agg(sum("ct"), count(lit(1))).head()
+      val denom = (totRow.getLong(0) + totRow.getLong(1)).toDouble
+      val sampleRows = shard.where(col("id") < 7)
+        .select(col("id"), explode(split(lower(col("text")), Ws)).as("tok"))
+        .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+        .join(refCounts, Seq("tok"), "left")
+        .select(col("id"), col("c"), coalesce(col("ct"), lit(0L)).as("ct")).collect()
+      val got = scored.where(col("id") < 7).select("id", "lm_nll").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      sampleRows.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+        var nll = 0L; var nTok = 0L
+        rows.foreach { r =>
+          val c = r.getLong(1); val ct = r.getLong(2)
+          nll += c * math.round(-1e6 * math.log((ct + 1).toDouble / denom))
+          nTok += c
+        }
+        val e = nll.toDouble / (1e6 * nTok)
+        require(math.abs(got(id) - e) <= 5e-7,
+          s"doc $id: frozen operator ${got(id)} vs independent replay $e")
+      }
+      println(s"[scale-probe] frozen 3-doc independent replay matches (denom=$denom)")
+      // frozen cuts fit on the scored REF half, applied to the shard.
+      // group = (id div 2) mod 4, NOT id mod 4: the halves split on id
+      // parity, so id mod 4 would give the ref half groups {0,2} and
+      // the shard {1,3} — no overlap, and applyBuckets would (rightly)
+      // drop every unknown-group row
+      val g = pmod(floor(col("id") / 2).cast("long"), lit(4)).cast("string").as("g")
+      val scoredRef = TextAnalysis.lmScoreAgainst(ref, model, "text", "id").withColumn("g", g)
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "g", quantizeDp = 3)
+      val labeled = TextAnalysis.applyBuckets(scored.withColumn("g", g), bounds,
+        "lm_nll", "g", quantizeDp = 3)
+      val fracs = time(s"bounds fit + applyBuckets (${n / 2000000.0}M docs, 4 groups)") {
+        labeled.groupBy("g", "bucket").agg(count(lit(1)).as("c")).collect()
+      }
+      val byGroup = fracs.groupBy(_.getString(0))
+      byGroup.foreach { case (grp, rows) =>
+        val tot = rows.map(_.getLong(2)).sum.toDouble
+        val f = rows.map(r => r.getString(1) -> r.getLong(2) / tot).toMap
+        require(math.abs(f.getOrElse("head", 0.0) - 0.3) < 0.05 &&
+          math.abs(f.getOrElse("middle", 0.0) - 0.4) < 0.05,
+          s"group $grp realized fractions $f drifted from the 0.3/0.7 cuts")
+      }
+      println(s"[scale-probe] frozen-cut fractions within 0.05 of 0.3/0.4/0.3 " +
+        s"for all ${byGroup.size} groups")
+      val lplan = labeled.queryExecution.executedPlan.toString
+      require(lplan.contains("BroadcastHashJoin"),
+        "applyBuckets must label through a broadcast join")
+      spark.stop()
+      return
+    }
+    // packShards at scale: sbt "runMain graft.ScaleProbe 10000000 pack".
+    // Variable token counts with a CLOSED-FORM exclusive cumsum
+    // (periodic sizes id%13+1: cum0(id) = 91*(id div 13) + T(id mod 13))
+    // let the two-level prefix sum be validated against exact arithmetic
+    // on EVERY row — not a sample — in one scan.
+    if (args.contains("pack")) {
+      val budget = 100000L
+      val rows = spark.range(n).toDF("id")
+        .withColumn("toks", pmod(col("id"), lit(13)) + 1)
+        .repartition(32).localCheckpoint(true)
+      val packed = TextAnalysis.packShards(rows, "toks", "id", budget, nBuckets = 256)
+      time(s"packShards ${n / 1000000}M rows (budget=$budget, 256 buckets)") {
+        require(packed.queryExecution.toRdd.count() == n, "every row must be assigned")
+      }
+      val k = pmod(col("id"), lit(13))
+      val cum0 = (col("id") - k) / lit(13) * lit(91L) + k * (k + 1) / lit(2)
+      val expect = floor(cum0 / lit(budget)).cast("long")
+      time("full closed-form validation (every row)") {
+        require(packed.where(col("shard") =!= expect).count() == 0,
+          "two-level prefix sum diverged from the closed-form cumsum")
+      }
+      val nShards = packed.agg(countDistinct(col("shard"))).head().getLong(0)
+      // exact: total = 91 full-cycle tokens per 13 ids + the tail
+      // triangle; the last shard is floor(cum0(last)/budget)
+      val total = (n / 13) * 91L + (n % 13) * (n % 13 + 1) / 2
+      val want = (total - ((n - 1) % 13 + 1)) / budget + 1
+      require(nShards == want, s"$nShards shards vs expected $want")
+      println(s"[scale-probe] packShards: $nShards shards, all $n rows closed-form exact")
       spark.stop()
       return
     }
