@@ -1232,6 +1232,28 @@ object SparkEntry {
     // §A1.1) — duplicate-word fraction, top-bigram occupancy, and the
     // fraction of bigram occurrences that are duplicates. Tokenization
     // matches the established oracle convention (lower + \s+ split).
+    // §2.3 T ORACLED (round 10): the Gopher §A1.1 heuristic battery —
+    // raw integer counters + the keep decision via integer cross-
+    // multiplied thresholds (no float on either side), ONE map-only
+    // codegen pass, no shuffle at any corpus size. minWords lowered to
+    // 20 for the fixture's 10-99-word docs (the ratio thresholds are
+    // the published contract and stay fixed). minStopHits 1: the
+    // synthetic corpus averages 0.76 distinct stopwords, so the
+    // paper's 2 would veto every doc and the keep column would carry
+    // no signal; at 1 the gate sees 367/500 keeps.
+    "gopher_rules" -> ((s, d) => {
+      val st = TextAnalysis.gopherStats(col("text"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.n_words").as("n_words"),
+          col("st.sum_wlen").as("sum_wlen"), col("st.alpha_words").as("alpha_words"),
+          col("st.stop_hits").as("stop_hits"), col("st.n_symbols").as("n_symbols"),
+          col("st.n_lines").as("n_lines"), col("st.bullet_lines").as("bullet_lines"),
+          col("st.ellipsis_lines").as("ellipsis_lines"),
+          TextAnalysis.gopherKeep(col("st"), minWords = 20, minStopHits = 1)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "quality_repetition" -> ((s, d) =>
       // one codegen pass per doc (expressions/RepetitionStats) — the
       // relational explode→groupBy×2 formulation would shuffle every
@@ -2355,6 +2377,9 @@ object SparkEntry {
           | AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           |ORDER BY purchase_id, click_id""".stripMargin,
+      // identical counters, identical integer-cross-multiplied keep
+      "gopher_rules" ->
+        TextAnalysisSql.gopherSql("documents", "doc_id", "text", 20L, 100000L, 1L),
       "quality_repetition" ->
         s"""WITH w AS (
           |  SELECT doc_id,

@@ -121,6 +121,75 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), Ws, " "))
 
+  /** The Gopher rule stopword list (Rae et al. 2021 §A1.1: a document
+    * must contain at least two of these to pass). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher document-level quality counters (Rae et al. 2021 §A1.1 —
+   * the published heuristic battery MassiveWeb was filtered with;
+   * [[repetitionStats]] covers the same appendix's repetition half).
+   * Emits RAW INTEGER counters, not ratios: every §A1.1 threshold is
+   * a rational bound, so [[gopherKeep]] applies it by integer
+   * cross-multiplication (mean word length ∈ [3, 10] ⟺
+   * 3·n ≤ Σlen ≤ 10·n) — no float arithmetic anywhere, so the
+   * decision is bit-identical in any engine by construction, and the
+   * whole thing is ONE map-only codegen pass (no shuffle at any
+   * corpus size).
+   *
+   * Counters: `n_words`/`sum_wlen` (whitespace tokens, lowercased),
+   * `alpha_words` (words containing a letter), `stop_hits` (DISTINCT
+   * stopword-list members present), `n_symbols` ('#' plus
+   * non-overlapping '...' plus '…' occurrences), `n_lines`/
+   * `bullet_lines`/`ellipsis_lines` (non-empty trimmed lines; bullet =
+   * first char one of bullet-point, dash, star; ellipsis = ends with
+   * '...' or '…').
+   */
+  def gopherStats(text: Column): Column = {
+    val words = filter(split(lower(text), Ws), t => length(t) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    struct(
+      size(words).cast("long").as("n_words"),
+      coalesce(aggregate(words, lit(0L), (a, w) => a + length(w)), lit(0L)).as("sum_wlen"),
+      size(filter(words, w => w.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      size(array_intersect(array_distinct(words),
+        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"),
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.{3}")) +
+        regexp_count(text, lit("…"))).cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*")))
+        .cast("long").as("bullet_lines"),
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("long").as("ellipsis_lines"))
+  }
+
+  /**
+   * The §A1.1 keep decision over [[gopherStats]] counters — the
+   * paper's thresholds verbatim, in exact integer form: word count in
+   * `[minWords, maxWords]`; mean word length in [3, 10]; symbol-to-
+   * word ratio < 0.1; < 90% of lines bullet-started; < 30% of lines
+   * ellipsis-ended; ≥ 80% of words contain a letter; ≥ 2 distinct
+   * stopwords. Word-count bounds and the stopword floor are knobs
+   * (the paper's 50/2 assume English web pages — shorter-form or
+   * non-English corpora retune or re-list them); the ratio thresholds
+   * are the published contract and stay fixed.
+   */
+  def gopherKeep(st: Column, minWords: Long = 50, maxWords: Long = 100000,
+      minStopHits: Long = 2): Column = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    require(minStopHits >= 0, s"minStopHits must be >= 0, got $minStopHits")
+    st.getField("n_words").between(minWords, maxWords) &&
+      st.getField("sum_wlen") >= st.getField("n_words") * 3 &&
+      st.getField("sum_wlen") <= st.getField("n_words") * 10 &&
+      st.getField("n_symbols") * 10 < st.getField("n_words") &&
+      st.getField("bullet_lines") * 10 < st.getField("n_lines") * 9 &&
+      st.getField("ellipsis_lines") * 10 < st.getField("n_lines") * 3 &&
+      st.getField("alpha_words") * 5 >= st.getField("n_words") * 4 &&
+      st.getField("stop_hits") >= minStopHits
+  }
+
   /** Redaction patterns shared by the Column API and the oracle SQL —
     * written in the common Java-regex/RE2 subset (no lookaround, no
     * dialect-specific escapes). */
@@ -964,6 +1033,49 @@ object TextAnalysisSql {
        |  FROM stoks t LEFT JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
        |  GROUP BY t.$id)
        |SELECT $id, n_toks, lm_nll FROM scored""".stripMargin
+
+  /** [[TextAnalysis.gopherStats]]/[[TextAnalysis.gopherKeep]]'s oracle:
+    * the same counters and the same integer cross-multiplied
+    * thresholds — no float anywhere on either side. */
+  def gopherSql(table: String, id: String, text: String,
+      minWords: Long, maxWords: Long, minStopHits: Long): String =
+    s"""WITH g AS (
+       |  SELECT $id,
+       |    list_filter(string_split_regex(lower($text), '$Ws'),
+       |                x -> len(x) > 0) AS ws,
+       |    list_filter(list_transform(string_split($text, chr(10)), l -> trim(l)),
+       |                l -> len(l) > 0) AS ls,
+       |    CAST(len(regexp_extract_all($text, '#'))
+       |       + len(regexp_extract_all($text, '\\.{3}'))
+       |       + len(regexp_extract_all($text, '…')) AS BIGINT) AS n_symbols
+       |  FROM $table),
+       |c AS (
+       |  SELECT $id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT)
+       |      AS sum_wlen,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+       |      AS alpha_words,
+       |    CAST(len(list_intersect(list_distinct(ws),
+       |      [${GopherStopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT)
+       |      AS stop_hits,
+       |    n_symbols,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> l[1] IN ('•', '-', '*'))) AS BIGINT)
+       |      AS bullet_lines,
+       |    CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT)
+       |      AS ellipsis_lines
+       |  FROM g)
+       |SELECT $id, n_words, sum_wlen, alpha_words, stop_hits, n_symbols,
+       |       n_lines, bullet_lines, ellipsis_lines,
+       |       (n_words BETWEEN $minWords AND $maxWords)
+       |       AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+       |       AND n_symbols * 10 < n_words
+       |       AND bullet_lines * 10 < n_lines * 9
+       |       AND ellipsis_lines * 10 < n_lines * 3
+       |       AND alpha_words * 5 >= n_words * 4
+       |       AND stop_hits >= $minStopHits AS keep
+       |FROM c ORDER BY $id""".stripMargin
 
   /** [[TextAnalysis.lmScoreBigramAgainst]]'s oracle (λ = 0.75): the
     * same array-land adjacent pairs (shifted-slice zip), the same
