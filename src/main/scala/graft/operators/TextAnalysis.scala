@@ -685,7 +685,24 @@ object TextAnalysis {
    */
   def packShards(df: org.apache.spark.sql.DataFrame, tokenCol: String,
       orderCol: String, budgetTokens: Long,
-      nBuckets: Int = 256, outCol: String = "shard"): org.apache.spark.sql.DataFrame = {
+      nBuckets: Int = 256, outCol: String = "shard"): org.apache.spark.sql.DataFrame =
+    packShardsFrom(df, tokenCol, orderCol, budgetTokens, 0L, nBuckets, outCol)._1
+
+  /** [[packShards]] with a carried-in token offset — the incremental/
+    * streaming form (the family's `Across` convention): the cumsum
+    * starts at `startOffset` instead of 0, and the call returns the
+    * END offset (`startOffset` + this frame's token total) to seed the
+    * next batch, so consecutive batches pack ONE continuous shard
+    * sequence. Across batches the order is arrival-then-`orderCol`
+    * (a stream has no global key order); the result equals the batch
+    * operator on the concatenation whenever batches arrive in key
+    * order (spec'd). The total rides the sums pass that already runs —
+    * no extra job. */
+  def packShardsFrom(df: org.apache.spark.sql.DataFrame, tokenCol: String,
+      orderCol: String, budgetTokens: Long, startOffset: Long,
+      nBuckets: Int = 256,
+      outCol: String = "shard"): (org.apache.spark.sql.DataFrame, Long) = {
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"nBuckets must be in [1, 65536] (per-bucket sums are collected), got $nBuckets")
@@ -700,7 +717,8 @@ object TextAnalysis {
     import spark.implicits._
     val mm = df.agg(min(col(orderCol).cast("double")),
       max(col(orderCol).cast("double"))).head()
-    if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long")).where(lit(false))
+    if (mm.isNullAt(0))
+      return (df.withColumn(outCol, lit(null).cast("long")).where(lit(false)), startOffset)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     // uniform-width monotone tag; the clamp covers v == max landing on
     // the open edge. Width divides ONCE on the driver; the per-row tag
@@ -725,16 +743,18 @@ object TextAnalysis {
         s"packShards: order column '$orderCol' must be non-null and unique " +
           "(the exclusive cumsum needs a total order)")
     }
-    val offsets = stats.sortBy(_.getInt(0)).foldLeft((0L, List.empty[(Int, Long)])) {
-      case ((acc, out), r) => (acc + r.getLong(1), (r.getInt(0), acc) :: out)
-    }._2.toDF("__bk", "__off")
+    val (end, offs) = stats.sortBy(_.getInt(0))
+      .foldLeft((startOffset, List.empty[(Int, Long)])) {
+        case ((acc, out), r) => (acc + r.getLong(1), (r.getInt(0), acc) :: out)
+      }
+    val offsets = offs.toDF("__bk", "__off")
     val cum0 = coalesce(sum(col(tokenCol)).over(
       Window.partitionBy(col("__bk")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    tagged.join(broadcast(offsets), Seq("__bk"))
+    (tagged.join(broadcast(offsets), Seq("__bk"))
       .withColumn("__cum0", col("__off") + cum0)
       .withColumn(outCol, floor(col("__cum0") / lit(budgetTokens)).cast("long"))
-      .drop("__bk", "__off", "__cum0")
+      .drop("__bk", "__off", "__cum0"), end)
   }
 
   /**

@@ -300,6 +300,31 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming token-budget shard packing — the ingest-time form of
+    * [[graft.operators.TextAnalysis.packShards]]: each micro-batch
+    * continues the shard sequence from the carried token offset
+    * ([[graft.operators.TextAnalysis.packShardsFrom]]), so a stream
+    * writes the SAME continuous shard layout a batch run would,
+    * batch boundaries landing mid-shard rather than opening one. The
+    * only carried state is ONE long (the running token total) — the
+    * cheapest `Across` state in the family. Cross-batch order is
+    * arrival-then-`orderCol`; the drain equals the batch operator on
+    * the concatenation whenever batches arrive in key order (spec'd).
+    */
+  def packShardsPerBatch(
+      docs: DataFrame, // streaming
+      tokenCol: String, orderCol: String, budgetTokens: Long,
+      nBuckets: Int = 256, outCol: String = "shard")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var offset = 0L
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (packed, end) = graft.operators.TextAnalysis.packShardsFrom(
+        batch, tokenCol, orderCol, budgetTokens, offset, nBuckets, outCol)
+      offset = end
+      sink(packed, batchId)
+    }.start()
+  }
+
   /** Streaming point-in-time enrichment: each micro-batch of left rows
     * is as-of joined against a STATIC right side (a dimension snapshot
     * — the stream-static temporal join). Since the right side is fixed,

@@ -76,6 +76,53 @@ class PackShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("packShardsFrom chains batches into one continuous shard sequence") {
+    val rows = (1L to 100L).map(i => (i, i % 7 + 1))
+    val whole = shardsOf(rows, 40)
+    val (h1, h2) = rows.partition(_._1 <= 60)
+    val (d1, e1) = TextAnalysis.packShardsFrom(
+      h1.toDF("id", "toks"), "toks", "id", 40, 0L)
+    val (d2, e2) = TextAnalysis.packShardsFrom(
+      h2.toDF("id", "toks"), "toks", "id", 40, e1)
+    assert(e1 == h1.map(_._2).sum && e2 == rows.map(_._2).sum)
+    assert(e1 % 40 != 0, "the boundary must land mid-shard for the carry to matter")
+    val got = (d1.select("id", "shard").collect() ++ d2.select("id", "shard").collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == whole)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.packShardsFrom(h1.toDF("id", "toks"), "toks", "id", 40, -1L)
+    }
+  }
+
+  test("streaming drain continues the shard sequence across micro-batches") {
+    val rows = (1L to 100L).map(i => (i, i % 7 + 1))
+    val whole = shardsOf(rows, 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_stream")
+    val (h1, h2) = rows.partition(_._1 <= 60)
+    h1.toDF("id", "toks").coalesce(1).write.parquet(dir.resolve("b1").toString)
+    h2.toDF("id", "toks").coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(h1.toDF("id", "toks").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var batches = 0
+    val q = graft.streaming.StreamOps.packShardsPerBatch(
+      stream, "toks", "id", budgetTokens = 40) { (packed, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= packed.select("id", "shard").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.sortBy(_._1).toSeq == whole,
+      "drained stream must equal the batch operator on the concatenation")
+  }
+
   test("closed shards sit within one max-doc of the budget on both sides") {
     // atomic docs: a shard's first doc may enter up to maxDoc-1 tokens
     // past its boundary and its last doc may overshoot the next
