@@ -760,6 +760,32 @@ object SparkEntry {
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T × composition (round 10): the full chain's OUTPUT LAYOUT —
+    // the train split packed into token-budget shards by the two-level
+    // prefix sum, token counts taken from the PIPELINE's text (the
+    // paragraph-deduped form that actually ships), not the raw corpus.
+    // Seven stages end to end; the oracle replays the packing as the
+    // naive global window over the same replayed chain.
+    "pipeline_pretrain_packed" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
+      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+      val train = TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
+        .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+        .where(col("split") === "train")
+        .join(dd.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      TextAnalysis.packShards(train.select(col("doc_id"), col("lang"), col("n_tokens")),
+        "n_tokens", "doc_id", budgetTokens = 500, nBuckets = 16)
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 S × composition (round 10): the SAME pretraining chain
     // EXECUTED AS A STREAM with every corpus-derived artifact frozen —
     // CCNet/Dolma's actual deployment shape. The frozen artifacts
@@ -1947,6 +1973,33 @@ object SparkEntry {
       |FROM mixed ORDER BY doc_id""".stripMargin
   }
 
+  /** [[oracleSqlPipelinePretrainFull]] extended one more stage: the
+    * train split's shard layout as the NAIVE global window over the
+    * replayed chain — the scalable two-level prefix sum on the Spark
+    * side must equal it row for row, seven stages deep. */
+  private val oracleSqlPipelinePretrainPacked: String = {
+    val ctes = oracleSqlPipelinePretrainFull
+      .stripSuffix("""
+      |SELECT doc_id, lang, lm_nll, bucket,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM mixed ORDER BY doc_id""".stripMargin)
+    s"""$ctes,
+      |tr AS (SELECT m.doc_id, m.lang,
+      |         CAST(len(list_filter(string_split_regex(lower(dd.text), '$Ws'),
+      |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      |       FROM mixed m JOIN dd USING(doc_id)
+      |       WHERE substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 2) < 'e6'),
+      |pc AS (SELECT doc_id, lang, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+      |       FROM tr)
+      |SELECT doc_id, lang, n_tokens,
+      |       CAST(floor(cum0 * 1.0 / 500) AS BIGINT) AS shard
+      |FROM pc ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     def scoredCte =
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -2190,6 +2243,9 @@ object SparkEntry {
       "pipeline_pretrain_stream" -> oracleSqlPipelinePretrain,
       // base chain + temperature mixing + split — the full Dolma tail
       "pipeline_pretrain_full" -> oracleSqlPipelinePretrainFull,
+      // + the output layout: train-split shards as the naive global
+      // window over the same replayed chain
+      "pipeline_pretrain_packed" -> oracleSqlPipelinePretrainPacked,
       // Same tokenization and 13-gram windows as Dedup.wordNgrams;
       // survivors = corpus docs sharing no gram with the eval split.
       // decontaminate_stream drains the SAME semantics through a real
