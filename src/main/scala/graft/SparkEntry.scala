@@ -1258,6 +1258,15 @@ object SparkEntry {
     // §A1.1) — duplicate-word fraction, top-bigram occupancy, and the
     // fraction of bigram occurrences that are duplicates. Tokenization
     // matches the established oracle convention (lower + \s+ split).
+    // §2.3 T ORACLED (round 10): per-source document cap — the
+    // domain-frequency bound (Gopher caps docs/domain): at most 15
+    // docs per source (the fixture carries 25+ per source at every SF,
+    // so the cap bites everywhere), winners picked by md5(doc_id)
+    // order so the survivor set is a pure function of the data.
+    "cap_per_source" -> ((s, d) =>
+      TextAnalysis.capPerKey(Tables(s, d, "documents"), "source", "doc_id", maxRows = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // §2.3 T ORACLED (round 10): the Gopher §A1.1 heuristic battery —
     // raw integer counters + the keep decision via integer cross-
     // multiplied thresholds (no float on either side), ONE map-only
@@ -2433,6 +2442,13 @@ object SparkEntry {
           | AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           |ORDER BY purchase_id, click_id""".stripMargin,
+      "cap_per_source" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents WHERE source IS NOT NULL)
+          |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
       // identical counters, identical integer-cross-multiplied keep
       "gopher_rules" ->
         TextAnalysisSql.gopherSql("documents", "doc_id", "text", 20L, 100000L, 1L),

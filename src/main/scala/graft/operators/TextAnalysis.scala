@@ -642,6 +642,34 @@ object TextAnalysis {
   }
 
   /**
+   * Per-key document cap — the domain-frequency bound every web-scale
+   * curation run applies (Gopher caps documents per domain; C4 caps
+   * span repeats): keep at most `maxRows` rows per `keyCol`, selected
+   * DETERMINISTICALLY by md5(id) order (the [[hashSampleBy]]
+   * convention — "random" but stable across runs, partitionings, and
+   * engines; ties broken by the id itself so the winner set is a pure
+   * function of the data). NULL keys are dropped — an unattributed
+   * document has no domain to cap and silently pooling all of them
+   * into one giant pseudo-domain would cap the wrong thing.
+   *
+   * Scale shape: one hash shuffle on the key + a per-key window
+   * counting to `maxRows` — no global sort, no driver state; a hot
+   * domain's window runs in one task, which is exactly the work that
+   * domain requires.
+   */
+  def capPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      idCol: String, maxRows: Int): org.apache.spark.sql.DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    requireNoReserved(df, Seq("__rn"), "capPerKey")
+    import org.apache.spark.sql.expressions.Window
+    df.where(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .where(col("__rn") <= maxRows).drop("__rn")
+  }
+
+  /**
    * Token-budget SHARD assignment — the output-writing half of a
    * pretraining run ([[packSequences]]'s global sibling): documents
    * taken in `orderCol` order fill shard 0 until `budgetTokens` is

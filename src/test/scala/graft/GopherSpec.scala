@@ -61,6 +61,28 @@ class GopherSpec extends AnyFunSuite {
       "symbol ratio exactly 0.1 fails (strict <)")
   }
 
+  test("capPerKey: deterministic winners, hot key capped, null keys dropped") {
+    val df = ((1L to 50L).map(i => (i, "hot")) ++ Seq((100L, "cold"), (101L, "cold")) ++
+      Seq((200L, null.asInstanceOf[String]))).toDF("id", "src")
+    val got = TextAnalysis.capPerKey(df, "src", "id", maxRows = 10)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("hot" -> 10L, "cold" -> 2L), s"got $bySrc")
+    // determinism across partitionings: same winner ids
+    val a = got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.capPerKey(df.repartition(7), "src", "id", 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // winners are the md5-order prefix, not the id-order prefix
+    val md5Order = (1L to 50L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5").digest(i.toString.getBytes)
+        .map("%02x".format(_)).mkString)
+    assert(a.filter(_ <= 50L).toSet == md5Order.take(10).toSet)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.capPerKey(df, "src", "id", maxRows = 0)
+    }
+  }
+
   test("empty and degenerate documents never pass, never error") {
     assert(!keepOf(""))
     assert(!keepOf("   \n \n  "))
