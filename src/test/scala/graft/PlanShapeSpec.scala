@@ -133,6 +133,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "eval-gram side no longer broadcasts")
   }
 
+  test("gopher rules are one map-only pass: zero exchanges, zero joins") {
+    // the whole battery (counters + keep decision) must stay inside a
+    // single scan — a shuffle or a join anywhere means a stats pass
+    // leaked in and the operator stopped being free at corpus scale.
+    // (The gate query adds a presentation orderBy; pin the operator
+    // frame itself.)
+    import org.apache.spark.sql.functions.col
+    val st = graft.operators.TextAnalysis.gopherStats(col("text"))
+    val p = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), st.as("st"),
+        graft.operators.TextAnalysis.gopherKeep(st, minWords = 20).as("keep"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Exchange"), s"gopher battery must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"gopher battery must not join:\n$p")
+  }
+
+  test("shard packing windows per bucket and broadcasts the offsets — no global single-partition sort") {
+    // the two-level prefix sum's contract: the window partitions by
+    // the bucket tag (bounded tasks), the per-bucket offsets ride a
+    // broadcast join, and nothing plans the naive global window
+    // (which Spark spells as an Exchange SinglePartition)
+    val p = plan("pack_shards")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets no longer broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a single-partition exchange means the naive global window came back:\n$p")
+  }
+
+  test("per-key cap is one hash shuffle on the key and a counting window — nothing else") {
+    val p = plan("cap_per_source")
+    assert(p.contains("Window"), "capPerKey must plan a per-key window")
+    assert(!p.contains("Join"), "capPerKey must not join")
+    assert(!p.contains("SinglePartition"),
+      s"cap must shuffle on the key, not collapse to one partition:\n$p")
+  }
+
   test("text-to-image search decodes AFTER retrieval: top-k sits under the image stage") {
     val p = plan("multimodal_text_search")
     // the decode/featurize stages are the MapPartitions nodes; the
