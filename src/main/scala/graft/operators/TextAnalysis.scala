@@ -480,14 +480,20 @@ object TextAnalysis {
    * (spec'd on exactly that fixture pair).
    *
    * Scale shape: pairs are built in array land (one explode, no
-   * self-join, no window), then THREE left scoring joins — bigram
-   * counts on (prev, tok), derived context totals on prev, unigram
-   * counts on tok — shuffle joins by default (open vocabulary),
-   * `broadcastCounts` when the model is known bounded; the pair
-   * stream is the corpus's token stream minus one row per doc, and
-   * the model is fit ZERO times per shard. The bigram frame is model
-   * data (distinct observed pairs — Zipf-bounded far under vocab²),
-   * not corpus-scale data.
+   * self-join, no window), then TWO left scoring joins over the
+   * corpus-sized pair stream — (prev, tok) against the
+   * context-annotated bigram frame, tok against the unigram counts —
+   * shuffle joins by default (open vocabulary), `broadcastCounts`
+   * when the model is known bounded. The context totals Σ_u c(p, u)
+   * pre-join INTO the bigram frame model-side (a model-sized join,
+   * not a corpus-sized one): an unseen pair's bigram term is
+   * identically 0 whatever its context total, so only seen pairs
+   * need cx and it rides their row — value-identical to a separate
+   * context join, one corpus shuffle cheaper. The pair stream is the
+   * corpus's token stream minus one row per doc, and the model is
+   * fit ZERO times per shard. The bigram frame is model data
+   * (distinct observed pairs — Zipf-bounded far under vocab²), not
+   * corpus-scale data.
    */
   def lmScoreBigramAgainst(df: org.apache.spark.sql.DataFrame, model: BigramLm,
       textCol: String, idCol: String, outCol: String = "lm_nll",
@@ -513,12 +519,11 @@ object TextAnalysis {
       .join(side(model.uni.counts), Seq("__tok"), "left")
       .select(col(idCol), uniNll.as("__nll_micro"))
     val pairs = pairFrame(base)
-      .join(side(model.bigrams), Seq("__prev", "__tok"), "left")
-      .join(side(ctx), Seq("__prev"), "left")
+      .join(side(model.bigrams.join(ctx, "__prev")), Seq("__prev", "__tok"), "left")
       .join(side(model.uni.counts), Seq("__tok"), "left")
       .select(col(idCol), round(lit(-1e6) * log(
-        lit(lambda) * when(col("__cx").isNull, lit(0.0))
-          .otherwise(coalesce(col("__c2"), lit(0L)).cast("double") / col("__cx")) +
+        lit(lambda) * when(col("__c2").isNull, lit(0.0))
+          .otherwise(col("__c2").cast("double") / col("__cx")) +
         lit(1.0 - lambda) *
           ((coalesce(col("__c"), lit(0L)) + 1).cast("double") / lit(denom))))
         .cast("long").as("__nll_micro"))
