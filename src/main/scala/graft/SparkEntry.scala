@@ -65,6 +65,28 @@ object SparkEntry {
   private val KwQuery = "batch batch scan vector"
   private val KwTerms = graft.expressions.ShingleHashes.WsPattern.split(KwQuery.toLowerCase).toSeq
 
+  /** The Dolma/CCNet pretraining chain every `pipeline_pretrain*` row
+    * composes — ONE definition so the four rows provably test the SAME
+    * pipeline (a sep/n/split drift here fails every row at once, not
+    * one): %7 eval carve-out, paragraph dedup on the " the " separator,
+    * 13-gram decontamination, self-fit LM scoring joined with lang,
+    * per-language head/middle/tail cuts, ship head+middle. Returns
+    * (deduped corpus, eval split, decontaminated corpus, shipped). */
+  private def pretrainChain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables(s, d, "documents")
+    val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+      "text", "doc_id", sep = " the ")
+    val evalSet = docs.where(col("doc_id") % 7 === 0)
+    val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
+    val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+    val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+    (dd, evalSet, clean, shipped)
+  }
+
   /** Literal vocabulary for the ORACLED full-hybrid query: term-count
     * vectors over these 8 corpus terms are computable identically in
     * DuckDB (exact integer counts → exact double cosine), which makes
@@ -724,18 +746,12 @@ object SparkEntry {
     // plan; the DuckDB oracle replays the ENTIRE chain — each stage's
     // text output feeds the next stage's tokenizer — so a drift
     // anywhere in the composition, not just in a stage, fails the row.
+    // The chain itself is ONE definition (pretrainChain) shared by all
+    // four pipeline_pretrain* rows, so they provably test the SAME
+    // pipeline — a sep/n drift fails every row at once, not one.
     "pipeline_pretrain" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
-      val evalSet = docs.where(col("doc_id") % 7 === 0)
-      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
-      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
-        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
-      TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
-        .orderBy(col("doc_id"))
+      val (_, _, _, shipped) = pretrainChain(s, d)
+      shipped.orderBy(col("doc_id"))
     }),
     // §2.3 T × composition (round 10): the COMPLETE Dolma-style tail —
     // the base pipeline continues through α = 0.5 temperature mixing
@@ -746,16 +762,7 @@ object SparkEntry {
     // lazy plan, one replay oracle: dedup → decontaminate → score →
     // cut → mix → split.
     "pipeline_pretrain_full" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
-      val evalSet = docs.where(col("doc_id") % 7 === 0)
-      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
-      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
-        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
-      val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+      val (_, _, _, shipped) = pretrainChain(s, d)
       TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .orderBy(col("doc_id"))
@@ -767,16 +774,7 @@ object SparkEntry {
     // Seven stages end to end; the oracle replays the packing as the
     // naive global window over the same replayed chain.
     "pipeline_pretrain_packed" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
-      val evalSet = docs.where(col("doc_id") % 7 === 0)
-      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
-      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
-        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
-      val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+      val (dd, _, _, shipped) = pretrainChain(s, d)
       val train = TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .where(col("split") === "train")
@@ -799,12 +797,7 @@ object SparkEntry {
     // pipeline_pretrain oracle verbatim; the multi-batch carry of
     // store + model is PretrainStreamSpec's.
     "pipeline_pretrain_stream" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val evalSet = docs.where(col("doc_id") % 7 === 0)
-      val cleanRef = Dedup.decontaminate(
-        Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-          "text", "doc_id", sep = " the "),
-        evalSet, "text", "doc_id", n = 13)
+      val (_, evalSet, cleanRef, _) = pretrainChain(s, d)
       val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
       val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
         .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")

@@ -165,15 +165,24 @@ object TextAnalysis {
   }
 
   /**
-   * The §A1.1 keep decision over [[gopherStats]] counters — the
-   * paper's thresholds verbatim, in exact integer form: word count in
-   * `[minWords, maxWords]`; mean word length in [3, 10]; symbol-to-
-   * word ratio < 0.1; < 90% of lines bullet-started; < 30% of lines
-   * ellipsis-ended; ≥ 80% of words contain a letter; ≥ 2 distinct
-   * stopwords. Word-count bounds and the stopword floor are knobs
-   * (the paper's 50/2 assume English web pages — shorter-form or
-   * non-English corpora retune or re-list them); the ratio thresholds
-   * are the published contract and stay fixed.
+   * The §A1.1 keep decision over [[gopherStats]] counters, in exact
+   * integer form: word count in `[minWords, maxWords]`; mean word
+   * length in [3, 10]; symbol-to-word ratio < 0.1; < 90% of lines
+   * bullet-started; < 30% of lines ellipsis-ended; ≥ 80% of words
+   * contain a letter; ≥ `minStopHits` distinct stopwords.
+   *
+   * Two deliberate deviations from the paper's letter, both pinned by
+   * spec so they are contract, not accident: the hash and ellipsis
+   * counts POOL into one symbol ratio (the paper evaluates the two
+   * ratios separately — pooling is strictly more aggressive: 0.06 +
+   * 0.06 drops here, survives there), and every ratio bound is a
+   * STRICT inequality (a doc at exactly 0.1 symbols/word or 30%
+   * ellipsis lines drops; the boundary had to land somewhere
+   * exactly, and strict-on-the-bad-side makes the integer
+   * cross-multiplication `10·s < n` with no off-by-one). Word-count
+   * bounds and the stopword floor are knobs (the paper's 50/2 assume
+   * English web pages — shorter-form or non-English corpora retune or
+   * re-list them); the numeric ratio values are the published ones.
    */
   def gopherKeep(st: Column, minWords: Long = 50, maxWords: Long = 100000,
       minStopHits: Long = 2): Column = {
@@ -336,11 +345,16 @@ object TextAnalysis {
 
   /** Fit a [[UnigramLm]] on a reference corpus: one explode + one
     * map-side-combined token shuffle (the same model pass [[lmScore]]
-    * runs), plus a two-long totals aggregate. */
+    * runs), plus a two-long totals aggregate. The counts frame is
+    * localCheckpoint-MATERIALIZED at fit: a model is fit once and
+    * scored against many times, and without the cut every scoring
+    * join would re-execute the reference corpus's tokenize+aggregate
+    * lineage (per use — per micro-batch in a stream). */
   def fitUnigramLm(df: org.apache.spark.sql.DataFrame, textCol: String): UnigramLm = {
     val counts = df
       .select(explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val t = counts.agg(sum("__c"), count(lit(1))).head()
     UnigramLm(counts, if (t.isNullAt(0)) 0L else t.getLong(0), t.getLong(1))
   }
@@ -420,15 +434,21 @@ object TextAnalysis {
   /** Fit a [[BigramLm]]: the [[fitUnigramLm]] pass plus ONE more
     * explode — within-document adjacent pairs built in ARRAY land
     * (`arrays_zip` of the two shifted slices: no self-join on
-    * position, no window) — and one map-side-combined pair shuffle. */
+    * position, no window) — and one map-side-combined pair shuffle.
+    * Both count frames localCheckpoint-materialize at fit
+    * ([[fitUnigramLm]]'s rationale, doubled: scoring consumes each in
+    * its own join, so un-cut lineage would re-tokenize the reference
+    * corpus several times per scoring call). */
   def fitBigramLm(df: org.apache.spark.sql.DataFrame, textCol: String): BigramLm = {
     val base = df.select(
       filter(split(lower(col(textCol)), Ws), t => length(t) > 0).as("__l"))
     val uniCounts = base.select(explode(col("__l")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val t = uniCounts.agg(sum("__c"), count(lit(1))).head()
     val bigrams = pairFrame(base).groupBy("__prev", "__tok")
       .agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(true)
     BigramLm(UnigramLm(uniCounts,
       if (t.isNullAt(0)) 0L else t.getLong(0), t.getLong(1)), bigrams)
   }
@@ -749,7 +769,13 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val mm = df.agg(min(col(orderCol).cast("double")),
-      max(col(orderCol).cast("double"))).head()
+      max(col(orderCol).cast("double")), count(lit(1))).head()
+    // distinguish EMPTY (fine: nothing to pack) from ALL-NULL keys
+    // (refuse — the empty early-return must not swallow the non-null
+    // precondition and silently drop a whole frame/micro-batch)
+    require(!mm.isNullAt(0) || mm.getLong(2) == 0L,
+      s"packShards: order column '$orderCol' is NULL on every row " +
+        "(the exclusive cumsum needs a total order)")
     if (mm.isNullAt(0))
       return (df.withColumn(outCol, lit(null).cast("long")).where(lit(false)), startOffset)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
@@ -854,6 +880,26 @@ object TextAnalysis {
     require(maxDistinctPerGroup >= 1,
       s"maxDistinctPerGroup must be >= 1, got $maxDistinctPerGroup")
     requireNoReserved(df, Seq("__q"), "qualityBuckets")
+    val (q, frac) = quantizedFracFrame(df, scoreCol, groupCol, quantizeDp,
+      maxDistinctPerGroup, "qualityBuckets")
+    val label = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((cut, l), acc) => when(col("__f") <= cut, lit(l)).otherwise(acc)
+    }
+    q.join(frac.select(col(groupCol), col("__q"), label.as(outCol)),
+      Seq(groupCol, "__q")).drop("__q")
+  }
+
+  /** The shared quantile core of [[qualityBuckets]] and
+    * [[bucketBoundaries]] — ONE implementation so the frozen-boundary
+    * path can never drift from the direct path (their exact-equality
+    * contract is spec'd): NULL score/group drop, `quantizeDp`
+    * rounding, per-(group, quantized score) counts, the
+    * `maxDistinctPerGroup` refusal, and the cumulative-fraction
+    * window. Returns (quantized rows, (group, __q, __f) frame). */
+  private def quantizedFracFrame(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String, groupCol: String, quantizeDp: Int,
+      maxDistinctPerGroup: Long,
+      op: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
       .withColumn("__q", round(col(scoreCol), quantizeDp))
@@ -863,7 +909,7 @@ object TextAnalysis {
         .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)
         .select(col(groupCol).cast("string"), col("__nq")).limit(1).collect()
       require(over.isEmpty,
-        s"qualityBuckets: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
+        s"$op: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
           s"distinct scores at quantizeDp=$quantizeDp, over maxDistinctPerGroup=" +
           s"$maxDistinctPerGroup — its quantile window would buffer that entire frame " +
           "in one task; lower quantizeDp (the distinct count is then bounded by the " +
@@ -874,11 +920,7 @@ object TextAnalysis {
         sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))
           .cast("double") /
         sum("__c").over(Window.partitionBy(groupCol)))
-    val label = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
-      case ((cut, l), acc) => when(col("__f") <= cut, lit(l)).otherwise(acc)
-    }
-    q.join(frac.select(col(groupCol), col("__q"), label.as(outCol)),
-      Seq(groupCol, "__q")).drop("__q")
+    (q, frac)
   }
 
   /**
@@ -913,24 +955,8 @@ object TextAnalysis {
     require(maxDistinctPerGroup >= 1,
       s"maxDistinctPerGroup must be >= 1, got $maxDistinctPerGroup")
     requireNoReserved(df, Seq("__q"), "bucketBoundaries")
-    import org.apache.spark.sql.expressions.Window
-    val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
-      .withColumn("__q", round(col(scoreCol), quantizeDp))
-    val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
-    if (maxDistinctPerGroup < Long.MaxValue) {
-      val over = counts.groupBy(col(groupCol))
-        .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)
-        .select(col(groupCol).cast("string"), col("__nq")).limit(1).collect()
-      require(over.isEmpty,
-        s"bucketBoundaries: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
-          s"distinct scores at quantizeDp=$quantizeDp, over maxDistinctPerGroup=" +
-          s"$maxDistinctPerGroup — lower quantizeDp or raise the cap deliberately")
-    }
-    val frac = counts
-      .withColumn("__f",
-        sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))
-          .cast("double") /
-        sum("__c").over(Window.partitionBy(groupCol)))
+    val (_, frac) = quantizedFracFrame(df, scoreCol, groupCol, quantizeDp,
+      maxDistinctPerGroup, "bucketBoundaries")
     frac.groupBy(col(groupCol))
       .agg(array(cuts.map(c => max(when(col("__f") <= c, col("__q")))): _*).as("__b"))
   }

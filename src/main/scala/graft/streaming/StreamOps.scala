@@ -255,7 +255,10 @@ object StreamOps {
     * exists), and head/middle/tail labeling against frozen
     * [[graft.operators.TextAnalysis.bucketBoundaries]] (per-batch
     * quantiles would re-cut each batch under itself). `sink` receives
-    * each batch's shippable rows (buckets in `shipLabels`).
+    * each batch's shippable rows (buckets in `shipLabels`) as FULL
+    * document rows — the cleaned text and every other input column
+    * ride along with (n_toks, lm_nll, bucket); zero-token documents
+    * are absent (no surprisal to average, nothing to train on).
     *
     * ONE foreachBatch: the paragraph store is the only accumulated
     * state (localCheckpoint-materialized per batch); everything else
@@ -291,9 +294,18 @@ object StreamOps {
         if (hashedStore) Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen)
         else Dedup.paragraphFrame(cleaned, textCol, sep, minLen)
       seen = seen.union(delta).distinct().localCheckpoint(true)
+      // materialized: decon feeds BOTH the scoring explode and the
+      // payload join below — un-cut it would run the gram explode +
+      // anti-join twice per batch
       val decon = Dedup.decontaminate(cleaned, evalDf, textCol, idCol, n)
+        .localCheckpoint(true)
+      // join the FULL decon frame back: the sink ships documents, so
+      // the cleaned text (and every other payload column) must ride
+      // along, not just (id, group). Zero-token docs are absent — they
+      // have no surprisal to average (lmScoreAgainst's contract) and
+      // nothing to pretrain on.
       val scored = TextAnalysis.lmScoreAgainst(decon, model, textCol, idCol)
-        .join(decon.select(col(idCol), col(groupCol)), idCol)
+        .join(decon, idCol)
       val bucketed = TextAnalysis.applyBuckets(scored, boundaries,
         "lm_nll", groupCol, labels, quantizeDp = quantizeDp)
       sink(bucketed.where(col("bucket").isin(shipLabels: _*)), batchId)

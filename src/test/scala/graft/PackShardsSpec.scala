@@ -53,6 +53,12 @@ class PackShardsSpec extends AnyFunSuite {
       TextAnalysis.packShards(
         Seq((Some(1L), 5L), (None, 5L)).toDF("id", "toks"), "toks", "id", 10).collect()
     }
+    assertThrows[IllegalArgumentException] { // ALL-null order keys must
+      // refuse too, not take the empty-frame early return and silently
+      // drop the whole input
+      TextAnalysis.packShards(
+        Seq((None: Option[Long], 5L), (None, 5L)).toDF("id", "toks"), "toks", "id", 10)
+    }
     assertThrows[IllegalArgumentException] { // negative token count
       shardsOf(Seq((1L, 5L), (2L, -1L)), 10)
     }
