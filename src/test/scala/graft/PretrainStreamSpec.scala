@@ -79,6 +79,10 @@ class PretrainStreamSpec extends AnyFunSuite {
       shipLabels = Seq("head", "middle", "tail")) { (shipped, _) =>
       got.synchronized {
         batches += 1
+        // the sink's contract: FULL document rows — the cleaned text
+        // must ride along or the shipped output is unshippable
+        assert(shipped.columns.contains("text"),
+          s"sink lost the text column: ${shipped.columns.mkString(",")}")
         got ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
           .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
       }
