@@ -780,7 +780,11 @@ object SparkEntry {
         .where(col("split") === "train")
         .join(dd.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
-      TextAnalysis.packShards(train.select(col("doc_id"), col("lang"), col("n_tokens")),
+      // materialized: packShards scans its input three times (range,
+      // sums, final), and un-cut each scan re-executes the whole
+      // six-stage chain (measured 8.5s -> chain-once at sf0.1)
+      TextAnalysis.packShards(
+        train.select(col("doc_id"), col("lang"), col("n_tokens")).localCheckpoint(true),
         "n_tokens", "doc_id", budgetTokens = 500, nBuckets = 16)
         .orderBy(col("doc_id"))
     }),

@@ -727,6 +727,11 @@ object TextAnalysis {
    * `nBuckets` — the tag cost is O(1) in it — until the largest
    * bucket's window fits a task.
    *
+   * The operator scans its input THREE times (key-range pass, bucket
+   * sums pass, the final plan) — at the end of an expensive lazy
+   * chain, materialize the input first (`localCheckpoint`/`cache`) or
+   * the chain re-executes per scan.
+   *
    * Preconditions (the [[Dedup.dedupParagraphs]] id convention):
    * `orderCol` must be NUMERIC (range cuts come from quantiles),
    * non-null, and UNIQUE per row — the exclusive cumsum needs a total
