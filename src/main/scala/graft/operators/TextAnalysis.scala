@@ -946,8 +946,11 @@ object TextAnalysis {
    * `F(score) ≤ cuts(i)`, so applying these boundaries back to the
    * REFERENCE corpus reproduces [[qualityBuckets]] exactly (spec'd).
    * Same quantize/guard levers and NULL-drop rule as
-   * [[qualityBuckets]]; the result is small (rows = groups) and
-   * broadcast by [[applyBuckets]].
+   * [[qualityBuckets]]; the result is small (rows = groups),
+   * localCheckpoint-MATERIALIZED at fit (the [[fitUnigramLm]]
+   * artifact convention — a lazy boundaries frame would re-execute
+   * the entire scoring lineage on every use, every micro-batch in a
+   * stream), and broadcast by [[applyBuckets]].
    */
   def bucketBoundaries(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
@@ -964,6 +967,7 @@ object TextAnalysis {
       maxDistinctPerGroup, "bucketBoundaries")
     frac.groupBy(col(groupCol))
       .agg(array(cuts.map(c => max(when(col("__f") <= c, col("__q")))): _*).as("__b"))
+      .localCheckpoint(true)
   }
 
   /**
