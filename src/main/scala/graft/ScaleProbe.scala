@@ -498,11 +498,14 @@ object ScaleProbe {
       // drop every unknown-group row
       val g = pmod(floor(col("id") / 2).cast("long"), lit(4)).cast("string").as("g")
       val scoredRef = TextAnalysis.lmScoreAgainst(ref, model, "text", "id").withColumn("g", g)
-      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "g", quantizeDp = 3)
-      val labeled = TextAnalysis.applyBuckets(scored.withColumn("g", g), bounds,
-        "lm_nll", "g", quantizeDp = 3)
-      val fracs = time(s"bounds fit + applyBuckets (${n / 2000000.0}M docs, 4 groups)") {
-        labeled.groupBy("g", "bucket").agg(count(lit(1)).as("c")).collect()
+      // bucketBoundaries is EAGER (artifact materializes at fit), so
+      // the fit must be constructed inside the timed block or the
+      // label lies about what it measures
+      val (labeled, fracs) = time(s"bounds fit + applyBuckets (${n / 2000000.0}M docs, 4 groups)") {
+        val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "g", quantizeDp = 3)
+        val l = TextAnalysis.applyBuckets(scored.withColumn("g", g), bounds,
+          "lm_nll", "g", quantizeDp = 3)
+        (l, l.groupBy("g", "bucket").agg(count(lit(1)).as("c")).collect())
       }
       val byGroup = fracs.groupBy(_.getString(0))
       byGroup.foreach { case (grp, rows) =>

@@ -71,20 +71,26 @@ object SparkEntry {
     * one): %7 eval carve-out, paragraph dedup on the " the " separator,
     * 13-gram decontamination, self-fit LM scoring joined with lang,
     * per-language head/middle/tail cuts, ship head+middle. Returns
-    * (deduped corpus, eval split, decontaminated corpus, shipped). */
+    * (deduped corpus, eval split, decontaminated corpus, shipped AS A
+    * THUNK) — `shipped` is deferred because constructing it is not
+    * free (qualityBuckets' maxDistinct guard runs an eager bounded
+    * collect over the whole chain) and the stream row needs only the
+    * first three. */
   private def pretrainChain(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, () => DataFrame) = {
     val docs = Tables(s, d, "documents")
     val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
       "text", "doc_id", sep = " the ")
     val evalSet = docs.where(col("doc_id") % 7 === 0)
     val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
-    val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
-      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
-    val shipped = TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
-      .where(col("bucket") =!= "tail")
-      .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
-    (dd, evalSet, clean, shipped)
+    def shipped() = {
+      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+    }
+    (dd, evalSet, clean, () => shipped())
   }
 
   /** Literal vocabulary for the ORACLED full-hybrid query: term-count
@@ -751,7 +757,7 @@ object SparkEntry {
     // pipeline — a sep/n drift fails every row at once, not one.
     "pipeline_pretrain" -> ((s, d) => {
       val (_, _, _, shipped) = pretrainChain(s, d)
-      shipped.orderBy(col("doc_id"))
+      shipped().orderBy(col("doc_id"))
     }),
     // §2.3 T × composition (round 10): the COMPLETE Dolma-style tail —
     // the base pipeline continues through α = 0.5 temperature mixing
@@ -763,7 +769,7 @@ object SparkEntry {
     // cut → mix → split.
     "pipeline_pretrain_full" -> ((s, d) => {
       val (_, _, _, shipped) = pretrainChain(s, d)
-      TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
+      TextAnalysis.sampleTemperature(shipped(), "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .orderBy(col("doc_id"))
     }),
@@ -775,7 +781,7 @@ object SparkEntry {
     // naive global window over the same replayed chain.
     "pipeline_pretrain_packed" -> ((s, d) => {
       val (dd, _, _, shipped) = pretrainChain(s, d)
-      val train = TextAnalysis.sampleTemperature(shipped, "doc_id", "lang", targetRows = 100)
+      val train = TextAnalysis.sampleTemperature(shipped(), "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .where(col("split") === "train")
         .join(dd.select(col("doc_id"),

@@ -1166,12 +1166,17 @@ object TextAnalysisSql {
        |FROM c ORDER BY $id""".stripMargin
 
   /** [[TextAnalysis.lmScoreBigramAgainst]]'s oracle (λ = 0.75): the
-    * same array-land adjacent pairs (shifted-slice zip), the same
-    * three LEFT joins against the frozen counts, the same
-    * interpolation expression tree term for term — λ·c2/cx with a
-    * NULL-context CASE, plus (1−λ)·add-one unigram — and the same
-    * micro-nat quantization before the per-doc sum. First tokens
-    * score pure add-one unigram, matching the Spark side. */
+    * same array-land adjacent pairs (shifted-slice zip) and the same
+    * micro-nat quantization before the per-doc sum. The oracle keeps
+    * the REFERENCE three-join formulation (bigram, context, unigram
+    * as separate LEFT joins with a NULL-context CASE) while the Spark
+    * side runs the two-join form (context totals pre-joined into the
+    * bigram frame) — value-identical by case analysis: a matched pair
+    * always carries its cx, and an unmatched pair's bigram term is
+    * exactly 0.0 under either guard (0/cx in the CASE, the when-null
+    * literal in Spark), so every per-token double is bit-equal and
+    * the micro-nat longs agree. First tokens score pure add-one
+    * unigram on both sides. */
   def lmScoreBigramSql(table: String, id: String, text: String,
       modelWhere: String, scoreWhere: String): String = {
     val toksOf = (t: String) =>

@@ -282,6 +282,14 @@ object StreamOps {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = docs.sparkSession
     import spark.implicits._
+    // the scoring join carries the FULL document row through to the
+    // sink, so the scorer's output names must be free on the input
+    // (refuse-don't-wedge: a collision would kill the query with an
+    // ambiguous-reference error on the first batch, after it started)
+    val clash = docs.columns.toSet.intersect(Set("n_toks", "lm_nll", "bucket"))
+    require(clash.isEmpty,
+      s"pipelinePretrainPerBatch reserves output column(s) ${clash.mkString(", ")} — " +
+        "rename them on the input stream (e.g. a prior scoring pass's columns)")
     var seen =
       if (hashedStore) Seq.empty[(Long, Long)].toDF("__h1", "__h2")
       else Seq.empty[String].toDF("__para")

@@ -104,4 +104,26 @@ class PretrainStreamSpec extends AnyFunSuite {
     // doc 5's in batch 1); its de-scored text shipped with a bucket
     assert(got.contains(6L))
   }
+
+  test("a stream already carrying a scorer output column is refused up front") {
+    // the full-row join reserves n_toks/lm_nll/bucket on the input; a
+    // collision must refuse at wiring time, not kill the query with an
+    // ambiguous-reference error on the first micro-batch
+    val model = TextAnalysis.fitUnigramLm(batch1, "text")
+    val bounds = TextAnalysis.bucketBoundaries(
+      TextAnalysis.lmScoreAgainst(batch1, model, "text", "doc_id")
+        .join(batch1.select(col("doc_id"), col("lang")), "doc_id"),
+      "lm_nll", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_clash")
+    batch1.withColumn("lm_nll", lit(0.0)).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    val stream = spark.readStream
+      .schema(batch1.withColumn("lm_nll", lit(0.0)).schema)
+      .parquet(s"$dir/*/")
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.pipelinePretrainPerBatch(stream, evalDf, model, bounds,
+        "text", "doc_id", "lang", n = N) { (_, _) => () }
+    }
+    assert(err.getMessage.contains("lm_nll"))
+  }
 }
