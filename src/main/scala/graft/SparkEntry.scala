@@ -853,6 +853,22 @@ object SparkEntry {
       Tables(s, d, "documents").select(
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 10): Unicode NFC normalization (codegen
+    // expression; CCNet's pre-tokenization pass). The fixture text is
+    // ASCII, where NFC is identity — so every row gets an NFD tail
+    // planted (e+U+0301, u+U+0308) and the oracle's nfc_normalize
+    // must compose it identically: md5 over the composed string and
+    // the per-row length drop (exactly 2 combining marks) both match.
+    "text_normalize_nfc" -> ((s, d) => {
+      val raw = concat(col("text"),
+        lit(" cafe\u0301 u\u0308ber")) // NFD escapes: survives source-file normalization
+      val nfc = TextAnalysis.normalizeNfc(raw)
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(nfc).as("nfc_md5"),
+        (length(raw) - length(nfc)).as("composed"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T: canonical content fingerprint (md5 of normalized text)
     "fingerprint" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -2219,6 +2235,17 @@ object SparkEntry {
       "fingerprint" ->
         s"""SELECT doc_id, ${TextAnalysisSql.contentFingerprintSql("text")} AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // same planted NFD tail, same canonical composition: DuckDB's
+      // nfc_normalize and java.text.Normalizer implement the same
+      // Unicode NFC, so md5 and length agree byte-for-byte
+      "text_normalize_nfc" ->
+        """SELECT doc_id,
+          |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'))
+          |    AS nfc_md5,
+          |  length(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber')
+          |    - length(nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'))
+          |    AS composed
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "quality_lm_score" ->
         (TextAnalysisSql.lmScoreSql("documents", "doc_id", "text") +
           "\nORDER BY doc_id"),

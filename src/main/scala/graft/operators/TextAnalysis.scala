@@ -121,6 +121,15 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), Ws, " "))
 
+  /** Unicode NFC normalization (codegen, ASCII zero-copy fast path) —
+    * run it BEFORE tokenizing/hashing or `café` spelled e+U+0301 and
+    * precomposed U+00E9 are different dedup keys. See
+    * [[graft.expressions.NormalizeNfc]]. */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NormalizeNfc(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** The Gopher rule stopword list (Rae et al. 2021 §A1.1: a document
     * must contain at least two of these to pass). */
   val GopherStopwords: Seq[String] =

@@ -61,6 +61,24 @@ class GopherSpec extends AnyFunSuite {
       "symbol ratio exactly 0.1 fails (strict <)")
   }
 
+  test("normalizeNfc: composes NFD, idempotent, ASCII untouched, null-safe") {
+    val nfd = "cafe\u0301 u\u0308ber" // e+combining acute, u+combining diaeresis
+    val nfc = "caf\u00e9 \u00fcber"   // precomposed
+    val rows = Seq((1L, Some(nfd)), (2L, Some(nfc)), (3L, Some("plain ascii")),
+      (4L, None)).toDF("id", "t")
+    val got = rows.select(col("id"), TextAnalysis.normalizeNfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains(nfc), "NFD must compose to the precomposed form")
+    assert(got(2L).contains(nfc), "already-NFC text must pass through unchanged")
+    assert(got(3L).contains("plain ascii"))
+    assert(got(4L).isEmpty, "null stays null")
+    // the dedup motivation: both spellings share one fingerprint after
+    val fps = Seq(nfd, nfc).toDF("t")
+      .select(TextAnalysis.contentFingerprint(TextAnalysis.normalizeNfc(col("t"))).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1, "NFD and NFC spellings must fingerprint identically post-normalization")
+  }
+
   test("capPerKey: deterministic winners, hot key capped, null keys dropped") {
     val df = ((1L to 50L).map(i => (i, "hot")) ++ Seq((100L, "cold"), (101L, "cold")) ++
       Seq((200L, null.asInstanceOf[String]))).toDF("id", "src")
