@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, Multimodal, Nearest, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -203,6 +203,24 @@ object SparkEntry {
     "nearest_dot"       -> ((s, d) => nearestBy("dot", 5)(s, d)),
     "nearest_euclidean" -> ((s, d) => nearestBy("euclidean", 5)(s, d)),
     "nearest_minscore"  -> ((s, d) => nearestBy("cosine", 20, minScore = 0.1)(s, d)),
+    // §2.3 ANN ORACLED (round 10): product-quantization ADC search,
+    // EXACT by construction — with maxTrain >= corpus and k >= the
+    // per-subspace distinct-subvector count, the codebook IS the
+    // distinct set, every vector reconstructs losslessly, and ADC
+    // cosine EQUALS exact cosine — so the row shares nearest_cosine's
+    // oracle (the nprobe=nlist anchoring pattern). The codes column is
+    // what would ship at 100 TB (m ints + one norm per row, vectors
+    // dropped at rest); the lossy m=8/k=16 production path is
+    // recall-spec'd in PqIndexSpec.
+    "ann_pq_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val model = PqIndex.fit(e, "embedding", m = 8, k = 65536, maxTrain = 65536)
+      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      PqIndex.search(PqIndex.encode(e, "embedding", model).drop("embedding"),
+        q, n = 5, model, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2 #10 inspect_collection as one aggregation pass
     "inspect_collection" -> ((s, d) =>
       Tables(s, d, "embeddings").agg(
@@ -2054,6 +2072,14 @@ object SparkEntry {
       // save→load→search at nprobe = nlist: the persisted
       // cell-partitioned layout must serve the exact result too
       "ann_ivf_persisted" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // PQ with distinct-set codebooks reconstructs losslessly, so ADC
+      // cosine equals exact cosine — shares the nearest_cosine oracle
+      "ann_pq_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

@@ -1,0 +1,139 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Product-quantization codec kernels (Jégou et al. 2011, "Product
+ * Quantization for Nearest Neighbor Search"): the embedding is split
+ * into `m` contiguous subvectors, each assigned to its nearest
+ * codeword in a per-subspace codebook. A 64-dim float32 vector
+ * (256 B) becomes `m` small integers (m bytes at k ≤ 256) plus one
+ * stored norm — the 100 TB at-rest tier past `quantize_int8`'s 4×.
+ *
+ * [[PqEncode]] emits `(codes array<int>, norm double)` in ONE pass
+ * (assignment + norm share the element scan). [[PqAdcDot]] is the
+ * asymmetric-distance trick: the query's dot product against every
+ * codeword is precomputed ONCE driver-side (m×k doubles), so scoring
+ * a row is `m` table lookups and adds — no per-dimension float math,
+ * no decompression, and the expression stays in whole-stage codegen.
+ *
+ * Codebooks/tables ride the expression as flattened primitive arrays
+ * (`ctx.addReferenceObj`), so the generated code indexes straight into
+ * them. Assignment ties break to the LOWEST codeword index —
+ * deterministic for a deterministically-ordered codebook.
+ */
+case class PqEncode(child: Expression, m: Int, sub: Int,
+    codebooks: Array[Float], offsets: Array[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("norm", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqCodec.encode(v.asInstanceOf[ArrayData], m, sub, codebooks, offsets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PqCodec.encode($c, $m, $sub, $cb, $off);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Σ_j table(j, code_j) over the row's code array — the ADC dot
+  * product of the driver-side query against the RECONSTRUCTED vector. */
+case class PqAdcDot(child: Expression, m: Int,
+    table: Array[Double], offsets: Array[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dot requires array<int> codes, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(
+      PqCodec.adcDot(v.asInstanceOf[ArrayData], m, table, offsets))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pqTable", table, "double[]")
+    val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PqCodec.adcDot($c, $m, $t, $off);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqCodec {
+  /** One pass: per-subspace nearest-codeword assignment (L2, ties to
+    * the lowest index) + the full-vector norm. `offsets(j)` is the
+    * flat index of subspace j's first codeword; codewords are `sub`
+    * floats each, laid out consecutively. */
+  def encode(arr: ArrayData, m: Int, sub: Int,
+      codebooks: Array[Float], offsets: Array[Int]): InternalRow = {
+    val codes = new Array[Int](m)
+    var normSq = 0.0
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      val kj = (if (j + 1 < m) offsets(j + 1) else codebooks.length / sub) - offsets(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kj) {
+        val cw = (offsets(j) + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = arr.getFloat(base + i).toDouble - codebooks(cw + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      var i = 0
+      while (i < sub) {
+        val v = arr.getFloat(base + i).toDouble
+        normSq += v * v
+        i += 1
+      }
+      j += 1
+    }
+    InternalRow(new GenericArrayData(codes), math.sqrt(normSq))
+  }
+
+  def adcDot(codes: ArrayData, m: Int,
+      table: Array[Double], offsets: Array[Int]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table(offsets(j) + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/**
+ * Product-quantization ANN tier (Jégou et al. 2011) — the at-rest
+ * compression step past `quantize_int8`: a d-dim float32 embedding
+ * (4d bytes) becomes `m` codeword ids + one stored norm (~m bytes at
+ * k ≤ 256 — 32× for d = 64, m = 8), and search never decompresses:
+ * the query's dot against every codeword is tabulated ONCE
+ * driver-side, each row scores with `m` table lookups
+ * ([[graft.expressions.PqAdcDot]]), and the plan tail is the same
+ * `TakeOrderedAndProject` as `nearest`. At 100 TB this is the tier
+ * where the corpus's VECTORS stop existing at rest — only codes ship.
+ *
+ * Codebooks are a frozen artifact (the [[graft.operators.TextAnalysis.UnigramLm]]
+ * convention): fit once on a deterministic hash-ordered sample
+ * (bounded by `maxTrain` — PQ codebooks are always sample-fit in
+ * production), persisted as plain parquet, applied to any shard.
+ *
+ * EXACT-by-construction degenerate (the `bitsetJaccard` convention —
+ * a bounded domain gets the exact answer, not an approximation): per
+ * subspace, when the training sample's DISTINCT subvectors fit within
+ * `k`, the codebook IS that distinct set (sorted lexicographically —
+ * deterministic), so every sampled vector reconstructs losslessly.
+ * With `maxTrain` ≥ corpus size that makes ADC cosine EQUAL exact
+ * cosine — the `ann_pq_exact` gate row shares `nearest_cosine`'s
+ * oracle this way, the `nprobe = nlist` anchoring pattern. Past the
+ * bound, seeded Lloyd k-means (fixed iterations, driver-side over the
+ * sample) gives the lossy production path, recall-spec'd.
+ */
+final case class PqModel(m: Int, dim: Int,
+    codebooks: Array[Array[Array[Float]]]) {
+  def sub: Int = dim / m
+  /** Flattened layout for the codegen kernels. */
+  private[operators] def flat: (Array[Float], Array[Int]) = {
+    val offsets = codebooks.scanLeft(0)(_ + _.length).init
+    (codebooks.flatten.flatten, offsets)
+  }
+}
+
+object PqIndex {
+
+  /** Fit per-subspace codebooks on a deterministic sample: rows are
+    * hash-ordered (`xxhash64` of the vector's textual form — a pure
+    * function of the data, not of partitioning), the first `maxTrain`
+    * train. Refuses dims not divisible by `m`; skips NULL/wrong-length
+    * rows like the scan does. */
+  def fit(df: DataFrame, embCol: String, m: Int, k: Int = 256,
+      maxTrain: Int = 65536, seed: Int = 42): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    require(maxTrain >= k, s"maxTrain ($maxTrain) must be >= k ($k)")
+    val firstRow = df.select(col(embCol)).where(col(embCol).isNotNull).limit(1).collect()
+    require(firstRow.nonEmpty, "cannot fit PQ codebooks on an empty collection")
+    val dim = firstRow.head.getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val sample = df.select(col(embCol))
+      .where(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .orderBy(xxhash64(col(embCol).cast("string")))
+      .limit(maxTrain)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val sub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val distinct = subs.map(_.toSeq).distinct.sorted(
+        Ordering.Implicits.seqOrdering[Seq, Float])
+      if (distinct.length <= k) distinct.map(_.toArray).toArray
+      else lloyd(subs, k, 20, new scala.util.Random(seed + j))
+    }.toArray
+    PqModel(m, dim, codebooks)
+  }
+
+  /** Driver-side seeded Lloyd: deterministic init (first k of the
+    * hash-ordered sample's distinct subvectors), fixed iterations,
+    * empty clusters re-seeded deterministically. Sample-bounded. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Float]] = {
+    val init = points.map(_.toSeq).distinct.take(k).map(_.toArray)
+    var centers = init.map(_.clone)
+    val assign = new Array[Int](points.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < points(p).length) {
+            val diff = points(p)(i).toDouble - centers(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](points(0).length))
+      val cnts = new Array[Int](centers.length)
+      p = 0
+      while (p < points.length) {
+        val a = assign(p); cnts(a) += 1
+        var i = 0
+        while (i < points(p).length) { sums(a)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      centers = centers.indices.map { c =>
+        if (cnts(c) == 0) points(rnd.nextInt(points.length)).clone
+        else sums(c).map(x => (x / cnts(c)).toFloat)
+      }.toArray
+    }
+    centers
+  }
+
+  /** Add `(codesCol array<int>, normCol double)` in one codegen pass;
+    * after this the embedding column can be DROPPED — codes + norm are
+    * all search needs. */
+  def encode(df: DataFrame, embCol: String, model: PqModel,
+      codesCol: String = "pq_codes", normCol: String = "emb_norm"): DataFrame = {
+    require(!df.columns.contains(codesCol) && !df.columns.contains(normCol),
+      s"output column '$codesCol'/'$normCol' already exists on the input frame")
+    val (flat, offsets) = model.flat
+    val st = ColumnBridge.column(graft.expressions.PqEncode(
+      ColumnBridge.expression(col(embCol)), model.m, model.sub, flat, offsets))
+    df.withColumn("__pq", st)
+      .withColumn(codesCol, col("__pq").getField("codes"))
+      .withColumn(normCol, col("__pq").getField("norm"))
+      .drop("__pq")
+  }
+
+  /** ADC cosine top-k over an encoded frame: `m`×k dot table computed
+    * once from the query, similarity = adcDot / (|q|·norm) with the
+    * `nearest` zero-norm rule, then sort desc + limit — the
+    * `TakeOrderedAndProject` shape, no decompression, no shuffle. */
+  def search(encoded: DataFrame, queryVec: Array[Float], n: Int,
+      model: PqModel, codesCol: String = "pq_codes", normCol: String = "emb_norm",
+      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame = {
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != model dim ${model.dim}")
+    val sub = model.sub
+    val (_, offsets) = model.flat
+    val table = new Array[Double](model.codebooks.map(_.length).sum)
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.codebooks(j).length) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          d += queryVec(j * sub + i).toDouble * model.codebooks(j)(c)(i); i += 1
+        }
+        table(offsets(j) + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    val qnorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    val dot = ColumnBridge.column(graft.expressions.PqAdcDot(
+      ColumnBridge.expression(col(codesCol)), model.m, table, offsets))
+    val sim = if (qnorm == 0.0) lit(0.0)
+      else when(col(normCol) === 0.0, lit(0.0))
+        .otherwise(dot / (lit(qnorm) * col(normCol)))
+    encoded.withColumn(simCol, sim)
+      .orderBy(desc(simCol) +: tieBreakers: _*)
+      .limit(n)
+  }
+
+  /** Persist codebooks as plain parquet (subspace, codeword, vector) —
+    * the frozen-artifact layout any engine reloads. */
+  def save(model: PqModel, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("subspace", "codeword", "vector")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((model.m, model.dim)).toDF("m", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): PqModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, dim) = (meta.getInt(0), meta.getInt(1))
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val codebooks = (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }.toArray
+    PqModel(m, dim, codebooks)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Nearest, PqIndex}
+
+/** [[PqIndex]] — product-quantization ADC search: lossless when the
+  * codebook covers the domain, recall-bounded when it compresses. */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  // 200 vectors in 4 loose clusters + planted exact near-dups of vec 0
+  private def fixture = {
+    val rnd = new scala.util.Random(7)
+    (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(dim)(d => math.sin(c * 2.1 + d * 0.7).toFloat)
+      val v = base.map(x => x + (rnd.nextGaussian() * 0.15).toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("distinct-set codebooks are lossless: ADC top-k == exact top-k, scores included") {
+    val df = fixture
+    val model = PqIndex.fit(df, "embedding", m = 4, k = 65536, maxTrain = 65536)
+    assert(model.codebooks.forall(_.length == 200), "each subspace holds all distinct subvectors")
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val enc = PqIndex.encode(df, "embedding", model).drop("embedding")
+    val got = PqIndex.search(enc, q, n = 10, model, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Nearest.topK(df.crossJoin(broadcast(
+        df.where(col("vec_id") === 0).select(col("embedding").as("qe")))),
+        "embedding", col("qe"), n = 10, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"lossless ADC must equal brute force:\n$got\n$want")
+  }
+
+  test("lossy path: shortlist recall — the ADC top-50 contains the true top-20") {
+    // the metric that matters in production: ADC ranks a SHORTLIST the
+    // re-rank stage then orders exactly; within-cluster fine ordering
+    // at codeword granularity is noise and is not claimed
+    val df = fixture
+    val model = PqIndex.fit(df, "embedding", m = 4, k = 16)
+    assert(model.codebooks.forall(_.length == 16))
+    val q = df.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    val enc = PqIndex.encode(df, "embedding", model).drop("embedding")
+    val shortlist = PqIndex.search(enc, q, n = 50, model, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = Nearest.topK(df.crossJoin(broadcast(
+        df.where(col("vec_id") === 1).select(col("embedding").as("qe")))),
+        "embedding", col("qe"), n = 20, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (shortlist & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"shortlist recall $recall under 0.9 at m=4/k=16")
+    // the at-rest claim: codes are m ints + a norm vs dim floats
+    assert(model.m * 4 + 8 < dim * 4, "code bytes must undercut vector bytes")
+  }
+
+  test("fit is deterministic across partitionings; save/load searches identically") {
+    val df = fixture
+    val m1 = PqIndex.fit(df.repartition(1), "embedding", m = 4, k = 16)
+    val m7 = PqIndex.fit(df.repartition(7), "embedding", m = 4, k = 16)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m7.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "hash-ordered sample + seeded Lloyd must not depend on partitioning")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PqIndex.save(m1, dir)
+    val m2 = PqIndex.load(spark, dir)
+    val q = df.where(col("vec_id") === 2).select("embedding").head().getSeq[Float](0).toArray
+    val enc = PqIndex.encode(df, "embedding", m1).drop("embedding")
+    val a = PqIndex.search(enc, q, 5, m1, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id", "similarity").collect().toSeq
+    val b = PqIndex.search(PqIndex.encode(df, "embedding", m2).drop("embedding"),
+        q, 5, m2, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id", "similarity").collect().toSeq
+    assert(a == b, "reloaded codebooks must search bit-identically")
+  }
+
+  test("guardrails: dim divisibility, empty fit, bad knobs, column clashes") {
+    val df = fixture
+    assertThrows[IllegalArgumentException] {
+      PqIndex.fit(df, "embedding", m = 3) // 16 % 3 != 0
+    }
+    assertThrows[IllegalArgumentException] {
+      PqIndex.fit(df.where(lit(false)), "embedding", m = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      PqIndex.fit(df, "embedding", m = 4, k = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      PqIndex.fit(df, "embedding", m = 4, k = 256, maxTrain = 10)
+    }
+    val model = PqIndex.fit(df, "embedding", m = 4, k = 16)
+    assertThrows[IllegalArgumentException] {
+      PqIndex.encode(df.withColumn("pq_codes", lit(1)), "embedding", model)
+    }
+    assertThrows[IllegalArgumentException] {
+      PqIndex.search(PqIndex.encode(df, "embedding", model), new Array[Float](8), 5, model)
+    }
+  }
+}
