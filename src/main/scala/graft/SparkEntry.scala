@@ -210,8 +210,8 @@ object SparkEntry {
     // cosine EQUALS exact cosine — so the row shares nearest_cosine's
     // oracle (the nprobe=nlist anchoring pattern). The codes column is
     // what would ship at 100 TB (m ints + one norm per row, vectors
-    // dropped at rest); the lossy m=8/k=16 production path is
-    // recall-spec'd in PqIndexSpec.
+    // dropped at rest); the lossy m=4/k=16 production path is
+    // shortlist-recall-spec'd in PqIndexSpec.
     "ann_pq_exact" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       val model = PqIndex.fit(e, "embedding", m = 8, k = 65536, maxTrain = 65536)

@@ -48,12 +48,9 @@ object NormalizeNfc {
   /** The kernel, callable from generated Java (static forwarder). */
   def nfc(u: UTF8String): UTF8String = {
     // pure-ASCII bytes are NFC by definition — return the input
-    // buffer untouched (the overwhelmingly common case)
-    val n = u.numBytes()
-    var i = 0
-    var ascii = true
-    while (ascii && i < n) { if ((u.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
-    if (ascii) return u
+    // buffer untouched (the overwhelmingly common case; Spark's own
+    // vectorized ASCII check, no toString)
+    if (u.isFullAscii) return u
     val s = u.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
     else UTF8String.fromString(

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
  * Quantization for Nearest Neighbor Search"): the embedding is split
  * into `m` contiguous subvectors, each assigned to its nearest
  * codeword in a per-subspace codebook. A 64-dim float32 vector
- * (256 B) becomes `m` small integers (m bytes at k ≤ 256) plus one
- * stored norm — the 100 TB at-rest tier past `quantize_int8`'s 4×.
+ * (256 B) becomes `m` code ids plus one stored norm — 4m + 8 B as an
+ * in-memory row (array<int> + double, ~6.4× at d=64/m=8); AT REST
+ * parquet dictionary/bit-packs k ≤ 256 codes to ~1 byte each, so the
+ * stored form approaches the classic m-byte PQ row (~32×/~29× with
+ * the norm) — the tier past `quantize_int8`'s 4×.
  *
  * [[PqEncode]] emits `(codes array<int>, norm double)` in ONE pass
  * (assignment + norm share the element scan). [[PqAdcDot]] is the
@@ -93,6 +96,10 @@ object PqCodec {
     * floats each, laid out consecutively. */
   def encode(arr: ArrayData, m: Int, sub: Int,
       codebooks: Array[Float], offsets: Array[Int]): InternalRow = {
+    if (arr.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding has ${arr.numElements()} elements, model expects " +
+          s"${m * sub} — a ragged row would otherwise read out of bounds into garbage codes")
     val codes = new Array[Int](m)
     var normSq = 0.0
     var j = 0
@@ -128,10 +135,22 @@ object PqCodec {
 
   def adcDot(codes: ArrayData, m: Int,
       table: Array[Double], offsets: Array[Int]): Double = {
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_dot: code array has ${codes.numElements()} entries, model expects $m " +
+          "— was this frame encoded with a different model?")
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += table(offsets(j) + codes.getInt(j))
+      if (codes.isNullAt(j))
+        throw new IllegalArgumentException(s"pq_adc_dot: NULL code at subspace $j")
+      val c = codes.getInt(j)
+      val kj = (if (j + 1 < m) offsets(j + 1) else table.length) - offsets(j)
+      if (c < 0 || c >= kj)
+        throw new IllegalArgumentException(
+          s"pq_adc_dot: code $c out of range [0, $kj) in subspace $j " +
+            "— codes and codebooks are from different models")
+      s += table(offsets(j) + c)
       j += 1
     }
     s

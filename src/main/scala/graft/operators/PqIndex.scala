@@ -8,8 +8,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 /**
  * Product-quantization ANN tier (Jégou et al. 2011) — the at-rest
  * compression step past `quantize_int8`: a d-dim float32 embedding
- * (4d bytes) becomes `m` codeword ids + one stored norm (~m bytes at
- * k ≤ 256 — 32× for d = 64, m = 8), and search never decompresses:
+ * (4d bytes) becomes `m` codeword ids + one stored norm — 4m + 8 B as
+ * an in-memory row (~6.4× at d = 64, m = 8), approaching the classic
+ * m-byte PQ row (~29×) at rest where parquet dictionary/bit-packs
+ * k ≤ 256 codes to ~1 byte — and search never decompresses:
  * the query's dot against every codeword is tabulated ONCE
  * driver-side, each row scores with `m` table lookups
  * ([[graft.expressions.PqAdcDot]]), and the plan tail is the same
@@ -35,11 +37,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 final case class PqModel(m: Int, dim: Int,
     codebooks: Array[Array[Array[Float]]]) {
   def sub: Int = dim / m
-  /** Flattened layout for the codegen kernels. */
-  private[operators] def flat: (Array[Float], Array[Int]) = {
-    val offsets = codebooks.scanLeft(0)(_ + _.length).init
-    (codebooks.flatten.flatten, offsets)
-  }
+  /** Per-subspace flat start indices — a length-only pass (search
+    * needs ONLY this; flattening the floats per query would allocate
+    * the whole codebook each call). */
+  private[operators] def offsets: Array[Int] =
+    codebooks.scanLeft(0)(_ + _.length).init
+  /** Flattened codewords for the encode kernel. */
+  private[operators] def flatCodewords: Array[Float] =
+    codebooks.flatten.flatten
 }
 
 object PqIndex {
@@ -54,12 +59,19 @@ object PqIndex {
     require(m >= 1, s"m must be >= 1, got $m")
     require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
     require(maxTrain >= k, s"maxTrain ($maxTrain) must be >= k ($k)")
-    val firstRow = df.select(col(embCol)).where(col(embCol).isNotNull).limit(1).collect()
-    require(firstRow.nonEmpty, "cannot fit PQ codebooks on an empty collection")
-    val dim = firstRow.head.getSeq[Float](0).length
+    // dim must be a PURE function of the data (the frozen-artifact
+    // determinism contract): a mixed-dim corpus REFUSES rather than
+    // letting partition order pick which dim trains
+    val dims = df.select(col(embCol)).where(col(embCol).isNotNull)
+      .agg(min(size(col(embCol))), max(size(col(embCol)))).head()
+    require(!dims.isNullAt(0), "cannot fit PQ codebooks on an empty collection")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"mixed embedding dims ${dims.getInt(0)}..${dims.getInt(1)} — PQ needs one " +
+        "dimensionality; filter or re-embed first")
+    val dim = dims.getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val sample = df.select(col(embCol))
-      .where(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .where(col(embCol).isNotNull)
       .orderBy(xxhash64(col(embCol).cast("string")))
       .limit(maxTrain)
       .collect().map(_.getSeq[Float](0).toArray)
@@ -69,17 +81,18 @@ object PqIndex {
       val distinct = subs.map(_.toSeq).distinct.sorted(
         Ordering.Implicits.seqOrdering[Seq, Float])
       if (distinct.length <= k) distinct.map(_.toArray).toArray
-      else lloyd(subs, k, 20, new scala.util.Random(seed + j))
+      else lloyd(subs, distinct.take(k).map(_.toArray).toArray, 20,
+        new scala.util.Random(seed + j))
     }.toArray
     PqModel(m, dim, codebooks)
   }
 
-  /** Driver-side seeded Lloyd: deterministic init (first k of the
-    * hash-ordered sample's distinct subvectors), fixed iterations,
-    * empty clusters re-seeded deterministically. Sample-bounded. */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+  /** Driver-side seeded Lloyd: deterministic init (the caller passes
+    * the first k distinct subvectors — already computed for the
+    * lossless check, not recomputed here), fixed iterations, empty
+    * clusters re-seeded deterministically. Sample-bounded. */
+  private def lloyd(points: Array[Array[Float]], init: Array[Array[Float]], iters: Int,
       rnd: scala.util.Random): Array[Array[Float]] = {
-    val init = points.map(_.toSeq).distinct.take(k).map(_.toArray)
     var centers = init.map(_.clone)
     val assign = new Array[Int](points.length)
     for (_ <- 0 until iters) {
@@ -121,9 +134,9 @@ object PqIndex {
       codesCol: String = "pq_codes", normCol: String = "emb_norm"): DataFrame = {
     require(!df.columns.contains(codesCol) && !df.columns.contains(normCol),
       s"output column '$codesCol'/'$normCol' already exists on the input frame")
-    val (flat, offsets) = model.flat
     val st = ColumnBridge.column(graft.expressions.PqEncode(
-      ColumnBridge.expression(col(embCol)), model.m, model.sub, flat, offsets))
+      ColumnBridge.expression(col(embCol)), model.m, model.sub,
+      model.flatCodewords, model.offsets))
     df.withColumn("__pq", st)
       .withColumn(codesCol, col("__pq").getField("codes"))
       .withColumn(normCol, col("__pq").getField("norm"))
@@ -140,7 +153,7 @@ object PqIndex {
     require(queryVec.length == model.dim,
       s"query dim ${queryVec.length} != model dim ${model.dim}")
     val sub = model.sub
-    val (_, offsets) = model.flat
+    val offsets = model.offsets
     val table = new Array[Double](model.codebooks.map(_.length).sum)
     var j = 0
     while (j < model.m) {
@@ -158,9 +171,12 @@ object PqIndex {
     val qnorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val dot = ColumnBridge.column(graft.expressions.PqAdcDot(
       ColumnBridge.expression(col(codesCol)), model.m, table, offsets))
+    // NULL codes/norm (an unembedded row that rode through encode as
+    // NULL) scores exactly 0, Nearest's rule — the coalesce, not just
+    // the zero-norm guard, carries that case
     val sim = if (qnorm == 0.0) lit(0.0)
-      else when(col(normCol) === 0.0, lit(0.0))
-        .otherwise(dot / (lit(qnorm) * col(normCol)))
+      else coalesce(when(col(normCol) === 0.0, lit(0.0))
+        .otherwise(dot / (lit(qnorm) * col(normCol))), lit(0.0))
     encoded.withColumn(simCol, sim)
       .orderBy(desc(simCol) +: tieBreakers: _*)
       .limit(n)

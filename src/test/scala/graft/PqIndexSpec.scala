@@ -82,6 +82,43 @@ class PqIndexSpec extends AnyFunSuite {
     assert(a == b, "reloaded codebooks must search bit-identically")
   }
 
+  test("NULL embeddings ride through encode and score exactly 0 — the nearest rule") {
+    val df = fixture.unionByName(
+      Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val model = PqIndex.fit(df, "embedding", m = 4, k = 16)
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val got = PqIndex.search(PqIndex.encode(df, "embedding", model).drop("embedding"),
+        q, n = 201, model, tieBreakers = Seq(asc("vec_id")))
+      .where(col("vec_id") === 999L).select("similarity").collect()
+    assert(got.length == 1 && got.head.getDouble(0) == 0.0,
+      "an unembedded row must appear with similarity exactly 0, not NULL")
+  }
+
+  test("kernel refusals: ragged rows and foreign-model codes throw, not corrupt") {
+    val df = fixture
+    val model = PqIndex.fit(df, "embedding", m = 4, k = 16)
+    // ragged row: 8 floats under a dim-16 model
+    val ragged = Seq((1L, (0 until 8).map(_.toFloat))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e1 = intercept[Exception] {
+      PqIndex.encode(ragged, "embedding", model).collect()
+    }
+    assert(e1.getMessage != null)
+    // mixed-dim corpus refuses at fit
+    assertThrows[IllegalArgumentException] {
+      PqIndex.fit(df.unionByName(ragged), "embedding", m = 4)
+    }
+    // codes encoded under a bigger-k model searched with a smaller one
+    val big = PqIndex.fit(df, "embedding", m = 4, k = 65536, maxTrain = 65536)
+    val encBig = PqIndex.encode(df, "embedding", big).drop("embedding")
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val e2 = intercept[Exception] {
+      PqIndex.search(encBig, q, 5, model).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("guardrails: dim divisibility, empty fit, bad knobs, column clashes") {
     val df = fixture
     assertThrows[IllegalArgumentException] {
