@@ -209,12 +209,17 @@ object SparkEntry {
     // distinct set, every vector reconstructs losslessly, and ADC
     // cosine EQUALS exact cosine — so the row shares nearest_cosine's
     // oracle (the nprobe=nlist anchoring pattern). The codes column is
-    // what would ship at 100 TB (m ints + one norm per row, vectors
-    // dropped at rest); the lossy m=4/k=16 production path is
-    // shortlist-recall-spec'd in PqIndexSpec.
+    // what would ship at 100 TB (an m·codeBytes binary + one norm per
+    // row, vectors dropped at rest); the lossy m=4/k=16 production
+    // path is shortlist-recall-spec'd in PqIndexSpec.
     "ann_pq_exact" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       val model = PqIndex.fit(e, "embedding", m = 8, k = 65536, maxTrain = 65536)
+      // the row's EXACTNESS claim rides on the lossless degenerate; at
+      // a corpus past maxTrain the sample would truncate and codebooks
+      // go lossy — fail loudly instead of letting the label lie
+      require(model.lossless,
+        "ann_pq_exact requires the lossless codebook degenerate — corpus outgrew maxTrain")
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       PqIndex.search(PqIndex.encode(e, "embedding", model).drop("embedding"),
         q, n = 5, model, tieBreakers = Seq(asc("vec_id")))

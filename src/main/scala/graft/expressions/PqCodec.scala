@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /**
@@ -12,18 +12,19 @@ import org.apache.spark.sql.types._
  * Quantization for Nearest Neighbor Search"): the embedding is split
  * into `m` contiguous subvectors, each assigned to its nearest
  * codeword in a per-subspace codebook. A 64-dim float32 vector
- * (256 B) becomes `m` code ids plus one stored norm — 4m + 8 B as an
- * in-memory row (array<int> + double, ~6.4× at d=64/m=8); AT REST
- * parquet dictionary/bit-packs k ≤ 256 codes to ~1 byte each, so the
- * stored form approaches the classic m-byte PQ row (~32×/~29× with
- * the norm) — the tier past `quantize_int8`'s 4×.
+ * (256 B) becomes the CLASSIC m-byte PQ code — a `binary` value of
+ * `m` bytes when every codebook fits 256 ids, 2m bytes (big-endian)
+ * above — plus one stored norm: m·codeBytes + 8 B per row in memory
+ * and through a shuffle (~16× at d=64/m=8/k≤256), the tier past
+ * `quantize_int8`'s 4×.
  *
- * [[PqEncode]] emits `(codes array<int>, norm double)` in ONE pass
+ * [[PqEncode]] emits `(codes binary, norm double)` in ONE pass
  * (assignment + norm share the element scan). [[PqAdcDot]] is the
  * asymmetric-distance trick: the query's dot product against every
  * codeword is precomputed ONCE driver-side (m×k doubles), so scoring
- * a row is `m` table lookups and adds — no per-dimension float math,
- * no decompression, and the expression stays in whole-stage codegen.
+ * a row is `m` byte reads and table adds — no per-dimension float
+ * math, no decompression, and the expression stays in whole-stage
+ * codegen.
  *
  * Codebooks/tables ride the expression as flattened primitive arrays
  * (`ctx.addReferenceObj`), so the generated code indexes straight into
@@ -31,11 +32,11 @@ import org.apache.spark.sql.types._
  * deterministic for a deterministically-ordered codebook.
  */
 case class PqEncode(child: Expression, m: Int, sub: Int,
-    codebooks: Array[Float], offsets: Array[Int])
+    codebooks: Array[Float], offsets: Array[Int], codeBytes: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
-    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("codes", BinaryType, nullable = false),
     StructField("norm", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
@@ -47,22 +48,22 @@ case class PqEncode(child: Expression, m: Int, sub: Int,
   }
 
   override def nullSafeEval(v: Any): Any =
-    PqCodec.encode(v.asInstanceOf[ArrayData], m, sub, codebooks, offsets)
+    PqCodec.encode(v.asInstanceOf[ArrayData], m, sub, codebooks, offsets, codeBytes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
     val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.PqCodec.encode($c, $m, $sub, $cb, $off);")
+      s"${ev.value} = graft.expressions.PqCodec.encode($c, $m, $sub, $cb, $off, $codeBytes);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Σ_j table(j, code_j) over the row's code array — the ADC dot
+/** Σ_j table(j, code_j) over the row's m-byte code — the ADC dot
   * product of the driver-side query against the RECONSTRUCTED vector. */
 case class PqAdcDot(child: Expression, m: Int,
-    table: Array[Double], offsets: Array[Int])
+    table: Array[Double], offsets: Array[Int], codeBytes: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -70,20 +71,20 @@ case class PqAdcDot(child: Expression, m: Int,
   override def prettyName: String = "pq_adc_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc_dot requires array<int> codes, got ${other.catalogString}")
+      s"pq_adc_dot requires binary codes, got ${other.catalogString}")
   }
 
   override def nullSafeEval(v: Any): Any =
     java.lang.Double.valueOf(
-      PqCodec.adcDot(v.asInstanceOf[ArrayData], m, table, offsets))
+      PqCodec.adcDot(v.asInstanceOf[Array[Byte]], m, table, offsets, codeBytes))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("pqTable", table, "double[]")
     val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.PqCodec.adcDot($c, $m, $t, $off);")
+      s"${ev.value} = graft.expressions.PqCodec.adcDot($c, $m, $t, $off, $codeBytes);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -91,16 +92,17 @@ case class PqAdcDot(child: Expression, m: Int,
 
 object PqCodec {
   /** One pass: per-subspace nearest-codeword assignment (L2, ties to
-    * the lowest index) + the full-vector norm. `offsets(j)` is the
-    * flat index of subspace j's first codeword; codewords are `sub`
-    * floats each, laid out consecutively. */
+    * the lowest index) + the full-vector norm, packed into
+    * m·codeBytes bytes (big-endian when codeBytes = 2). `offsets(j)`
+    * is the flat index of subspace j's first codeword; codewords are
+    * `sub` floats each, laid out consecutively. */
   def encode(arr: ArrayData, m: Int, sub: Int,
-      codebooks: Array[Float], offsets: Array[Int]): InternalRow = {
+      codebooks: Array[Float], offsets: Array[Int], codeBytes: Int): InternalRow = {
     if (arr.numElements() != m * sub)
       throw new IllegalArgumentException(
         s"pq_encode: embedding has ${arr.numElements()} elements, model expects " +
           s"${m * sub} — a ragged row would otherwise read out of bounds into garbage codes")
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m * codeBytes)
     var normSq = 0.0
     var j = 0
     while (j < m) {
@@ -121,7 +123,11 @@ object PqCodec {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best
+      if (codeBytes == 1) codes(j) = best.toByte
+      else {
+        codes(2 * j) = (best >>> 8).toByte
+        codes(2 * j + 1) = best.toByte
+      }
       var i = 0
       while (i < sub) {
         val v = arr.getFloat(base + i).toDouble
@@ -130,23 +136,23 @@ object PqCodec {
       }
       j += 1
     }
-    InternalRow(new GenericArrayData(codes), math.sqrt(normSq))
+    InternalRow(codes, math.sqrt(normSq))
   }
 
-  def adcDot(codes: ArrayData, m: Int,
-      table: Array[Double], offsets: Array[Int]): Double = {
-    if (codes.numElements() != m)
+  def adcDot(codes: Array[Byte], m: Int,
+      table: Array[Double], offsets: Array[Int], codeBytes: Int): Double = {
+    if (codes.length != m * codeBytes)
       throw new IllegalArgumentException(
-        s"pq_adc_dot: code array has ${codes.numElements()} entries, model expects $m " +
+        s"pq_adc_dot: code value has ${codes.length} bytes, model expects ${m * codeBytes} " +
           "— was this frame encoded with a different model?")
     var s = 0.0
     var j = 0
     while (j < m) {
-      if (codes.isNullAt(j))
-        throw new IllegalArgumentException(s"pq_adc_dot: NULL code at subspace $j")
-      val c = codes.getInt(j)
+      val c =
+        if (codeBytes == 1) codes(j) & 0xFF
+        else ((codes(2 * j) & 0xFF) << 8) | (codes(2 * j + 1) & 0xFF)
       val kj = (if (j + 1 < m) offsets(j + 1) else table.length) - offsets(j)
-      if (c < 0 || c >= kj)
+      if (c >= kj)
         throw new IllegalArgumentException(
           s"pq_adc_dot: code $c out of range [0, $kj) in subspace $j " +
             "— codes and codebooks are from different models")

@@ -174,11 +174,19 @@ object Dedup {
       .where(length(col("__para")) >= minLen).distinct()
 
   /** The two independent 64-bit paragraph hashes backing the HASHED
-    * seen-store: xxhash64 of the paragraph alone, and of the paragraph
-    * mixed with a fixed salt (two different functions of the text — a
-    * 128-bit combined identity). */
+    * seen-store: xxhash64 of the paragraph alone, and xxhash64 of the
+    * paragraph under a DIFFERENT seed. Argument order is load-bearing:
+    * Spark folds multi-arg xxhash64 left-to-right with the running
+    * hash as the next seed, so `xxhash64(para, salt)` would compute
+    * hash(salt, seed = h1) — a pure function of h1, collapsing the
+    * pair to 64-bit resistance (any h1 collision is automatically a
+    * pair collision). Salt FIRST instead: h2 = hash(para,
+    * seed = hash(salt, 42)) — xxhash64 of the paragraph bytes under an
+    * unrelated seed, which is the standard independent-seed
+    * construction (spec'd: h2 differs from the chained form). */
+  private[graft] val ParaHashSalt = 0x9e3779b97f4a7c15L
   private def paraHash1(c: Column): Column = xxhash64(c)
-  private def paraHash2(c: Column): Column = xxhash64(c, lit(0x9e3779b97f4a7c15L))
+  private def paraHash2(c: Column): Column = xxhash64(lit(ParaHashSalt), c)
 
   /** Distinct 128-bit hashes of a corpus's dedup-subject paragraphs —
     * the seen-store delta for [[dedupParagraphsAcrossHashed]]. The

@@ -8,12 +8,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 /**
  * Product-quantization ANN tier (Jégou et al. 2011) — the at-rest
  * compression step past `quantize_int8`: a d-dim float32 embedding
- * (4d bytes) becomes `m` codeword ids + one stored norm — 4m + 8 B as
- * an in-memory row (~6.4× at d = 64, m = 8), approaching the classic
- * m-byte PQ row (~29×) at rest where parquet dictionary/bit-packs
- * k ≤ 256 codes to ~1 byte — and search never decompresses:
- * the query's dot against every codeword is tabulated ONCE
- * driver-side, each row scores with `m` table lookups
+ * (4d bytes) becomes the CLASSIC m-byte PQ code (a `binary` column of
+ * `m` bytes for k ≤ 256, 2m above) plus one stored norm —
+ * m·codeBytes + 8 B per row in memory AND through a shuffle (~16× at
+ * d = 64, m = 8, k ≤ 256) — and search never decompresses: the
+ * query's dot against every codeword is tabulated ONCE driver-side,
+ * each row scores with `m` table lookups
  * ([[graft.expressions.PqAdcDot]]), and the plan tail is the same
  * `TakeOrderedAndProject` as `nearest`. At 100 TB this is the tier
  * where the corpus's VECTORS stop existing at rest — only codes ship.
@@ -30,13 +30,22 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
  * deterministic), so every sampled vector reconstructs losslessly.
  * With `maxTrain` ≥ corpus size that makes ADC cosine EQUAL exact
  * cosine — the `ann_pq_exact` gate row shares `nearest_cosine`'s
- * oracle this way, the `nprobe = nlist` anchoring pattern. Past the
- * bound, seeded Lloyd k-means (fixed iterations, driver-side over the
+ * oracle this way, the `nprobe = nlist` anchoring pattern — and
+ * [[PqModel.lossless]] REPORTS it: true iff the sample covered every
+ * non-NULL fit row and no subspace fell back to Lloyd, so an "exact"
+ * caller can `require` the property instead of silently going
+ * approximate when the corpus outgrows `maxTrain`. Past the bound,
+ * seeded Lloyd k-means (fixed iterations, driver-side over the
  * sample) gives the lossy production path, recall-spec'd.
  */
 final case class PqModel(m: Int, dim: Int,
-    codebooks: Array[Array[Array[Float]]]) {
+    codebooks: Array[Array[Array[Float]]], lossless: Boolean) {
   def sub: Int = dim / m
+  /** Bytes per stored code id: 1 when every subspace's codebook fits
+    * in a byte (k ≤ 256 — the classic PQ layout), else 2. A pure
+    * function of the codebooks, so encode and search can never
+    * disagree on the layout. */
+  def codeBytes: Int = if (codebooks.forall(_.length <= 256)) 1 else 2
   /** Per-subspace flat start indices — a length-only pass (search
     * needs ONLY this; flattening the floats per query would allocate
     * the whole codebook each call). */
@@ -61,14 +70,17 @@ object PqIndex {
     require(maxTrain >= k, s"maxTrain ($maxTrain) must be >= k ($k)")
     // dim must be a PURE function of the data (the frozen-artifact
     // determinism contract): a mixed-dim corpus REFUSES rather than
-    // letting partition order pick which dim trains
+    // letting partition order pick which dim trains. The same pass
+    // counts fit rows, so `lossless` can record whether the sample
+    // was exhaustive.
     val dims = df.select(col(embCol)).where(col(embCol).isNotNull)
-      .agg(min(size(col(embCol))), max(size(col(embCol)))).head()
+      .agg(min(size(col(embCol))), max(size(col(embCol))), count(lit(1))).head()
     require(!dims.isNullAt(0), "cannot fit PQ codebooks on an empty collection")
     require(dims.getInt(0) == dims.getInt(1),
       s"mixed embedding dims ${dims.getInt(0)}..${dims.getInt(1)} — PQ needs one " +
         "dimensionality; filter or re-embed first")
     val dim = dims.getInt(0)
+    val nFit = dims.getLong(2)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val sample = df.select(col(embCol))
       .where(col(embCol).isNotNull)
@@ -76,15 +88,23 @@ object PqIndex {
       .limit(maxTrain)
       .collect().map(_.getSeq[Float](0).toArray)
     val sub = dim / m
+    var allDistinct = true
     val codebooks = (0 until m).map { j =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       val distinct = subs.map(_.toSeq).distinct.sorted(
         Ordering.Implicits.seqOrdering[Seq, Float])
       if (distinct.length <= k) distinct.map(_.toArray).toArray
-      else lloyd(subs, distinct.take(k).map(_.toArray).toArray, 20,
-        new scala.util.Random(seed + j))
+      else {
+        allDistinct = false
+        lloyd(subs, distinct.take(k).map(_.toArray).toArray, 20,
+          new scala.util.Random(seed + j))
+      }
     }.toArray
-    PqModel(m, dim, codebooks)
+    // lossless ⟺ every fit-corpus vector reconstructs exactly: the
+    // sample saw ALL non-NULL rows and every subspace kept the
+    // distinct set. A property of (model, fit corpus) — a different
+    // corpus scored later can still contain unseen subvectors.
+    PqModel(m, dim, codebooks, lossless = nFit <= maxTrain && allDistinct)
   }
 
   /** Driver-side seeded Lloyd: deterministic init (the caller passes
@@ -127,16 +147,21 @@ object PqIndex {
     centers
   }
 
-  /** Add `(codesCol array<int>, normCol double)` in one codegen pass;
-    * after this the embedding column can be DROPPED — codes + norm are
-    * all search needs. */
+  /** Add `(codesCol binary — m·codeBytes bytes, normCol double)` in
+    * one codegen pass; after this the embedding column can be DROPPED
+    * — codes + norm are all search needs. */
   def encode(df: DataFrame, embCol: String, model: PqModel,
       codesCol: String = "pq_codes", normCol: String = "emb_norm"): DataFrame = {
     require(!df.columns.contains(codesCol) && !df.columns.contains(normCol),
       s"output column '$codesCol'/'$normCol' already exists on the input frame")
+    // the struct stages through __pq; refuse-don't-wedge like every
+    // other reserved temp name (an input __pq would be silently
+    // overwritten and dropped — data loss)
+    require(!df.columns.contains("__pq"),
+      "input frame carries reserved staging column '__pq' — rename it before encode")
     val st = ColumnBridge.column(graft.expressions.PqEncode(
       ColumnBridge.expression(col(embCol)), model.m, model.sub,
-      model.flatCodewords, model.offsets))
+      model.flatCodewords, model.offsets, model.codeBytes))
     df.withColumn("__pq", st)
       .withColumn(codesCol, col("__pq").getField("codes"))
       .withColumn(normCol, col("__pq").getField("norm"))
@@ -170,7 +195,8 @@ object PqIndex {
     }
     val qnorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val dot = ColumnBridge.column(graft.expressions.PqAdcDot(
-      ColumnBridge.expression(col(codesCol)), model.m, table, offsets))
+      ColumnBridge.expression(col(codesCol)), model.m, table, offsets,
+      model.codeBytes))
     // NULL codes/norm (an unembedded row that rode through encode as
     // NULL) scores exactly 0, Nearest's rule — the coalesce, not just
     // the zero-norm guard, carries that case
@@ -191,18 +217,24 @@ object PqIndex {
       cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
     }.toSeq.toDF("subspace", "codeword", "vector")
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((model.m, model.dim)).toDF("m", "dim")
+    Seq((model.m, model.dim, model.lossless)).toDF("m", "dim", "lossless")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Reopen a saved model. All reads are BY NAME: the "any engine
+    * reloads it" claim means another writer may reorder columns
+    * (mergeSchema, a rewrite), and an ordinal read would silently swap
+    * `m` and `dim` into garbage codebook groupings instead of failing. */
   def load(spark: SparkSession, path: String): PqModel = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (m, dim) = (meta.getInt(0), meta.getInt(1))
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val lossless = meta.getAs[Boolean]("lossless")
     val rows = spark.read.parquet(s"$path/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .collect().map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("codeword"),
+        r.getAs[scala.collection.Seq[Float]]("vector").toArray))
     val codebooks = (0 until m).map { j =>
       rows.filter(_._1 == j).sortBy(_._2).map(_._3)
     }.toArray
-    PqModel(m, dim, codebooks)
+    PqModel(m, dim, codebooks, lossless)
   }
 }

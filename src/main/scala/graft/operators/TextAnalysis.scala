@@ -379,8 +379,12 @@ object TextAnalysis {
   }
 
   def loadUnigramLm(spark: org.apache.spark.sql.SparkSession, path: String): UnigramLm = {
+    // by NAME, not ordinal: a reloadable-by-any-engine artifact may
+    // come back column-reordered (mergeSchema, a rewrite) — an ordinal
+    // read would silently swap N and V into wrong probabilities
     val t = spark.read.parquet(s"$path/totals").head()
-    UnigramLm(spark.read.parquet(s"$path/counts"), t.getLong(0), t.getLong(1))
+    UnigramLm(spark.read.parquet(s"$path/counts"),
+      t.getAs[Long]("__n_total"), t.getAs[Long]("__vocab"))
   }
 
   /**
@@ -872,11 +876,12 @@ object TextAnalysis {
    * eager pre-check counts distinct quantized scores per group — one
    * map-side-combined narrow pass over the input — and REFUSES, naming
    * `quantizeDp`, when any group would feed its window more than
-   * `maxDistinctPerGroup` rows. The check re-evaluates the input's
-   * lineage once; persist upstream if that lineage is expensive, or
-   * pass `maxDistinctPerGroup = Long.MaxValue` to skip the pass when
-   * the cardinality is known bounded (e.g. scores already quantized
-   * at the source).
+   * `maxDistinctPerGroup` rows. The counts frame the check reads is
+   * lazily localCheckpoint-cut, so the check's job MATERIALIZES it and
+   * the quantile window reuses it — upstream lineage runs once, not
+   * twice. Pass `maxDistinctPerGroup = Long.MaxValue` to skip the
+   * pass (and the cut) when the cardinality is known bounded (e.g.
+   * scores already quantized at the source).
    */
   def qualityBuckets(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       groupCol: String, cuts: Seq[Double] = Seq(0.3, 0.7),
@@ -917,7 +922,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
       .withColumn("__q", round(col(scoreCol), quantizeDp))
-    val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    // Lazy localCheckpoint (the Dedup multi-consumer convention): the
+    // guard's eager pre-check below and the cumulative-fraction window
+    // both consume `counts`. Un-cut, the guard job would re-run the
+    // input's ENTIRE upstream lineage a second time — measured 1.5× on
+    // the composed pipeline (dedup→decon→lmScore ran twice). The cut
+    // frame is small by contract: distinct (group, quantized score)
+    // rows, which the guard itself bounds at maxDistinctPerGroup per
+    // group. Guard off (maxDistinctPerGroup = Long.MaxValue) means one
+    // consumer — no cut needed, and none of its memory pinning.
+    val counts0 = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    val counts =
+      if (maxDistinctPerGroup < Long.MaxValue) counts0.localCheckpoint(false)
+      else counts0
     if (maxDistinctPerGroup < Long.MaxValue) {
       val over = counts.groupBy(col(groupCol))
         .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)

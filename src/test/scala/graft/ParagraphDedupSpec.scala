@@ -140,6 +140,37 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(storeH.schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "long"))
   }
 
+  test("the store's second hash is seed-independent, not a chain of the first") {
+    // Spark folds multi-arg xxhash64 left-to-right using the running
+    // hash as the next seed, so the TEXT-FIRST form
+    // xxhash64(para, salt) computes hash(salt, seed = h1) — a pure
+    // function of h1, silently collapsing the 128-bit store to 64-bit
+    // collision resistance. The store must use the SALT-FIRST form
+    // (h2 = hash of the paragraph bytes under an unrelated seed); this
+    // pins that the two forms actually differ and that __h2 is the
+    // salt-first one, so an argument-order swap can't slip back in.
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val paras = Seq("alpha beta", "gamma delta epsilon", "", "z").map(p => (0L, p))
+      .toDF("doc_id", "text")
+    val check = paras.select(
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(Dedup.ParaHashSalt), col("text")).as("saltFirst"),
+        xxhash64(col("text"), lit(Dedup.ParaHashSalt)).as("textFirst"))
+      .collect()
+    check.foreach { r =>
+      assert(r.getLong(1) != r.getLong(2),
+        "salt-first and text-first forms coincided — the test lost its teeth")
+    }
+    val storePairs = Dedup.paragraphHashFrame(paras, "text", minLen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    check.filter(r => storePairs.contains(r.getLong(0))).foreach { r =>
+      assert(storePairs(r.getLong(0)) == r.getLong(1),
+        "__h2 must be the salt-first (independent-seed) hash")
+      assert(storePairs(r.getLong(0)) != r.getLong(2),
+        "__h2 must NOT be the h1-chained text-first hash")
+    }
+  }
+
   test("hashed store: bypass paragraphs never consult the store") {
     val polluted = Dedup.paragraphHashFrame(
       Seq((0L, "ok\nshared cookie banner")).toDF("doc_id", "text"), "text", minLen = 1)

@@ -28,6 +28,7 @@ class PqIndexSpec extends AnyFunSuite {
     val df = fixture
     val model = PqIndex.fit(df, "embedding", m = 4, k = 65536, maxTrain = 65536)
     assert(model.codebooks.forall(_.length == 200), "each subspace holds all distinct subvectors")
+    assert(model.lossless, "full sample + distinct-set codebooks must report lossless")
     val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
     val enc = PqIndex.encode(df, "embedding", model).drop("embedding")
     val got = PqIndex.search(enc, q, n = 10, model, tieBreakers = Seq(asc("vec_id")))
@@ -58,8 +59,25 @@ class PqIndexSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (shortlist & want).size.toDouble / want.size
     assert(recall >= 0.9, s"shortlist recall $recall under 0.9 at m=4/k=16")
-    // the at-rest claim: codes are m ints + a norm vs dim floats
-    assert(model.m * 4 + 8 < dim * 4, "code bytes must undercut vector bytes")
+    assert(!model.lossless, "Lloyd-compressed codebooks must NOT report lossless")
+    // the shipped-row claim: the classic m-byte PQ code + a norm vs dim floats
+    assert(model.codeBytes == 1, "k=16 codebooks must pack to one byte per code")
+    assert(model.m * model.codeBytes + 8 < dim * 4, "code bytes must undercut vector bytes")
+    // and the column really IS that layout, in memory and through shuffles
+    import org.apache.spark.sql.types.BinaryType
+    assert(enc.schema("pq_codes").dataType == BinaryType)
+    val widths = enc.select("pq_codes").collect().map(_.getAs[Array[Byte]](0).length).toSet
+    assert(widths == Set(model.m * model.codeBytes),
+      s"every code value must be exactly m*codeBytes bytes, got widths $widths")
+  }
+
+  test("a sample truncated by maxTrain reports lossless = false even on the distinct path") {
+    // 200 rows, maxTrain = 150: every SAMPLED vector reconstructs
+    // exactly (distinct-set codebooks), but a quarter of the corpus
+    // never trained — an 'exact' caller must be able to see that
+    val model = PqIndex.fit(fixture, "embedding", m = 4, k = 150, maxTrain = 150)
+    assert(model.codebooks.forall(_.length == 150))
+    assert(!model.lossless, "truncated sample must not report lossless")
   }
 
   test("fit is deterministic across partitionings; save/load searches identically") {
@@ -80,6 +98,18 @@ class PqIndexSpec extends AnyFunSuite {
         q, 5, m2, tieBreakers = Seq(asc("vec_id")))
       .select("vec_id", "similarity").collect().toSeq
     assert(a == b, "reloaded codebooks must search bit-identically")
+    assert(m2.lossless == m1.lossless, "lossless flag must survive the round-trip")
+    // by-name meta reads: a column-reordered rewrite (another engine,
+    // mergeSchema) must load correctly, not swap m and dim silently
+    val reordered = spark.read.parquet(s"$dir/meta").select("lossless", "dim", "m")
+      .collect()
+    import spark.implicits._
+    reordered.map(r => (r.getAs[Boolean]("lossless"), r.getAs[Int]("dim"), r.getAs[Int]("m")))
+      .toSeq.toDF("lossless", "dim", "m")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val m3 = PqIndex.load(spark, dir)
+    assert(m3.m == m1.m && m3.dim == m1.dim && m3.lossless == m1.lossless,
+      "meta must read by NAME — a reordered rewrite swapped nothing")
   }
 
   test("NULL embeddings ride through encode and score exactly 0 — the nearest rule") {
