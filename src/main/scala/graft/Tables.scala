@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture access — one parquet per table under the scale-factor dir
   * (see /root/repo/TESTDATA.md). Reads stay lazy; Catalyst pushes
@@ -23,11 +23,31 @@ object Tables {
   def ensureNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** ns-long → timestamp(µs). Integer division (`DIV`): a double-typed
-    * `/ 1000` would pass 2024-epoch nanos (~1.7e18 > 2^53) through a
-    * lossy double and corrupt low-order microseconds. */
+  /** The single adaptation point for fixture-timestamp drift. Two
+    * writer variants are normalized to an instant-typed TIMESTAMP:
+    *
+    *  - ns-long (parquet TIMESTAMP(NANOS) read under `nanosAsLong`) →
+    *    timestamp(µs). Integer division (`DIV`): a double-typed
+    *    `/ 1000` would pass 2024-epoch nanos (~1.7e18 > 2^53) through
+    *    a lossy double and corrupt low-order microseconds.
+    *  - TIMESTAMP_NTZ (parquet timestamp[us], `isAdjustedToUTC=false`)
+    *    — the fixture's wall-times are UTC instants, so reinterpret
+    *    the NTZ wall-clock as UTC explicitly: shift it to the session
+    *    zone's wall-clock for the same instant, then cast. Correct
+    *    under ANY session timezone — a bare `cast(ts as timestamp)`
+    *    would silently reinterpret the wall-time in whatever zone a
+    *    non-UTC launcher happened to run with.
+    */
   def normalizeNanoTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    if (df.columns.contains(tsCol) && df.schema(tsCol).dataType == LongType)
-      df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
-    else df
+    if (!df.columns.contains(tsCol)) df
+    else df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case TimestampNTZType =>
+        val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df.withColumn(
+          tsCol,
+          convert_timezone(lit("UTC"), lit(sessionTz), col(tsCol)).cast(TimestampType))
+      case _ => df
+    }
 }
