@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -135,6 +135,26 @@ object SparkEntry {
     perSessionIvf(s).computeIfAbsent(s"$d#$nlist",
       _ => IvfIndex.build(Tables(s, d, "embeddings"), "embedding", nlist))
 
+  /** Memoized IVFADC build — same rationale and purge semantics as
+    * `ivfFor` (both k-means fits are seed-pinned, a production index is
+    * built once and probed many times, bench times the probe path). */
+  private val ivfPqCache =
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]]()
+  private def ivfPqFor(s: SparkSession, d: String, nlist: Int = 16, m: Int = 8,
+      k: Int = 65536, maxTrain: Int = 65536): IvfPqIndex =
+    ivfPqCache.synchronized {
+      ivfPqCache.keySet.removeIf(x => x.sparkContext.isStopped)
+      var mm = ivfPqCache.get(s)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+        ivfPqCache.put(s, mm)
+      }
+      mm
+    }.computeIfAbsent(s"$d#$nlist#$m#$k#$maxTrain",
+      _ => IvfPqIndex.build(Tables(s, d, "embeddings"), "embedding",
+        nlist = nlist, m = m, k = k, maxTrain = maxTrain))
+
   /** The ONE image-feature frame the image-as-query pair ranks over:
     * synth PNGs → real decode → 16-dim (grid=2, bins=4) descriptors.
     * Shared by `multimodal_image_query` and `imageIvfFor` so the
@@ -223,6 +243,26 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       PqIndex.search(PqIndex.encode(e, "embedding", model).drop("embedding"),
         q, n = 5, model, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED (round 12): IVFADC — IVF cell pruning composed
+    // with PQ ADC scoring (Jégou et al. 2011 §IV), the billion-scale
+    // serving shape. Both tiers' exactness degenerates compose: at
+    // nprobe = nlist every cell is probed (the ann_ivf_exact pattern)
+    // AND the lossless codebook makes ADC cosine equal exact cosine
+    // (the ann_pq_exact pattern) — so the composed search provably
+    // returns the brute-force result and shares nearest_cosine's
+    // oracle. The lossy production path (nprobe < nlist, Lloyd
+    // codebooks) is shortlist-recall-spec'd in IvfPqIndexSpec.
+    "ann_ivfpq_exact" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_ivfpq_exact requires the lossless codebook degenerate — corpus outgrew maxTrain")
+      val q = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
@@ -2077,6 +2117,15 @@ object SparkEntry {
       // save→load→search at nprobe = nlist: the persisted
       // cell-partitioned layout must serve the exact result too
       "ann_ivf_persisted" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // IVFADC at nprobe = nlist with a lossless codebook: both tiers'
+      // degenerates compose to the exact brute-force result — shares
+      // the nearest_cosine oracle
+      "ann_ivfpq_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

@@ -46,34 +46,8 @@ class IvfIndex private (
     * driver-local arithmetic over the resident centroid array (≤ nlist
     * rows) — no Spark job, so single-query `search` plans exactly one
     * job: the probe-filtered scan. */
-  def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] = {
-    // Mirror Spark's `desc` total order exactly (NaN greatest, -0.0 and
-    // +0.0 equal): a plain sortBy(-s) would sort NaN last and order a
-    // ±0.0 pair by negation sign instead of the asc-cell tie-break.
-    val order = new Ordering[(Double, Int)] {
-      def compare(a: (Double, Int), b: (Double, Int)): Int = {
-        val c = if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else Integer.compare(a._2, b._2)
-      }
-    }
-    centroidVectors.zipWithIndex
-      .map { case (c, i) => (cosineLocal(c, queryVec), i) }
-      .sorted(order)
-      .take(nprobe).map(_._2)
-  }
-
-  /** Double-accumulated cosine, zero-norm → 0 — the same contract as
-    * `vectors.cosine_similarity`, evaluated driver-side. */
-  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-      i += 1
-    }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d == 0) 0.0 else dot / d
-  }
+  def probeCells(queryVec: Array[Float], nprobe: Int): Array[Int] =
+    IvfIndex.probe(centroidVectors, queryVec, nprobe)
 
   /**
    * ANN top-k: exact scoring restricted to the probed cells. The cell
@@ -152,6 +126,41 @@ class IvfIndex private (
 }
 
 object IvfIndex {
+
+  /** Cells a query vector would probe, best centroid first — the
+    * coarse-quantizer half shared with the IVFADC composition
+    * ([[IvfPqIndex]]). Pure driver-local arithmetic over the resident
+    * centroid array (≤ nlist rows), no Spark job. */
+  private[operators] def probe(centroidVectors: Array[Array[Float]],
+      queryVec: Array[Float], nprobe: Int): Array[Int] = {
+    // Mirror Spark's `desc` total order exactly (NaN greatest, -0.0 and
+    // +0.0 equal): a plain sortBy(-s) would sort NaN last and order a
+    // ±0.0 pair by negation sign instead of the asc-cell tie-break.
+    val order = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val c = if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      }
+    }
+    centroidVectors.zipWithIndex
+      .map { case (c, i) => (cosineLocal(c, queryVec), i) }
+      .sorted(order)
+      .take(nprobe).map(_._2)
+  }
+
+  /** Double-accumulated cosine, zero-norm → 0 — the same contract as
+    * `vectors.cosine_similarity`, evaluated driver-side. */
+  private[operators] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
   /** Fit the coarse quantizer (seed pinned) and assign every non-NULL
     * vector to its cell. */
   def build(df: DataFrame, embCol: String, nlist: Int = 16,

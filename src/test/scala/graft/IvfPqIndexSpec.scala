@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPqIndex, Nearest}
+
+/** [[IvfPqIndex]] — IVFADC: IVF cell pruning composed with PQ ADC
+  * scoring. Exact when both tiers' degenerates compose (nprobe = nlist
+  * + lossless codebook); shortlist-recall-bounded on the lossy
+  * production path; the persisted layout serves identical results. */
+class IvfPqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  // same shape as PqIndexSpec's fixture: 4 loose clusters, 200 vectors
+  private def fixture = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(dim)(d => math.sin(c * 2.1 + d * 0.7).toFloat)
+      val v = base.map(x => x + (rnd.nextGaussian() * 0.15).toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def exactTopK(df: org.apache.spark.sql.DataFrame, qid: Long, n: Int) =
+    Nearest.topK(df.crossJoin(broadcast(
+        df.where(col("vec_id") === qid).select(col("embedding").as("qe")))),
+        "embedding", col("qe"), n = n, tieBreakers = Seq(asc("vec_id")))
+
+  test("nprobe = nlist + lossless codebook composes to the exact brute-force result") {
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536)
+    assert(idx.model.lossless, "full sample must report lossless")
+    // vectors stop existing: the coded frame carries codes+norm, no embedding
+    assert(!idx.encoded.columns.contains("embedding"))
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val got = idx.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = exactTopK(df, 0L, 10)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"composed degenerates must equal brute force:\n$got\n$want")
+  }
+
+  test("lossy path (nprobe < nlist, Lloyd codebooks): shortlist recall holds") {
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 16)
+    assert(!idx.model.lossless)
+    val q = df.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    // clusters are well-separated, so probing 2 of 4 cells + coarse
+    // codes must still shortlist the true neighbors (which share vec 1's
+    // cluster) — the ADC-top-50-contains-true-top-20 bar PqIndexSpec sets
+    val shortlist = idx.search(q, k = 50, nprobe = 2, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = exactTopK(df, 1L, 20).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (shortlist & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"shortlist recall $recall under 0.9 at nprobe=2, m=4/k=16")
+  }
+
+  test("probing fewer cells scans fewer coded rows (the pruning is real)") {
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 16)
+    val q = df.where(col("vec_id") === 2).select("embedding").head().getSeq[Float](0).toArray
+    val one = idx.probeCells(q, 1)
+    val survivors = idx.encoded
+      .where(col("cell").isin(one.toIndexedSeq.map(Int.box): _*)).count()
+    assert(survivors < 200, s"nprobe=1 must not scan the whole corpus ($survivors rows)")
+    assert(survivors > 0, "the query's own cell cannot be empty")
+  }
+
+  test("save → load round-trips: the persisted cell-partitioned layout serves identical results") {
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      idx.save(dir)
+      // the data dir really is cell-partitioned (file-pruning layout)
+      assert(new java.io.File(s"$dir/data").listFiles()
+        .exists(_.getName.startsWith("cell=")), "saved data must be partitioned by cell")
+      val re = IvfPqIndex.load(spark, dir)
+      assert(re.model.lossless == idx.model.lossless)
+      assert(re.model.m == idx.model.m && re.model.dim == idx.model.dim)
+      val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      def run(i: IvfPqIndex) =
+        i.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+          .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(run(re) == run(idx), "reloaded index must serve the exact same results")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
