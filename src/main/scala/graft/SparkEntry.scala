@@ -335,6 +335,27 @@ object SparkEntry {
           size(filter(col("embedding"), v => v =!= 0f)).cast("long").as("nnz"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 S EXECUTED AS A STREAM (round 12): embed-on-arrival through
+    // a real StreamingQuery — the documents file as a micro-batch
+    // stream, StreamOps.embedStream applying the SAME hashing kernel
+    // the batch row uses (narrow, stateless, no shuffle). The kernel
+    // is a pure per-row function of the text, so the drained
+    // projection equals embed_hashing_anchor's committed goldens —
+    // the stream shares that oracle verbatim.
+    "embed_hashing_stream" -> ((s, d) => {
+      val docs = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") < 5)
+      val embedded = StreamOps.embedStream(docs, "text", HashingEmbedder(dim = 64))
+      val q = embedded.writeStream.outputMode("append").format("memory")
+        .queryName("graft_embed_hashing_stream").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_embed_hashing_stream")
+        .select(col("doc_id"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, v) => a + abs(v.cast("double"))), 6).as("l1"),
+          size(filter(col("embedding"), v => v =!= 0f)).cast("long").as("nnz"))
+        .orderBy(col("doc_id"))
+    }),
     // §2 #13: trainable in-JVM embedder (Word2Vec fit on the corpus;
     // learned vectors -> rows-only, invariants in spec)
     "embed_word2vec" -> ((s, d) => {
@@ -405,6 +426,32 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       SimJoin.knnJoinAgg(q, e, "query_id", "qe", "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
+    // §2.3 S × J EXECUTED AS A STREAM (round 12): the same bounded-heap
+    // k-NN join driven through a real StreamingQuery — queries arrive
+    // as a file micro-batch stream, each batch knn-joined against the
+    // STATIC corpus via foreachBatch (StreamOps.nearestPerBatch, the
+    // serve-as-they-arrive shape). The corpus is static and each
+    // query's top-k independent, so the drained output equals the
+    // batch operator and the row shares simjoin_knn's oracle.
+    "simjoin_knn_stream" -> ((s, d) => {
+      val qStream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+        .where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val corpus = Tables(s, d, "embeddings")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = StreamOps.nearestPerBatch(qStream, corpus,
+        "query_id", "qe", "vec_id", "embedding", k = 3) { (res, _) =>
+        buf.synchronized {
+          buf ++= res.select(col("query_id"), col("vec_id"),
+              round(col("similarity"), 6)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("query_id", "vec_id", "similarity")
         .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
     }),
     // §2.3 D: embedding-cosine near-dup pairs (exact threshold self-join)
@@ -1292,6 +1339,61 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy(col("hour"), col("event_type"))
     }),
+    // §2.3 S EXECUTED AS A STREAM (round 12): watermarked streaming
+    // dedup through a real StreamingQuery — the events file is staged
+    // TWICE into the monitored dir (every event re-delivered, the
+    // at-least-once ingest failure mode), and
+    // dropDuplicatesWithinWatermark keyed on the id alone emits each
+    // event once. The drained id set therefore equals the fixture's
+    // distinct ids — a SQL-trivial oracle that only holds if the
+    // stream really deduped the double delivery.
+    "events_dedup_stream" -> ((s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory("graft_events_dedup_stream")
+      try {
+        Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("b.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val stream = StreamOps.readEventsStream(s, dir.toString)
+        val q = StreamOps.dedupStream(stream, Seq("event_id"))
+          .select("event_id")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_events_dedup_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        // materialize before the staged files are deleted: the memory
+        // sink holds rows, but orderBy still plans over the sink table
+        import s.implicits._
+        s.table("graft_events_dedup_stream")
+          .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+          .toDF("event_id")
+      } finally {
+        Files.deleteIfExists(dir.resolve("a.parquet"))
+        Files.deleteIfExists(dir.resolve("b.parquet"))
+        Files.deleteIfExists(dir): Unit
+      }
+    }),
+    // §2.3 S EXECUTED AS A STREAM (round 12): flatMapGroupsWithState
+    // custom state through a real StreamingQuery — per-user running
+    // (count, sum) carried in the state store, a row emitted per user
+    // per micro-batch. The LAST emission per user is the converged
+    // running total, which equals the batch groupBy — so the row
+    // shares a plain aggregation oracle while the Spark side actually
+    // exercised custom streaming state.
+    "events_running_stats_stream" -> ((s, d) => {
+      val stream = StreamOps.readEventsStream(s, d, globFilter = Some("events.parquet"))
+      val q = StreamOps.runningUserStats(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_events_running_stats_stream").start()
+      try q.processAllAvailable() finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("userId")).orderBy(desc("nEvents"))
+      s.table("graft_events_running_stats_stream")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          round(col("totalValue"), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
     // §2.3 S: sessionization (gaps-and-islands, 30-minute inactivity)
     "events_sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables(s, d, "events"))
@@ -1316,6 +1418,39 @@ object SparkEntry {
           col("asof_event_id").as("click_id"),
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
           (col("ts").cast("long") - col("asof_ts").cast("long")).as("gap_sec"))
+        .orderBy(col("purchase_id"))
+    }),
+    // §2.3 S × temporal EXECUTED AS A STREAM (round 12): the same
+    // last-touch attribution driven through a real StreamingQuery —
+    // purchases arrive as a file micro-batch stream, each batch as-of
+    // joined against the STATIC click snapshot via foreachBatch
+    // (StreamOps.asofEnrichPerBatch, the point-in-time enrichment
+    // shape). The right side is static and each left row's match
+    // independent, so the drained output equals the batch operator and
+    // the row shares asof_attribution's oracle.
+    "asof_attribution_stream" -> ((s, d) => {
+      val purchases = StreamOps.readEventsStream(s, d, globFilter = Some("events.parquet"))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Tables(s, d, "events").where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      @volatile var schema: org.apache.spark.sql.types.StructType = null
+      val q = StreamOps.asofEnrichPerBatch(purchases, clicks, "user_id", "user_id",
+        "ts", "ts", rightPayload = Seq("event_id"), rightTieBreak = "event_id") {
+        (res, _) =>
+          val out = res.select(col("event_id").as("purchase_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            col("asof_event_id").as("click_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            (col("ts").cast("long") - col("asof_ts").cast("long")).as("gap_sec"))
+          buf.synchronized {
+            if (schema == null) schema = out.schema
+            buf ++= out.collect()
+          }
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), schema)
         .orderBy(col("purchase_id"))
     }),
     // §2.3 temporal: RANGE (interval) join — ALL clicks in the 24h
@@ -1899,6 +2034,46 @@ object SparkEntry {
       |       event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin
 
+  /** Same union+running-last_value(IGNORE NULLS) shape as the Spark
+    * as-of plan; gap on second-floored epochs mirrors Spark's
+    * timestamp→long cast (micros DIV 1e6). Shared by asof_attribution
+    * and its streaming-drain twin. */
+  private val oracleSqlAsof: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tb,
+      |         event_id AS l_id, ts AS l_ts,
+      |         NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts
+      |  FROM events WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT l_id, l_ts, side,
+      |         last_value(r_id IGNORE NULLS) OVER win AS m_id,
+      |         last_value(r_ts IGNORE NULLS) OVER win AS m_ts
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tb
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT l_id AS purchase_id,
+      |       strftime(l_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       m_id AS click_id,
+      |       strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |       CAST(epoch(date_trunc('second', l_ts)) -
+      |            epoch(date_trunc('second', m_ts)) AS BIGINT) AS gap_sec
+      |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin
+
+  /** Committed goldens of the hashing-embed kernel at sf0.01 (DuckDB
+    * cannot run it) — shared by embed_hashing_anchor and the
+    * streaming embed-on-arrival twin. */
+  private val oracleSqlEmbedHashingGoldens: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(3.198011 AS DOUBLE), CAST(14 AS BIGINT)),
+      |  (1, CAST(3.890226 AS DOUBLE), 20),
+      |  (2, CAST(4.233244 AS DOUBLE), 22),
+      |  (3, CAST(3.904344 AS DOUBLE), 17),
+      |  (4, CAST(4.230144 AS DOUBLE), 20)
+      |) AS t(doc_id, l1, nnz) ORDER BY doc_id""".stripMargin
+
   /** Exact all-pairs cosine-threshold SQL, shared (modulo the subset
     * predicate) by neardup_embedding and ann_cosine_lsh_exact — the
     * LSH path at bucketLength ≥ 4 provably degenerates to all pairs. */
@@ -2167,6 +2342,9 @@ object SparkEntry {
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
+      // streaming drain of the heap k-NN join against the static
+      // corpus — per-batch == batch, so the oracle is shared
+      "simjoin_knn_stream" -> oracleSqlKnn,
       "ann_ivf_batch_exact" -> oracleSqlKnn,
       "neardup_embedding" -> neardupEmbeddingSql(""),
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
@@ -2517,32 +2695,18 @@ object SparkEntry {
           |       count(*) AS n_events, round(sum(value), 2) AS total_value
           |FROM sessions GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
-      // Same union+running-last_value(IGNORE NULLS) shape as the Spark
-      // plan; gap on second-floored epochs mirrors Spark's
-      // timestamp→long cast (micros DIV 1e6).
-      "asof_attribution" ->
-        """WITH u AS (
-          |  SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tb,
-          |         event_id AS l_id, ts AS l_ts,
-          |         NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
-          |  FROM events WHERE event_type = 'purchase'
-          |  UNION ALL
-          |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts
-          |  FROM events WHERE event_type = 'click'),
-          |w AS (
-          |  SELECT l_id, l_ts, side,
-          |         last_value(r_id IGNORE NULLS) OVER win AS m_id,
-          |         last_value(r_ts IGNORE NULLS) OVER win AS m_ts
-          |  FROM u
-          |  WINDOW win AS (PARTITION BY k ORDER BY t, side, tb
-          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-          |SELECT l_id AS purchase_id,
-          |       strftime(l_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-          |       m_id AS click_id,
-          |       strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-          |       CAST(epoch(date_trunc('second', l_ts)) -
-          |            epoch(date_trunc('second', m_ts)) AS BIGINT) AS gap_sec
-          |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+      "asof_attribution" -> oracleSqlAsof,
+      // streaming drain of the same as-of enrichment (static right
+      // side ⇒ per-batch == batch) — shares the oracle verbatim
+      "asof_attribution_stream" -> oracleSqlAsof,
+      // staged-twice delivery deduped back to the fixture's id set
+      "events_dedup_stream" ->
+        "SELECT event_id FROM events ORDER BY event_id",
+      // final flatMapGroupsWithState emission per user == batch groupBy
+      "events_running_stats_stream" ->
+        """SELECT user_id, count(*) AS n_events,
+          |       round(sum(value), 2) AS total_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "range_attribution" ->
         """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
           |       CAST(epoch(date_trunc('second', p.ts)) -
@@ -2929,14 +3093,10 @@ object SparkEntry {
       // outputs of deterministic kernels DuckDB cannot run, recorded
       // from the pinned build at sf0.01 and verified thread-count-
       // independent before committing.
-      "embed_hashing_anchor" ->
-        """SELECT * FROM (VALUES
-          |  (CAST(0 AS BIGINT), CAST(3.198011 AS DOUBLE), CAST(14 AS BIGINT)),
-          |  (1, CAST(3.890226 AS DOUBLE), 20),
-          |  (2, CAST(4.233244 AS DOUBLE), 22),
-          |  (3, CAST(3.904344 AS DOUBLE), 17),
-          |  (4, CAST(4.230144 AS DOUBLE), 20)
-          |) AS t(doc_id, l1, nnz) ORDER BY doc_id""".stripMargin,
+      "embed_hashing_anchor" -> oracleSqlEmbedHashingGoldens,
+      // streaming embed-on-arrival applies the same pure per-row
+      // kernel — shares the committed goldens verbatim
+      "embed_hashing_stream" -> oracleSqlEmbedHashingGoldens,
       "pca_project_anchor" ->
         """SELECT * FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(-0.8704 AS DOUBLE), CAST(0.2443 AS DOUBLE)),
