@@ -388,6 +388,142 @@ object TextAnalysis {
   }
 
   /**
+   * A FROZEN BPE merge table (Sennrich et al. 2016) — the subword
+   * tokenizer as a persistable artifact, completing the
+   * [[UnigramLm]] convention for the tokenization step itself: fit
+   * the merges ONCE on a reference corpus ([[fitBpe]]), persist them
+   * ([[saveBpe]]/[[loadBpe]]), and tokenize every shard against the
+   * SAME table ([[tokenizeBpe]]) — because BPE application is
+   * rank-order-sensitive, two shards tokenized under different fits
+   * count different tokens for identical text, which would corrupt
+   * any token-denominated budget ([[packShards]]) or per-token score.
+   * `merges` is rank-ordered: merges(0) is applied with highest
+   * priority.
+   */
+  case class BpeModel private[operators] (merges: Seq[String]) {
+    def numMerges: Int = merges.size
+  }
+
+  /**
+   * Learn a [[BpeModel]]: ONE distributed word-count pass (explode +
+   * map-side-combined groupBy — the [[fitUnigramLm]] shape), then the
+   * paper's greedy pair-merge loop driver-side over the top
+   * `maxWords` (count-desc, word-asc — a deterministic, bounded
+   * sample, the [[PqIndex.fit]] convention: tokenizer vocabularies
+   * are always fit on bounded word lists, and the tail it drops is
+   * exactly the tail BPE exists to decompose). Each iteration merges
+   * the globally most frequent adjacent pair; ties break
+   * lexicographically so the fit is a pure function of the word-count
+   * multiset — partitioning- and thread-count-independent.
+   * Iteration stops early when no pair reaches `minPairCount`
+   * (a pair seen once doesn't generalize).
+   *
+   * Cost: the driver loop is O(numMerges × Σ word lengths) string
+   * ops over ≤ `maxWords` words — bounded and corpus-size-free; the
+   * corpus is touched exactly once, distributed.
+   */
+  def fitBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int = 512, maxWords: Int = 32768,
+      minPairCount: Long = 2L): BpeModel = {
+    require(numMerges >= 0 && numMerges <= 65536,
+      s"numMerges must be in [0, 65536], got $numMerges")
+    require(maxWords >= 1 && maxWords <= (1 << 20),
+      s"maxWords must be in [1, ${1 << 20}] (the word list is collected), got $maxWords")
+    val wc = df
+      .select(explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("__w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[Array[String]] =
+      wc.map { case (w, _) => graft.expressions.BpeTokens.initialSymbols(w) }
+    val counts: Array[Long] = wc.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var iter = 0
+    var exhausted = words.isEmpty
+    while (iter < numMerges && !exhausted) {
+      val pc = new java.util.HashMap[String, java.lang.Long]()
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi); val c = counts(wi)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = syms(i) + " " + syms(i + 1)
+          val prev = pc.get(key)
+          pc.put(key, if (prev == null) c else prev.longValue() + c)
+          i += 1
+        }
+        wi += 1
+      }
+      // deterministic selection: count desc, then pair lexicographic
+      // asc — hash iteration order cannot leak into the result
+      var bestPair: String = null
+      var bestC = minPairCount - 1
+      val it = pc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue()
+        if (c > bestC || (c == bestC && bestPair != null && e.getKey.compareTo(bestPair) < 0)) {
+          bestC = c; bestPair = e.getKey
+        }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        merges += bestPair
+        val sp = bestPair.indexOf(' ')
+        val l = bestPair.substring(0, sp); val r = bestPair.substring(sp + 1)
+        wi = 0
+        while (wi < words.length) {
+          words(wi) = graft.expressions.BpeTokens.mergePair(words(wi), l, r)
+          wi += 1
+        }
+      }
+      iter += 1
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** Persist a [[BpeModel]] as rank-ordered plain parquet — pure
+    * data, reloadable by any engine (the [[saveUnigramLm]] layout). */
+  def saveBpe(model: BpeModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case (p, r) => (r, p) }
+      .toDF("rank", "pair")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Reopen a saved model — reads BY NAME and re-sorts by rank (the
+    * [[loadUnigramLm]] rationale: rank order IS the model; a
+    * column- or row-reordered rewrite must not silently change which
+    * merges win). */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel =
+    BpeModel(spark.read.parquet(s"$path/merges")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair")))
+      .sortBy(_._1).map(_._2).toSeq)
+
+  /** Subword token array under a frozen model — one codegen pass
+    * ([[graft.expressions.BpeTokens]]). */
+  def bpeTokens(text: Column, model: BpeModel): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.BpeTokens(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), model.merges))
+
+  /** Subword token COUNT under a frozen model — the drop-in
+    * replacement for [[tokenCount]] wherever a budget should be
+    * denominated in subword tokens ([[packShards]]' `tokenCol`). */
+  def bpeTokenCount(text: Column, model: BpeModel): Column =
+    size(bpeTokens(text, model)).cast("long")
+
+  /** Tokenize a frame: adds `outCol: array<string>` (refuses an
+    * existing column — the family convention). */
+  def tokenizeBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+      model: BpeModel, outCol: String = "bpe_tokens"): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input frame")
+    df.withColumn(outCol, bpeTokens(col(textCol), model))
+  }
+
+  /**
    * Score a corpus against a FROZEN [[UnigramLm]] — [[lmScore]]'s
    * `Across` variant, completing the family convention (dedup,
    * decontamination, and paragraph dedup all score new data against a
