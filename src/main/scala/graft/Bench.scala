@@ -116,7 +116,25 @@ object Bench {
       (if (calibRuns > 0)
         "; pass_totals + per-pass q6_filter calibration expose degraded-box runs"
       else "; calibration skipped under SPARK_GRAFT_ONLY")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"calibration":$calib,"sf":"$sfDir","method":"$method"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"calibration":$calib,"sf":"$sfDir","method":"$method"}"""
+    // The complete line first — for full logs. It is ~3.3 kB at the
+    // current query count, so a harness that keeps only the LAST 2000
+    // stdout chars cannot hold it (the r10/r11 truncation): persist the
+    // complete JSON to a repo file as well, and make the FINAL stdout
+    // line a compact, fully-parseable summary that fits a 2000-char
+    // tail with room for the sbt epilogue — top-20 slowest queries
+    // inline (the plan-audit set), the rest in the file.
+    println(fullJson)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n"): Unit
+    catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e") }
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val top = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(20)
+    val topJson = top.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val passTotals3 = samples.map(s => r3(s.values.filter(_ >= 0.0).sum))
+      .mkString("[", ",", "]")
+    val calib3 = calibration.map(_.map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topJson,"queries_omitted":${results.size - top.size},"queries_full":"$outPath","failed":$failedJson,"pass_totals":$passTotals3,"calibration":$calib3,"sf":"$sfDir","method":"top-20 slowest inline, full per-query map + methodology in $outPath (same run)"}""")
     spark.stop()
   }
 }
