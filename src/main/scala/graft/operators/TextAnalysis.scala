@@ -876,10 +876,12 @@ object TextAnalysis {
    * `nBuckets` — the tag cost is O(1) in it — until the largest
    * bucket's window fits a task.
    *
-   * The operator scans its input THREE times (key-range pass, bucket
-   * sums pass, the final plan) — at the end of an expensive lazy
-   * chain, materialize the input first (`localCheckpoint`/`cache`) or
-   * the chain re-executes per scan.
+   * The operator runs TWO jobs over its input: one eager pruned
+   * aggregate (range bounds + validation + token total) and the final
+   * plan, whose offsets branch — the per-bucket sums — executes inside
+   * the same job as the assignment branch. At the end of an expensive
+   * lazy chain, materialize the input first (`localCheckpoint`/`cache`)
+   * or the chain re-executes per branch.
    *
    * Preconditions (the [[Dedup.dedupParagraphs]] id convention):
    * `orderCol` must be NUMERIC (range cuts come from quantiles),
@@ -920,10 +922,27 @@ object TextAnalysis {
       s"orderCol '$orderCol' must be numeric (uniform range bucketing), " +
         s"got ${df.schema(orderCol).dataType.simpleString}")
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    import spark.implicits._
-    val mm = df.agg(min(col(orderCol).cast("double")),
-      max(col(orderCol).cast("double")), count(lit(1))).head()
+    // ONE eager pass (pruned to orderCol + tokenCol): range bounds,
+    // row count, the token total (the returned end offset), and EVERY
+    // precondition — null/negative tokens, null/duplicate order keys —
+    // folded into a single global aggregate. (Round 12: this absorbs
+    // what used to be a separate per-bucket validation pass; the
+    // per-bucket sums the offsets need moved INTO the final plan, so
+    // the operator runs two jobs over its input instead of three. The
+    // range genuinely must precede the bucket tag — the tag is a
+    // function of (lo, hi) — so the remaining alternative, sampled
+    // bounds, was rejected: a prefix-biased sample on sorted keys
+    // clamps most of the corpus into the last bucket and recreates
+    // the single-giant-window failure the buckets exist to prevent.)
+    val mm = df.agg(
+      min(col(orderCol).cast("double")), // 0: lo
+      max(col(orderCol).cast("double")), // 1: hi
+      count(lit(1)), // 2: n
+      sum(when(col(tokenCol).isNull || col(tokenCol) < 0, 1L).otherwise(0L)), // 3: bad
+      sum(col(tokenCol).cast("long")), // 4: token total (refused if bad > 0)
+      count(col(orderCol)), // 5: non-null order keys
+      countDistinct(col(orderCol)) // 6: distinct order keys
+    ).head()
     // distinguish EMPTY (fine: nothing to pack) from ALL-NULL keys
     // (refuse — the empty early-return must not swallow the non-null
     // precondition and silently drop a whole frame/micro-batch)
@@ -932,6 +951,12 @@ object TextAnalysis {
         "(the exclusive cumsum needs a total order)")
     if (mm.isNullAt(0))
       return (df.withColumn(outCol, lit(null).cast("long")).where(lit(false)), startOffset)
+    require(mm.getLong(3) == 0L,
+      s"packShards: ${mm.getLong(3)} null/negative values in token column '$tokenCol'")
+    require(mm.getLong(6) == mm.getLong(5) && mm.getLong(5) == mm.getLong(2),
+      s"packShards: order column '$orderCol' must be non-null and unique " +
+        "(the exclusive cumsum needs a total order)")
+    val end = startOffset + mm.getLong(4)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     // uniform-width monotone tag; the clamp covers v == max landing on
     // the open edge. Width divides ONCE on the driver; the per-row tag
@@ -942,25 +967,18 @@ object TextAnalysis {
         floor((col(orderCol).cast("double") - lit(lo)) *
           lit(nBuckets.toDouble / (hi - lo + 1.0))).cast("int")))
     val tagged = df.withColumn("__bk", bucket)
-    val stats = tagged.groupBy("__bk")
-      .agg(sum(tokenCol).as("__s"),
-        sum(when(col(tokenCol).isNull || col(tokenCol) < 0, 1L).otherwise(0L)).as("__bad"),
-        count(lit(1)).as("__n"),
-        count(col(orderCol)).as("__nOrd"),
-        countDistinct(col(orderCol)).as("__nDist"))
-      .collect()
-    stats.foreach { r =>
-      require(r.getLong(2) == 0L,
-        s"packShards: ${r.getLong(2)} null/negative values in token column '$tokenCol'")
-      require(r.getLong(5) == r.getLong(4) && r.getLong(4) == r.getLong(3),
-        s"packShards: order column '$orderCol' must be non-null and unique " +
-          "(the exclusive cumsum needs a total order)")
-    }
-    val (end, offs) = stats.sortBy(_.getInt(0))
-      .foldLeft((startOffset, List.empty[(Int, Long)])) {
-        case ((acc, out), r) => (acc + r.getLong(1), (r.getInt(0), acc) :: out)
-      }
-    val offsets = offs.toDF("__bk", "__off")
+    // Per-bucket offsets IN-PLAN (no separate eager pass, no driver
+    // collect): a map-side-combined per-bucket sum — pruned to two
+    // columns at the scan — then a running sum over its ≤ nBuckets
+    // aggregate rows (a single-task window over a tiny frame, not
+    // over the corpus) gives each bucket the token mass of all
+    // preceding buckets; broadcast-joined back onto the tagged rows.
+    // Both branches execute inside the ONE final job.
+    val offsets = tagged.groupBy("__bk").agg(sum(col(tokenCol)).as("__s"))
+      .withColumn("__off", lit(startOffset) + coalesce(
+        sum(col("__s")).over(Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__off"))
     val cum0 = coalesce(sum(col(tokenCol)).over(
       Window.partitionBy(col("__bk")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
