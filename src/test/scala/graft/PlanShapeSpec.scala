@@ -152,13 +152,32 @@ class PlanShapeSpec extends AnyFunSuite {
   test("shard packing windows per bucket and broadcasts the offsets — no global single-partition sort") {
     // the two-level prefix sum's contract: the window partitions by
     // the bucket tag (bounded tasks), the per-bucket offsets ride a
-    // broadcast join, and nothing plans the naive global window
-    // (which Spark spells as an Exchange SinglePartition)
+    // broadcast join, and the CORPUS never plans the naive global
+    // window (which Spark spells as an Exchange SinglePartition).
+    // Round 12 moved the offsets computation in-plan: its running sum
+    // over the ≤ nBuckets aggregate rows legitimately collapses to a
+    // single partition — but only INSIDE the broadcast subtree, above
+    // the per-bucket aggregate, never over corpus rows. Operators
+    // print top-down with the broadcast branch last, so every
+    // SinglePartition occurrence must sit after the BroadcastExchange
+    // and after the per-bucket partial aggregation that bounds it.
     val p = plan("pack_shards")
     assert(p.contains("BroadcastHashJoin"),
       s"bucket offsets no longer broadcast:\n$p")
-    assert(!p.contains("SinglePartition"),
-      s"a single-partition exchange means the naive global window came back:\n$p")
+    val bcast = p.indexOf("BroadcastExchange")
+    assert(bcast >= 0, s"offsets subtree lost its broadcast:\n$p")
+    var i = p.indexOf("SinglePartition")
+    while (i >= 0) {
+      assert(i > bcast,
+        s"a single-partition exchange outside the tiny offsets subtree " +
+          s"means the naive global window came back:\n$p")
+      i = p.indexOf("SinglePartition", i + 1)
+    }
+    // and the offsets subtree really aggregates before collapsing: the
+    // single partition holds bucket sums, not corpus rows
+    if (p.contains("SinglePartition"))
+      assert(p.indexOf("HashAggregate", bcast) >= 0,
+        s"offsets branch must aggregate per bucket before its tiny window:\n$p")
   }
 
   test("per-key cap is one hash shuffle on the key and a counting window — nothing else") {
