@@ -1076,35 +1076,45 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val q = df.where(col(scoreCol).isNotNull && col(groupCol).isNotNull)
       .withColumn("__q", round(col(scoreCol), quantizeDp))
-    // Lazy localCheckpoint (the Dedup multi-consumer convention): the
-    // guard's eager pre-check below and the cumulative-fraction window
-    // both consume `counts`. Un-cut, the guard job would re-run the
-    // input's ENTIRE upstream lineage a second time — measured 1.5× on
-    // the composed pipeline (dedup→decon→lmScore ran twice). The cut
-    // frame is small by contract: distinct (group, quantized score)
-    // rows, which the guard itself bounds at maxDistinctPerGroup per
-    // group. Guard off (maxDistinctPerGroup = Long.MaxValue) means one
-    // consumer — no cut needed, and none of its memory pinning.
-    val counts0 = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
-    val counts =
-      if (maxDistinctPerGroup < Long.MaxValue) counts0.localCheckpoint(false)
-      else counts0
-    if (maxDistinctPerGroup < Long.MaxValue) {
-      val over = counts.groupBy(col(groupCol))
-        .agg(count(lit(1)).as("__nq")).where(col("__nq") > maxDistinctPerGroup)
-        .select(col(groupCol).cast("string"), col("__nq")).limit(1).collect()
-      require(over.isEmpty,
-        s"$op: group '${over.head.getString(0)}' has ${over.head.getLong(1)} " +
-          s"distinct scores at quantizeDp=$quantizeDp, over maxDistinctPerGroup=" +
-          s"$maxDistinctPerGroup — its quantile window would buffer that entire frame " +
-          "in one task; lower quantizeDp (the distinct count is then bounded by the " +
-          "score range, not the corpus) or raise the cap deliberately")
-    }
-    val frac = counts
+    val counts = q.groupBy(col(groupCol), col("__q")).agg(count(lit(1)).as("__c"))
+    // The guard rides IN-PLAN (round 12, replacing the r10 eager
+    // pre-check + lazy localCheckpoint): a per-group row count over
+    // the SAME window partitioning the fraction already shuffles on
+    // (no extra exchange), raise_error on the first over-cap row. Why
+    // in-plan matters: the eager check was its own job, so the
+    // expensive upstream lineage (dedup→decon→lmScore in the
+    // composed pipeline) executed once for the check's materialization
+    // and AGAIN in the final action — cross-job exchange reuse does
+    // not exist. In ONE job, both consumers of the scored frame sit
+    // under one plan and Catalyst reuses its final exchange
+    // (ReusedExchange), which is the single-job shape this operator
+    // had before the guard. Refusal semantics are unchanged in
+    // content (same message, naming quantizeDp and the group) but
+    // surface at ACTION time as Spark's USER_RAISED_EXCEPTION —
+    // the quantile window that would have buffered the oversized
+    // group never runs, because the error is evaluated on the counts
+    // frame the window reads.
+    val frac0 =
+      if (maxDistinctPerGroup < Long.MaxValue) {
+        val nq = count(lit(1)).over(Window.partitionBy(groupCol))
+        val msg = concat(
+          lit(s"$op: group '"), col(groupCol).cast("string"),
+          lit(s"' has "), nq.cast("string"),
+          lit(s" distinct scores at quantizeDp=$quantizeDp, over " +
+            s"maxDistinctPerGroup=$maxDistinctPerGroup — its quantile window " +
+            "would buffer that entire frame in one task; lower quantizeDp " +
+            "(the distinct count is then bounded by the score range, not the " +
+            "corpus) or raise the cap deliberately"))
+        counts.withColumn("__f_guard",
+          when(nq > maxDistinctPerGroup, raise_error(msg).cast("double"))
+            .otherwise(lit(0.0)))
+      } else counts.withColumn("__f_guard", lit(0.0))
+    val frac = frac0
       .withColumn("__f",
         sum("__c").over(Window.partitionBy(groupCol).orderBy("__q"))
           .cast("double") /
-        sum("__c").over(Window.partitionBy(groupCol)))
+        sum("__c").over(Window.partitionBy(groupCol)) + col("__f_guard"))
+      .drop("__f_guard")
     (q, frac)
   }
 

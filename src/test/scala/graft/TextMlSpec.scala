@@ -363,11 +363,17 @@ class TextMlSpec extends AnyFunSuite {
     // per-group window would buffer the whole corpus → refuse; at dp=3
     // the quantized domain collapses to ≤ 3 values → pass
     val df = (0L until 2000L).map(i => (i, i * 1e-6, "en")).toDF("id", "score", "lang")
-    val err = intercept[IllegalArgumentException] {
+    // the guard rides in-plan (round 12: one job, no separate check
+    // pass), so the refusal surfaces at ACTION time via raise_error
+    val err = intercept[Exception] {
       TextAnalysis.qualityBuckets(df, "score", "lang", maxDistinctPerGroup = 1000L)
+        .collect()
     }
-    assert(err.getMessage.contains("quantizeDp") && err.getMessage.contains("en"),
-      s"refusal must name the knob and the group: ${err.getMessage}")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    val all = chain(err)
+    assert(all.contains("quantizeDp") && all.contains("en"),
+      s"refusal must name the knob and the group: $all")
     val ok = TextAnalysis.qualityBuckets(df, "score", "lang",
       quantizeDp = 3, maxDistinctPerGroup = 1000L)
     assert(ok.count() == 2000L)
