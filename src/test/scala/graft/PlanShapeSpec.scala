@@ -214,4 +214,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "no corpus exchange may run under the image-query top-k")
     assert(!belowTopK.contains("Sort"), "no sort may run under the top-k")
   }
+
+  test("IVFADC search is a filtered coded scan under TakeOrderedAndProject — no shuffle, no decode") {
+    // the composed serving shape: probe cells driver-side, then ONE
+    // job — cell filter → ADC scoring expression → bounded-heap top-k.
+    // No exchange of the coded corpus, no window, and the embedding
+    // column must not appear anywhere (vectors dropped at build)
+    val p = plan("ann_ivfpq_exact")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"IVFADC must rank through the bounded-heap top-k:\n$p")
+    val belowTopK = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!belowTopK.contains("Exchange"),
+      s"no coded-corpus exchange may run under the IVFADC top-k:\n$p")
+    assert(p.contains("pq_adc_dot") || p.contains("PqAdcDot"),
+      s"scoring must go through the ADC table-lookup expression:\n$p")
+    // the probe filter survives to the scan: either as a filter on a
+    // materialized cell column ("cell IN"/"cell#... INSET", the saved
+    // cell-partitioned layout) or — on the lazy build lineage —
+    // Catalyst inlines the quantizer and pushes the probe set as an
+    // INSET data filter directly over the scan, which is stronger
+    assert(p.contains("cell IN") || p.contains(" INSET "),
+      s"the probe filter must be in the plan:\n$p")
+  }
 }
