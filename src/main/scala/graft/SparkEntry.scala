@@ -1572,6 +1572,28 @@ object SparkEntry {
           .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", "doc_id", budgetTokens = 2000, nBuckets = 16)
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 12): token-budget packing in DETERMINISTIC
+    // SHUFFLED order — the training-order variant. Sequential-id fill
+    // order packs each shard with temporally/topically adjacent
+    // documents (ids correlate with crawl order); a training run wants
+    // shards drawn ~uniformly from the corpus. The fill order here is
+    // the md5 permutation of doc ids (the hashSampleBy/capPerKey
+    // convention — a pure function of the data, reproducible by any
+    // engine), materialized as a 60-bit numeric key (15 hex chars →
+    // long) so packShards' total-order contract holds. Collisions
+    // (~n²/2⁶¹) REFUSE loudly via packShards' uniqueness check rather
+    // than mis-assign. The oracle replays the same permutation with
+    // the naive global window.
+    "pack_shards_shuffled" -> ((s, d) =>
+      TextAnalysis.packShards(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("__ord",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long")),
+        "n_tokens", "__ord", budgetTokens = 2000, nBuckets = 16)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy(col("doc_id"))),
     // §2.3 T ⊕ GOLDEN (round 12): BPE subword tokenization against a
     // FROZEN merge table (Sennrich et al. 2016; frozen-artifact
     // family like the unigram LM). Fit is a pure function of the
@@ -2823,6 +2845,27 @@ object SparkEntry {
            |  SELECT doc_id, n_tokens,
            |         CAST(coalesce(sum(n_tokens) OVER (
            |           ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cum0
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |       CAST(floor(cum0 * 1.0 / 2000) AS BIGINT) AS shard
+           |FROM c ORDER BY doc_id""".stripMargin,
+      // same naive-global-window replay, fill order = the md5
+      // permutation (15 hex chars cast to a 60-bit integer on both
+      // engines — identical md5 input strings, identical prefix)
+      "pack_shards_shuffled" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT)
+           |           AS n_tokens,
+           |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |           AS BIGINT) AS ord
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (
+           |           ORDER BY ord
            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |           AS BIGINT) AS cum0
            |  FROM t)
