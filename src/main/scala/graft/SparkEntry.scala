@@ -1768,6 +1768,35 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED persistence (round 12): save → load → search
+    // the PERSISTED IVFADC index — the full at-rest serving story in
+    // one row: the saved layout is cell-partitioned parquet of PQ
+    // CODES (vectors don't exist on disk; probe filters prune FILES of
+    // m-byte codes), and at nprobe = nlist with the lossless codebook
+    // the reloaded search provably serves the exact brute-force
+    // result, sharing nearest_cosine's oracle. Same
+    // fingerprint-staleness discipline as ann_ivf_persisted.
+    "ann_ivfpq_persisted" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_ivfpq_persisted fingerprints $src (driver fixtures are single " +
+          "parquet files); for other layouts use IvfPqIndex.save/load directly")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base = s"graft_ivfpq_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
+      if (!new java.io.File(s"$path/_ivfpq.json").exists()) ivfPqFor(s, d).save(path)
+      val idx = IvfPqIndex.load(s, path)
+      require(idx.model.lossless,
+        "ann_ivfpq_persisted requires the lossless codebook degenerate — corpus outgrew maxTrain")
+      idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 J at scale: IVF BATCH search — a whole table of queries, no
     // per-query driver round-trip (rows-only; equality spec vs search())
     "ann_ivf_batch" -> ((s, d) => {
@@ -2386,6 +2415,14 @@ object SparkEntry {
       // degenerates compose to the exact brute-force result — shares
       // the nearest_cosine oracle
       "ann_ivfpq_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the PERSISTED cell-partitioned CODES layout must serve the
+      // same exact result after save → load
+      "ann_ivfpq_persisted" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s
