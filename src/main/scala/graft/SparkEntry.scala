@@ -1797,6 +1797,27 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED batch anchor (round 12): IVFADC for a whole
+    // TABLE of queries — the plan is ann_ivf_batch_exact's (broadcast
+    // probes → cell join → bounded-heap top-k) but the corpus side of
+    // the join carries m-byte CODES instead of 4d-byte vectors (the
+    // ~16× shuffle-byte cut that makes million-query batches viable),
+    // scored per (query, code) pair by indexing the codebooks
+    // (PqQueryDot). At nprobe = nlist with the lossless codebook it
+    // provably equals the exact k-NN join — same queries and k as
+    // simjoin_knn, sharing that oracle.
+    "ann_ivfpq_batch_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_ivfpq_batch_exact requires the lossless codebook degenerate — corpus outgrew maxTrain")
+      idx.searchMany(q, "query_id", "qe", "vec_id", k = 3,
+          nprobe = idx.centroidVectors.length)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
     // §2.3 J at scale: IVF BATCH search — a whole table of queries, no
     // per-query driver round-trip (rows-only; equality spec vs search())
     "ann_ivf_batch" -> ((s, d) => {
@@ -2467,6 +2488,10 @@ object SparkEntry {
       // streaming drain of the heap k-NN join against the static
       // corpus — per-batch == batch, so the oracle is shared
       "simjoin_knn_stream" -> oracleSqlKnn,
+      // IVFADC batch search at nprobe = nlist + lossless codebook:
+      // every cell joined, codes reconstruct exactly — provably the
+      // exact k-NN join, same queries and k, same oracle
+      "ann_ivfpq_batch_exact" -> oracleSqlKnn,
       "ann_ivf_batch_exact" -> oracleSqlKnn,
       "neardup_embedding" -> neardupEmbeddingSql(""),
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -90,7 +90,78 @@ case class PqAdcDot(child: Expression, m: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Σ_j ⟨q_j, codeword_j(code_j)⟩ for a PER-ROW query vector — the
+  * batch-search form of [[PqAdcDot]]: with a TABLE of queries there is
+  * no single driver-side dot table to share, so each (query, code)
+  * pair scores by indexing the codebooks directly. Same FLOPs as a
+  * full-vector dot (m·sub = d multiplies) — the batch win is BYTES,
+  * not FLOPs: candidates carry m-byte codes through the cell join and
+  * shuffle instead of 4d-byte vectors. */
+case class PqQueryDot(left: Expression, right: Expression, m: Int, sub: Int,
+    codebooks: Array[Float], offsets: Array[Int], codeBytes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_query_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_query_dot requires (binary codes, array<float> query), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    java.lang.Double.valueOf(PqCodec.queryDot(
+      codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData],
+      m, sub, codebooks, offsets, codeBytes))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    val off = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.expressions.PqCodec.queryDot($c, $q, $m, $sub, $cb, $off, $codeBytes);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object PqCodec {
+
+  /** The [[PqQueryDot]] kernel, callable from generated Java. */
+  def queryDot(codes: Array[Byte], q: ArrayData, m: Int, sub: Int,
+      codebooks: Array[Float], offsets: Array[Int], codeBytes: Int): Double = {
+    if (codes.length != m * codeBytes)
+      throw new IllegalArgumentException(
+        s"pq_query_dot: code value has ${codes.length} bytes, model expects ${m * codeBytes} " +
+          "— was this frame encoded with a different model?")
+    if (q.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"pq_query_dot: query has ${q.numElements()} elements, model expects ${m * sub}")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c =
+        if (codeBytes == 1) codes(j) & 0xFF
+        else ((codes(2 * j) & 0xFF) << 8) | (codes(2 * j + 1) & 0xFF)
+      val kj = (if (j + 1 < m) offsets(j + 1) else codebooks.length / sub) - offsets(j)
+      if (c >= kj)
+        throw new IllegalArgumentException(
+          s"pq_query_dot: code $c out of range [0, $kj) in subspace $j " +
+            "— codes and codebooks are from different models")
+      val cw = (offsets(j) + c) * sub
+      val base = j * sub
+      var i = 0
+      while (i < sub) {
+        s += q.getFloat(base + i).toDouble * codebooks(cw + i)
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
   /** One pass: per-subspace nearest-codeword assignment (L2, ties to
     * the lowest index) + the full-vector norm, packed into
     * m·codeBytes bytes (big-endian when codeBytes = 2). `offsets(j)`

@@ -69,6 +69,58 @@ class IvfPqIndex private (
       queryVec, k, model, codesCol, normCol, simCol, tieBreakers)
   }
 
+  /**
+   * Batch ANN over the coded corpus: top-k for a whole TABLE of
+   * queries, fully distributed — [[IvfIndex.searchMany]]'s plan shape
+   * (broadcast-score queries × centroids → per-query top-nprobe cells
+   * → explode → join corpus ON CELL → score → bounded-heap top-k per
+   * query) with one structural difference that is the point: the
+   * corpus side of the cell join carries m·codeBytes-byte CODES, not
+   * 4d-byte vectors, so the join/shuffle bytes drop ~16× at d=64/m=8.
+   * Scoring indexes the codebooks per (query, code) pair
+   * ([[graft.expressions.PqQueryDot]] — same FLOPs as a full dot; the
+   * batch win is bytes). Same zero-norm/NULL → score-0 rule as
+   * [[PqIndex.search]]; at nprobe = nlist with a lossless codebook
+   * this provably equals the exact k-NN join.
+   */
+  def searchMany(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, k: Int, nprobe: Int = 4,
+      simCol: String = "similarity"): DataFrame = {
+    import graft.functions.TopKScored
+    import graft.functions.vectors
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = encoded.schema(corpusIdCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"searchMany buffers corpus ids as long, but '$corpusIdCol' is ${idType.simpleString}")
+    val cellScores = centroids.crossJoin(broadcast(queries))
+      .select(col(queryIdCol), col("cell").cast("long").as("cell"),
+        vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))
+    val probes = cellScores
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
+      .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
+      .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+    val candidates = encoded
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queries), Seq(queryIdCol))
+    val dot = ColumnBridge.column(graft.expressions.PqQueryDot(
+      ColumnBridge.expression(col(codesCol)),
+      ColumnBridge.expression(col(queryEmbCol)),
+      model.m, model.sub, model.flatCodewords, model.offsets, model.codeBytes))
+    val qnorm = vectors.vector_norm(col(queryEmbCol))
+    val sim = coalesce(
+      when(col(normCol) === 0.0 || qnorm === 0.0, lit(0.0))
+        .otherwise(dot / (qnorm * col(normCol))), lit(0.0))
+    candidates
+      .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol),
+        sim.as(simCol))
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(k)(col(simCol), col(corpusIdCol)).as("__topk"))
+      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
+  }
+
   /** Persist the whole index: cell-partitioned coded data (probe
     * filters prune FILES — and each file holds codes, not vectors),
     * centroid table, PQ codebooks (the [[PqIndex.save]] frozen-artifact

@@ -74,6 +74,29 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(survivors > 0, "the query's own cell cannot be empty")
   }
 
+  test("searchMany agrees with per-query search at the same nprobe (lossy config)") {
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 16)
+    val queries = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val many = idx.searchMany(queries, "query_id", "qe", "vec_id", k = 5, nprobe = 2)
+      .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = (0L until 6L).flatMap { qid =>
+      val q = df.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 2, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    // id+score sets must agree (tie ORDER may differ between the
+    // bounded-heap aggregate and the sort — scores decide)
+    assert(many.map(t => (t._1, t._3)).groupBy(_._1) ==
+      single.map(t => (t._1, t._3)).groupBy(_._1),
+      s"per-query score multisets diverge:\n$many\n$single")
+    assert(many == single, s"searchMany != per-query search:\n$many\n$single")
+  }
+
   test("save → load round-trips: the persisted cell-partitioned layout serves identical results") {
     val df = fixture
     val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
