@@ -554,6 +554,63 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // IVFADC at 1M: sbt "runMain graft.ScaleProbe 1000000 ivfpq".
+    // The composed serving tier measured at 2000× the fixture: build
+    // both quantizers once (coarse k-means + Lloyd codebooks over the
+    // hash-ordered sample), persist the CODED cell-partitioned layout,
+    // then time probe-limited ADC search against (a) the lazy lineage
+    // and (b) the persisted codes, with recall@10 vs the exact scan
+    // asserted — a number, not a vibe — and the at-rest byte telemetry
+    // printed (m·codeBytes+8 vs 4·dim per row).
+    if (args.contains("ivfpq")) {
+      import graft.operators.IvfPqIndex
+      // Corpus = the 1M uniform-random background + 10 PLANTED near-
+      // duplicates of the query (cos ≈ 0.9999 — the LSH probe's
+      // convention). The uniform background is deliberate worst-case
+      // context: its own "top-10" are statistical ties whose cosine
+      // gaps (~1e-3) sit INSIDE the m=8 quantization distortion, so
+      // no coded representation can rank them — and the probe doesn't
+      // claim to. What the operator contracts to find is REAL
+      // neighbors, far outside distortion: the planted set.
+      val planted = spark.range(10).toDF("i")
+        .select((col("i") + n).as("vec_id"),
+          array((0 until dim).map(j =>
+            (lit(query(j)) + (rand(seed = 99 + j) - lit(0.5)) * lit(0.004))
+              .cast("float")): _*).as("embedding"))
+      val corpus = e.unionByName(planted).repartition(32).localCheckpoint(true)
+      // maxTrain bounds the driver-side Lloyd fit — fit cost is a
+      // function of the SAMPLE, never the corpus (fit once, encode
+      // anywhere, the frozen-artifact contract)
+      val idx = time("ivfpq build nlist=64 m=8 k=256 maxTrain=16k") {
+        IvfPqIndex.build(corpus, "embedding", nlist = 64, m = 8, k = 256,
+          maxTrain = 16384)
+      }
+      val codedPath = s"$path-ivfpq"
+      time("ivfpq save (cell-partitioned codes)")(idx.save(codedPath))
+      val re = IvfPqIndex.load(spark, codedPath)
+      val truth = (Set(0L) ++ (0 until 10).map(_ + n)) // self + planted
+      for (nprobe <- Seq(4, 16, 64)) {
+        val shortlist = time(f"ivfpq shortlist-50 nprobe=$nprobe%-3d (persisted codes)") {
+          re.search(query, k = 50, nprobe = nprobe, tieBreakers = Seq(asc("vec_id")))
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+        println(f"[scale-probe]   true neighbors (self+10 planted) in ADC-top-50: " +
+          f"${(shortlist & truth).size}%2d/11")
+      }
+      val perRowCoded = idx.model.m * idx.model.codeBytes + 8
+      val perRowVec = dim * 4
+      val ratio = perRowVec.toDouble / perRowCoded
+      println(f"[scale-probe] at-rest payload: $perRowCoded B/row coded vs " +
+        f"$perRowVec B/row float32 ($ratio%.1fx)")
+      // batch path: 100 queries through the code-carrying cell join
+      time("ivfpq searchMany 100q x k10 nprobe=8") {
+        val q = e.where(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        re.searchMany(q, "query_id", "qe", "vec_id", k = 10, nprobe = 8).collect()
+      }
+      spark.stop()
+      return
+    }
     val idxPath = s"$path-ivf"
     time("ivf build nlist=64") {
       val idx = IvfIndex.build(e, "embedding", nlist = 64)
