@@ -907,7 +907,14 @@ object SparkEntry {
     // cut → mix → split.
     "pipeline_pretrain_full" -> ((s, d) => {
       val (_, _, _, shipped) = pretrainChain(s, d)
-      TextAnalysis.sampleTemperature(shipped(), "doc_id", "lang", targetRows = 100)
+      // lazy localCheckpoint: sampleTemperature's per-domain count
+      // collect is its own job, and cross-job exchange reuse doesn't
+      // exist — un-cut, the dedup→decon→score→cut chain would execute
+      // once for the counts and AGAIN in the final action. The shipped
+      // frame is the pipeline's OUTPUT subset (4 narrow columns), the
+      // standard thing to materialize before a multi-consumer tail.
+      val sh = shipped().localCheckpoint(false)
+      TextAnalysis.sampleTemperature(sh, "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .orderBy(col("doc_id"))
     }),
@@ -919,7 +926,10 @@ object SparkEntry {
     // naive global window over the same replayed chain.
     "pipeline_pretrain_packed" -> ((s, d) => {
       val (dd, _, _, shipped) = pretrainChain(s, d)
-      val train = TextAnalysis.sampleTemperature(shipped(), "doc_id", "lang", targetRows = 100)
+      // same lazy cut as pipeline_pretrain_full: the temperature
+      // sampler's count job must not re-execute the six-stage chain
+      val train = TextAnalysis.sampleTemperature(
+        shipped().localCheckpoint(false), "doc_id", "lang", targetRows = 100)
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
         .where(col("split") === "train")
         .join(dd.select(col("doc_id"),
