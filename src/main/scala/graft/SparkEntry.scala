@@ -955,7 +955,11 @@ object SparkEntry {
     // pipeline_pretrain oracle verbatim; the multi-batch carry of
     // store + model is PretrainStreamSpec's.
     "pipeline_pretrain_stream" -> ((s, d) => {
-      val (_, evalSet, cleanRef, _) = pretrainChain(s, d)
+      val (_, evalSet, cleanRef0, _) = pretrainChain(s, d)
+      // lazy cut: the cleaned reference corpus feeds THREE separate
+      // fit jobs (unigram counts, the scoring join, the boundary
+      // quantiles) — un-cut, each re-executes the dedup→decon lineage
+      val cleanRef = cleanRef0.localCheckpoint(false)
       val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
       val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
         .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
