@@ -1052,6 +1052,31 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ⊕ GOLDEN (round 12): LM scoring over SUBWORD tokens — the
+    // CCNet production pairing (SentencePiece units under the KenLM)
+    // re-expressed with the frozen BPE table: tokenize with the merge
+    // table, rejoin with single spaces (BPE tokens are whitespace-free
+    // by construction — they come FROM whitespace-split words — so the
+    // LM's pinned tokenizer recovers them EXACTLY; lowercasing is
+    // idempotent), and run the UNCHANGED oracled lmScoreAgainst
+    // machinery over the subword stream. Zero new scoring code: the
+    // composition is two already-anchored operators, and every lm_nll
+    // property (integer micro-nat quantization, OOV closed form)
+    // carries over to subword units. DuckDB cannot apply ranked
+    // merges, so the row pins committed goldens (the bpe_tokens_anchor
+    // class); the frozen split pattern matches the unigram frozen row.
+    "quality_lm_score_bpe_anchor" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bpe = bpeFor(s, d, numMerges = 24)
+      val sub = docs.withColumn("bpe_text",
+        concat_ws(" ", TextAnalysis.bpeTokens(col("text"), bpe)))
+      val model = TextAnalysis.fitUnigramLm(sub.where(col("doc_id") % 7 === 0), "bpe_text")
+      TextAnalysis.lmScoreAgainst(
+          sub.where(col("doc_id") % 7 =!= 0 && col("doc_id") < 9), model,
+          "bpe_text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("lm_nll"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 10): FROZEN interpolated BIGRAM scoring —
     // one modeling step toward CCNet's 5-gram KenLM: λ·ML-bigram
     // backed off onto (1−λ)·add-one unigram, every probability a
@@ -3289,6 +3314,20 @@ object SparkEntry {
           |  (3, 103, 'w in d ow</w> m er g e</w>'),
           |  (4, 169, 'd at a</w> q u er y</w> s')
           |) AS t(doc_id, n_toks, head) ORDER BY doc_id""".stripMargin,
+      // subword-LM composition goldens: the frozen BPE tokenization
+      // under the UNCHANGED oracled lmScoreAgainst machinery; n_toks
+      // agree with bpe_tokens_anchor's counts where the rows overlap
+      // (doc 1 = 277), pinning the two anchors to one tokenization
+      "quality_lm_score_bpe_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(277 AS BIGINT), CAST(3.571282 AS DOUBLE)),
+          |  (2, 181, CAST(3.476434 AS DOUBLE)),
+          |  (3, 103, CAST(3.5183 AS DOUBLE)),
+          |  (4, 169, CAST(3.569844 AS DOUBLE)),
+          |  (5, 221, CAST(3.53297 AS DOUBLE)),
+          |  (6, 58, CAST(3.409334 AS DOUBLE)),
+          |  (8, 324, CAST(3.52604 AS DOUBLE))
+          |) AS t(doc_id, n_toks, lm_nll) ORDER BY doc_id""".stripMargin,
       // streaming embed-on-arrival applies the same pure per-row
       // kernel — shares the committed goldens verbatim
       "embed_hashing_stream" -> oracleSqlEmbedHashingGoldens,
