@@ -80,6 +80,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("astral code points stay whole symbols — a surrogate pair never splits") {
+    // U+1F600 is two UTF-16 chars; per-char splitting would produce
+    // unpaired surrogates (invalid strings) and merges over halves
+    val emoji = new String(Character.toChars(0x1F600))
+    val model = TextAnalysis.BpeModel(Seq(s"a $emoji"))
+    val toks = Seq(s"a${emoji}b").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), model).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq(s"a$emoji", "b", "</w>"), s"got $toks")
+    assert(toks.forall(t => !t.exists(c =>
+      Character.isSurrogate(c) && t.count(Character.isSurrogate) % 2 == 1)),
+      "no token may carry an unpaired surrogate")
+  }
+
   test("null text tokenizes to null; empty text to zero tokens") {
     val model = TextAnalysis.BpeModel(Seq("a b"))
     val got = Seq(Some("ab a"), None, Some("")).toDF("text")
