@@ -34,9 +34,12 @@ object Tables {
     *    — the fixture's wall-times are UTC instants, so reinterpret
     *    the NTZ wall-clock as UTC explicitly: shift it to the session
     *    zone's wall-clock for the same instant, then cast. Correct
-    *    under ANY session timezone — a bare `cast(ts as timestamp)`
+    *    under any session timezone — a bare `cast(ts as timestamp)`
     *    would silently reinterpret the wall-time in whatever zone a
-    *    non-UTC launcher happened to run with.
+    *    non-UTC launcher happened to run with. (One residual edge: a
+    *    DST-observing session zone has one ambiguous wall-hour per
+    *    year where the final cast may pick the other offset; every
+    *    shipped launcher pins UTC, where no ambiguity exists.)
     */
   def normalizeNanoTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     if (!df.columns.contains(tsCol)) df
