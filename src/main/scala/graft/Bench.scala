@@ -126,15 +126,20 @@ object Bench {
     // inline (the plan-audit set), the rest in the file.
     println(fullJson)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n"): Unit
-    catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e") }
+    // Track the write outcome: a failed write must not leave the
+    // compact tail line advertising a missing/stale file as this run's
+    // (r12 ADVICE) — it points at null instead.
+    val fullWritten =
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n"); true }
+      catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e"); false }
+    val fullRef = if (fullWritten) "\"" + outPath + "\"" else "null"
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val top = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(20)
     val topJson = top.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val passTotals3 = samples.map(s => r3(s.values.filter(_ >= 0.0).sum))
       .mkString("[", ",", "]")
     val calib3 = calibration.map(_.map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topJson,"queries_omitted":${results.size - top.size},"queries_full":"$outPath","failed":$failedJson,"pass_totals":$passTotals3,"calibration":$calib3,"sf":"$sfDir","method":"top-20 slowest inline, full per-query map + methodology in $outPath (same run)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topJson,"queries_omitted":${results.size - top.size},"queries_full":$fullRef,"failed":$failedJson,"pass_totals":$passTotals3,"calibration":$calib3,"sf":"$sfDir","method":"top-20 slowest inline, full per-query map + methodology in ${if (fullWritten) outPath else "(write FAILED — see stderr)"} (same run)"}""")
     spark.stop()
   }
 }

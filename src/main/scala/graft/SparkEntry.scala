@@ -1501,20 +1501,28 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = Tables(s, d, "events").where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // one projection, applied per micro-batch AND to an empty frame
+      // with the enriched schema — the output StructType is fixed by
+      // the select, so derive it statically instead of capturing it in
+      // the first foreachBatch callback (r12 ADVICE: an empty purchase
+      // stream fires no batch and left the captured schema null)
+      def shape(res: DataFrame): DataFrame =
+        res.select(col("event_id").as("purchase_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("click_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          (col("ts").cast("long") - col("asof_ts").cast("long")).as("gap_sec"))
+      val enrichedSchema = purchases.schema
+        .add("asof_event_id", clicks.schema("event_id").dataType)
+        .add("asof_ts", clicks.schema("ts").dataType)
+      val schema = shape(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), enrichedSchema)).schema
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      @volatile var schema: org.apache.spark.sql.types.StructType = null
       val q = StreamOps.asofEnrichPerBatch(purchases, clicks, "user_id", "user_id",
         "ts", "ts", rightPayload = Seq("event_id"), rightTieBreak = "event_id") {
         (res, _) =>
-          val out = res.select(col("event_id").as("purchase_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-            col("asof_event_id").as("click_id"),
-            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-            (col("ts").cast("long") - col("asof_ts").cast("long")).as("gap_sec"))
-          buf.synchronized {
-            if (schema == null) schema = out.schema
-            buf ++= out.collect()
-          }
+          val out = shape(res)
+          buf.synchronized { buf ++= out.collect() }
       }
       try q.processAllAvailable() finally q.stop()
       s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), schema)

@@ -74,7 +74,21 @@ object BpeTokens {
 
   /** End-of-word marker, a separate initial symbol per the paper —
     * merges across it are impossible, and a token ending in it is
-    * word-final. */
+    * word-final.
+    *
+    * KNOWN AMBIGUITY (shared with the paper's reference
+    * implementation, which uses the same literal): input text that
+    * literally contains "</w>" is split into the chars '<','/','w','>'
+    * during pre-tokenization; if the learned merge table happens to
+    * reassemble them, the resulting symbol is indistinguishable from
+    * the marker, and the `replace(Eow, " ")` reconstruction in BpeSpec
+    * is lossy for such input regardless of merges (the joined chars
+    * already spell the marker). The frozen committed artifact was
+    * trained on a corpus with no literal "</w>", so no merge table we
+    * ship can reassemble it; the ambiguity only affects reconstruction
+    * of adversarial INPUT text, not tokenization determinism. We keep
+    * the paper's marker for artifact compatibility rather than
+    * switching to a noncharacter code point. */
   val Eow = "</w>"
 
   /** The kernel, callable from generated Java (static forwarder):

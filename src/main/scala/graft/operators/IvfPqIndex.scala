@@ -166,9 +166,12 @@ object IvfPqIndex {
         .findFirstMatchIn(json).map(_.group(1)).getOrElse(dflt)
     val codesCol = field("codes_column", "pq_codes")
     val normCol = field("norm_column", "emb_norm")
+    // by-name reads (r12 ADVICE): a rewritten/evolved centroids file
+    // with reordered columns must fail by name, not silently misread
+    // by ordinal
     val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toArray)
+      .select("cell", "centroid").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
     val model = PqIndex.load(spark, s"$path/pq")
     new IvfPqIndex(cents, model, spark.read.parquet(s"$path/data"),
       codesCol, normCol)

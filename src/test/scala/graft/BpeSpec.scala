@@ -63,6 +63,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("input literally containing </w> is split to chars — and its reconstruction is documented-lossy") {
+    // r12 ADVICE / BpeTokens.Eow scaladoc: the marker lives in the
+    // text alphabet (the paper's choice), so a literal "</w>" in INPUT
+    // pre-tokenizes to '<','/','w','>' and the joined-token
+    // reconstruction turns it into a space. Pin both halves: (a)
+    // tokenization is deterministic and no SINGLE emitted symbol
+    // equals the marker unless the merge table learned to reassemble
+    // it — an empty table cannot; (b) the lossy reconstruction is
+    // exactly the marker→space substitution, nothing worse.
+    val m = TextAnalysis.BpeModel(Seq.empty)
+    val toks = Seq("a</w>b").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), m).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("a", "<", "/", "w", ">", "b", "</w>"), s"got $toks")
+    assert(toks.init.forall(_ != "</w>"),
+      "no learned merges ⇒ no spurious marker symbol before word end")
+    val rebuilt = toks.mkString("").replace("</w>", " ").trim
+    assert(rebuilt == "a b", // NOT "a</w>b" — the documented ambiguity
+      s"reconstruction of adversarial input is marker→space, got '$rebuilt'")
+  }
+
   test("save → load round-trips the rank order exactly") {
     val model = TextAnalysis.fitBpe(
       Tables(spark, "/root/testdata/sf0.001", "documents").limit(100), "text",

@@ -158,13 +158,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // over the ≤ nBuckets aggregate rows legitimately collapses to a
     // single partition — but only INSIDE the broadcast subtree, above
     // the per-bucket aggregate, never over corpus rows. Operators
-    // print top-down with the broadcast branch last, so every
-    // SinglePartition occurrence must sit after the BroadcastExchange
-    // and after the per-bucket partial aggregation that bounds it.
+    // print top-down with the broadcast (build) branch LAST, so the
+    // offsets BroadcastExchange is the last one in the plan text;
+    // anchoring on the LAST occurrence (not the first, per r12 ADVICE)
+    // keeps the guard honest if a future plan gains an earlier,
+    // unrelated broadcast: every SinglePartition must still sit after
+    // the offsets exchange and after the per-bucket partial
+    // aggregation that bounds it.
     val p = plan("pack_shards")
     assert(p.contains("BroadcastHashJoin"),
       s"bucket offsets no longer broadcast:\n$p")
-    val bcast = p.indexOf("BroadcastExchange")
+    val bcast = p.lastIndexOf("BroadcastExchange")
     assert(bcast >= 0, s"offsets subtree lost its broadcast:\n$p")
     var i = p.indexOf("SinglePartition")
     while (i >= 0) {
