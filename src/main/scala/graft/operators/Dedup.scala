@@ -233,6 +233,36 @@ object Dedup {
     reassembleParas(kept, newDf, textCol, idCol, sep)
   }
 
+  /** [[dedupParagraphsAcrossHashed]] against the BOUNDED-memory
+    * [[ParaBloom]] store — the Dolma deployment shape. The membership
+    * test is a broadcast + map-side probe over the same codegen'd
+    * 128-bit hash pair, so the accumulated store never shuffles (the
+    * exact stores ride an anti-join that reshuffles the store every
+    * batch). One-sided error, conservative for dedup: a false positive
+    * (rate ≤ the filter's design `fpp` while honestly sized) drops a
+    * fresh paragraph; a duplicate can NEVER survive, so surviving
+    * paragraphs ⊆ the exact store's survivors (spec'd). Bypass
+    * paragraphs (length < `minLen`) never probe the filter. */
+  def dedupParagraphsAcrossBloom(newDf: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[ParaBloom],
+      textCol: String, idCol: String, sep: String = "\n", minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    requireNotReservedPara(idCol, textCol)
+    // the probe itself is a bit-array lookup; the hashing it feeds on
+    // stays in codegen'd xxhash64 columns
+    val seen = udf((h1: Long, h2: Long) => bloom.value.mightContain(h1, h2))
+    val paras = explodeParas(newDf, textCol, idCol, sep)
+    val subject = paras.where(length(col("__para")) >= minLen)
+      .where(!seen(paraHash1(col("__para")), paraHash2(col("__para"))))
+    val fresh = subject.unionByName(paras.where(length(col("__para")) < minLen))
+    val winners = subject
+      .groupBy("__para").agg(min(struct(col("__did"), col("__pos"))).as("__w"))
+    val kept = fresh.join(winners, Seq("__para"), "left")
+      .where(col("__w").isNull || struct(col("__did"), col("__pos")) === col("__w"))
+    reassembleParas(kept, newDf, textCol, idCol, sep)
+  }
+
   /**
    * Incremental paragraph dedup — the batch-append/streaming half of
    * [[dedupParagraphs]], and the shape Dolma actually DEPLOYS its

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bounded-memory Bloom tier for the streaming seen-paragraph store —
+  * the shape Dolma actually DEPLOYS its ingest-time paragraph dedup in
+  * (cf. reference SURVEY §2.3 D). The exact stores are faithful but
+  * unbounded: the string store grows by the distinct-paragraph bytes
+  * and the hashed store by 16 B per distinct paragraph, forever — at
+  * 100 TB the hashed store alone is ~160 GB of state that must SHUFFLE
+  * into every batch's anti-join. This tier caps the state at a
+  * user-chosen `m = ceil(-n·ln p / ln²2)` bits, FIXED at create time
+  * (inserting more never grows it, only degrades the false-positive
+  * rate), and turns the membership test into a broadcast + map-side
+  * probe: no shuffle of the store at all.
+  *
+  * The error model is one-sided and CONSERVATIVE for dedup: a false
+  * positive drops a genuinely fresh paragraph (bounded data loss at
+  * rate ≤ p when sized honestly), but a duplicate can never survive —
+  * there are no false negatives, so the Bloom run's surviving
+  * paragraphs are always a SUBSET of the exact store's (spec'd, both
+  * the properly-sized identity and the undersized subset).
+  *
+  * Probes derive from the SAME independent 128-bit paragraph hash pair
+  * as the exact hashed store ([[Dedup.paragraphHashFrame]]) via the
+  * standard double-hashing construction g_i = h1 + i·h2 (Kirsch &
+  * Mitzenmacher 2006: two independent hashes suffice for the Bloom
+  * error bound) — so the hashing stays in codegen'd `xxhash64` columns
+  * and this tier is literally a lossy compaction of the hashed tier.
+  * Deterministic end-to-end: a fixed corpus either collides or it
+  * does not, repeatably.
+  */
+final class ParaBloom private (
+    private val words: Array[Long],
+    val numHashes: Int) extends Serializable {
+
+  def numBits: Long = words.length.toLong * 64L
+
+  /** The fixed memory footprint — independent of how many items have
+    * been inserted. */
+  def sizeBytes: Long = words.length.toLong * 8L
+
+  // double hashing over the 128-bit pair; h2 forced odd so the probe
+  // stride never degenerates to 0 (mod 2^64 the odd stride also visits
+  // distinct offsets for i = 0..k-1)
+  private def bitIndex(h1: Long, h2: Long, i: Int): Int = {
+    val combined = h1 + i * (h2 | 1L)
+    // (x & Long.MaxValue) % numBits — the Guava convention: a cheap
+    // non-negative fold, unbiased enough at numBits << 2^63
+    ((combined & Long.MaxValue) % numBits).toInt
+  }
+
+  def add(h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val b = bitIndex(h1, h2, i)
+      words(b >>> 6) |= (1L << (b & 63))
+      i += 1
+    }
+  }
+
+  /** No false negatives: true for every pair ever [[add]]ed. */
+  def mightContain(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val b = bitIndex(h1, h2, i)
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Bitwise-OR merge (the distributed build: per-partition partials
+    * OR into one). Requires identical geometry. */
+  def orInPlace(other: ParaBloom): this.type = {
+    require(other.words.length == words.length && other.numHashes == numHashes,
+      s"incompatible Bloom geometry: ${other.words.length}×64/${other.numHashes} " +
+        s"vs ${words.length}×64/$numHashes")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    this
+  }
+
+  def copy(): ParaBloom = new ParaBloom(words.clone(), numHashes)
+
+  /** Fraction of bits set — the saturation gauge. The expected
+    * false-positive rate at the current fill is `fill^k`; a filter
+    * past ~50% fill has been fed beyond its design `n` and is losing
+    * more than its promised `p` of fresh paragraphs. */
+  def fillRatio: Double = {
+    var set = 0L
+    var i = 0
+    while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+    set.toDouble / numBits
+  }
+
+  /** Expected false-positive probability at the current fill: fill^k. */
+  def approxFpp: Double = math.pow(fillRatio, numHashes)
+}
+
+object ParaBloom {
+
+  /** Standard sizing: m = ceil(−n·ln p / ln²2) bits, k = round(m/n·ln 2)
+    * hash probes — the textbook optimum for `expectedItems` inserts at
+    * false-positive rate `fpp`. ~1.44·log2(1/p) bits per expected item
+    * (9.6 bits at p = 0.01), REGARDLESS of paragraph length. */
+  def create(expectedItems: Long, fpp: Double): ParaBloom = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val ln2 = math.log(2)
+    val mBits = math.max(64L, math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    require(mBits <= Int.MaxValue.toLong, // bitIndex returns Int; 2^31 bits = 256 MB, ample per filter
+      s"requested filter needs $mBits bits (> 2^31 = 256 MB); shard the store instead")
+    val nWords = ((mBits + 63) / 64).toInt
+    val k = math.max(1, math.round(mBits.toDouble / expectedItems * ln2).toInt)
+    new ParaBloom(new Array[Long](nWords), k)
+  }
+
+  /** An empty filter with the same geometry (for partials). */
+  def emptyLike(proto: ParaBloom): ParaBloom =
+    new ParaBloom(new Array[Long](proto.words.length), proto.numHashes)
+
+  /** Distributed build from a `(__h1, __h2)` frame
+    * ([[Dedup.paragraphHashFrame]]): one fixed-size partial per
+    * partition, OR-merged in a tree — the driver receives
+    * O(log partitions) filters of `sizeBytes` each, never the rows.
+    * This is the per-batch DELTA path of the streaming store; the
+    * rows never collect. */
+  def fromHashFrame(df: DataFrame, proto: ParaBloom): ParaBloom = {
+    val k = proto.numHashes
+    val nWords = proto.words.length
+    val partials = df.select("__h1", "__h2").rdd.mapPartitions { it =>
+      val b = new ParaBloom(new Array[Long](nWords), k)
+      it.foreach(r => b.add(r.getLong(0), r.getLong(1)))
+      Iterator.single(b)
+    }
+    if (partials.isEmpty()) emptyLike(proto)
+    else partials.treeReduce((a, b) => a.orInPlace(b), depth = 2)
+  }
+}

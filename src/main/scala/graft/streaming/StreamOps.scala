@@ -243,6 +243,49 @@ object StreamOps {
     }.start()
   }
 
+  /** [[dedupParagraphsPerBatch]] on the BOUNDED-memory Bloom store —
+    * the shape Dolma actually deploys (a Bloom filter accumulating
+    * paragraphs across the whole ingest). Both exact stores grow
+    * forever (16 B per distinct paragraph even hashed — TB-scale state
+    * at 100 TB, reshuffled into every batch's anti-join); this one is
+    * `create(expectedItems, fpp)`-sized ONCE (~9.6 bits/item at
+    * fpp = 1%, so 10¹⁰ paragraphs ≈ 12 GB… sharded, or 10⁸/executor-
+    * broadcastable at ~120 MB) and NEVER grows — feeding it past
+    * `expectedItems` only degrades the false-positive rate, visibly
+    * via [[graft.operators.ParaBloom.fillRatio]]. Membership is a
+    * broadcast map-side probe (no store shuffle); the per-batch delta
+    * is OR-merged from fixed-size per-partition partials
+    * ([[graft.operators.ParaBloom.fromHashFrame]] — rows never
+    * collect). Error is one-sided: a false positive drops a fresh
+    * paragraph (rate ≤ fpp while honestly sized), a duplicate never
+    * survives — so the drained output's surviving paragraphs ⊆ the
+    * exact store's (spec'd; equality on a properly-sized filter is
+    * deterministic per corpus and pinned by the gate row's shared
+    * oracle). */
+  def dedupParagraphsPerBatchBloom(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String,
+      sep: String = "\n", minLen: Int = 1,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val bloom = graft.operators.ParaBloom.create(expectedItems, fpp)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // snapshot-copy before broadcasting: in local mode the broadcast
+      // hands tasks the SAME object, and the post-batch merge below
+      // must not mutate what a straggling task could still probe
+      val bc = spark.sparkContext.broadcast(bloom.copy())
+      val cleaned = graft.operators.Dedup
+        .dedupParagraphsAcrossBloom(batch, bc, textCol, idCol, sep, minLen)
+        .localCheckpoint(true)
+      val delta = graft.operators.ParaBloom.fromHashFrame(
+        graft.operators.Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen), bloom)
+      bloom.orInPlace(delta)
+      bc.destroy()
+      sink(cleaned, batchId)
+    }.start()
+  }
+
   /** The INGEST-TIME pretraining pipeline — the streaming composition
     * of the batch `pipeline_pretrain` chain, every corpus-derived
     * artifact FROZEN so the stream cannot drift under itself:

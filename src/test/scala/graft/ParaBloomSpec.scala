@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, ParaBloom}
+
+/** The bounded-memory Bloom tier of the streaming seen-paragraph store
+  * (r12 VERDICT #1): fixed memory independent of inserts, no false
+  * negatives, one-sided conservative error (survivors ⊆ the exact
+  * store's), decision-identity to the exact store when honestly sized,
+  * and the distributed no-collect delta build. */
+class ParaBloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def textsOf(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def parasOf(texts: Map[Long, String], sep: String = "\n"): Set[String] =
+    texts.values.flatMap(_.split(java.util.regex.Pattern.quote(sep), -1)).toSet
+
+  test("memory is fixed at create time: inserting 10× the design n never grows it") {
+    val b = ParaBloom.create(expectedItems = 1000, fpp = 0.01)
+    val size0 = b.sizeBytes
+    // textbook sizing: m = ceil(-n ln p / ln²2) ≈ 9.585 bits/item at 1%
+    assert(size0 * 8 >= 9585 && size0 * 8 <= 9585 + 64,
+      s"sizing drifted from the formula: ${size0 * 8} bits for n=1000 p=1%")
+    var i = 0L
+    while (i < 10000) { b.add(i * 0x9e3779b97f4a7c15L, i + 7); i += 1 }
+    assert(b.sizeBytes == size0, "a Bloom filter must never grow")
+    // overfeeding is VISIBLE: fill beyond the ~50% design point
+    assert(b.fillRatio > 0.5 && b.approxFpp > 0.01,
+      s"10× overfeed must saturate past design fpp, fill=${b.fillRatio}")
+  }
+
+  test("no false negatives, and fpp at design load stays near the promise") {
+    val b = ParaBloom.create(expectedItems = 2000, fpp = 0.01)
+    val rnd = new scala.util.Random(42)
+    val ins = Array.fill(2000)((rnd.nextLong(), rnd.nextLong()))
+    ins.foreach { case (h1, h2) => b.add(h1, h2) }
+    assert(ins.forall { case (h1, h2) => b.mightContain(h1, h2) },
+      "every inserted pair must probe positive")
+    val fresh = Array.fill(20000)((rnd.nextLong(), rnd.nextLong()))
+    val fp = fresh.count { case (h1, h2) => b.mightContain(h1, h2) }
+    // expected ~1%; allow 3× slack for the fixed seed
+    assert(fp <= 600, s"false-positive rate ${fp / 20000.0} blew past 3× the 1% design")
+  }
+
+  test("orInPlace is the set union; geometry mismatch refuses") {
+    val a = ParaBloom.create(100, 0.01); val b = ParaBloom.create(100, 0.01)
+    a.add(1L, 2L); b.add(3L, 4L)
+    a.orInPlace(b)
+    assert(a.mightContain(1L, 2L) && a.mightContain(3L, 4L))
+    intercept[IllegalArgumentException] {
+      a.orInPlace(ParaBloom.create(100000, 0.01))
+    }
+  }
+
+  test("fromHashFrame builds the same filter as driver-side adds, rows never collected") {
+    val paras = Seq((1L, "alpha\nbeta\ngamma"), (2L, "delta\nepsilon")).toDF("doc_id", "text")
+    val hashes = Dedup.paragraphHashFrame(paras, "text")
+    val proto = ParaBloom.create(1024, 0.001)
+    val dist = ParaBloom.fromHashFrame(hashes.repartition(5), proto)
+    val local = ParaBloom.emptyLike(proto)
+    hashes.collect().foreach(r => local.add(r.getLong(0), r.getLong(1)))
+    // same bits ⇒ same decisions on a probe battery
+    val rnd = new scala.util.Random(7)
+    (0 until 5000).foreach { _ =>
+      val h1 = rnd.nextLong(); val h2 = rnd.nextLong()
+      assert(dist.mightContain(h1, h2) == local.mightContain(h1, h2))
+    }
+    assert(ParaBloom.fromHashFrame(hashes.limit(0), proto).fillRatio == 0.0,
+      "empty delta must be the empty filter")
+  }
+
+  test("honestly sized: batch decisions are identical to the exact string store") {
+    val batch1 = Seq(
+      (1L, "unique intro one\nshared cookie banner\nok"),
+      (2L, "shared cookie banner\nunique body two")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "unique article three\nshared cookie banner\nunique body two\nok"),
+      (4L, "shared cookie banner")).toDF("doc_id", "text")
+    val emptyS = Seq.empty[String].toDF("__para")
+    val s1 = Dedup.dedupParagraphsAcross(batch1, emptyS, "text", "doc_id", minLen = 3)
+    val s2 = Dedup.dedupParagraphsAcross(batch2,
+      Dedup.paragraphFrame(s1, "text", minLen = 3), "text", "doc_id", minLen = 3)
+    val bloom = ParaBloom.create(1024, 1e-4)
+    def run(b: org.apache.spark.sql.DataFrame) = {
+      val bc = spark.sparkContext.broadcast(bloom.copy())
+      val out = Dedup.dedupParagraphsAcrossBloom(b, bc, "text", "doc_id", minLen = 3)
+        .localCheckpoint(true)
+      bloom.orInPlace(ParaBloom.fromHashFrame(
+        Dedup.paragraphHashFrame(out, "text", minLen = 3), bloom))
+      bc.destroy(); out
+    }
+    assert(textsOf(run(batch1)) == textsOf(s1))
+    assert(textsOf(run(batch2)) == textsOf(s2))
+  }
+
+  test("undersized filter: data loss is one-sided — survivors ⊆ exact, duplicates still never survive") {
+    // 1 expected item for a 40-paragraph corpus forces false positives
+    // (at most a handful of bits total); the failure mode must be
+    // DROPPED FRESH paragraphs only, never a surviving duplicate
+    val docs = (1L to 20L).map(i => (i, s"fresh paragraph number $i\nshared cookie banner"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.dedupParagraphs(docs, "text", "doc_id")
+    val tiny = ParaBloom.create(1, 0.5) // 64 bits, saturates immediately
+    val bc0 = spark.sparkContext.broadcast(tiny.copy())
+    val out1 = Dedup.dedupParagraphsAcrossBloom(docs.where(col("doc_id") <= 10), bc0,
+      "text", "doc_id").localCheckpoint(true)
+    tiny.orInPlace(ParaBloom.fromHashFrame(Dedup.paragraphHashFrame(out1, "text"), tiny))
+    val bc1 = spark.sparkContext.broadcast(tiny.copy())
+    val out2 = Dedup.dedupParagraphsAcrossBloom(docs.where(col("doc_id") > 10), bc1,
+      "text", "doc_id").localCheckpoint(true)
+    val bloomParas = parasOf(textsOf(out1)) ++ parasOf(textsOf(out2))
+    val exactParas = parasOf(textsOf(exact))
+    assert(bloomParas.subsetOf(exactParas),
+      s"Bloom survivors must be ⊆ exact survivors; extra: ${bloomParas -- exactParas}")
+    // the saturated filter really did bite (strictly fewer survivors)
+    assert(tiny.fillRatio > 0.9, "64-bit filter must saturate on 20+ paragraphs")
+    assert(bloomParas.size < exactParas.size,
+      "a saturated filter that drops nothing means the test lost its teeth")
+    // and the shared banner survived at most once across the run
+    val bannerDocs = (textsOf(out1) ++ textsOf(out2)).values
+      .count(_.contains("shared cookie banner"))
+    assert(bannerDocs <= 1, "duplicates must never survive, even saturated")
+  }
+
+  test("streaming Bloom store drains to the batch operator's output when honestly sized") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream_bloom")
+    val batch1 = Seq(
+      (1L, "unique intro one\nshared cookie banner\nbody of doc one"),
+      (2L, "shared cookie banner\nunique body two")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "unique article three\nshared cookie banner\nbody of doc one"),
+      (4L, "shared cookie banner")).toDF("doc_id", "text")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    batch2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = graft.streaming.StreamOps.dedupParagraphsPerBatchBloom(
+      stream, "text", "doc_id", expectedItems = 1024, fpp = 1e-4) { (cleaned, _) =>
+      got.synchronized { got ++= textsOf(cleaned) }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val want = textsOf(Dedup.dedupParagraphs(
+      batch1.unionByName(batch2), "text", "doc_id"))
+    assert(got.toMap == want, s"bloom stream $got vs batch $want")
+    assert(got(3L) == "unique article three")
+    assert(!got.contains(4L))
+  }
+}
