@@ -1808,6 +1808,49 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED incremental maintenance (round 13): the index is
+    // built from HALF the corpus against the frozen quantizer, the
+    // other half arrives via addBatch (map-side NearestCell assignment
+    // — production appends, no refit, no shuffle), and at
+    // nprobe = nlist the search still provably serves the exact
+    // brute-force result over the FULL corpus — sharing
+    // nearest_cosine's oracle. The row-for-row build(a∪b) ==
+    // build(a).addBatch(b) equality and the KMeans-assignment match
+    // are IvfIndexSpec's; this row pins the end-to-end serving path.
+    "ann_ivf_incremental_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val frozen = ivfFor(s, d).centroidVectors
+      val idx = IvfIndex
+        .withCentroids(e.where(col("vec_id") % 2 === 0), "embedding", frozen)
+        .addBatch(e.where(col("vec_id") % 2 === 1))
+      idx.search(q, k = 5, nprobe = frozen.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED incremental IVFADC (round 13): same append
+    // story for the coded tier — half the corpus encoded up front,
+    // half appended against BOTH frozen artifacts (quantizer +
+    // codebooks; PqEncode on the batch only), exact at the composed
+    // degenerates, sharing nearest_cosine's oracle.
+    "ann_ivfpq_incremental_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val base = ivfPqFor(s, d)
+      require(base.model.lossless,
+        "ann_ivfpq_incremental_exact requires the lossless codebook degenerate")
+      val idx = IvfPqIndex
+        .withArtifacts(e.where(col("vec_id") % 2 === 0), "embedding",
+          base.centroidVectors, base.model)
+        .addBatch(e.where(col("vec_id") % 2 === 1), "embedding")
+      idx.search(q, k = 5, nprobe = base.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 J ORACLED persistence: save → load → search the PERSISTED
     // index (cell-partitioned parquet layout, the file-pruning path a
     // production deployment reads). At nprobe = nlist the reloaded
@@ -2530,6 +2573,22 @@ object SparkEntry {
       // IVF at nprobe = nlist scans every cell — provably the exact
       // brute-force result, so it shares the nearest_cosine oracle
       "ann_ivf_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // half built + half appended against the frozen quantizer still
+      // serves the exact full-corpus result at nprobe = nlist
+      "ann_ivf_incremental_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // same append proof for the coded tier (frozen quantizer +
+      // lossless codebooks)
+      "ann_ivfpq_incremental_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

@@ -108,6 +108,67 @@ class IvfIndex private (
       .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
   }
 
+  /**
+   * Incremental maintenance: assign a NEW batch of vectors to the
+   * FROZEN centroids and fold it into the index — production indexes
+   * take appends; refitting k-means per append would re-assign the
+   * whole corpus (and change every persisted cell file). Assignment is
+   * the map-side [[graft.expressions.NearestCell]] codegen expression
+   * (centroids ride into generated code; nothing shuffles, only the
+   * batch scans), and it reproduces the build-time `KMeansModel
+   * .transform` assignment exactly (spec'd), so
+   * `withCentroids(a ∪ b) == withCentroids(a).addBatch(b)` row-for-row
+   * — the ⊕ `ann_ivf_incremental_exact` proof. The quantizer does NOT
+   * learn from appends: monitor [[cellSizeStats]]/[[driftGuard]] and
+   * re-fit when drifted data outgrows a cell.
+   */
+  def addBatch(newDf: DataFrame): IvfIndex =
+    new IvfIndex(centroidVectors,
+      indexed.unionByName(IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors)),
+      embCol)
+
+  /** [[addBatch]] straight into a SAVED layout: the batch's assigned
+    * rows append as new files under their `cell=` partitions — existing
+    * files are never rewritten, probe-filter pruning keeps working, and
+    * a reopened index serves the union (spec'd). */
+  def appendToSaved(path: String, newDf: DataFrame): Unit =
+    IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+
+  /** Per-cell row counts — the drift gauge for an append-maintained
+    * index (one map-combined count aggregation). */
+  def cellSizeStats: DataFrame =
+    indexed.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /**
+   * Refuse-don't-degrade guard for append drift: if the fullest cell
+   * holds more than `maxFactor` × the average, probe cost is no longer
+   * ≈ nprobe/nlist of the corpus (a zipf-drifted append concentrates
+   * the scan in hot cells — measured in ScaleProbe) and the quantizer
+   * should be re-fit. Throws with the offending cells; returns the
+   * max/avg factor when healthy. Cells with NO rows count toward the
+   * average (an empty cell is exactly what drift looks like).
+   */
+  def driftGuard(maxFactor: Double = 8.0): Double = {
+    require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
+    val Array(total, maxN) = cellSizeStats
+      .agg(sum(col("n")), max(col("n"))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val avg = total.toDouble / centroidVectors.length
+    val factor = if (avg == 0) 0.0 else maxN / avg
+    if (factor > maxFactor) {
+      val hot = cellSizeStats.where(col("n") > avg * maxFactor)
+        .orderBy(desc("n")).limit(5).collect()
+        .map(r => s"cell ${r.getInt(0)}: ${r.getLong(1)} rows").mkString("; ")
+      throw new IllegalStateException(
+        f"IVF cell imbalance $factor%.1f× exceeds $maxFactor%.1f× the " +
+          f"average ($avg%.0f rows/cell) — appended data has drifted from " +
+          s"the frozen quantizer; re-fit (IvfIndex.build) or split hot cells [$hot]")
+    }
+    factor
+  }
+
   /** Persist the corpus cell-partitioned so probe filters prune files. */
   def writePartitioned(path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -161,6 +222,36 @@ object IvfIndex {
     if (d == 0) 0.0 else dot / d
   }
 
+  /** An index over `df` with a FROZEN, externally-supplied quantizer —
+    * the incremental-maintenance entry point ([[IvfIndex.addBatch]]):
+    * assignment is a pure function of (vector, centroids), so building
+    * from any partition of the corpus and appending the rest yields
+    * the identical index. */
+  def withCentroids(df: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]]): IvfIndex =
+    new IvfIndex(centroidVectors,
+      assignWithCentroids(df, embCol, centroidVectors), embCol)
+
+  /** Map-side frozen-centroid assignment: original columns + `cell`.
+    * NULL vectors are excluded, as in [[build]]. */
+  private[operators] def assignWithCentroids(df: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]]): DataFrame = {
+    require(centroidVectors.nonEmpty, "centroid table is empty")
+    val dim = centroidVectors.head.length
+    require(centroidVectors.forall(_.length == dim),
+      "ragged centroid table: all centroids must share one dimension")
+    val flat = new Array[Float](centroidVectors.length * dim)
+    var c = 0
+    while (c < centroidVectors.length) {
+      System.arraycopy(centroidVectors(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.where(col(embCol).isNotNull)
+      .withColumn("cell", ColumnBridge.column(graft.expressions.NearestCell(
+        ColumnBridge.expression(col(embCol)), flat, dim)))
+  }
+
   /** Fit the coarse quantizer (seed pinned) and assign every non-NULL
     * vector to its cell. */
   def build(df: DataFrame, embCol: String, nlist: Int = 16,
@@ -181,9 +272,11 @@ object IvfIndex {
       java.nio.file.Paths.get(path, "_ivf.json")), java.nio.charset.StandardCharsets.UTF_8)
     val embCol = """"embedding_column"\s*:\s*"([^"]*)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("embedding")
+    // by-name read: a rewritten centroids file with reordered columns
+    // must fail by name, not silently misread by ordinal
     val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toArray)
+      .select("cell", "centroid").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
     new IvfIndex(cents, spark.read.parquet(s"$path/data"), embCol)
   }
 }

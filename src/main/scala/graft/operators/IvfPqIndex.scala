@@ -121,6 +121,53 @@ class IvfPqIndex private (
       .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
   }
 
+  /**
+   * Incremental maintenance: assign a NEW batch to the FROZEN coarse
+   * quantizer, encode it with the FROZEN PQ codebooks, and fold the
+   * coded rows in — both artifacts stay fixed (a per-append refit
+   * would re-code the whole corpus), so
+   * `buildWith(a ∪ b) == buildWith(a).addBatch(b)` row-for-row (the ⊕
+   * `ann_ivfpq_incremental_exact` proof). Map-side only: assignment is
+   * [[graft.expressions.NearestCell]], encoding is
+   * [[graft.expressions.PqEncode]] — nothing shuffles, only the batch
+   * scans, and the batch's vectors stop existing after encode. Appends
+   * drift-monitor via [[cellSizeStats]]/[[driftGuard]] like the plain
+   * IVF tier; codebook staleness shows up as recall loss, the same way.
+   */
+  def addBatch(newDf: DataFrame, embCol: String): IvfPqIndex =
+    new IvfPqIndex(centroidVectors, model,
+      encoded.unionByName(encodeBatch(newDf, embCol)), codesCol, normCol)
+
+  /** [[addBatch]] straight into a SAVED layout: coded rows append as
+    * new files under their `cell=` partitions; existing files never
+    * rewrite and a reopened index serves the union (spec'd). */
+  def appendToSaved(path: String, newDf: DataFrame, embCol: String): Unit =
+    encodeBatch(newDf, embCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+
+  private def encodeBatch(newDf: DataFrame, embCol: String): DataFrame =
+    PqIndex.encode(
+      IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors),
+      embCol, model, codesCol, normCol).drop(embCol)
+
+  /** Per-cell coded-row counts — the drift gauge for appends. */
+  def cellSizeStats: DataFrame =
+    encoded.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus. */
+  def driftGuard(maxFactor: Double = 8.0): Double = {
+    require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
+    val r = cellSizeStats.agg(sum(col("n")), max(col("n"))).head()
+    val avg = r.getLong(0).toDouble / centroidVectors.length
+    val factor = if (avg == 0) 0.0 else r.getLong(1) / avg
+    if (factor > maxFactor)
+      throw new IllegalStateException(
+        f"IVFADC cell imbalance $factor%.1f× exceeds $maxFactor%.1f× the " +
+          f"average ($avg%.0f rows/cell) — appended data has drifted from " +
+          "the frozen quantizer; re-fit (IvfPqIndex.build) or split hot cells")
+    factor
+  }
+
   /** Persist the whole index: cell-partitioned coded data (probe
     * filters prune FILES — and each file holds codes, not vectors),
     * centroid table, PQ codebooks (the [[PqIndex.save]] frozen-artifact
@@ -145,6 +192,20 @@ object IvfPqIndex {
    * one codegen encode pass — then DROP the embedding column: from
    * here on the corpus is (cell, codes, norm), never vectors.
    */
+  /** An index over `df` from FROZEN artifacts (coarse quantizer +
+    * PQ codebooks) — the incremental-maintenance entry point
+    * ([[IvfPqIndex.addBatch]]): assignment and encoding are pure
+    * functions of (vector, artifacts), so building from any partition
+    * of the corpus and appending the rest yields the identical index. */
+  def withArtifacts(df: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]], model: PqModel,
+      codesCol: String = "pq_codes", normCol: String = "emb_norm"): IvfPqIndex =
+    new IvfPqIndex(centroidVectors, model,
+      PqIndex.encode(
+        IvfIndex.assignWithCentroids(df, embCol, centroidVectors),
+        embCol, model, codesCol, normCol).drop(embCol),
+      codesCol, normCol)
+
   def build(df: DataFrame, embCol: String, nlist: Int = 16, m: Int = 8,
       k: Int = 256, maxTrain: Int = 65536, seed: Long = 123L,
       codesCol: String = "pq_codes", normCol: String = "emb_norm"): IvfPqIndex = {

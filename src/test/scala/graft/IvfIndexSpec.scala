@@ -84,4 +84,79 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = (ann & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@10 was $recall")
   }
+
+  test("NearestCell assignment reproduces KMeansModel.transform exactly") {
+    // addBatch's frozen-centroid assignment must agree with the
+    // build-time k-means assignment, or build(a).addBatch(b) would
+    // place b's rows differently from build(a ∪ b)
+    val built = IvfIndex.build(e, "embedding", nlist = 8)
+    val ours = IvfIndex.withCentroids(e, "embedding", built.centroidVectors)
+    val a = built.indexed.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = ours.indexed.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("incremental: withCentroids(a).addBatch(b) is row-for-row withCentroids(a ∪ b)") {
+    val frozen = IvfIndex.build(e, "embedding", nlist = 8).centroidVectors
+    val a = e.where(col("vec_id") % 2 === 0)
+    val b = e.where(col("vec_id") % 2 === 1)
+    val inc = IvfIndex.withCentroids(a, "embedding", frozen).addBatch(b)
+    val full = IvfIndex.withCentroids(e, "embedding", frozen)
+    val pairs = (df: IvfIndex) => df.indexed.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(inc) == pairs(full))
+    assert(inc.indexed.count() == 500)
+    // and the served result over the union is the exact one
+    val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
+      tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = inc.search(query, k = 10, nprobe = 8, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("appendToSaved: appended cell files serve the union without rewriting the base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val frozen = IvfIndex.build(e, "embedding", nlist = 8).centroidVectors
+    val a = e.where(col("vec_id") % 2 === 0)
+    val b = e.where(col("vec_id") % 2 === 1)
+    val half = IvfIndex.withCentroids(a, "embedding", frozen)
+    half.save(s"$dir/idx")
+    val baseFiles = new java.io.File(s"$dir/idx/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(f => f.getPath -> f.lastModified).toMap
+    half.appendToSaved(s"$dir/idx", b)
+    // base files untouched (append adds files, never rewrites)
+    new java.io.File(s"$dir/idx/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).foreach { f =>
+      baseFiles.get(f.getPath).foreach(m => assert(f.lastModified == m,
+        s"append rewrote base file ${f.getPath}"))
+    }
+    val back = IvfIndex.load(spark, s"$dir/idx")
+    assert(back.indexed.count() == 500)
+    val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
+      tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = back.search(query, k = 10, nprobe = 8, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("driftGuard: healthy index passes, a hot-cell pileup refuses with re-fit advice") {
+    val idx = IvfIndex.build(e, "embedding", nlist = 8)
+    val healthy = idx.driftGuard(maxFactor = 8.0)
+    assert(healthy >= 1.0 && healthy <= 8.0) // max/avg ∈ [1, nlist]
+    // pile 4096 copies of one vector onto the index — all land in one
+    // cell (note max/avg is capped at nlist, so the refusal threshold
+    // here is 4, reachable; at production nlist the cap is irrelevant).
+    // Built as ONE local relation — repeated self-union would duplicate
+    // the scan subtree 2^12 times in the plan.
+    val oneRow = e.where(col("vec_id") === 0).collect().head
+    val pile = spark.createDataFrame(
+      java.util.Collections.nCopies(4096, oneRow), e.schema)
+    val drifted = idx.addBatch(pile)
+    val ex = intercept[IllegalStateException](drifted.driftGuard(maxFactor = 4.0))
+    assert(ex.getMessage.contains("re-fit"), ex.getMessage)
+  }
 }

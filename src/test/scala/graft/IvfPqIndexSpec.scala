@@ -123,4 +123,54 @@ class IvfPqIndexSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("incremental: withArtifacts(a).addBatch(b) codes row-for-row like withArtifacts(a ∪ b)") {
+    val df = fixture
+    val base = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536)
+    val a = df.where(col("vec_id") % 2 === 0)
+    val b = df.where(col("vec_id") % 2 === 1)
+    val inc = IvfPqIndex.withArtifacts(a, "embedding", base.centroidVectors, base.model)
+      .addBatch(b, "embedding")
+    val full = IvfPqIndex.withArtifacts(df, "embedding", base.centroidVectors, base.model)
+    def rows(i: IvfPqIndex) = i.encoded
+      .select(col("vec_id"), col("cell"), hex(col("pq_codes")), col("emb_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(rows(inc) == rows(full))
+    // and the appended index serves the exact result at the composed
+    // degenerates (nprobe = nlist, lossless codebook)
+    assert(base.model.lossless)
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val exact = exactTopK(df, 0L, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = inc.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("appendToSaved: appended coded files serve the union after reload") {
+    val df = fixture
+    val base = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536)
+    val a = df.where(col("vec_id") % 2 === 0)
+    val b = df.where(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    try {
+      val half = IvfPqIndex.withArtifacts(a, "embedding", base.centroidVectors, base.model)
+      half.save(dir)
+      half.appendToSaved(dir, b, "embedding")
+      val re = IvfPqIndex.load(spark, dir)
+      assert(re.encoded.count() == 200)
+      val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val exact = exactTopK(df, 0L, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val got = re.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == exact)
+      assert(re.driftGuard(maxFactor = 8.0) >= 1.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
