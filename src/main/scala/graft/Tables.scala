@@ -48,7 +48,16 @@ object Tables {
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
       case TimestampNTZType =>
         val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        df.withColumn(
+        // UTC fast path: when the session zone IS UTC (every shipped
+        // launcher), the bare cast already reinterprets the NTZ
+        // wall-clock as UTC — identical semantics, zero per-row zone
+        // arithmetic on the hot events scan (r12's events_hourly
+        // regression traced to the unconditional convert_timezone).
+        val isUtc =
+          try java.time.ZoneId.of(sessionTz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: Throwable => false }
+        if (isUtc) df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+        else df.withColumn(
           tsCol,
           convert_timezone(lit("UTC"), lit(sessionTz), col(tsCol)).cast(TimestampType))
       case _ => df

@@ -178,9 +178,76 @@ case class VecFrame(
       when(embCol.isNull, lit("<NULL>")).otherwise(lit("<embedding>")))
 
   def write(path: String): Unit = sources.VecIO.write(this, path)
+
+  /**
+   * Switch the ACTIVE embedding column (SURVEY §1.1: a collection may
+   * carry several vector columns — e.g. two embedders' outputs side by
+   * side — with exactly one active; `embedding_column` names it,
+   * R/core.R:8-26). The target is promoted like `vec()` (NULL-filled
+   * when absent, untouched when present — idempotent), and the choice
+   * is STAMPED into column metadata (`graft.embedding` on every vector
+   * column ever activated, `graft.embedding.active` true only on the
+   * current one) so it survives paths that only carry the DataFrame:
+   * plain parquet write/read (Spark persists field metadata in its
+   * footer schema) and any relational verb (metadata rides the schema).
+   * [[VecFrame.fromStamped]] is the inverse. The attached embedder is
+   * KEPT — the reference's `embedding_column` attr is independent of
+   * `embedding_fn` — pass `embedder = Some(...)` to swap it too.
+   */
+  def withEmbeddingColumn(name: String,
+      embedder: Option[Embedder] = this.embedder): VecFrame = {
+    val ensured =
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, lit(null).cast(ArrayType(FloatType)))
+    copy(df = VecFrame.stampActive(ensured, name, alsoEmbedding = Set(embeddingCol)),
+      embeddingCol = name, embedder = embedder)
+  }
 }
 
 object VecFrame {
+  /** Column-metadata keys for the multi-embedding-column stamp. */
+  val MetaEmbedding = "graft.embedding"
+  val MetaActive = "graft.embedding.active"
+
+  /** Restamp: `activeName` gets (embedding=true, active=true); every
+    * OTHER column previously marked as an embedding — plus the
+    * `alsoEmbedding` set (the outgoing active on a switch, which may
+    * never have been stamped itself) — keeps its mark with
+    * active=false. A pure select, so it stays one lazy projection. */
+  private[graft] def stampActive(df: DataFrame, activeName: String,
+      alsoEmbedding: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val cols = df.schema.fields.map { f =>
+      val wasEmb = f.metadata.contains(MetaEmbedding) &&
+        f.metadata.getBoolean(MetaEmbedding)
+      if (f.name == activeName || wasEmb || alsoEmbedding(f.name)) {
+        val m = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(MetaEmbedding, true)
+          .putBoolean(MetaActive, f.name == activeName)
+          .build()
+        col(f.name).as(f.name, m)
+      } else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Inverse of the [[VecFrame.withEmbeddingColumn]] stamp: rebuild a
+    * collection from a bare DataFrame (e.g. read back from plain
+    * parquet, no sidecar) by finding the column stamped active. Falls
+    * back to `fallback` when the frame was never stamped; errors on a
+    * corrupted stamp (two actives) rather than guessing. */
+  def fromStamped(df: DataFrame, fallback: String = "embedding"): VecFrame = {
+    val active = df.schema.fields.filter(f =>
+      f.metadata.contains(MetaActive) && f.metadata.getBoolean(MetaActive))
+    active match {
+      case Array(one) => VecFrame(df, one.name)
+      case Array() => vec(df, fallback)
+      case many => throw new IllegalArgumentException(
+        s"corrupted embedding stamp: ${many.length} active columns " +
+          many.map(_.name).mkString("(", ", ", ")"))
+    }
+  }
+
   /** `vec()` (R/core.R:8-26): promote a frame to a collection — ensure
     * the embedding column exists (NULL-filled when absent; untouched
     * when present, so re-wrapping is idempotent, R/core.R:13-16) and

@@ -137,4 +137,46 @@ class VecFrameSpec extends AnyFunSuite {
     val vf = VecFrame.vec(books, embedder = Some(HashingEmbedder(8))).embed("description")
     intercept[IllegalArgumentException] { vf.clusterEmbeddings(nClusters = 9) }
   }
+
+  test("withEmbeddingColumn: switch activates, promotes when absent, keeps the embedder (§1.1)") {
+    val vf = VecFrame.vec(books, embedder = Some(HashingEmbedder(8))).embed("description")
+    // switch to a column that does not exist yet → NULL-promoted, like vec()
+    val sw = vf.withEmbeddingColumn("embedding_b")
+    assert(sw.embeddingCol == "embedding_b")
+    assert(sw.df.filter(col("embedding_b").isNull).count() == 5)
+    assert(sw.embedder.nonEmpty, "embedding_column switch must not drop embedding_fn")
+    // first column's data is untouched, and ops now target the new one
+    assert(sw.df.filter(col("embedding").isNull).count() == 0)
+    val embeddedB = sw.copy(embedder = Some(HashingEmbedder(4))).embed("title")
+    assert(embeddedB.firstValidEmbedding.get.length == 4)
+    assert(VecFrame.vec(embeddedB.df).firstValidEmbedding.get.length == 8,
+      "original active column must still hold the 8-dim vectors")
+    // switching back is idempotent on data
+    val back = embeddedB.withEmbeddingColumn("embedding")
+    assert(back.firstValidEmbedding.get.length == 8)
+  }
+
+  test("withEmbeddingColumn: metadata stamp survives verbs and plain parquet; fromStamped inverts (§1.1)") {
+    val vf = VecFrame.vec(books, embedder = Some(HashingEmbedder(8))).embed("description")
+      .withEmbeddingColumn("embedding_b")
+    def activeOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.filter(f => f.metadata.contains(VecFrame.MetaActive) &&
+        f.metadata.getBoolean(VecFrame.MetaActive)).map(_.name).toSeq
+    assert(activeOf(vf.df) == Seq("embedding_b"))
+    // the previous active keeps its embedding mark, loses active
+    val prev = vf.df.schema("embedding").metadata
+    assert(prev.getBoolean(VecFrame.MetaEmbedding) && !prev.getBoolean(VecFrame.MetaActive))
+    // metadata rides the schema through relational verbs
+    assert(activeOf(vf.filter(col("year") > 2019.0).df) == Seq("embedding_b"))
+    // and through PLAIN parquet (no sidecar): Spark persists field
+    // metadata in its footer schema — fromStamped restores the choice
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp").toString
+    vf.df.write.mode("overwrite").parquet(s"$dir/data")
+    val restored = VecFrame.fromStamped(spark.read.parquet(s"$dir/data"))
+    assert(restored.embeddingCol == "embedding_b")
+    // an unstamped frame falls back to the default promotion
+    assert(VecFrame.fromStamped(books).embeddingCol == "embedding")
+    // switching back flips the stamp, never duplicates it
+    assert(activeOf(vf.withEmbeddingColumn("embedding").df) == Seq("embedding"))
+  }
 }
