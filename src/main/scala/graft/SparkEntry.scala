@@ -1699,6 +1699,33 @@ object SparkEntry {
         "n_toks", "doc_id", budgetTokens = 2000, nBuckets = 16)
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ⊕ GOLDEN (round 13): direct pin for the BPE-counts →
+    // packing COMPOSITION (pack_shards_bpe was the last ○ row whose
+    // two halves were oracled separately but never together). Fill
+    // order is doc_id, so every shard is a CONTIGUOUS doc_id range —
+    // the per-shard (n_docs, doc_min, doc_max, tok_sum) summary below
+    // therefore determines the full doc→shard assignment exactly
+    // (ranges tile 0..n−1, asserted by the committed rows themselves),
+    // in 32 rows instead of 500. Goldens recorded from the pinned
+    // build at sf0.01 (the driver's gate SF); both halves are
+    // deterministic — the fit is a pure function of the word-count
+    // multiset (BpeSpec), packShards of the total order — so the pin
+    // is partitioning/thread-count independent. A merge-table, token-
+    // count, or offset regression shifts at least one boundary.
+    "pack_shards_bpe_anchor" -> ((s, d) => {
+      val model = bpeFor(s, d, numMerges = 64)
+      TextAnalysis.packShards(
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text"), model).as("n_toks")),
+        "n_toks", "doc_id", budgetTokens = 2000, nBuckets = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("doc_min"),
+          max(col("doc_id")).as("doc_max"),
+          sum(col("n_toks")).cast("long").as("tok_sum"))
+        .orderBy(col("shard"))
+    }),
     "pack_sequences" -> ((s, d) => {
       val cum0 = coalesce(sum(col("n_tokens")).over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -3419,6 +3446,44 @@ object SparkEntry {
           |  (6, 58, CAST(3.409334 AS DOUBLE)),
           |  (8, 324, CAST(3.52604 AS DOUBLE))
           |) AS t(doc_id, n_toks, lm_nll) ORDER BY doc_id""".stripMargin,
+      // BPE-counts → packing composition goldens (see the query
+      // comment): per-shard summary at sf0.01; contiguous ranges make
+      // 32 rows an exact pin of all 500 assignments
+      "pack_shards_bpe_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(16 AS BIGINT), CAST(0 AS BIGINT), CAST(15 AS BIGINT), CAST(2080 AS BIGINT)),
+          |  (1, 16, 16, 31, 1994),
+          |  (2, 16, 32, 47, 1953),
+          |  (3, 16, 48, 63, 2159),
+          |  (4, 17, 64, 80, 1836),
+          |  (5, 19, 81, 99, 2009),
+          |  (6, 18, 100, 117, 2071),
+          |  (7, 16, 118, 133, 2008),
+          |  (8, 14, 134, 147, 1923),
+          |  (9, 16, 148, 163, 2029),
+          |  (10, 16, 164, 179, 2002),
+          |  (11, 18, 180, 197, 2113),
+          |  (12, 16, 198, 213, 1922),
+          |  (13, 12, 214, 225, 1943),
+          |  (14, 16, 226, 241, 2156),
+          |  (15, 14, 242, 255, 1808),
+          |  (16, 15, 256, 270, 2060),
+          |  (17, 15, 271, 285, 2094),
+          |  (18, 14, 286, 299, 1973),
+          |  (19, 15, 300, 314, 1887),
+          |  (20, 14, 315, 328, 2093),
+          |  (21, 17, 329, 345, 1962),
+          |  (22, 14, 346, 359, 2002),
+          |  (23, 18, 360, 377, 1954),
+          |  (24, 17, 378, 394, 2061),
+          |  (25, 16, 395, 410, 1933),
+          |  (26, 13, 411, 423, 2073),
+          |  (27, 14, 424, 437, 2084),
+          |  (28, 15, 438, 452, 1880),
+          |  (29, 15, 453, 467, 1966),
+          |  (30, 22, 468, 489, 2094),
+          |  (31, 10, 490, 499, 1303)
+          |) AS t(shard, n_docs, doc_min, doc_max, tok_sum) ORDER BY shard""".stripMargin,
       // streaming embed-on-arrival applies the same pure per-row
       // kernel — shares the committed goldens verbatim
       "embed_hashing_stream" -> oracleSqlEmbedHashingGoldens,
