@@ -611,6 +611,93 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // IVF probe cost under ZIPF cell skew at 1M:
+    //   sbt "runMain graft.ScaleProbe 1000000 ivfskew"
+    // The recall/latency story assumes probe cost ≈ nprobe/nlist of the
+    // corpus — true only for balanced cells. Here the same frozen
+    // quantizer indexes (a) a balanced corpus and (b) a zipf-assigned
+    // one (inverse-CDF rank draw, P(hot cell) = ln2/ln64 ≈ 17% of all
+    // rows vs 1.6% average — the drifted-append shape driftGuard
+    // exists for), a hot-cell query is timed on both, then capCells
+    // splits the hot cells and the probe is re-timed: the skew tax and
+    // its repair, measured.
+    if (args.contains("ivfskew")) {
+      val nlist = 64
+      val rnd = new scala.util.Random(4242)
+      val anchors: Array[Array[Float]] =
+        Array.fill(nlist)(Array.fill(dim)(((rnd.nextDouble() - 0.5) * 2).toFloat))
+      import spark.implicits._
+      val anchorsDf = broadcast(anchors.zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq.toDF("zk", "anchor"))
+      def cellDraw(zipf: Boolean): org.apache.spark.sql.Column =
+        if (!zipf) pmod(hash(col("vec_id") + lit(17)), lit(nlist)).cast("int")
+        else {
+          // log-uniform inverse CDF (the lmScore corpus' draw): rank
+          // r gets P ∝ 1/r over [1, nlist]; rank 1 → cell 0
+          val u = (pmod(hash(col("vec_id") * lit(131) + lit(7)), lit(1000000))
+            .cast("double") + 0.5) / 1000000.0
+          (floor(exp(u * math.log(nlist.toDouble))) - 1).cast("int")
+        }
+      def corpusFor(zipf: Boolean) =
+        spark.range(n).toDF("vec_id")
+          .withColumn("zk", cellDraw(zipf))
+          .join(anchorsDf, "zk")
+          .select(col("vec_id"), transform(col("anchor"), (a, j) =>
+            (a + (pmod(hash(col("vec_id") * lit(8191) + j * lit(127) + lit(3)),
+              lit(1000)).cast("double") / 1000.0 - 0.5) * 0.1).cast("float"))
+            .as("embedding"))
+          .repartition(32).localCheckpoint(true)
+      // a query INSIDE the hot cell: the zipf draw's rank-1 cell is 0
+      val hotQuery = anchors(0).map(v => v * 0.97f)
+      def factorOf(idx: IvfIndex): Double = {
+        val r = idx.cellSizeStats.agg(sum(col("n")), max(col("n"))).head()
+        r.getLong(1).toDouble / (r.getLong(0).toDouble / idx.centroidVectors.length)
+      }
+      // Wall time at 1M rows is fixed-cost-dominated (the hot cell is
+      // ~40 MB); ROWS SCANNED is the measure that scales — probe cost
+      // at 100 TB is proportional to it, and it is deterministic.
+      def probeHot(label: String, idx: IvfIndex): Unit = {
+        val cells = idx.probeCells(hotQuery, 4)
+        val scanned = idx.indexed
+          .where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*)).count()
+        time(f"$label hot-cell search nprobe=4 (scans $scanned%,d rows)") {
+          require(idx.search(hotQuery, k = 10, nprobe = 4,
+            tieBreakers = Seq(asc("vec_id"))).collect().length == 10)
+        }
+      }
+      // On a PERSISTED cell-partitioned layout the probe filter prunes
+      // FILES, so search cost tracks the probed cells' bytes — that is
+      // where skew taxes and where the repair shows. (In-memory, the
+      // lineage recomputes assignment over the whole corpus per query
+      // and masks both — measured 1.26 s vs 1.30 s, meaningless.)
+      def saved(label: String, zipf: Boolean): IvfIndex = {
+        val p = s"$path-ivfskew-$label"
+        if (!new java.io.File(p).exists())
+          IvfIndex.withCentroids(corpusFor(zipf), "embedding", anchors).save(p)
+        IvfIndex.load(spark, p)
+      }
+      val balanced = saved("balanced", zipf = false)
+      println(f"[scale-probe] balanced max/avg cell factor: ${factorOf(balanced)}%.1fx")
+      probeHot("balanced (persisted)", balanced)
+      val skewed = saved("zipf", zipf = true)
+      println(f"[scale-probe] zipf     max/avg cell factor: ${factorOf(skewed)}%.1fx")
+      probeHot("zipf     (persisted)", skewed)
+      val guard = try { skewed.driftGuard(maxFactor = 8.0); "PASSED (unexpected)" }
+      catch { case e: IllegalStateException => s"refused: ${e.getMessage.take(80)}..." }
+      println(s"[scale-probe] driftGuard(8x) on the zipf index: $guard")
+      val cap = 2L * n / nlist
+      val hotRows = skewed.cellSizeStats.where(col("n") > cap)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      val repaired = time(s"repairSaved(maxRows=$cap)") {
+        IvfIndex.repairSaved(spark, s"$path-ivfskew-zipf", cap)
+      }
+      println(f"[scale-probe] repaired max/avg cell factor: ${factorOf(repaired)}%.1fx " +
+        f"(nlist ${repaired.centroidVectors.length}; rewrote $hotRows%,d of $n%,d rows — " +
+        "cold cell files untouched)")
+      probeHot("repaired (persisted)", repaired)
+      spark.stop()
+      return
+    }
     val idxPath = s"$path-ivf"
     time("ivf build nlist=64") {
       val idx = IvfIndex.build(e, "embedding", nlist = 64)

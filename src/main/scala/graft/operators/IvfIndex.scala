@@ -169,6 +169,102 @@ class IvfIndex private (
     factor
   }
 
+  /**
+   * Cell-size cap, one pass: every cell holding more than `maxRows`
+   * rows is SPLIT — a local k-means (⌈n/maxRows⌉ sub-centroids, seed
+   * pinned) fit on just that cell's vectors, its rows re-assigned only
+   * AMONG those sub-centroids (map-side [[graft.expressions
+   * .NearestCell]]; no other cell's rows move, so the pass is a
+   * refinement of the old partition). The returned index carries the
+   * widened centroid table (kept centroids renumbered densely,
+   * sub-centroids appended); `search`/`searchMany` work unchanged, and
+   * exactness at nprobe = nlist is preserved because the cells still
+   * tile the corpus (spec'd). This is the repair `driftGuard` points
+   * at when a zipf-drifted append concentrates probes in hot cells
+   * (measured in ScaleProbe `ivfskew`): probe cost returns to
+   * ≈ nprobe/nlist of the corpus without refitting the whole
+   * quantizer or rewriting cold cells.
+   *
+   * One k-means pass does not PROMISE the cap (k-means balances by
+   * geometry, not by count — a cell of near-identical vectors cannot
+   * be split at all); [[capCells]] iterates and refuses on
+   * no-progress rather than looping forever.
+   */
+  def splitOversized(maxRows: Long, seed: Long = 123L): IvfIndex = {
+    val (idx, _, _) = splitOversizedPlan(maxRows, seed)
+    idx
+  }
+
+  /** [[splitOversized]] plus the hot cell ids and their reassigned
+    * frames — the saved-layout repair ([[IvfIndex.repairSaved]]) writes
+    * exactly these and touches nothing else. */
+  private[operators] def splitOversizedPlan(maxRows: Long,
+      seed: Long): (IvfIndex, Seq[Int], Seq[DataFrame]) = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    // nlist-bounded collect (same bound as the resident centroid array)
+    val sizes = cellSizeStats.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = sizes.filter(_._2 > maxRows).keys.toSeq.sorted
+    if (hot.isEmpty) return (this, Nil, Nil)
+    val hotSet = hot.toSet
+    // Cold cells keep their IDS and their ROWS untouched — the split
+    // replaces each hot centroid IN PLACE with its first sub-centroid
+    // and appends the rest, so on a persisted layout only the hot
+    // `cell=` partitions ever need rewriting.
+    val newCentroids = scala.collection.mutable.ArrayBuffer[Array[Float]](
+      centroidVectors.toIndexedSeq: _*)
+    var hotPieces: Vector[DataFrame] = Vector.empty
+    for (c <- hot) {
+      val k = math.max(2, math.ceil(sizes(c).toDouble / maxRows).toInt)
+      val cellRows = indexed.where(col("cell") === c).drop("cell")
+      val vecCol = "__ivf_vec"
+      val assembled = cellRows.withColumn(vecCol, array_to_vector(col(embCol)))
+      val sub = new KMeans().setK(k).setSeed(seed)
+        .setFeaturesCol(vecCol).setPredictionCol("__sub").fit(assembled)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+      // sub-cell 0 inherits id c; sub-cells 1.. append at the tail
+      val base = newCentroids.length
+      newCentroids(c) = sub(0)
+      newCentroids ++= sub.drop(1)
+      hotPieces :+= IvfIndex.assignWithCentroids(cellRows, embCol, sub)
+        .withColumn("cell",
+          when(col("cell") === 0, lit(c))
+            .otherwise(col("cell") + lit(base - 1)).cast("int"))
+    }
+    val cold = indexed.where(!col("cell").isin(hot.map(Int.box): _*))
+    val idx = new IvfIndex(newCentroids.toArray,
+      (cold +: hotPieces).reduce(_ unionByName _), embCol)
+    (idx, hot, hotPieces)
+  }
+
+  /** Iterated [[splitOversized]] until every cell fits `maxRows`.
+    * Refuses (refuse-don't-degrade) when a round makes no progress —
+    * the pathological case is a cell of duplicate/near-identical
+    * vectors, which no quantizer refinement can separate; capping it
+    * needs an id-salted overflow tier, not a geometry split. */
+  def capCells(maxRows: Long, maxRounds: Int = 4, seed: Long = 123L): IvfIndex = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var idx = this
+    var round = 0
+    while (round < maxRounds) {
+      val worst = idx.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+      if (worst <= maxRows) return idx
+      val next = idx.splitOversized(maxRows, seed + round)
+      val nextWorst = next.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+      if (nextWorst >= worst) throw new IllegalStateException(
+        s"capCells made no progress (fullest cell $worst -> $nextWorst rows " +
+          s"against cap $maxRows): the hot cell's vectors are too similar " +
+          "for a geometry split — dedup them or accept the imbalance")
+      idx = next
+      round += 1
+    }
+    val worst = idx.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+    if (worst > maxRows) throw new IllegalStateException(
+      s"capCells: fullest cell still $worst rows after $maxRounds rounds " +
+        s"(cap $maxRows) — raise maxRounds or the cap")
+    idx
+  }
+
   /** Persist the corpus cell-partitioned so probe filters prune files. */
   def writePartitioned(path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -263,6 +359,46 @@ object IvfIndex {
       .setFeaturesCol(vecCol).setPredictionCol("cell").fit(assembled)
     new IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)),
       model.transform(assembled).drop(vecCol), embCol)
+  }
+
+  /**
+   * [[IvfIndex.splitOversized]] applied to a SAVED layout, touching
+   * only what the split changes: the hot cells' rows are materialized
+   * (bounded: only oversized cells), their `cell=` directories deleted,
+   * and the reassigned rows appended under their new partitions; COLD
+   * CELL FILES ARE NEVER REWRITTEN (spec'd by file listing), which is
+   * the difference between "repair the index" and "rebuild the corpus"
+   * at 100 TB. The centroid table and sidecar refresh to the widened
+   * quantizer. Returns the reopened index.
+   *
+   * The explicit delete-then-append (rather than dynamic partition
+   * overwrite) closes an edge: a hot cell whose k-means leaves
+   * sub-cell 0 empty would never appear in the written data, so
+   * overwrite-by-presence would leave its stale directory serving
+   * duplicate rows.
+   */
+  def repairSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRows: Long, seed: Long = 123L): IvfIndex = {
+    val idx = load(spark, path)
+    val (split, hot, hotPieces) = idx.splitOversizedPlan(maxRows, seed)
+    if (hotPieces.isEmpty) return idx
+    // cut lineage off the files about to be deleted
+    val reassigned = hotPieces.reduce(_ unionByName _).localCheckpoint(true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(conf)
+    // delete exactly the split cells' old directories (sub-0 reuses the
+    // hot id, so its dir is deleted and rewritten; tail ids are new)
+    hot.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(dataPath, s"cell=$c")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    reassigned.write.mode("append").partitionBy("cell").parquet(s"$path/data")
+    split.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivf.json"),
+      s"""{"embedding_column": "${idx.embCol}", "nlist": ${split.centroidVectors.length}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    load(spark, path)
   }
 
   /** Reopen a saved index. The data scan comes from the cell-partitioned

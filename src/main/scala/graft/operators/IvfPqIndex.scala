@@ -154,7 +154,17 @@ class IvfPqIndex private (
   def cellSizeStats: DataFrame =
     encoded.groupBy("cell").agg(count(lit(1)).as("n"))
 
-  /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus. */
+  /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus.
+    *
+    * Note on repair: unlike [[IvfIndex.splitOversized]], the coded
+    * tier cannot split a hot cell itself — the split fits sub-
+    * centroids on the cell's RAW vectors, and `build` drops them
+    * after encode (decoded approximations would seed the sub-
+    * quantizer with its own distortion). When this guard trips,
+    * repair the vector tier ([[IvfIndex.repairSaved]], or re-fit) and
+    * re-encode the split cells' rows; cold cells' codes stay valid
+    * because codes are PQ(raw vector), not PQ(residual) — a cell
+    * renumbering never invalidates them. */
   def driftGuard(maxFactor: Double = 8.0): Double = {
     require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
     val r = cellSizeStats.agg(sum(col("n")), max(col("n"))).head()

@@ -120,6 +120,43 @@ object ParaBloom {
   def emptyLike(proto: ParaBloom): ParaBloom =
     new ParaBloom(new Array[Long](proto.words.length), proto.numHashes)
 
+  private val MagicV1 = 0x47524254424c4d31L // "GRBTBLM1"
+
+  /** Persist the filter — the streaming seen-store must survive a
+    * restart alongside the query's own checkpoint, or the restarted
+    * stream re-admits every paragraph ever seen. Format: magic,
+    * numHashes, word count, then the raw bitset words (all
+    * big-endian); ~sizeBytes on disk, one sequential write. */
+  def save(bloom: ParaBloom, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val buf = java.nio.ByteBuffer.allocate(8 * (3 + bloom.words.length))
+    buf.putLong(MagicV1)
+    buf.putLong(bloom.numHashes.toLong)
+    buf.putLong(bloom.words.length.toLong)
+    bloom.words.foreach(buf.putLong)
+    java.nio.file.Files.write(p, buf.array())
+  }
+
+  /** Reopen a [[save]]d filter: decision-identical to the instance that
+    * was saved (spec'd — same bits, same probes). Refuses corrupt or
+    * truncated files by magic/length check rather than misreading. */
+  def load(path: String): ParaBloom = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length >= 24 && bytes.length % 8 == 0,
+      s"$path is not a ParaBloom file (length ${bytes.length})")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    require(buf.getLong() == MagicV1, s"$path: bad magic — not a ParaBloom file")
+    val k = buf.getLong().toInt
+    val nWords = buf.getLong().toInt
+    require(k >= 1 && nWords >= 1 && bytes.length == 8L * (3 + nWords),
+      s"$path: truncated or corrupt (k=$k, words=$nWords, ${bytes.length} bytes)")
+    val words = new Array[Long](nWords)
+    var i = 0
+    while (i < nWords) { words(i) = buf.getLong(); i += 1 }
+    new ParaBloom(words, k)
+  }
+
   /** Distributed build from a `(__h1, __h2)` frame
     * ([[Dedup.paragraphHashFrame]]): one fixed-size partial per
     * partition, OR-merged in a tree — the driver receives

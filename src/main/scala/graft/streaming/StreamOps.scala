@@ -267,9 +267,25 @@ object StreamOps {
       textCol: String, idCol: String,
       sep: String = "\n", minLen: Int = 1,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupParagraphsPerBatchBloomFrom(docs, textCol, idCol, sep, minLen,
+      graft.operators.ParaBloom.create(expectedItems, fpp))(sink)
+
+  /** [[dedupParagraphsPerBatchBloom]] against a CALLER-OWNED store —
+    * the restart path: reopen the filter persisted at the last
+    * checkpoint ([[graft.operators.ParaBloom.load]]), resume the
+    * stream against it, and [[graft.operators.ParaBloom.save]] it on
+    * whatever cadence matches the sink's checkpoint (the caller holds
+    * the reference; saving mid-batch is safe — the store only ever
+    * gains bits, so a crash between save and checkpoint re-drops at
+    * most the unsaved batches' paragraphs, never re-admits old ones). */
+  def dedupParagraphsPerBatchBloomFrom(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String,
+      sep: String, minLen: Int,
+      bloom: graft.operators.ParaBloom)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    val bloom = graft.operators.ParaBloom.create(expectedItems, fpp)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // snapshot-copy before broadcasting: in local mode the broadcast
       // hands tasks the SAME object, and the post-batch merge below

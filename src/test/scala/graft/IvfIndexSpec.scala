@@ -159,4 +159,85 @@ class IvfIndexSpec extends AnyFunSuite {
     val ex = intercept[IllegalStateException](drifted.driftGuard(maxFactor = 4.0))
     assert(ex.getMessage.contains("re-fit"), ex.getMessage)
   }
+
+  test("splitOversized: cells still tile the corpus, exactness at full probe is preserved") {
+    val idx = IvfIndex.build(e, "embedding", nlist = 4) // ~125 rows/cell
+    val before = idx.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+    val split = idx.splitOversized(maxRows = 60)
+    // no row lost or duplicated, every cell id in the widened range,
+    // and only oversized cells were touched
+    assert(split.indexed.count() == 500)
+    assert(split.centroidVectors.length > 4)
+    val sizes = split.cellSizeStats.collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._2).sum == 500)
+    assert(sizes.forall { case (c, _) => c >= 0 && c < split.centroidVectors.length })
+    assert(sizes.map(_._2).max < before, "the hot cells must shrink")
+    // the partition refinement cannot lose recall at full probe: every
+    // cell is still probed, so the exact top-k survives the renumbering
+    val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
+      tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val full = split.search(query, k = 10, nprobe = split.centroidVectors.length,
+      tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // under-cap index is returned unchanged (no-op fast path)
+    assert(split.splitOversized(maxRows = 1000000) eq split)
+  }
+
+  test("repairSaved: only hot cell= partitions are rewritten; cold files byte-identical; serving stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_repair").toString
+    val idx = IvfIndex.build(e, "embedding", nlist = 8)
+    idx.save(dir)
+    val sizes = idx.cellSizeStats.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cap = sizes.map(_._2).sorted.apply(sizes.length / 2) // median: some hot, some cold
+    val cold = sizes.filter(_._2 <= cap).map(_._1)
+    val hot = sizes.filter(_._2 > cap).map(_._1)
+    assert(cold.nonEmpty && hot.nonEmpty, s"need both; sizes=${sizes.toSeq}")
+    def listing(cells: Seq[Int]): Map[String, (Long, Long)] = cells.flatMap { c =>
+      val d = new java.io.File(s"$dir/data/cell=$c")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length()))
+    }.toMap
+    val coldBefore = listing(cold)
+    val repaired = IvfIndex.repairSaved(spark, dir, maxRows = cap)
+    // cold partitions: same files, same mtimes, same bytes — untouched
+    assert(listing(cold) == coldBefore)
+    // hot cells were split: widened quantizer, sidecar in agreement
+    assert(repaired.centroidVectors.length > 8)
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_ivf.json")))
+    assert(sidecar.contains(s""""nlist": ${repaired.centroidVectors.length}"""))
+    // no row lost or duplicated across the delete-then-append
+    assert(repaired.indexed.count() == 500)
+    assert(repaired.cellSizeStats.collect().map(_.getLong(1)).max < sizes.map(_._2).max)
+    // the reopened layout serves the exact top-k at full probe
+    val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
+      tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = repaired.search(query, k = 10,
+      nprobe = repaired.centroidVectors.length, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+    // an already-healthy layout is a no-op (nothing deleted or written)
+    val all = repaired.indexed.count()
+    assert(IvfIndex.repairSaved(spark, dir, maxRows = 1000000).indexed.count() == all)
+  }
+
+  test("capCells: iterates to the cap on separable data; refuses on an unsplittable duplicate pile") {
+    val idx = IvfIndex.build(e, "embedding", nlist = 4)
+    val capped = idx.capCells(maxRows = 60, maxRounds = 4)
+    assert(capped.cellSizeStats.agg(max(col("n"))).head().getLong(0) <= 60)
+    assert(capped.indexed.count() == 500)
+    // a cell of identical vectors has no geometry to split — capCells
+    // must refuse with advice, not loop or silently under-deliver
+    val oneRow = e.where(col("vec_id") === 0).collect().head
+    val pile = spark.createDataFrame(
+      java.util.Collections.nCopies(512, oneRow), e.schema)
+    val piled = idx.addBatch(pile)
+    val ex = intercept[IllegalStateException](piled.capCells(maxRows = 60, maxRounds = 2))
+    assert(ex.getMessage.contains("no progress") || ex.getMessage.contains("still"),
+      ex.getMessage)
+  }
 }

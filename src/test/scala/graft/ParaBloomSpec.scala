@@ -157,4 +157,33 @@ class ParaBloomSpec extends AnyFunSuite {
     assert(got(3L) == "unique article three")
     assert(!got.contains(4L))
   }
+
+  test("save/load round trip is decision-identical; corrupt files refuse") {
+    val b = ParaBloom.create(expectedItems = 4096, fpp = 0.01)
+    val rnd = new scala.util.Random(7)
+    val inserted = Seq.fill(3000)((rnd.nextLong(), rnd.nextLong()))
+    inserted.foreach { case (h1, h2) => b.add(h1, h2) }
+    val path = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/store.bloom"
+    ParaBloom.save(b, path)
+    val re = ParaBloom.load(path)
+    assert(re.numHashes == b.numHashes && re.numBits == b.numBits)
+    assert(re.fillRatio == b.fillRatio)
+    // identical decisions on members AND on a fresh probe set
+    assert(inserted.forall { case (h1, h2) => re.mightContain(h1, h2) })
+    val probes = Seq.fill(3000)((rnd.nextLong(), rnd.nextLong()))
+    assert(probes.forall { case (h1, h2) =>
+      re.mightContain(h1, h2) == b.mightContain(h1, h2) })
+    // a reopened store keeps accepting inserts (restart continuation)
+    val (h1, h2) = (12345L, 67890L)
+    re.add(h1, h2)
+    assert(re.mightContain(h1, h2))
+    // refusal on garbage, truncation, and wrong magic
+    val bad = path + ".bad"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException](ParaBloom.load(bad))
+    val truncated = path + ".trunc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncated),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)).take(32))
+    intercept[IllegalArgumentException](ParaBloom.load(truncated))
+  }
 }
