@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{AsofJoin, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1113,6 +1113,41 @@ object SparkEntry {
       TextAnalysis.lmScoreBigramAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
         "text", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T ORACLED (round 13): MODEL-BASED quality filtering — the
+    // classifier tier of a modern pretraining pipeline (CCNet/DCLM/
+    // FineWeb-Edu train a fastText-shaped model on quality labels and
+    // rank every document with it). The DCLM distillation shape end
+    // to end: a heuristic (English stopword-instance density, an
+    // all-integer cross-multiplied threshold) labels the reference
+    // split's CONFIDENT EXTREMES only (>= 8% good, <= 4% bad — fitting
+    // on clearly-good vs clearly-bad examples is what makes the
+    // margin wide enough for fast convergence; 87% held-out accuracy
+    // on extremes at sf0.01), a logistic regression over bag-of-words
+    // relative frequencies distills it via 8 rounds of full-batch
+    // gradient descent with every float product quantized to integer
+    // micro-units BEFORE aggregation — so the TRAINING itself is
+    // partition-order-free and DuckDB replays it bit-for-bit (one
+    // unrolled CTE block per iteration; the first trained model in
+    // this repo with a derivation-checked oracle rather than a golden
+    // anchor) — and the whole complement, middles included, is scored
+    // against the frozen weights.
+    "quality_classifier_frozen" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val n = size(toks)
+      val labeled = docs.withColumn("__label",
+        (lit(100) * hits >= lit(6) * n).cast("int"))
+      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
+      val model = Classifier.fit(
+        labeled.where(col("doc_id") % 7 === 0 && extremes),
+        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),
     // §2.3 T ORACLED (round 9): CCNet's head/middle/tail split —
@@ -2817,6 +2852,17 @@ object SparkEntry {
       "quality_lm_score_frozen" ->
         (TextAnalysisSql.lmScoreFrozenSql("documents", "doc_id", "text",
           "doc_id % 7 = 0", "doc_id % 7 <> 0") +
+          "\nORDER BY doc_id"),
+      // the classifier FIT replayed iteration by iteration (integer-
+      // quantized full-batch gradient descent is exact commutative
+      // arithmetic in both engines), then frozen-weight scoring; the
+      // label is the already-oracled 6-dp quality score thresholded
+      "quality_classifier_frozen" ->
+        (ClassifierSql.classifierFrozenSql("documents", "doc_id", "text",
+          ClassifierSql.stopDensityLabelSql("text"),
+          s"doc_id % 7 = 0 AND ${ClassifierSql.stopDensityExtremesSql("text")}",
+          "doc_id % 7 <> 0",
+          minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
           "\nORDER BY doc_id"),
       // interpolated bigram against the same frozen split: identical
       // expression tree term for term, micro-nat quantization underneath

@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality filtering — the classifier tier of a modern
+ * pretraining pipeline (CCNet trains fastText to separate Wikipedia
+ * from crawl; DCLM and FineWeb-Edu rank every document with a linear
+ * or distilled classifier; reference scope: tidyvec's embedders are
+ * models-as-artifacts, `R/embedders.R`, and this extends that
+ * convention to a trainable *discriminative* scorer). The model is a
+ * logistic regression over bag-of-words relative-frequency features —
+ * the fastText shape without subword buckets: score(d) =
+ * sigmoid(b + sum_t (c_{d,t}/n_d) * w_t) over the fit corpus's vocab.
+ *
+ * What makes this one different from calling spark.ml: the ENTIRE fit
+ * is deterministic across partitionings AND replayable bit-for-bit by
+ * another engine. Spark's LogisticRegression (LBFGS over float
+ * treeAggregate) returns different bits under different partition
+ * counts, which is why trained models elsewhere in this repo settle
+ * for golden-anchor pins ([[graft.Embedder]]'s Word2Vec, k-means).
+ * Here the [[graft.operators.TextAnalysis.lmScore]] integer-quantization
+ * trick is applied to *training*: every per-(doc,token) float product
+ * is rounded to integer micro-units BEFORE any aggregation, so each
+ * gradient sum is exact commutative integer arithmetic — partition-
+ * order-free — and the weight state after every iteration is a pure
+ * integer function of the corpus. The only float steps (one division,
+ * one multiply, the sigmoid's exp) happen per (doc, token) row or per
+ * doc on integer inputs, where JVM and DuckDB agree to ~1 ulp, far
+ * inside the micro-unit quantum. Full-batch gradient descent rather
+ * than SGD for the same reason: a sampling order is a nondeterminism
+ * source, and at corpus scale "one pass over everything per step" is
+ * the shape that parallelizes anyway.
+ *
+ * Scale shape per iteration: two shuffles over the (doc, token)
+ * feature frame — token-key join against the vocab-sized weight frame
+ * then a doc-key integer sum (the scoring pass), doc-key join of the
+ * residuals then a token-key integer sum (the gradient pass). The
+ * feature frame is localCheckpoint-materialized ONCE at fit (computed
+ * once, read `2 * iters` times); per-iteration weight frames are
+ * vocab-bounded and checkpointed to keep lineage flat. Iteration
+ * count is a constant (default 8), so fit cost is `O(iters)` passes —
+ * the classic distributed-ML bound, with no driver-side data motion
+ * beyond two longs per iteration.
+ */
+object Classifier {
+
+  import TextAnalysis.Ws
+
+  /** Micro-unit quantum shared by weights, logits, and residuals —
+    * the lmScore micro-nat convention. */
+  private val Q = 1e6
+
+  /**
+   * A fitted linear quality classifier — weights as a `(__tok,
+   * __w_micro)` frame (integer micro-units, the [[TextAnalysis.UnigramLm]]
+   * counts-frame convention: pure data, reloadable by any engine) plus
+   * an integer micro-unit bias. `iters`/`lr`/`minCount` ride along so
+   * a persisted model records how it was fit.
+   */
+  case class LinearQualityClassifier private[operators] (
+      weights: DataFrame, biasMicro: Long,
+      iters: Int, lr: Double, minCount: Long, featScale: Double)
+
+  /**
+   * Fit by `iters` rounds of full-batch gradient descent (see object
+   * doc for the determinism design). Features are relative
+   * frequencies over IN-VOCAB tokens (vocab = fit-corpus tokens with
+   * at least `minCount` occurrences — the bound that keeps the weight
+   * frame model-sized on an open-vocabulary corpus); OOV tokens are
+   * invisible to both numerator and denominator, and docs with zero
+   * in-vocab tokens are absent from the fit (the [[TextAnalysis.lmScore]]
+   * zero-token convention). `labelCol` must be 0/1 — checked eagerly,
+   * refuse-don't-guess; null-labeled docs are dropped.
+   *
+   * Weight updates round Spark-side (`round(...)`, half-away-from-
+   * zero — the semantics DuckDB's `round` shares; `Math.round` is
+   * floor(x+0.5) and would diverge on negative halves), including the
+   * bias: its per-iteration update is computed IN-PLAN by a one-row
+   * aggregate so the driver never rounds a double itself.
+   */
+  def fit(df: DataFrame, textCol: String, labelCol: String, idCol: String,
+      minCount: Long = 2L, iters: Int = 8, lr: Double = 2.0,
+      featScale: Double = 10.0): LinearQualityClassifier = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(featScale > 0 && java.lang.Double.isFinite(featScale),
+      s"featScale must be positive and finite, got $featScale")
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in [1, 64] (the oracle unrolls one CTE block per iteration), got $iters")
+    require(lr > 0 && java.lang.Double.isFinite(lr), s"lr must be positive and finite, got $lr")
+    val bad = df.where(col(labelCol).isNotNull && !col(labelCol).isin(0, 1)).limit(1).count()
+    require(bad == 0L,
+      s"fit needs 0/1 labels in '$labelCol' — found other values; map them before fitting")
+
+    val toks = df.where(col(labelCol).isin(0, 1))
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__y"),
+        explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__tok").localCheckpoint(true)
+    require(!vocab.isEmpty,
+      s"fit produced an empty vocabulary (no token reaches minCount = $minCount) — " +
+        "lower minCount or fit on more text")
+    // (doc, token) relative-frequency features, materialized once and
+    // read 2*iters times
+    val cnt = toks.join(vocab, "__tok").groupBy("__id", "__y", "__tok")
+      .agg(count(lit(1)).as("__ct"))
+    val nd = cnt.groupBy("__id").agg(sum("__ct").as("__nd"))
+    val feat = cnt.join(nd, "__id")
+      .select(col("__id"), col("__y"), col("__tok"),
+        ((col("__ct").cast("double") / col("__nd")) * lit(featScale)).as("__x"))
+      .localCheckpoint(true)
+    val nDocs = nd.count()
+
+    var w = vocab.select(col("__tok"), lit(0L).as("__w_micro")).localCheckpoint(true)
+    var bMicro = 0L
+    for (_ <- 1 to iters) {
+      // scoring pass: integer micro-logits, exact doc sums
+      val z = feat.join(w, "__tok")
+        .withColumn("__zq", round(col("__x") * col("__w_micro")).cast("long"))
+        .groupBy("__id", "__y").agg((sum("__zq") + lit(bMicro)).as("__z_micro"))
+      // residuals, quantized before any further aggregation
+      val r = z.select(col("__id"),
+        round(lit(Q) * (lit(1.0) / (lit(1.0) +
+          exp(-(col("__z_micro").cast("double") / lit(Q)))) -
+          col("__y").cast("double"))).cast("long").as("__rq"))
+        .localCheckpoint(true)
+      // gradient pass: exact token sums, then the rounded update
+      val g = feat.join(r, "__id")
+        .withColumn("__gq", round(col("__rq").cast("double") * col("__x")).cast("long"))
+        .groupBy("__tok").agg(sum("__gq").as("__g"))
+      w = w.join(g, Seq("__tok"), "left")
+        .select(col("__tok"),
+          (col("__w_micro") - round((lit(lr) * coalesce(col("__g"), lit(0L)).cast("double")) /
+            lit(nDocs.toDouble)).cast("long")).as("__w_micro"))
+        .localCheckpoint(true)
+      // bias update rounded IN-PLAN (same round semantics as the
+      // weight update and the oracle), two longs to the driver
+      bMicro -= r.agg(round((lit(lr) * sum("__rq").cast("double")) /
+        lit(nDocs.toDouble)).cast("long")).head().getLong(0)
+    }
+    LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale)
+  }
+
+  /**
+   * Score a shard against a FROZEN model — the deployment shape (fit
+   * once on the reference corpus, score every shard and every stream
+   * batch against the same weights, so scores stay comparable).
+   * Output: (`idCol`, `n_toks` = in-vocab token instances,
+   * `clf_logit`, `outCol` = sigmoid probability), both rounded to
+   * 6 dp after exact integer accumulation. Docs with zero in-vocab
+   * tokens are absent (no feature mass — same convention as fit).
+   *
+   * The weights join shuffles both sides on the token key by default
+   * (the open-vocabulary-safe shape, and the model side has already
+   * collapsed to one row per vocab token); `broadcastWeights = true`
+   * serves the bounded-vocab case — the token stream never shuffles
+   * and the per-doc partials collapse map-side. Results are
+   * bit-identical either way (integer sums commute).
+   */
+  def scoreAgainst(df: DataFrame, model: LinearQualityClassifier,
+      textCol: String, idCol: String, outCol: String = "clf_prob",
+      broadcastWeights: Boolean = false): DataFrame = {
+    val w = if (broadcastWeights) broadcast(model.weights) else model.weights
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+    val cnt = toks.join(w, "__tok")
+      .groupBy(col(idCol), col("__tok"), col("__w_micro"))
+      .agg(count(lit(1)).as("__ct"))
+    val nd = cnt.groupBy(idCol).agg(sum("__ct").as("__nd"))
+    cnt.join(nd, idCol)
+      .withColumn("__zq",
+        round(((col("__ct").cast("double") / col("__nd")) * lit(model.featScale)) *
+          col("__w_micro")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(first("__nd").as("n_toks"),
+        (sum("__zq") + lit(model.biasMicro)).as("__z_micro"))
+      .select(col(idCol), col("n_toks"),
+        round(col("__z_micro").cast("double") / lit(Q), 6).as("clf_logit"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__z_micro").cast("double") / lit(Q)))), 6).as(outCol))
+  }
+
+  /** Persist: weights parquet + a one-row meta table (pure data — the
+    * [[TextAnalysis.saveUnigramLm]] convention). */
+  def save(model: LinearQualityClassifier, path: String): Unit = {
+    val spark = model.weights.sparkSession
+    import spark.implicits._
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    Seq((model.biasMicro, model.iters, model.lr, model.minCount, model.featScale))
+      .toDF("__bias_micro", "__iters", "__lr", "__min_count", "__feat_scale")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reopen a [[save]]d model — columns read by NAME (a reloadable
+    * artifact may come back column-reordered). */
+  def load(spark: SparkSession, path: String): LinearQualityClassifier = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    LinearQualityClassifier(spark.read.parquet(s"$path/weights"),
+      m.getAs[Long]("__bias_micro"), m.getAs[Int]("__iters"),
+      m.getAs[Double]("__lr"), m.getAs[Long]("__min_count"),
+      m.getAs[Double]("__feat_scale"))
+  }
+}
+
+/** DuckDB oracle SQL for [[Classifier]] — the fit REPLAYED, one
+  * materialized CTE block per gradient-descent iteration, then the
+  * frozen-model scoring pass. The `MATERIALIZED` hints matter: the
+  * weight chain references each `w{i}` twice, so DuckDB's default
+  * CTE inlining would re-evaluate the whole prefix exponentially. */
+object ClassifierSql {
+  import TextAnalysis.Ws
+
+  private def toksSql(t: String): String =
+    s"list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0)"
+  private def stopHitsSql(t: String): String = {
+    val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(${toksSql(t)}, t -> list_contains($stop, t)))"
+  }
+
+  /** Stopword-instance DENSITY thresholded at 6% — a label that IS a
+    * linear functional of the classifier's relative-frequency
+    * features, so distillation genuinely converges; all-integer
+    * cross-multiplication, no float compare on either engine. */
+  def stopDensityLabelSql(text: String): String =
+    s"CASE WHEN 100 * ${stopHitsSql(text)} >= 6 * len(${toksSql(text)}) THEN 1 ELSE 0 END"
+
+  /** Confident extremes (density >= 8% or <= 4%) — the DCLM practice
+    * of fitting on clearly-good vs clearly-bad examples only, which
+    * widens the margin and makes full-batch GD converge in few
+    * iterations; the scored shard still includes the middles. */
+  def stopDensityExtremesSql(text: String): String =
+    s"(100 * ${stopHitsSql(text)} >= 8 * len(${toksSql(text)}) " +
+      s"OR 25 * ${stopHitsSql(text)} <= len(${toksSql(text)}))"
+
+  /**
+   * `labelExpr` must evaluate to 0/1 over `table`'s columns;
+   * `modelWhere` rows fit the model, `scoreWhere` rows are scored
+   * against it. Emits `(id, n_toks, clf_logit, clf_prob)`.
+   */
+  def classifierFrozenSql(table: String, id: String, text: String,
+      labelExpr: String, modelWhere: String, scoreWhere: String,
+      minCount: Long, iters: Int, lr: Double, featScale: Double): String = {
+    val toks = (t: String) =>
+      s"unnest(list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0))"
+    val head =
+      s"""WITH ftoks AS MATERIALIZED (
+         |  SELECT $id AS id, ($labelExpr) AS y, ${toks(text)} AS tok
+         |  FROM $table WHERE $modelWhere),
+         |vocab AS MATERIALIZED (
+         |  SELECT tok FROM ftoks GROUP BY tok HAVING count(*) >= $minCount),
+         |fcnt AS MATERIALIZED (
+         |  SELECT id, y, f.tok AS tok, count(*) AS ct
+         |  FROM ftoks f JOIN vocab v USING (tok) GROUP BY id, y, f.tok),
+         |fnd AS MATERIALIZED (SELECT id, sum(ct) AS nd FROM fcnt GROUP BY id),
+         |feat AS MATERIALIZED (
+         |  SELECT f.id, f.y, f.tok, (f.ct * 1.0 / d.nd) * $featScale AS x
+         |  FROM fcnt f JOIN fnd d USING (id)),
+         |ndocs AS MATERIALIZED (SELECT count(*) AS n FROM fnd),
+         |w0 AS MATERIALIZED (SELECT tok, CAST(0 AS BIGINT) AS wm FROM vocab),
+         |b0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bm)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""z$i AS MATERIALIZED (
+         |  SELECT f.id, f.y,
+         |         (SELECT bm FROM b$p) + sum(CAST(round(f.x * w.wm) AS BIGINT)) AS zm
+         |  FROM feat f JOIN w$p w USING (tok) GROUP BY f.id, f.y),
+         |r$i AS MATERIALIZED (
+         |  SELECT id, CAST(round(1000000.0 * (1.0 / (1.0 + exp(-(zm * 1.0 / 1000000.0)))
+         |                                    - y)) AS BIGINT) AS rq
+         |  FROM z$i),
+         |g$i AS MATERIALIZED (
+         |  SELECT f.tok, sum(CAST(round(r.rq * f.x) AS BIGINT)) AS gs
+         |  FROM feat f JOIN r$i r USING (id) GROUP BY f.tok),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.tok, w.wm - CAST(round(($lr * CAST(coalesce(g.gs, 0) AS DOUBLE))
+         |                                  / (SELECT n FROM ndocs)) AS BIGINT) AS wm
+         |  FROM w$p w LEFT JOIN g$i g USING (tok)),
+         |b$i AS MATERIALIZED (
+         |  SELECT (SELECT bm FROM b$p)
+         |         - CAST(round(($lr * CAST((SELECT sum(rq) FROM r$i) AS DOUBLE))
+         |                      / (SELECT n FROM ndocs)) AS BIGINT) AS bm)""".stripMargin
+    }
+    val tail =
+      s"""stoks AS MATERIALIZED (
+         |  SELECT $id AS id, ${toks(text)} AS tok
+         |  FROM $table WHERE $scoreWhere),
+         |scnt AS MATERIALIZED (
+         |  SELECT id, s.tok AS tok, count(*) AS ct
+         |  FROM stoks s JOIN vocab v USING (tok) GROUP BY id, s.tok),
+         |snd AS MATERIALIZED (SELECT id, sum(ct) AS nd FROM scnt GROUP BY id),
+         |sz AS MATERIALIZED (
+         |  SELECT c.id, any_value(d.nd) AS n_toks,
+         |         (SELECT bm FROM b$iters)
+         |         + sum(CAST(round(((c.ct * 1.0 / d.nd) * $featScale) * w.wm) AS BIGINT)) AS zm
+         |  FROM scnt c JOIN snd d USING (id) JOIN w$iters w USING (tok)
+         |  GROUP BY c.id)
+         |SELECT id AS $id, CAST(n_toks AS BIGINT) AS n_toks,
+         |       round(zm * 1.0 / 1000000.0, 6) AS clf_logit,
+         |       round(1.0 / (1.0 + exp(-(zm * 1.0 / 1000000.0))), 6) AS clf_prob
+         |FROM sz""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classifier
+
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def weightsOf(m: Classifier.LinearQualityClassifier): Map[String, Long] =
+    m.weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("one hand-computed gradient-descent iteration, including the negative-half rounding") {
+    // d1 = "a a b" (y=1), d2 = "a c c" (y=0); minCount=1 so vocab={a,b,c}.
+    // All z start at 0 => p=0.5 => rq = -500000 (d1), +500000 (d2).
+    //   g_a = round(-500000*2/3) + round(500000*1/3) = -333333 + 166667 = -166666
+    //   g_b = round(-500000*1/3) = -166667
+    //   g_c = round( 500000*2/3) =  333333
+    // updates (lr=1, nDocs=2):
+    //   w_a = -round(-166666/2) = -round(-83333.0) = +83333
+    //   w_b = -round(-166667/2) = -round(-83333.5) = +83334   <- HALF-AWAY-FROM-ZERO:
+    //         Math.round would give floor(-83333.5+0.5) = -83333 => +83333, a 1-unit
+    //         divergence from DuckDB's round — this value pins the semantics
+    //   w_c = -round( 333333/2) = -round(166666.5) = -166667
+    //   bias: rq sums to 0 => stays 0
+    val docs = Seq((1L, "a a b", 1), (2L, "a c c", 0)).toDF("id", "text", "y")
+    val m = Classifier.fit(docs, "text", "y", "id", minCount = 1L, iters = 1, lr = 1.0, featScale = 1.0)
+    assert(weightsOf(m) == Map("a" -> 83333L, "b" -> 83334L, "c" -> -166667L))
+    assert(m.biasMicro == 0L)
+    // scoring "b" alone: x=1, zq = 83334 => logit 0.083334 exactly
+    val s = Classifier.scoreAgainst(Seq((9L, "b")).toDF("id", "text"), m, "text", "id")
+      .head()
+    assert(s.getAs[Long]("n_toks") == 1L)
+    assert(s.getAs[Double]("clf_logit") == 0.083334)
+  }
+
+  test("fit is bit-identical across partitionings (the point of integer-quantized gradients)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    val a = Classifier.fit(docs.repartition(2), "text", "y", "doc_id", iters = 3)
+    val b = Classifier.fit(docs.repartition(17), "text", "y", "doc_id", iters = 3)
+    assert(a.biasMicro == b.biasMicro)
+    assert(weightsOf(a) == weightsOf(b))
+  }
+
+  test("learns a planted marker: held-out accuracy and probability separation") {
+    val rnd = new scala.util.Random(11)
+    val filler = Array("lorem", "ipsum", "dolor", "sit", "amet", "sed", "do", "eiusmod")
+    val rows = (0L until 120L).map { i =>
+      val y = (i % 2).toInt
+      val base = Seq.fill(8 + rnd.nextInt(8))(filler(rnd.nextInt(filler.length)))
+      // three planted occurrences: relative-frequency features need the
+      // marker to carry real mass (~0.2 of the doc), like a boilerplate
+      // phrase would — a single token in 12 is a 0.08 feature that takes
+      // many more epochs than a unit test should spend
+      val text = (if (y == 1) rnd.shuffle(base ++ Seq.fill(3)("zzmarker")) else base)
+        .mkString(" ")
+      (i, text, y)
+    }
+    val df = rows.toDF("id", "text", "y")
+    val fit = df.where(col("id") < 80)
+    val heldOut = df.where(col("id") >= 80)
+    val m = Classifier.fit(fit, "text", "y", "id", minCount = 1L, iters = 24, lr = 4.0, featScale = 1.0)
+    val scored = Classifier.scoreAgainst(heldOut, m, "text", "id")
+      .join(heldOut.select(col("id"), col("y")), "id")
+      .select(col("y"), col("clf_prob")).collect()
+    val acc = scored.count(r => (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble /
+      scored.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+    val pos = scored.filter(_.getInt(0) == 1).map(_.getDouble(1))
+    val neg = scored.filter(_.getInt(0) == 0).map(_.getDouble(1))
+    assert(pos.sum / pos.length > neg.sum / neg.length + 0.2,
+      s"mean prob pos ${pos.sum / pos.length} vs neg ${neg.sum / neg.length}")
+    // and the marker carries the largest positive weight
+    val w = weightsOf(m)
+    assert(w("zzmarker") == w.values.max)
+  }
+
+  test("save/load round-trips: identical weights, identical scores") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    val m = Classifier.fit(docs.where(col("doc_id") < 200), "text", "y", "doc_id", iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    Classifier.save(m, dir)
+    val re = Classifier.load(spark, dir)
+    assert(re.biasMicro == m.biasMicro && re.iters == m.iters &&
+      re.lr == m.lr && re.minCount == m.minCount)
+    assert(weightsOf(re) == weightsOf(m))
+    val score = docs.where(col("doc_id") >= 200 && col("doc_id") < 260)
+    val a = Classifier.scoreAgainst(score, m, "text", "doc_id").orderBy("doc_id").collect()
+    val b = Classifier.scoreAgainst(score, re, "text", "doc_id").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("broadcastWeights scoring is bit-identical to the shuffle join") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    val m = Classifier.fit(docs.where(col("doc_id") < 200), "text", "y", "doc_id", iters = 2)
+    val score = docs.where(col("doc_id") >= 200 && col("doc_id") < 300)
+    val a = Classifier.scoreAgainst(score, m, "text", "doc_id").orderBy("doc_id").collect()
+    val b = Classifier.scoreAgainst(score, m, "text", "doc_id", broadcastWeights = true)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("OOV-only documents are absent from scoring; OOV tokens are invisible to in-vocab docs") {
+    val m = Classifier.fit(Seq((1L, "a a b", 1), (2L, "a c c", 0)).toDF("id", "text", "y"),
+      "text", "y", "id", minCount = 1L, iters = 1, lr = 1.0, featScale = 1.0)
+    val scored = Classifier.scoreAgainst(
+      Seq((1L, "qq zz"), (2L, "b qq")).toDF("id", "text"), m, "text", "id").collect()
+    assert(scored.map(_.getLong(0)).toSet == Set(2L))
+    // doc 2's OOV token contributes to neither numerator nor denominator
+    assert(scored.head.getAs[Long]("n_toks") == 1L)
+    assert(scored.head.getAs[Double]("clf_logit") == 0.083334)
+  }
+
+  test("guards: non-0/1 labels, empty vocab, iters and lr bounds all refuse") {
+    val ok = Seq((1L, "a a b", 1), (2L, "a c c", 0)).toDF("id", "text", "y")
+    val badLabel = Seq((1L, "a b", 2)).toDF("id", "text", "y")
+    assert(intercept[IllegalArgumentException](
+      Classifier.fit(badLabel, "text", "y", "id")).getMessage.contains("0/1"))
+    assert(intercept[IllegalArgumentException](
+      Classifier.fit(ok, "text", "y", "id", minCount = 100L))
+      .getMessage.contains("vocabulary"))
+    assert(intercept[IllegalArgumentException](
+      Classifier.fit(ok, "text", "y", "id", iters = 0)).getMessage.contains("iters"))
+    assert(intercept[IllegalArgumentException](
+      Classifier.fit(ok, "text", "y", "id", iters = 65)).getMessage.contains("iters"))
+    assert(intercept[IllegalArgumentException](
+      Classifier.fit(ok, "text", "y", "id", lr = 0.0)).getMessage.contains("lr"))
+  }
+}
