@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
 import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.sources.DocIO
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -720,6 +721,44 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       import s.implicits._
       buf.toSeq.toDF("doc_id").orderBy(col("doc_id"))
+    }),
+    // sources ORACLED (round 13): JSONL interchange — the format the
+    // published pipelines ship (Dolma's .jsonl.gz shards). The corpus
+    // is written as gzip JSONL and read back under the EXPLICIT
+    // schema in FAILFAST mode; the oracle is the identity SELECT, so
+    // the row pins losslessness of the full escape/encode round trip
+    // (newlines and quotes inside text, unicode, nulls) — the
+    // interchange seam where a corrupted writer or a permissive
+    // reader would silently damage the corpus.
+    "docs_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      DocIO.writeJsonl(docs, dir, compression = Some("gzip"))
+      DocIO.readJsonl(s, dir, docs.schema)
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+        .orderBy(col("doc_id"))
+    }),
+    // sources ORACLED (round 13): the same JSONL shards consumed as a
+    // real file-source STREAM (the Dolma ingest shape: shards land in
+    // a directory, micro-batches consume them) — drained through an
+    // actual StreamingQuery into the identity oracle; output schema
+    // is the statically known read schema, never captured from a
+    // batch callback.
+    "docs_jsonl_stream" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+      DocIO.writeJsonl(docs, dir, compression = Some("gzip"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = DocIO.readJsonlStream(s, dir, docs.schema).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }: Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.createDataFrame(buf.synchronized {
+          java.util.Arrays.asList(buf.toArray: _*)
+        }, docs.schema)
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+        .orderBy(col("doc_id"))
     }),
     // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
     "dedup_simhash" -> ((s, d) =>
@@ -2900,6 +2939,12 @@ object SparkEntry {
       // this oracle verbatim — see the alias entry below.
       "decontaminate" -> oracleSqlDecontaminate,
       "decontaminate_stream" -> oracleSqlDecontaminate,
+      // JSONL round trips are identity transforms: the oracle is the
+      // untouched source table, so any escape/encode loss fails the row
+      "docs_jsonl_roundtrip" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+      "docs_jsonl_stream" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
       // attribution: same gram CTE, grouped per (corpus, eval) pair;
       // DuckDB counts distinct gram STRINGS where Spark counts their
       // 64-bit hashes — equal absent a within-doc hash collision
