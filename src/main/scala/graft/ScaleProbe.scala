@@ -438,6 +438,52 @@ object ScaleProbe {
       spark.stop()
       return
     }
+
+    // Classifier fit at corpus scale:
+    //   sbt "runMain graft.ScaleProbe 1000000 classifier"
+    // Full-batch GD is O(iters) passes of two shuffles over the
+    // (doc, token) feature frame — this probe measures the per-pass
+    // cost at 100M tokens AND checks the model is RIGHT at scale: half
+    // the zipf docs carry a planted marker phrase (the label), and
+    // after the fit the marker tokens must hold the largest weights.
+    // The scoring pass is then timed in the broadcastWeights serving
+    // shape (token stream never shuffles — plan-spec'd in
+    // PlanShapeSpec).
+    if (args.contains("classifier")) {
+      val tokensPerDoc = 100
+      val vocab = 50000
+      val marked = zipfCorpus(tokensPerDoc, vocab)
+        .select(col("id"),
+          when(col("id") % 2 === 1,
+            concat(col("text"), lit(" qmark0 qmark1 qmark0 qmark1 qmark0" * 4)))
+            .otherwise(col("text")).as("text"),
+          (col("id") % 2).cast("int").as("y"))
+        .repartition(32).localCheckpoint(true)
+      val iters = 4
+      val model = time(s"classifier fit ${n / 1000000}M docs x ~$tokensPerDoc toks, " +
+        s"$iters full-batch GD iterations") {
+        graft.operators.Classifier.fit(marked, "text", "y", "id",
+          minCount = 2L, iters = iters, lr = 1.0)
+      }
+      val top = model.weights.orderBy(col("__w_micro").desc).limit(4).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      println(s"[scale-probe] top weights: ${top.toSeq}")
+      require(top.map(_._1).count(t => t == "qmark0" || t == "qmark1") >= 2,
+        s"planted markers must dominate the learned weights, got ${top.toSeq}")
+      val scored = graft.operators.Classifier.scoreAgainst(
+        marked, model, "text", "id", broadcastWeights = true)
+      time(s"classifier scoring ${n / 1000000}M docs, broadcast weights") {
+        require(scored.queryExecution.toRdd.count() == n, "every doc must score")
+      }
+      // separation sanity at scale: mean prob by true label
+      val m = scored.join(marked.select("id", "y"), "id")
+        .groupBy("y").agg(avg("clf_prob").as("p")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      println(f"[scale-probe] mean clf_prob: y=1 ${m(1)}%.3f vs y=0 ${m(0)}%.3f")
+      require(m(1) > m(0) + 0.2, s"marked docs must score clearly higher: $m")
+      spark.stop()
+      return
+    }
     // Round-10 frozen-artifact deployment shape at scale:
     // sbt "runMain graft.ScaleProbe 1000000 frozen". Fit + persist the
     // unigram model on the even-id half, score the odd half against the

@@ -1189,6 +1189,46 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T+S ORACLED (round 13): the classifier's scoring pass as a
+    // real STREAM — the deployment shape (model fit offline, ingest
+    // scored against the frozen weights forever). Per-doc decision
+    // against static weights ⇒ drain == batch, sharing
+    // quality_classifier_frozen's oracle verbatim; output schema
+    // computed statically, never captured from a batch callback.
+    "quality_classifier_stream" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val n = size(toks)
+      val labeled = docs.withColumn("__label",
+        (lit(100) * hits >= lit(6) * n).cast("int"))
+      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
+      val model = Classifier.fit(
+        labeled.where(col("doc_id") % 7 === 0 && extremes),
+        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = StreamOps.scoreClassifierPerBatch(stream, model, "text", "doc_id",
+        broadcastWeights = true) { (scored, _) =>
+        buf.synchronized { buf ++= scored.collect() }: Unit
+      }
+      try q.processAllAvailable() finally q.stop()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        docs.schema("doc_id"),
+        org.apache.spark.sql.types.StructField("n_toks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("clf_logit",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("clf_prob",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(buf.synchronized {
+          java.util.Arrays.asList(buf.toArray: _*)
+        }, outSchema)
+        .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 9): CCNet's head/middle/tail split —
     // within each language, documents are cut at cumulative-fraction
     // 0.3/0.7 of the lm_nll ranking (Wenzek et al. 2020 §4.3; head =
@@ -2897,6 +2937,15 @@ object SparkEntry {
       // arithmetic in both engines), then frozen-weight scoring; the
       // label is the already-oracled 6-dp quality score thresholded
       "quality_classifier_frozen" ->
+        (ClassifierSql.classifierFrozenSql("documents", "doc_id", "text",
+          ClassifierSql.stopDensityLabelSql("text"),
+          s"doc_id % 7 = 0 AND ${ClassifierSql.stopDensityExtremesSql("text")}",
+          "doc_id % 7 <> 0",
+          minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
+          "\nORDER BY doc_id"),
+      // the streamed scoring pass drains to the identical rows (per-doc
+      // decision vs static weights; frozen fit == the batch row's fit)
+      "quality_classifier_stream" ->
         (ClassifierSql.classifierFrozenSql("documents", "doc_id", "text",
           ClassifierSql.stopDensityLabelSql("text"),
           s"doc_id % 7 = 0 AND ${ClassifierSql.stopDensityExtremesSql("text")}",

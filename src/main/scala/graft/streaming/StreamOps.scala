@@ -198,6 +198,27 @@ object StreamOps {
       sink(graft.operators.Dedup.decontaminate(batch, evalDf, textCol, idCol, n), batchId)
     }.start()
 
+  /** Streaming model-based quality scoring — each arriving micro-batch
+    * scored against a FROZEN [[graft.operators.Classifier]] model (the
+    * deployment shape: the model is fit offline on the reference
+    * corpus, ingest scores comparably forever; a per-batch refit would
+    * change the scorer under the stream). foreachBatch because the
+    * decision is per document against static weights, so per-batch ==
+    * batch restricted to the batch's rows — the decontaminate
+    * argument. The weights frame is model-sized: pass
+    * `broadcastWeights = true` when the vocab is bounded and each
+    * micro-batch avoids the token-key shuffle entirely. */
+  def scoreClassifierPerBatch(
+      docs: DataFrame, // streaming
+      model: graft.operators.Classifier.LinearQualityClassifier,
+      textCol: String, idCol: String,
+      broadcastWeights: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Classifier.scoreAgainst(batch, model, textCol, idCol,
+        broadcastWeights = broadcastWeights), batchId)
+    }.start()
+
   /** Streaming paragraph dedup — Dolma's ingest-time paragraph filter
     * made exact and deterministic: each micro-batch is deduped against
     * the paragraphs shipped by ALL previous batches

@@ -240,4 +240,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cell IN") || p.contains(" INSET "),
       s"the probe filter must be in the plan:\n$p")
   }
+
+  test("classifier scoring with broadcast weights keeps the token stream shuffle-free on the token key") {
+    import org.apache.spark.sql.functions._
+    // The open-vocabulary default shuffles both sides on the token key;
+    // broadcastWeights is the bounded-vocab serving shape — the exploded
+    // token stream must join the weights by BROADCAST (BuildRight) and
+    // never shuffle on the token key, so the only exchanges left are the
+    // doc-key aggregations.
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    val m = graft.operators.Classifier.fit(
+      docs.where(col("doc_id") < 100), "text", "y", "doc_id", iters = 1)
+    val p = graft.operators.Classifier
+      .scoreAgainst(docs, m, "text", "doc_id", broadcastWeights = true)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("BroadcastHashJoin \\[__tok[^\\n]*BuildRight".r.findFirstIn(p).isDefined,
+      s"weights no longer broadcast under the scoring join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(__tok"),
+      s"token stream shuffles on the token key despite broadcast weights:\n$p")
+    assert(!p.contains("SortMergeJoin [__tok"),
+      s"token-key sort-merge join crept into the broadcast path:\n$p")
+  }
 }
