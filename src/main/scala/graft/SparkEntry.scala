@@ -150,6 +150,35 @@ object SparkEntry {
       _ => TextAnalysis.fitBpe(Tables(s, d, "documents"), "text",
         numMerges = numMerges, maxWords = maxWords))
 
+  /** Memoized classifier fit per fixture dir — the frozen-artifact
+    * convention (bpeFor/pqFor): the model is fit once and applied
+    * everywhere, so bench times SCORING (the recurring path), not the
+    * one-time fit, and the stream row shares the batch row's model —
+    * sound because the fit is bit-deterministic (ClassifierSpec).
+    * Cached as COLLECTED weights (driver data, fixture vocab is
+    * small), rebuilt as a frame per session — a cached DataFrame
+    * would dangle across sessions. */
+  private val clfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[(String, Long)], Long)]()
+  private def classifierFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier = {
+    val (w, b) = clfCache.computeIfAbsent(d, _ => {
+      val docs = Tables(s, d, "documents")
+      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val n = size(toks)
+      val labeled = docs.withColumn("__label",
+        (lit(100) * hits >= lit(6) * n).cast("int"))
+      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
+      val m = Classifier.fit(labeled.where(col("doc_id") % 7 === 0 && extremes),
+        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      (m.weights.collect().map(r => (r.getString(0), r.getLong(1))), m.biasMicro)
+    })
+    import s.implicits._
+    Classifier.fromWeights(w.toSeq.toDF("__tok", "__w_micro"), b,
+      iters = 8, lr = 1.0, minCount = 2L, featScale = 10.0)
+  }
+
   /** Memoized PQ codebook fits per (fixture, knobs) — the frozen
     * artifact is fit once and applied everywhere (the bpeFor shape: a
     * [[PqModel]] is pure driver data, no per-session purge needed;
@@ -1174,16 +1203,7 @@ object SparkEntry {
     // against the frozen weights.
     "quality_classifier_frozen" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
-      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
-      val hits = size(filter(toks, t => t.isInCollection(stop)))
-      val n = size(toks)
-      val labeled = docs.withColumn("__label",
-        (lit(100) * hits >= lit(6) * n).cast("int"))
-      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
-      val model = Classifier.fit(
-        labeled.where(col("doc_id") % 7 === 0 && extremes),
-        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      val model = classifierFor(s, d) // memoized fit — see classifierFor
       Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
         "text", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
@@ -1197,16 +1217,7 @@ object SparkEntry {
     // computed statically, never captured from a batch callback.
     "quality_classifier_stream" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
-      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
-      val hits = size(filter(toks, t => t.isInCollection(stop)))
-      val n = size(toks)
-      val labeled = docs.withColumn("__label",
-        (lit(100) * hits >= lit(6) * n).cast("int"))
-      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
-      val model = Classifier.fit(
-        labeled.where(col("doc_id") % 7 === 0 && extremes),
-        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      val model = classifierFor(s, d) // shared with the batch row — fit is deterministic
       val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
         .where(col("doc_id") % 7 =!= 0)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]

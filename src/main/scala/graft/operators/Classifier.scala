@@ -112,6 +112,12 @@ object Classifier {
       .localCheckpoint(true)
     val nDocs = nd.count()
 
+    // Superseded per-iteration checkpoints (the previous w, each r) are
+    // released by dropping the reference: localCheckpoint blocks belong
+    // to the checkpointed RDD (Dataset.unpersist is a silent no-op for
+    // them), and Spark's ContextCleaner unpersists an RDD's blocks once
+    // the driver reference is GC'd — so iteration state is bounded at
+    // ~one generation, not iters generations.
     var w = vocab.select(col("__tok"), lit(0L).as("__w_micro")).localCheckpoint(true)
     var bMicro = 0L
     for (_ <- 1 to iters) {
@@ -179,6 +185,21 @@ object Classifier {
         round(col("__z_micro").cast("double") / lit(Q), 6).as("clf_logit"),
         round(lit(1.0) / (lit(1.0) +
           exp(-(col("__z_micro").cast("double") / lit(Q)))), 6).as(outCol))
+  }
+
+  /** Assemble a model from an existing weights frame — the import
+    * seam: weights trained anywhere (an externally trained fastText
+    * model's vocab dump, a cached earlier fit) serve through the same
+    * [[scoreAgainst]] path, provided they use the same micro-unit
+    * convention and the same `featScale` as at training. `weights`
+    * must be `(__tok string, __w_micro long)`. */
+  def fromWeights(weights: DataFrame, biasMicro: Long,
+      iters: Int, lr: Double, minCount: Long,
+      featScale: Double): LinearQualityClassifier = {
+    val names = weights.columns.toSet
+    require(names("__tok") && names("__w_micro"),
+      s"weights frame needs (__tok, __w_micro) columns, got ${weights.columns.toSeq}")
+    LinearQualityClassifier(weights, biasMicro, iters, lr, minCount, featScale)
   }
 
   /** Persist: weights parquet + a one-row meta table (pure data — the

@@ -161,10 +161,10 @@ class IvfPqIndex private (
     * centroids on the cell's RAW vectors, and `build` drops them
     * after encode (decoded approximations would seed the sub-
     * quantizer with its own distortion). When this guard trips,
-    * repair the vector tier ([[IvfIndex.repairSaved]], or re-fit) and
-    * re-encode the split cells' rows; cold cells' codes stay valid
-    * because codes are PQ(raw vector), not PQ(residual) — a cell
-    * renumbering never invalidates them. */
+    * repair the vector tier ([[IvfIndex.repairSaved]]) and have the
+    * coded layout FOLLOW it ([[IvfPqIndex.repairSavedFrom]]) — no
+    * re-encode is needed because codes are PQ(raw vector), not
+    * PQ(residual): a cell renumbering never invalidates a code. */
   def driftGuard(maxFactor: Double = 8.0): Double = {
     require(maxFactor > 1.0, s"maxFactor must exceed 1, got $maxFactor")
     val r = cellSizeStats.agg(sum(col("n")), max(col("n"))).head()
@@ -224,6 +224,75 @@ object IvfPqIndex {
     val encoded = PqIndex.encode(ivf.indexed, embCol, model, codesCol, normCol)
       .drop(embCol)
     new IvfPqIndex(ivf.centroidVectors, model, encoded, codesCol, normCol)
+  }
+
+  /**
+   * Hot-cell repair for a SAVED coded layout, FOLLOWING a repaired
+   * vector tier ([[IvfIndex.repairSaved]]) — the recovery `driftGuard`
+   * points at. No re-encode is needed at all: codes are PQ(raw
+   * vector), not PQ(residual), so a cell renumbering never
+   * invalidates a single code byte — only the `cell` column of the
+   * split cells' rows changes. Mechanics mirror the vector tier:
+   * the coded rows of the formerly-hot cells (any cell a row LEFT,
+   * per the repaired assignment) are materialized with their new cell
+   * ids, exactly those `cell=` directories are deleted, the rows
+   * append under their new partitions, and the centroid table +
+   * sidecar refresh to the widened quantizer; COLD CELL FILES ARE
+   * NEVER REWRITTEN (spec'd by file listing).
+   *
+   * `vectorIdx` must be the repaired index over the SAME corpus:
+   * checked two ways before anything is deleted — every coded row
+   * must find an assignment under `idCol` (a missing id means a
+   * different corpus), and every centroid the repair kept in place
+   * must be bit-identical to the stored one (an unrelated quantizer
+   * means the "unchanged" cells would silently serve wrong probes).
+   * Refuse-don't-degrade on both.
+   */
+  def repairSavedFrom(spark: SparkSession, path: String,
+      vectorIdx: IvfIndex, idCol: String): IvfPqIndex = {
+    val idx = load(spark, path)
+    val oldN = idx.centroidVectors.length
+    require(vectorIdx.centroidVectors.length >= oldN,
+      s"repaired quantizer has ${vectorIdx.centroidVectors.length} cells, fewer " +
+        s"than the coded layout's $oldN — not a split of this index")
+    val newAssign = vectorIdx.indexed
+      .select(col(idCol), col("cell").as("__new_cell"))
+    // the join stays LAZY — only the hot subset below is ever
+    // materialized (checkpointing the full coded corpus here would be
+    // a whole-corpus write at 100 TB; the two guard actions are
+    // read-only scans against still-live files)
+    val joined = idx.encoded.join(newAssign, Seq(idCol), "left")
+    val unmatched = joined.where(col("__new_cell").isNull).count()
+    require(unmatched == 0L,
+      s"$unmatched coded rows have no assignment in the repaired vector index " +
+        s"under '$idCol' — different corpus or id column; refusing to repair")
+    // hot = every cell any row LEFT; their dirs rewrite, nothing else
+    val hot = joined.where(col("cell") =!= col("__new_cell"))
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (hot.isEmpty) return idx
+    val hotSet = hot.toSet
+    // unchanged centroids must match bit-for-bit (same quantizer check)
+    (0 until oldN).filterNot(hotSet).foreach { c =>
+      require(java.util.Arrays.equals(idx.centroidVectors(c), vectorIdx.centroidVectors(c)),
+        s"centroid $c differs between the coded layout and the repaired index " +
+          "— not a repair of this quantizer; refusing")
+    }
+    val rewritten = joined.where(col("cell").isin(hot.map(Int.box): _*))
+      .drop("cell").withColumnRenamed("__new_cell", "cell")
+      .localCheckpoint(true) // cut lineage off the files about to go
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(conf)
+    hot.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(dataPath, s"cell=$c")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    rewritten.write.mode("append").partitionBy("cell").parquet(s"$path/data")
+    vectorIdx.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivfpq.json"),
+      s"""{"codes_column": "${idx.codesCol}", "norm_column": "${idx.normCol}", "nlist": ${vectorIdx.centroidVectors.length}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    load(spark, path)
   }
 
   /** Reopen a saved index. The data scan comes from the cell-partitioned

@@ -50,6 +50,9 @@ object DocIO {
     * default; see the object doc for why PERMISSIVE is opt-in. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
       permissive: Boolean = false): DataFrame = {
+    require(!(permissive && schema.fieldNames.contains("_corrupt_record")),
+      "schema already has a _corrupt_record column — the permissive read adds " +
+        "its own; rename yours or read FAILFAST")
     val mode = if (permissive) "PERMISSIVE" else "FAILFAST"
     val r = spark.read.schema(
         if (permissive) schema.add("_corrupt_record", "string") else schema)

@@ -173,4 +173,59 @@ class IvfPqIndexSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("repairSavedFrom follows a repaired vector tier: cold coded files untouched, serving identical, refusals") {
+    import graft.operators.IvfIndex
+    val df = fixture
+    // same seed => IvfIndex.build and IvfPqIndex.build share the coarse quantizer
+    val vec = IvfIndex.build(df, "embedding", nlist = 8)
+    val pq = IvfPqIndex.build(df, "embedding", nlist = 8, m = 4, k = 256)
+    assert(vec.centroidVectors.map(_.toSeq).toSeq == pq.centroidVectors.map(_.toSeq).toSeq,
+      "test precondition: both tiers must share the quantizer")
+    val vecDir = java.nio.file.Files.createTempDirectory("graft_ivf_vec").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rep").toString
+    vec.save(vecDir); pq.save(pqDir)
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val before = IvfPqIndex.load(spark, pqDir)
+      .search(q, k = 10, nprobe = 8, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sizes = pq.cellSizeStats.collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cap = sizes.map(_._2).sorted.apply(sizes.length / 2)
+    val cold = sizes.filter(_._2 <= cap).map(_._1)
+    assert(cold.nonEmpty && sizes.exists(_._2 > cap), s"need both; sizes=${sizes.toSeq}")
+    def listing(cells: Seq[Int]): Map[String, (Long, Long)] = cells.flatMap { c =>
+      val d = new java.io.File(s"$pqDir/data/cell=$c")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length()))
+    }.toMap
+    val coldBefore = listing(cold)
+    val vecRepaired = IvfIndex.repairSaved(spark, vecDir, maxRows = cap)
+    val repaired = IvfPqIndex.repairSavedFrom(spark, pqDir, vecRepaired, "vec_id")
+    // cold coded partitions byte-identical; quantizers agree; rows intact
+    assert(listing(cold) == coldBefore)
+    assert(repaired.centroidVectors.length == vecRepaired.centroidVectors.length)
+    assert(repaired.centroidVectors.length > 8)
+    assert(repaired.encoded.count() == 200)
+    assert(repaired.cellSizeStats.agg(max(col("n"))).head().getLong(0) <
+      sizes.map(_._2).max)
+    // codes never changed, so a full probe serves the identical result
+    val after = repaired
+      .search(q, k = 10, nprobe = repaired.centroidVectors.length,
+        tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // an already-consistent layout is a no-op
+    assert(IvfPqIndex.repairSavedFrom(spark, pqDir,
+      IvfIndex.load(spark, vecDir), "vec_id").encoded.count() == 200)
+    // a vector index over a DIFFERENT corpus refuses before deleting
+    // anything (nlist wide enough to get past the not-a-split guard,
+    // so the id-coverage check is what fires)
+    val other = IvfIndex.build(
+      df.withColumn("vec_id", col("vec_id") + 1000), "embedding", nlist = 32)
+    val ex = intercept[IllegalArgumentException](
+      IvfPqIndex.repairSavedFrom(spark, pqDir, other, "vec_id"))
+    assert(ex.getMessage.contains("no assignment"), ex.getMessage)
+  }
 }
