@@ -789,6 +789,32 @@ object SparkEntry {
         .select(docs.columns.map(col).toIndexedSeq: _*)
         .orderBy(col("doc_id"))
     }),
+    // sources+T ORACLED (round 13): the END of the pipeline — packed
+    // shards SHIPPED as the layout a pretraining run actually consumes
+    // (shard=N directories of .jsonl.gz, Dolma's distribution shape):
+    // packShards assigns the token-budget shard, the corpus is written
+    // partitioned by it, and the read-back assignment is pinned
+    // against the packing oracle — any loss anywhere in the
+    // pack → partition-write → discover-and-read chain fails the row.
+    "docs_export_shards" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val packed = TextAnalysis.packShards(
+        docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "doc_id", budgetTokens = 2000, nBuckets = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ship").toString
+      DocIO.writeJsonl(
+        docs.join(packed.select("doc_id", "shard"), "doc_id")
+          .select(col("doc_id"), col("text"), col("shard")),
+        dir, compression = Some("gzip"), partitionBy = Seq("shard"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      DocIO.readJsonl(s, dir, schema)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 D: SimHash fingerprint dedup (deterministic; hash not in DuckDB)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables(s, d, "documents"), "text", "doc_id")
@@ -3001,7 +3027,24 @@ object SparkEntry {
       "decontaminate_stream" -> oracleSqlDecontaminate,
       // JSONL round trips are identity transforms: the oracle is the
       // untouched source table, so any escape/encode loss fails the row
-      "docs_jsonl_roundtrip" ->
+      // the shipped shard layout must read back to exactly the packing
+      // oracle's assignment (same naive-global-window replay)
+      "docs_export_shards" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT)
+           |           AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (
+           |           ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cum0
+           |  FROM t)
+           |SELECT doc_id, CAST(floor(cum0 * 1.0 / 2000) AS BIGINT) AS shard
+           |FROM c ORDER BY doc_id""".stripMargin,
+            "docs_jsonl_roundtrip" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
       "docs_jsonl_stream" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
