@@ -802,9 +802,15 @@ object SparkEntry {
         docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", "doc_id", budgetTokens = 2000, nBuckets = 16)
       val dir = java.nio.file.Files.createTempDirectory("graft_ship").toString
+      // repartition ON the shard key before the partitioned write:
+      // without it every task holds rows of every shard and the layout
+      // lands as tasks × shards tiny gzip members; with it each shard
+      // collapses to one file — the "many ~1 GB shards" contract gzip's
+      // unsplittability demands (DocIO scaladoc)
       DocIO.writeJsonl(
         docs.join(packed.select("doc_id", "shard"), "doc_id")
-          .select(col("doc_id"), col("text"), col("shard")),
+          .select(col("doc_id"), col("text"), col("shard"))
+          .repartition(col("shard")),
         dir, compression = Some("gzip"), partitionBy = Seq("shard"))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
