@@ -376,6 +376,13 @@ object IvfIndex {
    * sub-cell 0 empty would never appear in the written data, so
    * overwrite-by-presence would leave its stale directory serving
    * duplicate rows.
+   *
+   * NOT atomic: a crash between the delete and the append leaves the
+   * layout missing the hot cells' rows (the reassigned rows are
+   * materialized BEFORE anything is deleted, so nothing is lost to
+   * lineage — but the on-disk layout is incomplete until the append
+   * lands). Repair against a snapshot/copy when the layout is the
+   * only replica of the corpus.
    */
   def repairSaved(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRows: Long, seed: Long = 123L): IvfIndex = {

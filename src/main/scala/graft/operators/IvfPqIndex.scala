@@ -247,6 +247,11 @@ object IvfPqIndex {
    * must be bit-identical to the stored one (an unrelated quantizer
    * means the "unchanged" cells would silently serve wrong probes).
    * Refuse-don't-degrade on both.
+   *
+   * NOT atomic — same caveat as [[IvfIndex.repairSaved]]: the
+   * renumbered rows materialize before any delete, but a crash
+   * between delete and append leaves the layout incomplete until
+   * re-run; repair against a snapshot when it's the only replica.
    */
   def repairSavedFrom(spark: SparkSession, path: String,
       vectorIdx: IvfIndex, idCol: String): IvfPqIndex = {
