@@ -186,4 +186,41 @@ class ParaBloomSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)).take(32))
     intercept[IllegalArgumentException](ParaBloom.load(truncated))
   }
+
+  test("stream RESTART: save the store, reopen it, resume a NEW stream - decisions continue exactly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_bloom_restart")
+    val batch1 = Seq(
+      (1L, "unique intro one\nshared cookie banner\nbody of doc one"),
+      (2L, "shared cookie banner\nunique body two")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "unique article three\nshared cookie banner\nbody of doc one"),
+      (4L, "shared cookie banner")).toDF("doc_id", "text")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    batch2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    // phase 1: a fresh caller-owned store over the first shard only
+    val bloom1 = ParaBloom.create(expectedItems = 1024, fpp = 1e-4)
+    val s1 = spark.readStream.schema(batch1.schema).parquet(dir.resolve("b1").toString)
+    val q1 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
+      s1, "text", "doc_id", "\n", 1, bloom1) { (cleaned, _) =>
+      got.synchronized { got ++= textsOf(cleaned) }
+    }
+    try q1.processAllAvailable() finally q1.stop()
+    val store = dir.resolve("store.bloom").toString
+    ParaBloom.save(bloom1, store)
+    // phase 2: the RESTART - a brand-new StreamingQuery over the next
+    // shard resumes against the REOPENED filter; doc 3's banner and
+    // "body of doc one" can only drop if the reopened store still
+    // carries phase 1's paragraphs
+    val bloom2 = ParaBloom.load(store)
+    val s2 = spark.readStream.schema(batch2.schema).parquet(dir.resolve("b2").toString)
+    val q2 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
+      s2, "text", "doc_id", "\n", 1, bloom2) { (cleaned, _) =>
+      got.synchronized { got ++= textsOf(cleaned) }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    val want = textsOf(Dedup.dedupParagraphs(batch1.unionByName(batch2), "text", "doc_id"))
+    assert(got.toMap == want, s"restarted bloom stream $got vs batch $want")
+  }
 }
