@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, IvfIndex, Nearest, RangeJoin, SimJoin, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, IvfIndex, IvfPqIndex, Nearest, PqIndex, RangeJoin, SimJoin, Skew, TextAnalysis}
 
 /**
  * Throughput probe beyond the driver fixtures: 1M × 64-dim synthetic
@@ -770,9 +770,13 @@ object ScaleProbe {
       // where skew taxes and where the repair shows. (In-memory, the
       // lineage recomputes assignment over the whole corpus per query
       // and masks both — measured 1.26 s vs 1.30 s, meaningless.)
+      // the zipf layout is REPAIRED IN PLACE below, so it must be
+      // rebuilt every run — caching it would make a second run measure
+      // the already-repaired layout as its "skewed" baseline
       def saved(label: String, zipf: Boolean): IvfIndex = {
         val p = s"$path-ivfskew-$label"
-        if (!new java.io.File(p).exists())
+        val rebuild = zipf || !new java.io.File(p).exists()
+        if (rebuild)
           IvfIndex.withCentroids(corpusFor(zipf), "embedding", anchors).save(p)
         IvfIndex.load(spark, p)
       }
@@ -795,6 +799,26 @@ object ScaleProbe {
         f"(nlist ${repaired.centroidVectors.length}; rewrote $hotRows%,d of $n%,d rows — " +
         "cold cell files untouched)")
       probeHot("repaired (persisted)", repaired)
+      // the CODED tier follows the repaired vector tier with ZERO
+      // re-encoding (IvfPqIndex.repairSavedFrom): build the paired
+      // IVFADC layout from the SAME pre-repair assignments, then time
+      // the follow — only the hot cells' rows rewrite, and every code
+      // byte survives the renumbering untouched
+      val pqPath = s"$path-ivfskew-zipf-pq"
+      val corpusZ = corpusFor(zipf = true)
+      val pqModel = PqIndex.fit(corpusZ, "embedding", m = 8, k = 256)
+      time("ivfadc encode+save (paired coded layout, pre-repair quantizer)") {
+        IvfPqIndex.withArtifacts(corpusZ, "embedding", anchors, pqModel).save(pqPath)
+      }
+      val pqRepaired = time("ivfadc repairSavedFrom (follow, zero re-encode)") {
+        IvfPqIndex.repairSavedFrom(spark, pqPath, repaired, "vec_id")
+      }
+      val pqMax = pqRepaired.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+      require(pqRepaired.encoded.count() == n, "coded rows must survive the follow")
+      require(pqRepaired.centroidVectors.length == repaired.centroidVectors.length,
+        "coded tier must adopt the repaired quantizer")
+      println(f"[scale-probe] ivfadc followed: nlist ${pqRepaired.centroidVectors.length}, " +
+        f"fullest cell $pqMax%,d rows, codes untouched")
       spark.stop()
       return
     }
