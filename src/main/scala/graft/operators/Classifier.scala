@@ -187,6 +187,34 @@ object Classifier {
           exp(-(col("__z_micro").cast("double") / lit(Q)))), 6).as(outCol))
   }
 
+  /**
+   * Evaluate a scored frame against 0/1 labels: (docs, accuracy at
+   * the 0.5 cut, mean log-loss) — the two numbers that say whether a
+   * quality filter actually learned before it gates a corpus.
+   * Probabilities are clamped to [1e-6, 1 − 1e-6] before the log (a
+   * 6-dp-rounded `clf_prob` can be exactly 0 or 1, and an infinite
+   * loss from one confident row would drown the mean); per-doc losses
+   * quantize to integer micro-nats before averaging — the
+   * [[TextAnalysis.lmScore]] discipline, so the numbers are
+   * partition-order-free. Null labels and null probs are excluded
+   * (and counted via the returned n).
+   */
+  def evaluate(scored: DataFrame, labelCol: String,
+      probCol: String = "clf_prob"): (Long, Double, Double) = {
+    val p = least(greatest(col(probCol), lit(1e-6)), lit(1.0 - 1e-6))
+    val y = col(labelCol).cast("double")
+    val row = scored
+      .where(col(labelCol).isNotNull && col(probCol).isNotNull)
+      .select(
+        when((col(probCol) >= 0.5) === (y === 1.0), 1L).otherwise(0L).as("__hit"),
+        round(lit(-Q) * (y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+          .cast("long").as("__ll_micro"))
+      .agg(count(lit(1)), sum("__hit"), sum("__ll_micro")).head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0.0, 0.0)
+    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / (Q * n))
+  }
+
   /** Assemble a model from an existing weights frame — the import
     * seam: weights trained anywhere (an externally trained fastText
     * model's vocab dump, a cached earlier fit) serve through the same

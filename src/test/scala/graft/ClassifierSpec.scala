@@ -128,4 +128,45 @@ class ClassifierSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Classifier.fit(ok, "text", "y", "id", lr = 0.0)).getMessage.contains("lr"))
   }
+
+  test("evaluate: hand-computed accuracy and log-loss; more iterations strictly improve both on the marker task") {
+    // hand case: probs 0.9 (y=1, hit, -ln 0.9), 0.4 (y=1, miss, -ln 0.4),
+    // 0.2 (y=0, hit, -ln 0.8) => acc 2/3, logloss = mean of the three
+    val scored = Seq((1L, Some(1), 0.9), (2L, Some(1), 0.4), (3L, Some(0), 0.2),
+        (4L, None: Option[Int], 0.5))
+      .toDF("id", "y", "clf_prob")
+    val (n, acc, ll) = Classifier.evaluate(scored, "y")
+    assert(n == 3L && acc == 2.0 / 3.0)
+    val want = (math.round(-1e6 * math.log(0.9)) + math.round(-1e6 * math.log(0.4)) +
+      math.round(-1e6 * math.log(0.8))).toDouble / 3e6
+    assert(math.abs(ll - want) < 1e-12, s"$ll vs $want")
+    // a clamped p=0.0 row contributes ln(1e-6), not infinity
+    val (_, _, llClamped) = Classifier.evaluate(
+      Seq((1L, Some(1), 0.0)).toDF("id", "y", "clf_prob"), "y")
+    assert(llClamped > 13.0 && llClamped < 14.0, llClamped.toString)
+
+    // convergence is MEASURED, not assumed: on the planted-marker task
+    // 8 iterations must beat 1 on held-out log-loss
+    val rnd = new scala.util.Random(23)
+    val filler = Array("lorem", "ipsum", "dolor", "sit", "amet", "sed", "do", "eiusmod")
+    val rows = (0L until 120L).map { i =>
+      val y = (i % 2).toInt
+      val base = Seq.fill(8 + rnd.nextInt(8))(filler(rnd.nextInt(filler.length)))
+      val text = (if (y == 1) rnd.shuffle(base ++ Seq.fill(3)("zzmarker")) else base)
+        .mkString(" ")
+      (i, text, y)
+    }
+    val df = rows.toDF("id", "text", "y")
+    val fit = df.where(col("id") < 80)
+    val heldOut = df.where(col("id") >= 80)
+    def lossAt(iters: Int): Double = {
+      val m = Classifier.fit(fit, "text", "y", "id",
+        minCount = 1L, iters = iters, lr = 4.0, featScale = 1.0)
+      val scoredHo = Classifier.scoreAgainst(heldOut, m, "text", "id")
+        .join(heldOut.select(col("id"), col("y")), "id")
+      Classifier.evaluate(scoredHo, "y")._3
+    }
+    val (l1, l8) = (lossAt(1), lossAt(8))
+    assert(l8 < l1, s"held-out log-loss must improve with iterations: $l1 -> $l8")
+  }
 }
