@@ -1241,6 +1241,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 13): model EVALUATION derivation-checked —
+    // the third side of the train/score/evaluate triangle, all three
+    // now ⊕: accuracy at the 0.5 cut and mean log-loss (probabilities
+    // clamped at the 6-dp extremes, per-doc losses quantized to
+    // integer micro-nats before the mean — partition-order-free) over
+    // the scored complement, labeled by the same stopword-density
+    // heuristic the fit distilled. The oracle replays the fit, the
+    // scoring, AND the metric expressions.
+    "quality_classifier_eval" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = classifierFor(s, d)
+      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val n = size(toks)
+      val labeled = docs.select(col("doc_id"),
+        (lit(100) * hits >= lit(6) * n).cast("int").as("__label"))
+      val scored = Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+      Classifier.evaluateDf(scored.join(labeled, "doc_id"), "__label")
+    }),
     // §2.3 T+S ORACLED (round 13): the classifier's scoring pass as a
     // real STREAM — the deployment shape (model fit offline, ingest
     // scored against the frozen weights forever). Per-doc decision
@@ -2986,7 +3007,15 @@ object SparkEntry {
           "doc_id % 7 <> 0",
           minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
           "\nORDER BY doc_id"),
-      // the streamed scoring pass drains to the identical rows (per-doc
+      // evaluation folded over the same fit+score replay: identical
+      // clamp and micro-nat quantization in both engines
+      "quality_classifier_eval" ->
+        ClassifierSql.classifierEvalSql("documents", "doc_id", "text",
+          ClassifierSql.stopDensityLabelSql("text"),
+          s"doc_id % 7 = 0 AND ${ClassifierSql.stopDensityExtremesSql("text")}",
+          "doc_id % 7 <> 0",
+          minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0),
+            // the streamed scoring pass drains to the identical rows (per-doc
       // decision vs static weights; frozen fit == the batch row's fit)
       "quality_classifier_stream" ->
         (ClassifierSql.classifierFrozenSql("documents", "doc_id", "text",

@@ -201,18 +201,36 @@ object Classifier {
    */
   def evaluate(scored: DataFrame, labelCol: String,
       probCol: String = "clf_prob"): (Long, Double, Double) = {
+    val row = lossRows(scored, labelCol, probCol)
+      .agg(count(lit(1)), sum("__hit"), sum("__ll_micro")).head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0.0, 0.0)
+    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / (Q * n))
+  }
+
+  /** [[evaluate]] as a one-row FRAME with 6-dp-rounded metrics —
+    * the oracle-comparable form (`quality_classifier_eval` replays
+    * the identical clamp/quantize expressions in DuckDB, so model
+    * EVALUATION is derivation-checked alongside training and
+    * scoring). Columns: (n, accuracy, log_loss). */
+  def evaluateDf(scored: DataFrame, labelCol: String,
+      probCol: String = "clf_prob"): DataFrame =
+    lossRows(scored, labelCol, probCol).agg(
+      count(lit(1)).as("n"),
+      round(sum("__hit").cast("double") / count(lit(1)), 6).as("accuracy"),
+      round(sum("__ll_micro").cast("double") / (lit(Q) * count(lit(1))), 6)
+        .as("log_loss"))
+
+  private def lossRows(scored: DataFrame, labelCol: String,
+      probCol: String): DataFrame = {
     val p = least(greatest(col(probCol), lit(1e-6)), lit(1.0 - 1e-6))
     val y = col(labelCol).cast("double")
-    val row = scored
+    scored
       .where(col(labelCol).isNotNull && col(probCol).isNotNull)
       .select(
         when((col(probCol) >= 0.5) === (y === 1.0), 1L).otherwise(0L).as("__hit"),
         round(lit(-Q) * (y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
           .cast("long").as("__ll_micro"))
-      .agg(count(lit(1)), sum("__hit"), sum("__ll_micro")).head()
-    val n = row.getLong(0)
-    if (n == 0L) (0L, 0.0, 0.0)
-    else (n, row.getLong(1).toDouble / n, row.getLong(2).toDouble / (Q * n))
   }
 
   /** Assemble a model from an existing weights frame — the import
@@ -282,6 +300,37 @@ object ClassifierSql {
   def stopDensityExtremesSql(text: String): String =
     s"(100 * ${stopHitsSql(text)} >= 8 * len(${toksSql(text)}) " +
       s"OR 25 * ${stopHitsSql(text)} <= len(${toksSql(text)}))"
+
+  /** [[classifierFrozenSql]]'s scored output folded to the one-row
+    * evaluation frame `(n, accuracy, log_loss)` — the identical
+    * clamp/quantize expressions as [[Classifier.evaluateDf]], over
+    * the identical scored rows, labeled by `labelExpr` joined back
+    * from the source table. */
+  def classifierEvalSql(table: String, id: String, text: String,
+      labelExpr: String, modelWhere: String, scoreWhere: String,
+      minCount: Long, iters: Int, lr: Double, featScale: Double): String = {
+    val scored = classifierFrozenSql(table, id, text, labelExpr,
+      modelWhere, scoreWhere, minCount, iters, lr, featScale)
+    s"""WITH scored_rows AS MATERIALIZED (
+       |$scored
+       |),
+       |labeled AS MATERIALIZED (
+       |  SELECT s.clf_prob, ($labelExpr) AS y
+       |  FROM scored_rows s JOIN $table t ON s.$id = t.$id),
+       |losses AS (
+       |  SELECT CASE WHEN (clf_prob >= 0.5) = (y = 1) THEN 1 ELSE 0 END AS hit,
+       |         CAST(round(-1000000.0 *
+       |           (y * ln(least(greatest(clf_prob, 0.000001), 1.0 - 0.000001))
+       |            + (1.0 - y) * ln(1.0 - least(greatest(clf_prob, 0.000001),
+       |                                         1.0 - 0.000001))))
+       |           AS BIGINT) AS ll_micro
+       |  FROM labeled)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS accuracy,
+       |       round(CAST(sum(ll_micro) AS DOUBLE) / (1000000.0 * count(*)), 6)
+       |         AS log_loss
+       |FROM losses""".stripMargin
+  }
 
   /**
    * `labelExpr` must evaluate to 0/1 over `table`'s columns;
