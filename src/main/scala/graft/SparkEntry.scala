@@ -1241,6 +1241,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T × composition (round 13): the MODEL-BASED filter dropped
+    // into the Dolma chain — dedup → decontaminate → classifier fit on
+    // the survivors' confident extremes (self-training: the heuristic
+    // labels the pipeline's OWN cleaned corpus) → score every survivor.
+    // The row pins the composed SCORES rather than a thresholded
+    // subset: a fixed cut on a near-0.5-centered distribution ships a
+    // fixture-dependent (possibly empty) set, while the full score
+    // column pins strictly more. One lazy plan up to the fit; the survivors
+    // frame is lazily localCheckpointed because the fit's iterations
+    // are many actions and cross-job exchange reuse doesn't exist (the
+    // pipeline_pretrain_full precedent). The oracle replays the WHOLE
+    // composition: the pipeline CTEs feed the nested classifier replay
+    // as its source table, so drift in ANY stage fails the row.
+    "pipeline_pretrain_clf" -> ((s, d) => {
+      val (_, _, clean, _) = pretrainChain(s, d)
+      val surv = clean.localCheckpoint(false)
+      val stop = TextAnalysis.LangProfiles.toMap.apply("en")
+      val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val n = size(toks)
+      val labeled = surv.withColumn("__label",
+        (lit(100) * hits >= lit(6) * n).cast("int"))
+      val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
+      val model = Classifier.fit(labeled.where(extremes),
+        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+      Classifier.scoreAgainst(surv, model, "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("clf_prob"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 13): model EVALUATION derivation-checked —
     // the third side of the train/score/evaluate triangle, all three
     // now ⊕: accuracy at the 0.5 cut and mean log-loss (probabilities
@@ -3007,7 +3036,22 @@ object SparkEntry {
           "doc_id % 7 <> 0",
           minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
           "\nORDER BY doc_id"),
-      // evaluation folded over the same fit+score replay: identical
+      // the whole composition replayed: the pipeline CTEs (dedup ->
+      // decontaminate -> surv) feed the nested classifier fit+score
+      // replay as its source table (nested WITH referencing the outer
+      // CTE); the full score column is pinned, no threshold
+      "pipeline_pretrain_clf" -> {
+        val cut = oracleSqlPipelinePretrain.indexOf("toks AS (SELECT doc_id, unnest")
+        require(cut > 0, "pipeline oracle prefix marker moved")
+        val prefix = oracleSqlPipelinePretrain.substring(0, cut).trim.stripSuffix(",")
+        prefix + "\nSELECT q.doc_id, q.n_toks, q.clf_prob FROM (\n" +
+          ClassifierSql.classifierFrozenSql("surv", "doc_id", "text",
+            ClassifierSql.stopDensityLabelSql("text"),
+            ClassifierSql.stopDensityExtremesSql("text"), "1 = 1",
+            minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
+          "\n) q ORDER BY q.doc_id"
+      },
+            // evaluation folded over the same fit+score replay: identical
       // clamp and micro-nat quantization in both engines
       "quality_classifier_eval" ->
         ClassifierSql.classifierEvalSql("documents", "doc_id", "text",
