@@ -1264,8 +1264,13 @@ object SparkEntry {
       val labeled = surv.withColumn("__label",
         (lit(100) * hits >= lit(6) * n).cast("int"))
       val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
+      // 4 GD rounds: the composition pin doesn't need the standalone
+      // row's convergence budget, and the fit is deliberately IN-ROW
+      // (corpus-derived model, the lmScore-in-pipeline convention) so
+      // the bench times that path — the frozen-artifact serving cost
+      // is what quality_classifier_frozen times
       val model = Classifier.fit(labeled.where(extremes),
-        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+        "text", "__label", "doc_id", iters = 4, lr = 1.0)
       Classifier.scoreAgainst(surv, model, "text", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("clf_prob"))
         .orderBy(col("doc_id"))
@@ -3048,7 +3053,7 @@ object SparkEntry {
           ClassifierSql.classifierFrozenSql("surv", "doc_id", "text",
             ClassifierSql.stopDensityLabelSql("text"),
             ClassifierSql.stopDensityExtremesSql("text"), "1 = 1",
-            minCount = 2L, iters = 8, lr = 1.0, featScale = 10.0) +
+            minCount = 2L, iters = 4, lr = 1.0, featScale = 10.0) +
           "\n) q ORDER BY q.doc_id"
       },
             // evaluation folded over the same fit+score replay: identical
