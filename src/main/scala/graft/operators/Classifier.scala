@@ -105,12 +105,19 @@ object Classifier {
     // read 2*iters times
     val cnt = toks.join(vocab, "__tok").groupBy("__id", "__y", "__tok")
       .agg(count(lit(1)).as("__ct"))
-    val nd = cnt.groupBy("__id").agg(sum("__ct").as("__nd"))
-    val feat = cnt.join(nd, "__id")
+    // per-doc total via a WINDOW over the counted frame, not a
+    // groupBy+self-join: the join shape re-executes the whole
+    // tokenize-and-count lineage for its second branch (Spark plans
+    // two corpus scans; exchange reuse doesn't bridge them), while the
+    // window is one doc-key shuffle over rows that already exist.
+    // Values are identical — exact integer sums either way.
+    val ndWin = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    val feat = cnt
+      .withColumn("__nd", sum("__ct").over(ndWin))
       .select(col("__id"), col("__y"), col("__tok"),
         ((col("__ct").cast("double") / col("__nd")) * lit(featScale)).as("__x"))
       .localCheckpoint(true)
-    val nDocs = nd.count()
+    val nDocs = feat.select("__id").distinct().count()
 
     // Superseded per-iteration checkpoints (the previous w, each r) are
     // released by dropping the reference: localCheckpoint blocks belong
@@ -173,8 +180,12 @@ object Classifier {
     val cnt = toks.join(w, "__tok")
       .groupBy(col(idCol), col("__tok"), col("__w_micro"))
       .agg(count(lit(1)).as("__ct"))
-    val nd = cnt.groupBy(idCol).agg(sum("__ct").as("__nd"))
-    cnt.join(nd, idCol)
+    // per-doc total via a window, not a groupBy+self-join — the join
+    // form re-scans the corpus for its second branch (see fit); this
+    // is the hot serving path, so one scan matters
+    cnt
+      .withColumn("__nd", sum("__ct").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
       .withColumn("__zq",
         round(((col("__ct").cast("double") / col("__nd")) * lit(model.featScale)) *
           col("__w_micro")).cast("long"))
@@ -196,8 +207,8 @@ object Classifier {
    * loss from one confident row would drown the mean); per-doc losses
    * quantize to integer micro-nats before averaging — the
    * [[TextAnalysis.lmScore]] discipline, so the numbers are
-   * partition-order-free. Null labels and null probs are excluded
-   * (and counted via the returned n).
+   * partition-order-free. Rows with a null label or
+   * null prob are excluded; `n` counts only the rows evaluated.
    */
   def evaluate(scored: DataFrame, labelCol: String,
       probCol: String = "clf_prob"): (Long, Double, Double) = {
