@@ -736,7 +736,12 @@ object ScaleProbe {
           // r gets P ∝ 1/r over [1, nlist]; rank 1 → cell 0
           val u = (pmod(hash(col("vec_id") * lit(131) + lit(7)), lit(1000000))
             .cast("double") + 0.5) / 1000000.0
-          (floor(exp(u * math.log(nlist.toDouble))) - 1).cast("int")
+          // scale by ln(nlist+1) and clamp to close the top bucket:
+          // the bare floor(exp(u·ln nlist)) − 1 capped at nlist−2, so
+          // the last cell was always empty (r13 ADVICE); rank-1 mass
+          // barely moves (ln2/ln65 ≈ 16.6% vs ln2/ln64 ≈ 16.7%)
+          (least(floor(exp(u * math.log(nlist + 1.0))), lit(nlist.toDouble)) - 1)
+            .cast("int")
         }
       def corpusFor(zipf: Boolean) =
         spark.range(n).toDF("vec_id")

@@ -256,6 +256,22 @@ object Classifier {
     val names = weights.columns.toSet
     require(names("__tok") && names("__w_micro"),
       s"weights frame needs (__tok, __w_micro) columns, got ${weights.columns.toSeq}")
+    // refuse-don't-guess on the import seam (r13 ADVICE): a duplicate
+    // __tok row would silently double-count its logit in scoreAgainst
+    // (the token join fans out per duplicate), and a non-long
+    // __w_micro would fail later and obscurely
+    require(weights.schema("__w_micro").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"__w_micro must be LongType (integer micro-units), " +
+        s"got ${weights.schema("__w_micro").dataType.simpleString}")
+    val Array(total, distinct) = weights
+      .agg(count(lit(1)), countDistinct(col("__tok"))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    require(total == distinct,
+      s"weights frame has ${total - distinct} duplicate __tok rows " +
+        s"($total rows, $distinct distinct tokens) — each duplicate would " +
+        "double-count its logit at scoring; deduplicate the import first")
     LinearQualityClassifier(weights, biasMicro, iters, lr, minCount, featScale)
   }
 

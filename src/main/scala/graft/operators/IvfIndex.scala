@@ -206,7 +206,6 @@ class IvfIndex private (
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val hot = sizes.filter(_._2 > maxRows).keys.toSeq.sorted
     if (hot.isEmpty) return (this, Nil, Nil)
-    val hotSet = hot.toSet
     // Cold cells keep their IDS and their ROWS untouched — the split
     // replaces each hot centroid IN PLACE with its first sub-centroid
     // and appends the rest, so on a persisted layout only the hot
@@ -275,10 +274,8 @@ class IvfIndex private (
   def save(path: String): Unit = {
     writePartitioned(s"$path/data")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivf.json"),
-      s"""{"embedding_column": "$embCol", "nlist": ${centroidVectors.length}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IvfIndex.writeSidecar(indexed.sparkSession, path, "_ivf.json",
+      s"""{"embedding_column": "$embCol", "nlist": ${centroidVectors.length}}""")
   }
 }
 
@@ -402,17 +399,44 @@ object IvfIndex {
     }
     reassigned.write.mode("append").partitionBy("cell").parquet(s"$path/data")
     split.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivf.json"),
-      s"""{"embedding_column": "${idx.embCol}", "nlist": ${split.centroidVectors.length}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeSidecar(spark, path, "_ivf.json",
+      s"""{"embedding_column": "${idx.embCol}", "nlist": ${split.centroidVectors.length}}""")
     load(spark, path)
+  }
+
+  /** Sidecar write through the SAME Hadoop FileSystem that owns the
+    * layout's `cell=` directories (r13 ADVICE): the repair path
+    * deletes data partitions through that FS, and a `java.nio` sidecar
+    * write on a non-local path (`hdfs://`, `s3a://`) would fail — or
+    * land on the driver's local disk — AFTER the destructive rewrite,
+    * leaving the layout describing itself with a stale quantizer. */
+  private[operators] def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, json: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, name), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[writeSidecar]]'s read half — same FS-resolution rationale. */
+  private[operators] def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1L << 20), s"$p: sidecar unexpectedly large ($len bytes) — not a graft sidecar")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Reopen a saved index. The data scan comes from the cell-partitioned
     * layout, so subsequent probe filters prune at the file level. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_ivf.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val json = readSidecar(spark, path, "_ivf.json")
     val embCol = """"embedding_column"\s*:\s*"([^"]*)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("embedding")
     // by-name read: a rewritten centroids file with reordered columns

@@ -186,10 +186,10 @@ class IvfPqIndex private (
     encoded.write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     PqIndex.save(model, s"$path/pq")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivfpq.json"),
-      s"""{"codes_column": "$codesCol", "norm_column": "$normCol", "nlist": ${centroidVectors.length}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // sidecar through the layout-owning Hadoop FS, not java.nio
+    // (r13 ADVICE — see IvfIndex.writeSidecar)
+    IvfIndex.writeSidecar(encoded.sparkSession, path, "_ivfpq.json",
+      s"""{"codes_column": "$codesCol", "norm_column": "$normCol", "nlist": ${centroidVectors.length}}""")
   }
 }
 
@@ -294,9 +294,8 @@ object IvfPqIndex {
     }
     rewritten.write.mode("append").partitionBy("cell").parquet(s"$path/data")
     vectorIdx.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ivfpq.json"),
-      s"""{"codes_column": "${idx.codesCol}", "norm_column": "${idx.normCol}", "nlist": ${vectorIdx.centroidVectors.length}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IvfIndex.writeSidecar(spark, path, "_ivfpq.json",
+      s"""{"codes_column": "${idx.codesCol}", "norm_column": "${idx.normCol}", "nlist": ${vectorIdx.centroidVectors.length}}""")
     load(spark, path)
   }
 
@@ -304,8 +303,7 @@ object IvfPqIndex {
     * layout, so probe filters prune at the file level; the PQ model
     * reloads by name via [[PqIndex.load]]. */
   def load(spark: SparkSession, path: String): IvfPqIndex = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_ivfpq.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val json = IvfIndex.readSidecar(spark, path, "_ivfpq.json")
     def field(name: String, dflt: String): String =
       (""""""" + name + """"\s*:\s*"([^"]*)"""").r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse(dflt)

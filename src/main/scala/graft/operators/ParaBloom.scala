@@ -147,10 +147,17 @@ object ParaBloom {
       s"$path is not a ParaBloom file (length ${bytes.length})")
     val buf = java.nio.ByteBuffer.wrap(bytes)
     require(buf.getLong() == MagicV1, s"$path: bad magic — not a ParaBloom file")
-    val k = buf.getLong().toInt
-    val nWords = buf.getLong().toInt
-    require(k >= 1 && nWords >= 1 && bytes.length == 8L * (3 + nWords),
-      s"$path: truncated or corrupt (k=$k, words=$nWords, ${bytes.length} bytes)")
+    // validate the longs BEFORE narrowing (r13 ADVICE): a corrupt
+    // header like 2^32+2 would otherwise truncate to a small valid k
+    // and silently change membership decisions instead of refusing
+    val kLong = buf.getLong()
+    val nWordsLong = buf.getLong()
+    require(kLong >= 1L && kLong <= 64L && nWordsLong >= 1L &&
+        nWordsLong <= Int.MaxValue.toLong / 64L &&
+        bytes.length == 8L * (3 + nWordsLong),
+      s"$path: truncated or corrupt (k=$kLong, words=$nWordsLong, ${bytes.length} bytes)")
+    val k = kLong.toInt
+    val nWords = nWordsLong.toInt
     val words = new Array[Long](nWords)
     var i = 0
     while (i < nWords) { words(i) = buf.getLong(); i += 1 }
