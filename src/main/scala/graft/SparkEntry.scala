@@ -598,6 +598,30 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
     }),
+    // §2.3 S × D (round 14): the same streaming paragraph dedup on the
+    // SHARDED Bloom bank — the store shape past a single filter's
+    // 2³¹-bit cap (tens of billions of distinct paragraphs at 100 TB;
+    // r13 VERDICT #1). Routing is map-side on the probe pair's own
+    // hash, membership stays a broadcast bit-array lookup, and the
+    // per-batch delta builds as one-shard-sized partials. Honestly
+    // sized (2^17 expected across 4 shards at fpp 1e-4) the bank is
+    // decision-identical to the exact store, so the row shares the
+    // batch oracle verbatim; the ⊆-contract, per-shard telemetry, and
+    // restart are ParaBloomBankSpec's.
+    "dedup_paragraphs_stream_bloom_bank" -> ((s, d) => {
+      val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamOps.dedupParagraphsPerBatchBloomBank(docsStream, "text", "doc_id",
+        sep = " the ", expectedItems = 1L << 17, fpp = 1e-4, numShards = 4) { (cleaned, _) =>
+        buf.synchronized {
+          buf ++= cleaned.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+    }),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -2873,6 +2897,7 @@ object SparkEntry {
       "dedup_paragraphs_stream" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_hashed" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_bloom" -> oracleSqlDedupParagraphs,
+      "dedup_paragraphs_stream_bloom_bank" -> oracleSqlDedupParagraphs,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

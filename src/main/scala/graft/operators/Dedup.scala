@@ -242,9 +242,12 @@ object Dedup {
     * (rate ≤ the filter's design `fpp` while honestly sized) drops a
     * fresh paragraph; a duplicate can NEVER survive, so surviving
     * paragraphs ⊆ the exact store's survivors (spec'd). Bypass
-    * paragraphs (length < `minLen`) never probe the filter. */
-  def dedupParagraphsAcrossBloom(newDf: DataFrame,
-      bloom: org.apache.spark.broadcast.Broadcast[ParaBloom],
+    * paragraphs (length < `minLen`) never probe the filter. Accepts
+    * any [[BloomStore]] — the single filter or the sharded
+    * [[ParaBloomBank]]; the probe contract (no false negatives,
+    * one-sided fpp) is the trait's. */
+  def dedupParagraphsAcrossBloom[B <: BloomStore](newDf: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[B],
       textCol: String, idCol: String, sep: String = "\n", minLen: Int = 1): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")

@@ -2,6 +2,35 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
+/** Common surface of the single-filter [[ParaBloom]] and the sharded
+  * [[ParaBloomBank]] — what the dedup operators and the streaming
+  * store actually require of a bounded-memory membership tier. All
+  * implementations share the contract that matters for dedup
+  * correctness: NO false negatives (a duplicate can never survive),
+  * one-sided false positives at a rate the caller sized for. */
+trait BloomStore extends Serializable {
+  def add(h1: Long, h2: Long): Unit
+  def mightContain(h1: Long, h2: Long): Boolean
+  /** Fixed memory footprint, independent of items inserted. */
+  def sizeBytes: Long
+  /** The capacity the store was sized for (`expectedItems` at create,
+    * reconstructed from geometry as m·ln2/k — exact up to the integer
+    * rounding of m and k): past this, false drops exceed the design
+    * rate. */
+  def designItems: Long
+  /** Saturation gauge: the fullest constituent filter's fill ratio
+    * (a store at its design capacity sits at ~50%). */
+  def maxFillRatio: Double
+  /** Snapshot copy — the broadcast-before-merge discipline
+    * ([[graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom]]). */
+  def copyStore(): BloomStore
+  /** Distributed delta build from a `(__h1, __h2)` frame
+    * ([[Dedup.paragraphHashFrame]]) OR-merged into this store in
+    * place. Rows never collect to the driver — only fixed-size filter
+    * partials do. */
+  def absorb(hashFrame: DataFrame): Unit
+}
+
 /** Bounded-memory Bloom tier for the streaming seen-paragraph store —
   * the shape Dolma actually DEPLOYS its ingest-time paragraph dedup in
   * (cf. reference SURVEY §2.3 D). The exact stores are faithful but
@@ -32,9 +61,11 @@ import org.apache.spark.sql.DataFrame
   */
 final class ParaBloom private (
     private val words: Array[Long],
-    val numHashes: Int) extends Serializable {
+    val numHashes: Int) extends BloomStore {
 
   def numBits: Long = words.length.toLong * 64L
+
+  private[operators] def numWords: Int = words.length
 
   /** The fixed memory footprint — independent of how many items have
     * been inserted. */
@@ -96,6 +127,17 @@ final class ParaBloom private (
 
   /** Expected false-positive probability at the current fill: fill^k. */
   def approxFpp: Double = math.pow(fillRatio, numHashes)
+
+  /** Design capacity inverted from geometry: the create-time sizing
+    * sets k = round(m/n·ln2), so n ≈ m·ln2/k up to that rounding. */
+  def designItems: Long = math.round(numBits * math.log(2) / numHashes)
+
+  def maxFillRatio: Double = fillRatio
+
+  def copyStore(): ParaBloom = copy()
+
+  def absorb(hashFrame: DataFrame): Unit =
+    orInPlace(ParaBloom.fromHashFrame(hashFrame, this))
 }
 
 object ParaBloom {
@@ -119,6 +161,42 @@ object ParaBloom {
   /** An empty filter with the same geometry (for partials). */
   def emptyLike(proto: ParaBloom): ParaBloom =
     new ParaBloom(new Array[Long](proto.words.length), proto.numHashes)
+
+  /** An empty filter from bare geometry — what a task closure may
+    * capture when the proto itself must not ship (two ints instead of
+    * a possibly-hundreds-of-MB filter: [[ParaBloomBank.fromHashFrame]]). */
+  private[operators] def withGeometry(nWords: Int, k: Int): ParaBloom = {
+    require(nWords >= 1 && k >= 1, s"bad Bloom geometry: $nWords words, $k hashes")
+    new ParaBloom(new Array[Long](nWords), k)
+  }
+
+  /** Per-batch saturation guard — the `driftGuard` convention for the
+    * streaming store (r13 VERDICT #5): a filter fed past its design
+    * `expectedItems` fills past ~50% and silently exceeds its promised
+    * false-drop rate (fpp at fill f is f^k — at 70% fill a 1% filter
+    * drops ~8% of fresh paragraphs). Returns a warning line in the
+    * soft band (`warnAtFill`, `refuseAtFill`]; throws past
+    * `refuseAtFill`, naming the design capacity and both remedies,
+    * rather than silently eating data. */
+  def saturationGuard(store: BloomStore, warnAtFill: Double = 0.55,
+      refuseAtFill: Double = 0.7): Option[String] = {
+    require(warnAtFill > 0 && warnAtFill <= refuseAtFill && refuseAtFill < 1,
+      s"need 0 < warnAtFill <= refuseAtFill < 1, got ($warnAtFill, $refuseAtFill)")
+    val fill = store.maxFillRatio
+    if (fill > refuseAtFill) throw new IllegalStateException(
+      f"Bloom store is ${fill * 100}%.1f%% full (refuse threshold ${refuseAtFill * 100}%.0f%%): " +
+        s"it was sized for expectedItems ≈ ${store.designItems} and has been fed past " +
+        "that design capacity, so false drops of FRESH paragraphs now exceed the " +
+        "promised rate. Re-create with a larger expectedItems, or shard the store " +
+        "(ParaBloomBank.create(expectedItems, fpp, numShards)) — refusing to keep " +
+        "deduplicating against a saturated filter")
+    else if (fill > warnAtFill) Some(
+      f"WARNING: Bloom store ${fill * 100}%.1f%% full (warn threshold " +
+        f"${warnAtFill * 100}%.0f%%, sized for expectedItems ≈ ${store.designItems}) — " +
+        "approaching saturation; plan a larger or sharded store before the " +
+        f"refuse threshold (${refuseAtFill * 100}%.0f%%)")
+    else None
+  }
 
   private val MagicV1 = 0x47524254424c4d31L // "GRBTBLM1"
 

@@ -292,6 +292,22 @@ object StreamOps {
     dedupParagraphsPerBatchBloomFrom(docs, textCol, idCol, sep, minLen,
       graft.operators.ParaBloom.create(expectedItems, fpp))(sink)
 
+  /** [[dedupParagraphsPerBatchBloom]] on the SHARDED
+    * [[graft.operators.ParaBloomBank]] store — the shape past a single
+    * filter's 2³¹-bit cap (tens of billions of distinct paragraphs at
+    * 100 TB). Same per-batch protocol, same one-sided error; routing
+    * is map-side on the probe pair's own hash, so membership stays a
+    * broadcast bit-array lookup and the per-batch delta builds as
+    * one-shard-sized partials. */
+  def dedupParagraphsPerBatchBloomBank(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String,
+      sep: String = "\n", minLen: Int = 1,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01, numShards: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupParagraphsPerBatchBloomFrom(docs, textCol, idCol, sep, minLen,
+      graft.operators.ParaBloomBank.create(expectedItems, fpp, numShards))(sink)
+
   /** [[dedupParagraphsPerBatchBloom]] against a CALLER-OWNED store —
     * the restart path: reopen the filter persisted at the last
     * checkpoint ([[graft.operators.ParaBloom.load]]), resume the
@@ -304,20 +320,28 @@ object StreamOps {
       docs: DataFrame, // streaming
       textCol: String, idCol: String,
       sep: String, minLen: Int,
-      bloom: graft.operators.ParaBloom)(
+      bloom: graft.operators.BloomStore,
+      warnAtFill: Double = 0.55, refuseAtFill: Double = 0.7)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // saturation guard BEFORE any membership decision (r13 VERDICT
+      // #5): a store fed past its design capacity is silently dropping
+      // more fresh paragraphs than its promised fpp — warn in the soft
+      // band, refuse (failing the StreamingQuery, the driftGuard
+      // convention) past the hard threshold rather than keep eating
+      // data against a saturated filter
+      graft.operators.ParaBloom.saturationGuard(bloom, warnAtFill, refuseAtFill)
+        .foreach(System.err.println)
       // snapshot-copy before broadcasting: in local mode the broadcast
       // hands tasks the SAME object, and the post-batch merge below
       // must not mutate what a straggling task could still probe
-      val bc = spark.sparkContext.broadcast(bloom.copy())
+      val bc = spark.sparkContext.broadcast(bloom.copyStore())
       val cleaned = graft.operators.Dedup
         .dedupParagraphsAcrossBloom(batch, bc, textCol, idCol, sep, minLen)
         .localCheckpoint(true)
-      val delta = graft.operators.ParaBloom.fromHashFrame(
-        graft.operators.Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen), bloom)
-      bloom.orInPlace(delta)
+      bloom.absorb(
+        graft.operators.Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen))
       bc.destroy()
       sink(cleaned, batchId)
     }.start()

@@ -263,4 +263,64 @@ class GuardrailSpec extends AnyFunSuite {
     assert(recent.exists(), "a cache touched within the grace period must survive (mid-read race)")
     assert(other.exists(), "a different dataset whose name extends the base must survive")
   }
+
+  test("Bloom saturation guard: quiet below warn, message in the soft band, refusal names the design capacity") {
+    import graft.operators.ParaBloom
+    // fresh filter: quiet
+    val b = ParaBloom.create(expectedItems = 1000, fpp = 0.01)
+    assert(ParaBloom.saturationGuard(b).isEmpty)
+    // fed to ~design capacity: fill ~50% — still under the 55% warn line
+    var i = 0L
+    while (i < 1000) { b.add(i * 0x9e3779b97f4a7c15L, i + 7); i += 1 }
+    assert(ParaBloom.saturationGuard(b).isEmpty,
+      s"design-load fill ${b.fillRatio} should sit under the warn line")
+    // soft band: warn with the design capacity named
+    while (i < 1400) { b.add(i * 0x9e3779b97f4a7c15L, i + 7); i += 1 }
+    assert(b.fillRatio > 0.55 && b.fillRatio <= 0.7,
+      s"fixture drifted: fill ${b.fillRatio} not in the warn band")
+    val warn = ParaBloom.saturationGuard(b)
+    assert(warn.exists(_.contains("expectedItems")), s"warn must name the capacity: $warn")
+    // hard band: refuse-with-advice, naming expectedItems and the
+    // sharded remedy
+    while (i < 3000) { b.add(i * 0x9e3779b97f4a7c15L, i + 7); i += 1 }
+    val e = intercept[IllegalStateException](ParaBloom.saturationGuard(b))
+    assert(e.getMessage.contains("expectedItems") &&
+      e.getMessage.contains(b.designItems.toString) &&
+      e.getMessage.contains("ParaBloomBank"),
+      s"refusal must name the design capacity and both remedies: ${e.getMessage}")
+    // malformed thresholds refuse
+    intercept[IllegalArgumentException](ParaBloom.saturationGuard(b, 0.8, 0.7))
+  }
+
+  test("overfed streaming Bloom store refuses mid-stream instead of silently over-dropping") {
+    import graft.operators.ParaBloom
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_overfeed")
+    val docs = (1L to 40L).map(i => (i, s"wholly unique paragraph number $i"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    // a 2-item filter fed 40 distinct paragraphs saturates immediately;
+    // batch 1 absorbs past the refuse line, batch 2's entry guard fires
+    val tiny = ParaBloom.create(expectedItems = 2, fpp = 0.5)
+    val s1 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("b1").toString)
+    val q1 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
+      s1, "text", "doc_id", "\n", 1, tiny) { (_, _) => () }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(tiny.fillRatio > 0.7, "fixture must saturate the filter in one batch")
+    // the NEXT stream over the saturated store refuses at batch entry
+    docs.coalesce(1).write.mode("append").parquet(dir.resolve("b1").toString)
+    val s2 = spark.readStream.schema(docs.schema).parquet(dir.resolve("b1").toString)
+    val q2 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
+      s2, "text", "doc_id", "\n", 1, tiny) { (_, _) => () }
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null).toSeq
+    assert(rootChain(e).exists(m => m.contains("expectedItems") && m.contains("refusing")),
+      s"stream must fail with the saturation refusal, got: ${rootChain(e)}")
+  }
 }
