@@ -495,14 +495,18 @@ object ScaleProbe {
     }
     // Classifier fit at corpus scale:
     //   sbt "runMain graft.ScaleProbe 1000000 classifier"
-    // Full-batch GD is O(iters) passes of two shuffles over the
-    // (doc, token) feature frame — this probe measures the per-pass
-    // cost at 100M tokens AND checks the model is RIGHT at scale: half
-    // the zipf docs carry a planted marker phrase (the label), and
-    // after the fit the marker tokens must hold the largest weights.
-    // The scoring pass is then timed in the broadcastWeights serving
-    // shape (token stream never shuffles — plan-spec'd in
-    // PlanShapeSpec).
+    // This probe measures the per-pass fit cost at 100M tokens in BOTH
+    // join shapes — broadcast weights (r14 default: the feature frame
+    // keeps its doc partitioning through every iteration, one
+    // map-combined token shuffle per pass) vs the pre-r14 shuffle join
+    // (the weight join re-shuffled the feature frame by token every
+    // iteration) — and pins the weights BIT-IDENTICAL across them (the
+    // integer sums commute, so the plan shape cannot move a bit). It
+    // also checks the model is RIGHT at scale: half the zipf docs
+    // carry a planted marker phrase (the label), and after the fit the
+    // marker tokens must hold the largest weights. The scoring pass is
+    // then timed in the broadcastWeights serving shape (token stream
+    // never shuffles — plan-spec'd in PlanShapeSpec).
     if (args.contains("classifier")) {
       val tokensPerDoc = 100
       val vocab = 50000
@@ -515,10 +519,20 @@ object ScaleProbe {
         .repartition(32).localCheckpoint(true)
       val iters = 4
       val model = time(s"classifier fit ${n / 1000000}M docs x ~$tokensPerDoc toks, " +
-        s"$iters full-batch GD iterations") {
+        s"$iters GD iterations (broadcast weights)") {
         graft.operators.Classifier.fit(marked, "text", "y", "id",
           minCount = 2L, iters = iters, lr = 1.0)
       }
+      val modelShuffle = time(s"classifier fit, same corpus " +
+        s"(shuffle-join weights, pre-r14 shape)") {
+        graft.operators.Classifier.fit(marked, "text", "y", "id",
+          minCount = 2L, iters = iters, lr = 1.0, broadcastWeights = false)
+      }
+      require(model.biasMicro == modelShuffle.biasMicro &&
+        model.weights.except(modelShuffle.weights).isEmpty &&
+        modelShuffle.weights.except(model.weights).isEmpty,
+        "broadcast and shuffle-join fits must be bit-identical — integer sums commute")
+      println("[scale-probe] broadcast and shuffle-join weights bit-identical")
       val top = model.weights.orderBy(col("__w_micro").desc).limit(4).collect()
         .map(r => r.getString(0) -> r.getLong(1))
       println(s"[scale-probe] top weights: ${top.toSeq}")
@@ -721,6 +735,79 @@ object ScaleProbe {
     // exists for), a hot-cell query is timed on both, then capCells
     // splits the hot cells and the probe is re-timed: the skew tax and
     // its repair, measured.
+    // SemDeDup at scale: sbt "runMain graft.ScaleProbe 200000 semdedup"
+    // The within-cluster prune caps candidate pairs at Σ n_c²/2 vs the
+    // global n²/2 — measured on (a) a balanced 1024-cell corpus (the
+    // deployed shape: many cells, few rows each) and (b) a
+    // zipf-drifted one, where the hot cell hoards the candidate mass
+    // and splitOversized repairs it. The prune itself (threshold
+    // self-join blocked on cell) runs timed on the balanced corpus;
+    // the anchor-jittered generator makes same-cell vectors true
+    // near-dups, so the pair count is also a correctness signal.
+    if (args.contains("semdedup")) {
+      val nlist = 1024
+      val rnd = new scala.util.Random(4242)
+      val anchors: Array[Array[Float]] =
+        Array.fill(nlist)(Array.fill(dim)(((rnd.nextDouble() - 0.5) * 2).toFloat))
+      import spark.implicits._
+      val anchorsDf = broadcast(anchors.zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq.toDF("zk", "anchor"))
+      def cellDraw(zipf: Boolean): org.apache.spark.sql.Column =
+        if (!zipf) pmod(hash(col("vec_id") + lit(17)), lit(nlist)).cast("int")
+        else {
+          val u = (pmod(hash(col("vec_id") * lit(131) + lit(7)), lit(1000000))
+            .cast("double") + 0.5) / 1000000.0
+          (least(floor(exp(u * math.log(nlist + 1.0))), lit(nlist.toDouble)) - 1)
+            .cast("int")
+        }
+      def corpusFor(zipf: Boolean) = spark.range(n).toDF("vec_id")
+        .withColumn("zk", cellDraw(zipf))
+        .join(anchorsDf, "zk")
+        .select(col("vec_id"), transform(col("anchor"), (a, j) =>
+          (a + (pmod(hash(col("vec_id") * lit(8191) + j * lit(127) + lit(3)),
+            lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02).cast("float"))
+          .as("embedding"))
+        .repartition(32).localCheckpoint(true)
+      def candStats(idx: IvfIndex, label: String): Long = {
+        val sizes = idx.cellSizeStats.select("n").collect().map(_.getLong(0))
+        val cand = sizes.map(c => c * (c - 1) / 2).sum
+        val all = n * (n - 1) / 2
+        println(f"[scale-probe] $label%-24s $cand%,d within-cell candidates " +
+          f"vs $all%,d all-pairs (${all.toDouble / cand}%,.0fx cut; " +
+          f"fullest cell ${sizes.max}%,d rows)")
+        cand
+      }
+      // the frozen quantizer IS the anchor set — the build-once,
+      // dedup-and-search-against-it composition. Both layouts are
+      // PERSISTED cell-partitioned before any repeated reading (the
+      // ivfskew convention; in-memory, the NearestCell assignment
+      // lineage would re-run per action — splitOversized alone reads
+      // the corpus once per hot cell, ~50 times under zipf)
+      def persisted(zipf: Boolean, tag: String): IvfIndex = {
+        val p = s"$path-semdedup-$tag"
+        IvfIndex.withCentroids(corpusFor(zipf), "embedding", anchors).save(p)
+        IvfIndex.load(spark, p)
+      }
+      val balanced = time("assign+persist balanced layout")(
+        persisted(zipf = false, "bal"))
+      candStats(balanced, "balanced 1024 cells:")
+      val pairs = time("within-cell prune (balanced, t=0.995)") {
+        Dedup.semanticPairs(balanced, "vec_id", 0.995).count()
+      }
+      println(f"[scale-probe] $pairs%,d near-dup pairs confirmed by the exact re-score")
+      require(pairs > 0, "anchor-jittered same-cell vectors must be near-dups")
+      val zipfIdx = time("assign+persist zipf layout")(
+        persisted(zipf = true, "zipf"))
+      val zc = candStats(zipfIdx, "zipf-drifted:")
+      val repaired = time("splitOversized repair of hot cells") {
+        zipfIdx.splitOversized(maxRows = 3L * n / nlist)
+      }
+      val rc = candStats(repaired, "repaired:")
+      require(rc < zc / 2,
+        s"hot-cell split must cut the candidate mass, got $zc -> $rc")
+      spark.stop()
+      return
+    }
     // Sharded Bloom bank at 10M paragraphs across 4 shards:
     //   sbt "runMain graft.ScaleProbe 10000000 bloombank"
     // The single filter caps at 2^31 bits (~1.8B items at 1% fpp); the

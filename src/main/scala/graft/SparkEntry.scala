@@ -160,24 +160,35 @@ object SparkEntry {
     * would dangle across sessions. */
   private val clfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[(String, Long)], Long)]()
-  private def classifierFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier = {
-    val (w, b) = clfCache.computeIfAbsent(d, _ => {
+  private def classifierFitFor(s: SparkSession, d: String, key: String,
+      tokenizer: Classifier.Tokenizer): Classifier.LinearQualityClassifier = {
+    val (w, b) = clfCache.computeIfAbsent(s"$d#$key", _ => {
       val docs = Tables(s, d, "documents")
       val stop = TextAnalysis.LangProfiles.toMap.apply("en")
       val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
       val hits = size(filter(toks, t => t.isInCollection(stop)))
       val n = size(toks)
+      // the LABEL stays a whitespace-word heuristic regardless of the
+      // feature tokenizer — what varies across variants is the feature
+      // unit system, not the supervision
       val labeled = docs.withColumn("__label",
         (lit(100) * hits >= lit(6) * n).cast("int"))
       val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
       val m = Classifier.fit(labeled.where(col("doc_id") % 7 === 0 && extremes),
-        "text", "__label", "doc_id", iters = 8, lr = 1.0)
+        "text", "__label", "doc_id", iters = 8, lr = 1.0, tokenizer = tokenizer)
       (m.weights.collect().map(r => (r.getString(0), r.getLong(1))), m.biasMicro)
     })
     import s.implicits._
     Classifier.fromWeights(w.toSeq.toDF("__tok", "__w_micro"), b,
       iters = 8, lr = 1.0, minCount = 2L, featScale = 10.0)
   }
+  private def classifierFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier =
+    classifierFitFor(s, d, "ws", Classifier.WhitespaceTokenizer)
+  /** The SUBWORD variant: same labels, same oracled fit machinery,
+    * features are frozen-BPE units (r13 VERDICT #3). */
+  private def classifierBpeFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier =
+    classifierFitFor(s, d, "bpe24",
+      Classifier.BpeTokenizer(bpeFor(s, d, numMerges = 24)))
 
   /** Memoized PQ codebook fits per (fixture, knobs) — the frozen
     * artifact is fit once and applied everywhere (the bpeFor shape: a
@@ -517,6 +528,36 @@ object SparkEntry {
       Dedup.embeddingPairs(Tables(s, d, "embeddings"), "embedding", "vec_id", 0.35)
         .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("id1"), col("id2"))),
+    // §2.3 D ORACLED (round 14): SemDeDup survivors at the EXACT
+    // DEGENERATE — one cell (a single frozen centroid assigns every
+    // vector to cell 0), so the within-cluster prune provably equals
+    // the global pairwise operator: same 0.35 pairs as
+    // neardup_embedding, folded to min-id-per-component survivors by
+    // the same transitive closure dedup_jaccard_cc pins. Oracle =
+    // the neardup pair arithmetic + the recursive-CTE closure.
+    "semdedup_exact" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val one = IvfIndex.withCentroids(emb, "embedding",
+        Array(Array.fill(dim)(0f)))
+      Dedup.semanticDedup(emb, one, "vec_id", 0.35)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // §2.3 D (round 14): SemDeDup in its DEPLOYED shape — the
+    // published recipe (Abbas et al. 2023): cluster embeddings (the
+    // frozen 8-cell IVF quantizer the ANN tier already serves from),
+    // prune near-dups only WITHIN clusters. Candidates cap at
+    // Σ n_c²/2 instead of n²/2 — the nlist× cut ScaleProbe `semdedup`
+    // measures. k-means cells have no SQL analog, so the row is
+    // rows-only; its oracled twin is semdedup_exact, and the
+    // never-over-deletes superset contract (pairs ⊆ exact pairs ⇒
+    // survivors ⊇ exact survivors) is DedupSimJoinSpec's.
+    "semdedup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Dedup.semanticDedup(emb, ivfFor(s, d, nlist = 8), "vec_id", 0.35)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     // §2.3 D: exact dedup groups (representative + multiplicity)
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables(s, d, "documents"), Seq("text"), "doc_id")
@@ -1262,6 +1303,27 @@ object SparkEntry {
       val model = classifierFor(s, d) // memoized fit — see classifierFor
       Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
         "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T ⊕ GOLDEN (round 14): the classifier on SUBWORD features —
+    // the fastText pairing (word fits are brittle to rare/unseen
+    // surface forms; subword units are where the production filters
+    // get their robustness), re-expressed through the tokenizer seam:
+    // frozen BPE units through the UNCHANGED derivation-oracled
+    // fit/score machinery (the quality_lm_score_bpe_anchor pairing —
+    // same labels, same GD replay, only the feature unit system
+    // changes). DuckDB cannot apply ranked merges, so the row pins
+    // committed goldens from the sf0.01 build (the bpe_tokens_anchor
+    // class); the whitespace-vs-BPE divergence contract and the
+    // OOV-robustness win are ClassifierSpec's.
+    "quality_classifier_bpe_anchor" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bpe = bpeFor(s, d, numMerges = 24)
+      val model = classifierBpeFor(s, d) // memoized fit — see classifierBpeFor
+      Classifier.scoreAgainst(
+          docs.where(col("doc_id") % 7 =!= 0 && col("doc_id") < 9), model,
+          "text", "doc_id", tokenizer = Classifier.BpeTokenizer(bpe))
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),
@@ -2886,6 +2948,32 @@ object SparkEntry {
       "ann_ivfpq_batch_exact" -> oracleSqlKnn,
       "ann_ivf_batch_exact" -> oracleSqlKnn,
       "neardup_embedding" -> neardupEmbeddingSql(""),
+      // the SemDeDup exact degenerate: the SAME pair arithmetic as
+      // neardup_embedding (one cell = no cluster restriction), folded
+      // to min-id-per-component survivors by the dedup_jaccard_cc
+      // recursive-closure pattern
+      "semdedup_exact" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY a.vec_id, b.vec_id),
+          |pairs AS (SELECT id1, id2 FROM p
+          |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35),
+          |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          |          UNION SELECT id2, id1 FROM pairs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src
+          |)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
+          |ORDER BY vec_id""".stripMargin,
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
       // query comment) — the exact baseline's oracle on the same subset
       "ann_cosine_lsh_exact" ->
@@ -3749,6 +3837,24 @@ object SparkEntry {
           |  (6, 58, CAST(3.409334 AS DOUBLE)),
           |  (8, 324, CAST(3.52604 AS DOUBLE))
           |) AS t(doc_id, n_toks, lm_nll) ORDER BY doc_id""".stripMargin,
+      // subword-CLASSIFIER composition goldens: frozen BPE units
+      // through the UNCHANGED derivation-oracled fit/score machinery
+      // (r14; the quality_lm_score_bpe_anchor pairing). n_toks agree
+      // with bpe_tokens_anchor where rows overlap (doc 1 = 277),
+      // pinning classifier features, LM features, and the tokenizer
+      // anchor to ONE tokenization; recorded from the pinned sf0.01
+      // build. A merge-table, fit-replay, or featScale regression
+      // moves every logit.
+      "quality_classifier_bpe_anchor" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(277 AS BIGINT), CAST(-3.635205 AS DOUBLE), CAST(0.025701 AS DOUBLE)),
+          |  (2, 181, CAST(-3.910015 AS DOUBLE), CAST(0.019646 AS DOUBLE)),
+          |  (3, 103, CAST(-3.804032 AS DOUBLE), CAST(0.021795 AS DOUBLE)),
+          |  (4, 169, CAST(-3.639687 AS DOUBLE), CAST(0.025589 AS DOUBLE)),
+          |  (5, 221, CAST(-3.761468 AS DOUBLE), CAST(0.022721 AS DOUBLE)),
+          |  (6, 58, CAST(-4.061734 AS DOUBLE), CAST(0.016928 AS DOUBLE)),
+          |  (8, 324, CAST(-3.725201 AS DOUBLE), CAST(0.023541 AS DOUBLE))
+          |) AS t(doc_id, n_toks, clf_logit, clf_prob) ORDER BY doc_id""".stripMargin,
       // BPE-counts → packing composition goldens (see the query
       // comment): per-shard summary at sf0.01; contiguous ranges make
       // 32 rows an exact pin of all 500 assignments

@@ -33,12 +33,19 @@ import org.apache.spark.sql.functions._
  * source, and at corpus scale "one pass over everything per step" is
  * the shape that parallelizes anyway.
  *
- * Scale shape per iteration: two shuffles over the (doc, token)
- * feature frame — token-key join against the vocab-sized weight frame
- * then a doc-key integer sum (the scoring pass), doc-key join of the
- * residuals then a token-key integer sum (the gradient pass). The
- * feature frame is localCheckpoint-materialized ONCE at fit (computed
- * once, read `2 * iters` times); per-iteration weight frames are
+ * Scale shape per iteration (r13 VERDICT #4): ONE shuffle over
+ * (doc, token)-sized data — the map-combined token-key gradient sum.
+ * The feature frame materializes ONCE at fit into the block cache
+ * (persist — unlike a checkpoint, the cache retains the plan and with
+ * it the hash-by-doc partitioning the `__nd` window already paid
+ * for); the scoring pass joins
+ * the vocab-bounded weight frame BROADCAST (default `broadcastWeights`
+ * — ship the model to the data) so the per-doc logit sum reuses the
+ * doc partitioning with zero exchanges, and the gradient pass's
+ * doc-key residual join reuses it again (only the doc-sized residual
+ * frame moves). Weights are bit-identical either way — the integer
+ * sums commute — so `broadcastWeights = false` remains for a vocab
+ * too large to broadcast. Per-iteration weight frames are
  * vocab-bounded and checkpointed to keep lineage flat. Iteration
  * count is a constant (default 8), so fit cost is `O(iters)` passes —
  * the classic distributed-ML bound, with no driver-side data motion
@@ -51,6 +58,39 @@ object Classifier {
   /** Micro-unit quantum shared by weights, logits, and residuals —
     * the lmScore micro-nat convention. */
   private val Q = 1e6
+
+  /** Tokenizer seam for [[fit]] and [[scoreAgainst]] (r13 VERDICT #3):
+    * fastText-shape filters owe much of their robustness to SUBWORD
+    * features, and the repo already carries a frozen BPE artifact —
+    * this seam lets the same derivation-checked fit/score machinery
+    * run over either unit. The tokenizer is a PARAMETER, not model
+    * state, mirroring [[TextAnalysis.lmScoreAgainst]]'s convention:
+    * freeze it alongside the weights (a model fit on BPE units scored
+    * over whitespace words would see almost everything as OOV — same
+    * caveat as scoring against the wrong LM). Emits `array<string>`
+    * of non-empty tokens. */
+  sealed trait Tokenizer extends Serializable {
+    private[operators] def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+
+  /** Default: lowercase whitespace split — the bag-of-WORDS baseline
+    * (and exactly the tokenization [[ClassifierSql]] replays, so only
+    * this tokenizer's fits are DuckDB-derivation-checked; BPE fits
+    * anchor on goldens, the `bpe_tokens_anchor` class). */
+  case object WhitespaceTokenizer extends Tokenizer {
+    private[operators] def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), Ws), t => length(t) > 0)
+  }
+
+  /** Subword units via a FROZEN BPE merge table
+    * ([[TextAnalysis.fitBpe]]) — the robustness rung: rare and unseen
+    * words decompose into in-vocab subwords instead of vanishing as
+    * OOV, so the classifier scores documents the word-level vocab
+    * would drop (spec'd divergence in ClassifierSpec). */
+  final case class BpeTokenizer(model: TextAnalysis.BpeModel) extends Tokenizer {
+    private[operators] def toks(c: org.apache.spark.sql.Column) =
+      TextAnalysis.bpeTokens(c, model)
+  }
 
   /**
    * A fitted linear quality classifier — weights as a `(__tok,
@@ -82,7 +122,8 @@ object Classifier {
    */
   def fit(df: DataFrame, textCol: String, labelCol: String, idCol: String,
       minCount: Long = 2L, iters: Int = 8, lr: Double = 2.0,
-      featScale: Double = 10.0): LinearQualityClassifier = {
+      featScale: Double = 10.0, tokenizer: Tokenizer = WhitespaceTokenizer,
+      broadcastWeights: Boolean = true): LinearQualityClassifier = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(featScale > 0 && java.lang.Double.isFinite(featScale),
       s"featScale must be positive and finite, got $featScale")
@@ -95,7 +136,7 @@ object Classifier {
 
     val toks = df.where(col(labelCol).isin(0, 1))
       .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__y"),
-        explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+        explode(tokenizer.toks(col(textCol))).as("__tok"))
     val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__tok").localCheckpoint(true)
     require(!vocab.isEmpty,
@@ -112,11 +153,18 @@ object Classifier {
     // window is one doc-key shuffle over rows that already exist.
     // Values are identical — exact integer sums either way.
     val ndWin = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    // PERSIST (not localCheckpoint) is load-bearing here: a checkpoint
+    // erases outputPartitioning (LogicalRDD reports Unknown — measured),
+    // while the cache retains the full plan, so InMemoryTableScan still
+    // advertises the window's HashPartitioning(__id) — and that is what
+    // lets every iteration's per-doc aggregation and doc-key residual
+    // join run with ZERO exchanges of this frame (r13 VERDICT #4). The
+    // count() below materializes it eagerly; unpersist after the loop.
     val feat = cnt
       .withColumn("__nd", sum("__ct").over(ndWin))
       .select(col("__id"), col("__y"), col("__tok"),
         ((col("__ct").cast("double") / col("__nd")) * lit(featScale)).as("__x"))
-      .localCheckpoint(true)
+      .persist()
     val nDocs = feat.select("__id").distinct().count()
 
     // Superseded per-iteration checkpoints (the previous w, each r) are
@@ -128,8 +176,17 @@ object Classifier {
     var w = vocab.select(col("__tok"), lit(0L).as("__w_micro")).localCheckpoint(true)
     var bMicro = 0L
     for (_ <- 1 to iters) {
-      // scoring pass: integer micro-logits, exact doc sums
-      val z = feat.join(w, "__tok")
+      // scoring pass: integer micro-logits, exact doc sums. With
+      // broadcastWeights (default; the weight frame is vocab-bounded
+      // by minCount) the join ships the MODEL to the data and the
+      // feature frame never moves: feat's cache advertises the __nd
+      // window's hash-by-__id partitioning, the broadcast join keeps
+      // it, and the per-doc aggregation is satisfied by it — so the
+      // scoring pass touches feat with ZERO exchanges (r13 VERDICT
+      // #4; ScaleProbe `classifier` measures the cut, ClassifierSpec
+      // pins bit-identical weights: the integer sums commute, so the
+      // plan shape cannot change a single bit)
+      val z = feat.join(if (broadcastWeights) broadcast(w) else w, "__tok")
         .withColumn("__zq", round(col("__x") * col("__w_micro")).cast("long"))
         .groupBy("__id", "__y").agg((sum("__zq") + lit(bMicro)).as("__z_micro"))
       // residuals, quantized before any further aggregation
@@ -152,6 +209,7 @@ object Classifier {
       bMicro -= r.agg(round((lit(lr) * sum("__rq").cast("double")) /
         lit(nDocs.toDouble)).cast("long")).head().getLong(0)
     }
+    feat.unpersist(false) // w is checkpointed — nothing depends on feat now
     LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale)
   }
 
@@ -173,10 +231,11 @@ object Classifier {
    */
   def scoreAgainst(df: DataFrame, model: LinearQualityClassifier,
       textCol: String, idCol: String, outCol: String = "clf_prob",
-      broadcastWeights: Boolean = false): DataFrame = {
+      broadcastWeights: Boolean = false,
+      tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
     val w = if (broadcastWeights) broadcast(model.weights) else model.weights
     val toks = df.select(col(idCol),
-      explode(filter(split(lower(col(textCol)), Ws), t => length(t) > 0)).as("__tok"))
+      explode(tokenizer.toks(col(textCol))).as("__tok"))
     val cnt = toks.join(w, "__tok")
       .groupBy(col(idCol), col("__tok"), col("__w_micro"))
       .agg(count(lit(1)).as("__ct"))

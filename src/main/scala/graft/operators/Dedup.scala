@@ -1054,4 +1054,38 @@ object Dedup {
   def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double): DataFrame =
     SimJoin.thresholdSelfJoin(df.where(col(embCol).isNotNull), idCol, embCol, threshold)
+
+  /** SemDeDup-style WITHIN-CLUSTER near-dup pairs (Abbas et al. 2023:
+    * cluster the embeddings, then prune near-duplicates only inside
+    * each cluster) — the published semantic-dedup recipe, composed
+    * from pieces this repo already ships: the cluster assignment IS an
+    * [[IvfIndex]]'s cell column (same frozen seed-pinned quantizer the
+    * ANN tier serves from — build once, dedup AND search against it),
+    * and the within-cell prune is [[SimJoin.thresholdSelfJoin]]
+    * blocked on `cell`. Versus the pairwise-global [[embeddingPairs]]
+    * (which at corpus scale is n²/2 candidates, or LSH-pruned with
+    * tuned knobs), the cell blocking caps candidates at Σ n_c²/2 —
+    * nlist× under all-pairs for balanced cells (measured in ScaleProbe
+    * `semdedup`, including the zipf-skewed case where `capCells`
+    * repairs the hot cell first).
+    *
+    * Pair semantics match [[embeddingPairs]] RESTRICTED to same-cell
+    * pairs: at `nlist = 1` the composition provably degenerates to the
+    * exact pairwise operator (one cell = no restriction — the oracled
+    * gate row), and since cross-cell pairs are the ones a coarser
+    * quantizer would also separate, pairs(semdedup) ⊆ pairs(exact)
+    * always — so survivors are a SUPERSET of the exact path's (spec'd:
+    * the one-sided direction that never over-deletes). */
+  def semanticPairs(idx: IvfIndex, idCol: String, threshold: Double): DataFrame =
+    SimJoin.thresholdSelfJoin(idx.indexed, idCol, idx.embCol, threshold,
+      groupCol = Some("cell"))
+
+  /** [[semanticPairs]] + deterministic keep-one: min id per duplicate
+    * component ([[transitiveSurvivors]] — the same policy every other
+    * dedup tier uses), plus every row never in a pair (null embeddings
+    * included: they join no pair and always survive). `df` must be the
+    * corpus the index was built over. */
+  def semanticDedup(df: DataFrame, idx: IvfIndex, idCol: String,
+      threshold: Double): DataFrame =
+    transitiveSurvivors(df, idCol, semanticPairs(idx, idCol, threshold))
 }

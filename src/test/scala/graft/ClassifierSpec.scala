@@ -169,4 +169,62 @@ class ClassifierSpec extends AnyFunSuite {
     val (l1, l8) = (lossAt(1), lossAt(8))
     assert(l8 < l1, s"held-out log-loss must improve with iterations: $l1 -> $l8")
   }
+
+  test("broadcast-weights fit is bit-identical to the shuffle-join fit") {
+    // the r14 default ships the vocab-bounded weight frame broadcast so
+    // the feature frame keeps its doc partitioning across iterations;
+    // the integer sums commute, so the plan shape must not move a bit
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    val a = Classifier.fit(docs, "text", "y", "doc_id", iters = 3)
+    val b = Classifier.fit(docs, "text", "y", "doc_id", iters = 3,
+      broadcastWeights = false)
+    assert(a.biasMicro == b.biasMicro)
+    assert(weightsOf(a) == weightsOf(b))
+  }
+
+  test("BPE tokenizer seam: subword fits diverge from whitespace and score what the word vocab drops") {
+    import graft.operators.TextAnalysis
+    val fitDocs = Seq(
+      (1L, "goodness goodness brightness brightness", 1),
+      (2L, "goodness brightness goodness brightness", 1),
+      (3L, "darkness darkness sadness sadness", 0),
+      (4L, "sadness darkness sadness darkness", 0)).toDF("id", "text", "y")
+    // FEW merges: fit words keep leftover single-char units, so an
+    // unseen word's subwords overlap the fit vocab (checked below as a
+    // fixture precondition, not assumed)
+    val bpe = TextAnalysis.fitBpe(fitDocs, "text", numMerges = 5, maxWords = 1000)
+    val tok = Classifier.BpeTokenizer(bpe)
+    val ws = Classifier.fit(fitDocs, "text", "y", "id", minCount = 1L, iters = 4, lr = 2.0)
+    val sub = Classifier.fit(fitDocs, "text", "y", "id", minCount = 1L, iters = 4,
+      lr = 2.0, tokenizer = tok)
+    // different unit systems -> different vocabularies and weights
+    assert(weightsOf(ws) != weightsOf(sub),
+      "whitespace and BPE fits must diverge — they see different feature units")
+    // an OOV-heavy probe: "goodish" never occurs as a WORD, so the
+    // word-level model drops the doc entirely; its BPE decomposition
+    // shares units with the fit corpus, so the subword model scores it
+    val probe = Seq((9L, "goodish")).toDF("id", "text")
+    val fitUnits = fitDocs.select(explode(TextAnalysis.bpeTokens(col("text"), bpe)).as("t"))
+      .distinct().as[String].collect().toSet
+    val probeUnits = probe.select(explode(TextAnalysis.bpeTokens(col("text"), bpe)).as("t"))
+      .as[String].collect().toSet
+    assert(probeUnits.exists(fitUnits), // fixture precondition
+      s"probe subwords $probeUnits must overlap fit units")
+    assert(Classifier.scoreAgainst(probe, ws, "text", "id").collect().isEmpty,
+      "word-level model must drop the all-OOV doc")
+    val scored = Classifier.scoreAgainst(probe, sub, "text", "id", tokenizer = tok).collect()
+    assert(scored.length == 1, "subword model must score the doc via in-vocab units")
+  }
+
+  test("fromWeights import seam refuses duplicate tokens and non-long weights") {
+    val dup = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("__tok", "__w_micro")
+    val e = intercept[IllegalArgumentException](
+      Classifier.fromWeights(dup, 0L, 8, 1.0, 2L, 10.0))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    val wrong = Seq(("a", 1.0)).toDF("__tok", "__w_micro")
+    val e2 = intercept[IllegalArgumentException](
+      Classifier.fromWeights(wrong, 0L, 8, 1.0, 2L, 10.0))
+    assert(e2.getMessage.contains("LongType"), e2.getMessage)
+  }
 }

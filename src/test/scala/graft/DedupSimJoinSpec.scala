@@ -547,4 +547,43 @@ class DedupSimJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.isEmpty, s"zero vectors leaked through: ${pairs.mkString(",")}")
   }
+
+  test("semanticDedup at one cell EQUALS the global pairwise operator; multi-cell survivors are a superset") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    // one cell (a single frozen centroid): the within-cluster prune is
+    // provably the global one — pairs AND survivors must match the
+    // pairwise path exactly
+    val one = IvfIndex.withCentroids(emb, "embedding", Array(Array.fill(dim)(0f)))
+    val exactPairs = Dedup.embeddingPairs(emb, "embedding", "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePairs = Dedup.semanticPairs(one, "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onePairs == exactPairs, "one cell must degenerate to the exact pairwise join")
+    assert(exactPairs.nonEmpty, "fixture must exercise the prune")
+    val exactSurvivors = Dedup.transitiveSurvivors(emb, "vec_id",
+        Dedup.embeddingPairs(emb, "embedding", "vec_id", 0.35))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val oneSurvivors = Dedup.semanticDedup(emb, one, "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(oneSurvivors == exactSurvivors)
+    // a real multi-cell quantizer: within-cell pairs ⊆ exact pairs, so
+    // survivors ⊇ exact — SemDeDup's approximation can only UNDER-prune
+    // (never deletes a doc the exact path would keep)
+    val idx = IvfIndex.build(emb, "embedding", nlist = 4)
+    val cellPairs = Dedup.semanticPairs(idx, "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellPairs.subsetOf(exactPairs),
+      s"within-cell pairs must be a subset; extras: ${cellPairs -- exactPairs}")
+    val cellSurvivors = Dedup.semanticDedup(emb, idx, "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exactSurvivors.subsetOf(cellSurvivors),
+      s"semdedup must never over-delete; missing: ${exactSurvivors -- cellSurvivors}")
+    // null embeddings (if any) and unpaired rows always survive: the
+    // survivor count can never drop below total - paired
+    assert(cellSurvivors.size >= emb.count() -
+      cellPairs.flatMap(p => Seq(p._1, p._2)).size)
+  }
 }
