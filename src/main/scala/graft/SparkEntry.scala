@@ -160,7 +160,26 @@ object SparkEntry {
     * would dangle across sessions. */
   private val clfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[(String, Long)], Long)]()
+  // per-session memo of the ASSEMBLED model: fromWeights validates its
+  // import (a distinct-count job) and toDF re-plans the weights frame —
+  // both per call without this, and the bench calls each classifier row
+  // 3+ times. Same purge discipline as ivfPqCache (a cached DataFrame
+  // dangles across sessions).
+  private val clfModelCache =
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Classifier.LinearQualityClassifier]]()
   private def classifierFitFor(s: SparkSession, d: String, key: String,
+      tokenizer: Classifier.Tokenizer): Classifier.LinearQualityClassifier =
+    clfModelCache.synchronized {
+      clfModelCache.keySet.removeIf(x => x.sparkContext.isStopped)
+      var mm = clfModelCache.get(s)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, Classifier.LinearQualityClassifier]()
+        clfModelCache.put(s, mm)
+      }
+      mm.computeIfAbsent(s"$d#$key", _ => assembleClassifier(s, d, key, tokenizer))
+    }
+  private def assembleClassifier(s: SparkSession, d: String, key: String,
       tokenizer: Classifier.Tokenizer): Classifier.LinearQualityClassifier = {
     val (w, b) = clfCache.computeIfAbsent(s"$d#$key", _ => {
       val docs = Tables(s, d, "documents")

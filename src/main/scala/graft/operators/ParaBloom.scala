@@ -200,27 +200,49 @@ object ParaBloom {
 
   private val MagicV1 = 0x47524254424c4d31L // "GRBTBLM1"
 
+  /** The Hadoop FileSystem a store path resolves to — the checkpoint
+    * of a CLUSTER stream lives on hdfs:// or s3a://, and a java.nio
+    * write there would land on the driver's local disk instead (the
+    * r13-ADVICE sidecar failure class). Scheme-less paths resolve
+    * through the active session's default FS, like every other Spark
+    * path; local mode keeps writing local files. */
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
   /** Persist the filter — the streaming seen-store must survive a
     * restart alongside the query's own checkpoint, or the restarted
     * stream re-admits every paragraph ever seen. Format: magic,
     * numHashes, word count, then the raw bitset words (all
-    * big-endian); ~sizeBytes on disk, one sequential write. */
+    * big-endian); ~sizeBytes on disk, one sequential write, through
+    * the path-owning Hadoop FS (see [[fsFor]]). */
   def save(bloom: ParaBloom, path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val (fs, p) = fsFor(path)
+    Option(p.getParent).foreach(fs.mkdirs)
     val buf = java.nio.ByteBuffer.allocate(8 * (3 + bloom.words.length))
     buf.putLong(MagicV1)
     buf.putLong(bloom.numHashes.toLong)
     buf.putLong(bloom.words.length.toLong)
     bloom.words.foreach(buf.putLong)
-    java.nio.file.Files.write(p, buf.array())
+    val out = fs.create(p, true)
+    try out.write(buf.array()) finally out.close()
   }
 
   /** Reopen a [[save]]d filter: decision-identical to the instance that
     * was saved (spec'd — same bits, same probes). Refuses corrupt or
     * truncated files by magic/length check rather than misreading. */
   def load(path: String): ParaBloom = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (fs, p) = fsFor(path)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= 8L * (3 + (Int.MaxValue.toLong / 64L)) && len >= 24,
+      s"$path is not a ParaBloom file (length $len)")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(bytes) finally in.close()
     require(bytes.length >= 24 && bytes.length % 8 == 0,
       s"$path is not a ParaBloom file (length ${bytes.length})")
     val buf = java.nio.ByteBuffer.wrap(bytes)

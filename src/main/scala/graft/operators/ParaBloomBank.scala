@@ -138,31 +138,49 @@ object ParaBloomBank {
   /** Persist the bank: one [[ParaBloom.save]] file per shard plus a
     * manifest — N independent sequential writes, so a restart reopens
     * exactly the decision state it checkpointed ([[load]] spec'd
-    * decision-identical). Local-path layout, like [[ParaBloom.save]]. */
+    * decision-identical). Paths resolve through the owning Hadoop FS
+    * like [[ParaBloom.save]]'s (a cluster checkpoint lives on
+    * hdfs:// / s3a://; local mode keeps writing local files). */
   def save(bank: ParaBloomBank, dir: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    java.nio.file.Files.write(d.resolve("_bank.json"),
-      s"""{"num_shards": ${bank.numShards}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "_bank.json"), true)
+    try out.write(s"""{"num_shards": ${bank.numShards}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     bank.shards.zipWithIndex.foreach { case (f, i) =>
-      ParaBloom.save(f, d.resolve(f"shard-$i%05d.bloom").toString)
+      ParaBloom.save(f, new org.apache.hadoop.fs.Path(d, f"shard-$i%05d.bloom").toString)
     }
   }
 
   /** Reopen a [[save]]d bank. Refuses a manifest/shard-file mismatch
     * or mixed shard geometry rather than mis-routing probes. */
   def load(dir: String): ParaBloomBank = {
-    val d = java.nio.file.Paths.get(dir)
-    val manifest = new String(java.nio.file.Files.readAllBytes(d.resolve("_bank.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(d, "_bank.json")
+    if (!fs.exists(mPath)) throw new IllegalArgumentException(
+      s"$dir/_bank.json: missing manifest — not a ParaBloomBank directory")
+    val mLen = fs.getFileStatus(mPath).getLen
+    require(mLen <= (1L << 16), s"$dir: manifest unexpectedly large ($mLen bytes)")
+    val mBytes = new Array[Byte](mLen.toInt)
+    val in = fs.open(mPath)
+    try in.readFully(mBytes) finally in.close()
+    val manifest = new String(mBytes, java.nio.charset.StandardCharsets.UTF_8)
     val n = """"num_shards"\s*:\s*(\d+)""".r.findFirstMatchIn(manifest)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"$dir/_bank.json: no num_shards field — not a ParaBloomBank directory"))
     require(n >= 1 && n <= (1 << 16), s"$dir: corrupt manifest (num_shards=$n)")
     val shards = (0 until n).toArray.map { i =>
-      ParaBloom.load(d.resolve(f"shard-$i%05d.bloom").toString)
+      ParaBloom.load(new org.apache.hadoop.fs.Path(d, f"shard-$i%05d.bloom").toString)
     }
     require(shards.forall(s => s.numWords == shards(0).numWords &&
         s.numHashes == shards(0).numHashes),

@@ -262,4 +262,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [__tok"),
       s"token-key sort-merge join crept into the broadcast path:\n$p")
   }
+
+  test("a persisted window output keeps its partitioning through a broadcast join into an aggregation — the Classifier.fit contract") {
+    import org.apache.spark.sql.functions._
+    // Classifier.fit's per-iteration plan leans on a specific Spark
+    // behavior (round 14): the CACHE retains the plan and with it the
+    // window's HashPartitioning, so the scoring pass's per-doc
+    // aggregation after a broadcast weights join needs NO exchange of
+    // the feature frame (a localCheckpoint, by contrast, erases
+    // partitioning — measured). This pins the behavior on the exact
+    // shape fit builds: window over doc -> persist -> broadcast join
+    // on token -> groupBy doc. If a Spark upgrade stops propagating
+    // partitioning through InMemoryTableScan, fit's 100 TB shuffle
+    // story silently doubles — this test makes that loud.
+    val df = spark.range(1000).toDF("id")
+      .withColumn("tok", pmod(col("id"), lit(50)))
+    val feat = df.withColumn("nd",
+      sum("tok").over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .persist()
+    try {
+      feat.count()
+      val w = spark.range(50).toDF("tok2")
+      val agg = feat.join(broadcast(w), col("tok") === col("tok2"))
+        .groupBy("id").agg(sum("nd"))
+      val p = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange hashpartitioning(id"),
+        s"cached window partitioning no longer satisfies the doc-key aggregation:\n$p")
+      assert(p.contains("InMemoryTableScan"), s"the cache must be in the plan:\n$p")
+    } finally feat.unpersist()
+  }
 }
