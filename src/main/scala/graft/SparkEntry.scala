@@ -577,6 +577,38 @@ object SparkEntry {
       Dedup.semanticDedup(emb, ivfFor(s, d, nlist = 8), "vec_id", 0.35)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // §2.3 D ORACLED (round 14): INCREMENTAL SemDeDup at the exact
+    // degenerate — the ingest shape (the dedup_incremental contract on
+    // the semantic tier): the fresh batch (odd vec_ids) dedups against
+    // the retained corpus (even ids, indexed under the frozen
+    // quantizer) AND within itself, without re-pairing the corpus.
+    // One cell ⇒ provably the global pairwise incremental rule: a
+    // fresh row drops on ANY ≥0.35 match to a base row, or as the
+    // GREATER id of a within-batch pair — which the oracle computes
+    // directly from the shared pair arithmetic.
+    "semdedup_incremental_exact" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val base = IvfIndex.withCentroids(emb.where(col("vec_id") % 2 === 0),
+        "embedding", Array(Array.fill(dim)(0f)))
+      Dedup.semanticIncrementalSurvivors(emb.where(col("vec_id") % 2 === 1),
+          base, "vec_id", 0.35)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // §2.3 D (round 14): the same incremental semantic dedup in its
+    // DEPLOYED shape — fresh batch assigned map-side to the frozen
+    // 8-cell quantizer, compared only within cells. Rows-only
+    // (k-means cells); its oracled twin sits above, and the
+    // pairs-subset direction is DedupSimJoinSpec's.
+    "semdedup_incremental" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val base = IvfIndex.build(emb.where(col("vec_id") % 2 === 0),
+        "embedding", nlist = 8)
+      Dedup.semanticIncrementalSurvivors(emb.where(col("vec_id") % 2 === 1),
+          base, "vec_id", 0.35)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     // §2.3 D: exact dedup groups (representative + multiplicity)
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables(s, d, "documents"), Seq("text"), "doc_id")
@@ -2992,6 +3024,31 @@ object SparkEntry {
           |)
           |SELECT vec_id FROM embeddings
           |WHERE vec_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
+          |ORDER BY vec_id""".stripMargin,
+      // the incremental degenerate: same pair arithmetic, the
+      // first-arrival greedy rule instead of the closure — a fresh
+      // (odd) id drops on any match to a base (even) id, or as the
+      // greater id of a fresh-fresh pair; even-even pairs drop nobody
+      "semdedup_incremental_exact" ->
+        """WITH p AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY a.vec_id, b.vec_id),
+          |pairs AS (SELECT id1, id2 FROM p
+          |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35),
+          |dropped AS (
+          |  SELECT CASE WHEN id1 % 2 = 1 AND id2 % 2 = 0 THEN id1
+          |              WHEN id1 % 2 = 0 AND id2 % 2 = 1 THEN id2
+          |              WHEN id1 % 2 = 1 AND id2 % 2 = 1 THEN id2 END AS did
+          |  FROM pairs)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id % 2 = 1
+          |  AND vec_id NOT IN (SELECT did FROM dropped WHERE did IS NOT NULL)
           |ORDER BY vec_id""".stripMargin,
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
       // query comment) — the exact baseline's oracle on the same subset

@@ -1088,4 +1088,50 @@ object Dedup {
   def semanticDedup(df: DataFrame, idx: IvfIndex, idCol: String,
       threshold: Double): DataFrame =
     transitiveSurvivors(df, idCol, semanticPairs(idx, idCol, threshold))
+
+  /** Fresh-batch-vs-retained-corpus near-dup pairs WITHIN the frozen
+    * quantizer's cells — the cross half of incremental SemDeDup. The
+    * fresh batch assigns to `baseIdx`'s centroids map-side (the
+    * [[IvfIndex.addBatch]] frozen-artifact contract: assignment is a
+    * pure function of (vector, centroids), so fresh and base land in
+    * comparable cells by construction), then joins the base corpus on
+    * the cell key under the exact cosine re-score. Emits
+    * `(id_new, id_base, similarity)`. */
+  def semanticPairsAcross(freshDf: DataFrame, baseIdx: IvfIndex,
+      idCol: String, threshold: Double): DataFrame = {
+    val fresh = IvfIndex.withCentroids(freshDf, baseIdx.embCol, baseIdx.centroidVectors)
+      .indexed.select(col(idCol).as("id_new"),
+        col(baseIdx.embCol).as("__emb_new"), col("cell"))
+    val base = baseIdx.indexed.select(col(idCol).as("id_base"),
+      col(baseIdx.embCol).as("__emb_base"), col("cell"))
+    fresh.join(base, "cell")
+      .withColumn("similarity",
+        graft.functions.vectors.similarity(col("__emb_new"), col("__emb_base"), "cosine"))
+      .where(col("similarity") >= threshold)
+      .select(col("id_new"), col("id_base"), col("similarity"))
+  }
+
+  /** Incremental SemDeDup — the ingest shape (the
+    * [[incrementalSurvivors]] contract on the semantic tier): a fresh
+    * batch dedups against the RETAINED corpus and within itself, all
+    * inside the frozen quantizer's cells, WITHOUT re-pairing the base
+    * corpus against itself. A fresh row drops if it is
+    * cosine ≥ threshold to ANY base row in its cell, or if it is the
+    * greater id of a within-batch pair (the single-pass [[survivors]]
+    * rule — first-arrival greedy, not transitive closure: matching
+    * every other incremental tier, and the right call at ingest where
+    * the component structure isn't known yet). Null-embedding fresh
+    * rows assign to no cell and always survive. At one cell the
+    * composition provably degenerates to the global pairwise
+    * incremental rule (the oracled gate row). */
+  def semanticIncrementalSurvivors(freshDf: DataFrame, baseIdx: IvfIndex,
+      idCol: String, threshold: Double): DataFrame = {
+    val vsBase = semanticPairsAcross(freshDf, baseIdx, idCol, threshold)
+    val inBatch = semanticPairs(
+      IvfIndex.withCentroids(freshDf, baseIdx.embCol, baseIdx.centroidVectors),
+      idCol, threshold)
+    freshDf
+      .join(vsBase.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
 }

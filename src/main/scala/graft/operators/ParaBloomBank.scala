@@ -107,19 +107,25 @@ object ParaBloomBank {
 
   /** Distributed delta build from a `(__h1, __h2)` frame
     * ([[Dedup.paragraphHashFrame]]): rows shuffle ONCE by their shard
-    * route into `numShards` partitions, each task builds only the
-    * filters of the shards present in its partition (≈1 — hash
-    * partitioning on the route value may co-locate a few), and the
-    * ≤ numShards fixed-size partials merge on the driver. Per-task
-    * memory is bounded by one shard's bytes (× collisions), never the
-    * bank's — the closure captures two ints of geometry, not the
-    * proto. */
+    * route — SALTED so a small bank still uses the whole cluster (a
+    * 4-shard bank routed into 4 partitions would cap the hashing at 4
+    * tasks; the salt splits each shard's rows across
+    * ~defaultParallelism/numShards tasks building same-geometry
+    * partials that OR together) — each task builds only the filters of
+    * the (shard, salt) groups co-located in its partition (≈1), and
+    * the fixed-size partials tree-merge by shard before ≤ numShards of
+    * them reach the driver. Per-task memory is bounded by one shard's
+    * bytes (× co-location), never the bank's — the closure captures
+    * two ints of geometry, not the proto. */
   def fromHashFrame(df: DataFrame, proto: ParaBloomBank): ParaBloomBank = {
     val n = proto.numShards
     val nWords = proto.shards(0).numWords
     val k = proto.shards(0).numHashes
+    val salts = math.min(16, math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism / n))
     val partials = df.select("__h1", "__h2")
-      .repartition(n, shardCol(n))
+      .repartition(n * salts, shardCol(n),
+        pmod(col("__h2"), lit(salts.toLong)).cast("int"))
       .rdd.mapPartitions { it =>
         val local = scala.collection.mutable.HashMap.empty[Int, ParaBloom]
         it.foreach { r =>
@@ -130,7 +136,8 @@ object ParaBloomBank {
         local.iterator
       }
     val bank = emptyLike(proto)
-    partials.reduceByKey(_.orInPlace(_)).collect()
+    partials.reduceByKey(_.orInPlace(_), math.min(n, 64))
+      .collect()
       .foreach { case (s, f) => bank.shards(s).orInPlace(f) }
     bank
   }

@@ -586,4 +586,39 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(cellSurvivors.size >= emb.count() -
       cellPairs.flatMap(p => Seq(p._1, p._2)).size)
   }
+
+  test("incremental semanticDedup: one cell equals the global greedy rule; frozen cells only under-drop") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val fresh = emb.where(col("vec_id") % 2 === 1)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val baseOne = IvfIndex.withCentroids(base, "embedding", Array(Array.fill(dim)(0f)))
+    val got = Dedup.semanticIncrementalSurvivors(fresh, baseOne, "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // reference: the greedy incremental rule computed driver-side from
+    // the global pairwise operator — drop a fresh id on any match to a
+    // base id, or as the greater id of a fresh-fresh pair
+    val pairs = Dedup.embeddingPairs(emb, "embedding", "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.flatMap { case (i, j) =>
+      if (i % 2 == 1 && j % 2 == 0) Some(i)
+      else if (i % 2 == 0 && j % 2 == 1) Some(j)
+      else if (i % 2 == 1 && j % 2 == 1) Some(j)
+      else None
+    }.toSet
+    val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == freshIds -- dropped,
+      s"one-cell incremental must equal the global greedy rule; " +
+        s"diff: ${(got -- (freshIds -- dropped)) ++ ((freshIds -- dropped) -- got)}")
+    assert(dropped.nonEmpty, "fixture must exercise both drop directions")
+    // a real multi-cell quantizer sees a SUBSET of the pairs, so it
+    // can only drop fewer fresh rows — never more
+    val base4 = IvfIndex.build(base, "embedding", nlist = 4)
+    val got4 = Dedup.semanticIncrementalSurvivors(fresh, base4, "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(got4),
+      s"frozen-cell incremental must never over-drop; missing: ${got -- got4}")
+  }
 }
