@@ -263,6 +263,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"token-key sort-merge join crept into the broadcast path:\n$p")
   }
 
+  test("semanticPairs plans a cell equi-join — the SemDeDup candidate cap is real, never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = graft.operators.IvfIndex.build(emb, "embedding", nlist = 4)
+    val p = graft.operators.Dedup.semanticPairs(idx, "vec_id", 0.35)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell prune must join on the cell key, not cross-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cell key:\n$p")
+  }
+
   test("a persisted window output keeps its partitioning through a broadcast join into an aggregation — the Classifier.fit contract") {
     import org.apache.spark.sql.functions._
     // Classifier.fit's per-iteration plan leans on a specific Spark
