@@ -1217,6 +1217,38 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
     }),
+    // §2.3 S × composition (round 14): the SAME frozen-artifact chain
+    // with the dedup stage on the BOUNDED Bloom store — the only
+    // deployable state shape at 100 TB (the exact hashed store is
+    // ~16 B/paragraph forever and re-shuffles into every batch's
+    // anti-join; the filter is fixed-size and probes map-side off a
+    // broadcast). Honestly sized it is decision-identical to the
+    // exact store, so the whole drained chain SHARES the
+    // pipeline_pretrain oracle verbatim; the saturation guard runs at
+    // every batch entry.
+    "pipeline_pretrain_stream_bloom" -> ((s, d) => {
+      val (_, evalSet, cleanRef0, _) = pretrainChain(s, d)
+      val cleanRef = cleanRef0.localCheckpoint(false)
+      val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+      val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "lang")
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, String)]
+      val q = StreamOps.pipelinePretrainPerBatch(stream, evalSet, model, bounds,
+        "text", "doc_id", "lang", sep = " the ",
+        bloomStore = Some(graft.operators.ParaBloom.create(1L << 17, 1e-4))) {
+        (shipped, _) =>
+          buf.synchronized {
+            buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+          }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
+    }),
     // §2.3 T: corpus vocabulary statistics (term frequencies, top 20)
     "vocab_topk" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -3286,6 +3318,7 @@ object SparkEntry {
       // artifacts == self-fit on the fitting corpus; one-file fixture
       // == one micro-batch) — shared oracle
       "pipeline_pretrain_stream" -> oracleSqlPipelinePretrain,
+      "pipeline_pretrain_stream_bloom" -> oracleSqlPipelinePretrain,
       // base chain + temperature mixing + split — the full Dolma tail
       "pipeline_pretrain_full" -> oracleSqlPipelinePretrainFull,
       // + the output layout: train-split shards as the naive global

@@ -381,7 +381,15 @@ object StreamOps {
       labels: Seq[String] = Seq("head", "middle", "tail"),
       shipLabels: Seq[String] = Seq("head", "middle"),
       quantizeDp: Int = 6,
-      hashedStore: Boolean = true)(
+      hashedStore: Boolean = true,
+      // the BOUNDED store (round 14): when set, the dedup stage runs
+      // against this caller-owned ParaBloom/ParaBloomBank instead of
+      // the accumulated exact store — the only deployable shape at
+      // 100 TB (the exact hashed store is ~16 B/paragraph FOREVER and
+      // re-shuffles into every batch); the saturation guard runs per
+      // batch, and `hashedStore` is ignored. Same save/restart
+      // protocol as dedupParagraphsPerBatchBloomFrom.
+      bloomStore: Option[graft.operators.BloomStore] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = docs.sparkSession
@@ -398,14 +406,28 @@ object StreamOps {
       if (hashedStore) Seq.empty[(Long, Long)].toDF("__h1", "__h2")
       else Seq.empty[String].toDF("__para")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val cleaned = (if (hashedStore)
-        Dedup.dedupParagraphsAcrossHashed(batch, seen, textCol, idCol, sep, minLen)
-      else Dedup.dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen))
-        .localCheckpoint(true)
-      val delta =
-        if (hashedStore) Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen)
-        else Dedup.paragraphFrame(cleaned, textCol, sep, minLen)
-      seen = seen.union(delta).distinct().localCheckpoint(true)
+      val cleaned = bloomStore match {
+        case Some(store) =>
+          graft.operators.ParaBloom.saturationGuard(store)
+            .foreach(System.err.println)
+          val bc = spark.sparkContext.broadcast(store.copyStore())
+          val out = Dedup
+            .dedupParagraphsAcrossBloom(batch, bc, textCol, idCol, sep, minLen)
+            .localCheckpoint(true)
+          store.absorb(Dedup.paragraphHashFrame(out, textCol, sep, minLen))
+          bc.destroy()
+          out
+        case None =>
+          val out = (if (hashedStore)
+            Dedup.dedupParagraphsAcrossHashed(batch, seen, textCol, idCol, sep, minLen)
+          else Dedup.dedupParagraphsAcross(batch, seen, textCol, idCol, sep, minLen))
+            .localCheckpoint(true)
+          val delta =
+            if (hashedStore) Dedup.paragraphHashFrame(out, textCol, sep, minLen)
+            else Dedup.paragraphFrame(out, textCol, sep, minLen)
+          seen = seen.union(delta).distinct().localCheckpoint(true)
+          out
+      }
       // materialized: decon feeds BOTH the scoring explode and the
       // payload join below — un-cut it would run the gram explode +
       // anti-join twice per batch

@@ -103,6 +103,26 @@ class PretrainStreamSpec extends AnyFunSuite {
     // cross-batch paragraph dedup also bit doc 6 ("der hund lief" was
     // doc 5's in batch 1); its de-scored text shipped with a bucket
     assert(got.contains(6L))
+
+    // round 14: the SAME two-batch chain on the BOUNDED Bloom store —
+    // honestly sized, the drain must equal the exact-store drain
+    // decision for decision (including the cross-batch drops the
+    // assertions above pinned), proving the 100 TB state shape slots
+    // into the composition without changing a single shipped row
+    val gotBloom = scala.collection.mutable.Map.empty[Long, (String, Double, String)]
+    val s2 = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val q2 = StreamOps.pipelinePretrainPerBatch(s2, evalDf, model, bounds,
+      "text", "doc_id", "lang", n = N,
+      shipLabels = Seq("head", "middle", "tail"),
+      bloomStore = Some(graft.operators.ParaBloom.create(4096, 1e-4))) { (shipped, _) =>
+      gotBloom.synchronized {
+        gotBloom ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+      }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    assert(gotBloom.toMap == want, s"bloom-store chain ${gotBloom.toMap} vs batch $want")
   }
 
   test("a stream already carrying a scorer output column is refused up front") {
