@@ -596,6 +596,31 @@ object SparkEntry {
           base, "vec_id", 0.35)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // §2.3 S × D ORACLED (round 14): SemDeDup EXECUTED AS A STREAM —
+    // the ingest deployment: each micro-batch assigns map-side to the
+    // frozen quantizer and survives only if it matches no retained row
+    // in its cell and no earlier-id batch row (the greedy
+    // first-arrival rule). One-file fixture ⇒ one micro-batch; at the
+    // one-cell degenerate the drain provably equals the global greedy
+    // rule — drop every id that is the GREATER id of any ≥0.35 pair —
+    // which the oracle computes from the shared pair arithmetic. The
+    // two-batch store-carry equivalence is DedupSimJoinSpec's.
+    "semdedup_stream" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.semanticDedupPerBatch(stream,
+        Array(Array.fill(dim)(0f)), "embedding", "vec_id", 0.35) { (survivors, _) =>
+        buf.synchronized {
+          buf ++= survivors.select("vec_id").collect().map(_.getLong(0))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("vec_id").orderBy(col("vec_id"))
+    }),
     // §2.3 D (round 14): the same incremental semantic dedup in its
     // DEPLOYED shape — fresh batch assigned map-side to the frozen
     // 8-cell quantizer, compared only within cells. Rows-only
@@ -3081,6 +3106,24 @@ object SparkEntry {
           |SELECT vec_id FROM embeddings
           |WHERE vec_id % 2 = 1
           |  AND vec_id NOT IN (SELECT did FROM dropped WHERE did IS NOT NULL)
+          |ORDER BY vec_id""".stripMargin,
+      // the streamed one-cell degenerate: the single-batch drain's
+      // greedy rule — drop every id that is the GREATER id of any
+      // qualifying pair (Dedup.survivors' keep-min-id convention)
+      "semdedup_stream" ->
+        """WITH p AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY a.vec_id, b.vec_id),
+          |pairs AS (SELECT id1, id2 FROM p
+          |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id NOT IN (SELECT id2 FROM pairs)
           |ORDER BY vec_id""".stripMargin,
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
       // query comment) — the exact baseline's oracle on the same subset

@@ -325,6 +325,21 @@ object IvfIndex {
     new IvfIndex(centroidVectors,
       assignWithCentroids(df, embCol, centroidVectors), embCol)
 
+  /** Wrap a frame that ALREADY carries this quantizer's `cell` column
+    * (rows previously assigned by [[withCentroids]] over the same
+    * centroids, accumulated across stream batches) without
+    * re-assigning — the streaming-store resume path, where re-running
+    * the map-side assignment over the whole retained corpus every
+    * batch would scale with the store instead of the batch. The cell
+    * column is TRUSTED, like a [[load]]ed layout's; callers own the
+    * same-quantizer invariant. */
+  private[graft] def fromAssigned(centroidVectors: Array[Array[Float]],
+      assigned: DataFrame, embCol: String): IvfIndex = {
+    require(assigned.columns.contains("cell"),
+      "fromAssigned needs the `cell` column a withCentroids pass produced")
+    new IvfIndex(centroidVectors, assigned, embCol)
+  }
+
   /** Map-side frozen-centroid assignment: original columns + `cell`.
     * NULL vectors are excluded, as in [[build]]. */
   private[operators] def assignWithCentroids(df: DataFrame, embCol: String,

@@ -347,6 +347,40 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming SemDeDup — the ingest shape of semantic dedup driven
+    * through a real StreamingQuery: each micro-batch assigns map-side
+    * to the FROZEN quantizer (`centroidVectors` — fit once, like every
+    * frozen artifact in the family: a per-batch refit would move the
+    * cells under the stream) and survives only if it matches no
+    * RETAINED row in its cell and no earlier-id row of its own batch
+    * ([[graft.operators.Dedup.semanticIncrementalSurvivors]]'s greedy
+    * rule — first-arrival order replaces id order ACROSS batches, the
+    * paragraph stream's convention). The retained store accumulates
+    * survivors WITH their cell assignment (localCheckpoint per batch),
+    * so the store is never re-assigned — only each batch pays the
+    * map-side assignment pass. The cross join compares the batch
+    * against the store within cells only: per batch the candidate
+    * work is Σ_c |batch_c|·|store_c|, never batch × store. */
+  def semanticDedupPerBatch(
+      docs: DataFrame, // streaming
+      centroidVectors: Array[Array[Float]], // frozen quantizer
+      embCol: String, idCol: String, threshold: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, IvfIndex}
+    var retained: Option[DataFrame] = None // survivors + trusted `cell`
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val base = retained.getOrElse(
+        IvfIndex.withCentroids(batch.limit(0), embCol, centroidVectors).indexed)
+      val survivors = Dedup.semanticIncrementalSurvivors(batch,
+          IvfIndex.fromAssigned(centroidVectors, base, embCol), idCol, threshold)
+        .localCheckpoint(true)
+      val assigned = IvfIndex.withCentroids(survivors, embCol, centroidVectors).indexed
+      retained = Some(retained.map(_.unionByName(assigned)).getOrElse(assigned)
+        .localCheckpoint(true))
+      sink(survivors, batchId)
+    }.start()
+  }
+
   /** The INGEST-TIME pretraining pipeline — the streaming composition
     * of the batch `pipeline_pretrain` chain, every corpus-derived
     * artifact FROZEN so the stream cannot drift under itself:

@@ -621,4 +621,52 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(got.subsetOf(got4),
       s"frozen-cell incremental must never over-drop; missing: ${got -- got4}")
   }
+
+  test("streaming semanticDedup: two-batch drain == sequential incremental composition, store carries") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val centroids = Array(Array.fill(dim)(0f)) // one cell — the oracled degenerate
+    val b1 = emb.where(col("vec_id") < 250)
+    val b2 = emb.where(col("vec_id") >= 250)
+    // reference: the incremental operator applied sequentially — batch 1
+    // against the empty store, batch 2 against batch 1's survivors
+    val s1 = Dedup.semanticIncrementalSurvivors(b1,
+      IvfIndex.withCentroids(b1.limit(0), "embedding", centroids), "vec_id", 0.35)
+    val s2 = Dedup.semanticIncrementalSurvivors(b2,
+      IvfIndex.withCentroids(s1, "embedding", centroids), "vec_id", 0.35)
+    val want = (s1.select("vec_id").collect() ++ s2.select("vec_id").collect())
+      .map(_.getLong(0)).toSet
+    // the drain: two parquet files, maxFilesPerTrigger=1, ordered mtimes
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_stream")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Set.empty[Long]
+    var batches = 0
+    val q = graft.streaming.StreamOps.semanticDedupPerBatch(stream,
+      centroids, "embedding", "vec_id", 0.35) { (survivors, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= survivors.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toSet == want, s"stream drain ${got.toSet} vs sequential $want")
+    // the store carried: at least one batch-2 row must drop AGAINST a
+    // batch-1 survivor (not just within batch 2) or the test is toothless
+    val b2OnlyWant = Dedup.semanticIncrementalSurvivors(b2,
+      IvfIndex.withCentroids(b2.limit(0), "embedding", centroids), "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s2Set = s2.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s2Set != b2OnlyWant,
+      "fixture must exercise a cross-batch drop against the carried store")
+  }
 }
