@@ -739,6 +739,30 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED (round 14): EXACT SUBSTRING dedup — Lee et al.
+    // 2022's ExactSubstr, the published rung between paragraph dedup
+    // (duplicates must align on separator-carved units) and winnowing
+    // (approximate): the corpus-wide FIRST occurrence of any
+    // duplicated 13-token span survives in place, every later
+    // occurrence is excised at token granularity and the doc
+    // reassembles from its surviving tokens; untouched docs stay
+    // byte-identical. Winner = min-(id, pos) struct — deterministic
+    // where the reference implementation's "keep one arbitrarily" is
+    // a race. The oracle replays grams → winner rule → island merge →
+    // coverage → reassembly on the token STRINGS (the decontaminate
+    // hash-vs-string argument: 64-bit gram identity changes nothing
+    // modulo ~1e-10 collisions).
+    "dedup_substring" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(Tables(s, d, "documents"), "text", "doc_id", k = 13)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))),
+    // §2.3 D ORACLED (round 14): the AUDIT half — the merged duplicated
+    // spans themselves, the frame a curation run reviews before
+    // excising (the decontaminateReport convention).
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables(s, d, "documents"), "text", "doc_id", k = 13)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"))
+        .orderBy(col("doc_id"), col("span_start"))),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -2793,6 +2817,43 @@ object SparkEntry {
       |      FROM kept GROUP BY doc_id)
       |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin
 
+  /** Shared prefix of dedup_substring and dedup_substring_spans — the
+    * exact-substring replay through the merged spans: positional
+    * 13-grams on the lowercased token stream (gram STRINGS — the
+    * decontaminate hash-vs-string argument), the duplicated non-first
+    * occurrences (row_number over (doc_id, pos) == Spark's min-struct
+    * winner), and the per-doc island merge as the identical
+    * window-prefix-max arithmetic. */
+  private val oracleSqlSubstringPrefix: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '$Ws'), x -> len(x) > 0) AS lt,
+      |         list_filter(string_split_regex(text, '$Ws'), x -> len(x) > 0) AS ot
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, s.i - 1 AS pos,
+      |         array_to_string(list_slice(lt, s.i, s.i + 12), ' ') AS gram
+      |  FROM t, LATERAL unnest(generate_series(1, greatest(len(lt) - 12, 0))) AS s(i)),
+      |m AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |           count(*) OVER (PARTITION BY gram) AS c,
+      |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |    FROM g) WHERE c > 1 AND rn > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |              OR pos > max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS newisl
+      |  FROM m),
+      |isl2 AS (SELECT doc_id, pos,
+      |                sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |         FROM isl),
+      |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end
+      |          FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
   /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
     * and bitset physical strategies produce identical survivors. */
   /** Shared by decontaminate (batch) and decontaminate_stream (the
@@ -3137,6 +3198,31 @@ object SparkEntry {
       "dedup_paragraphs_stream_hashed" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_bloom" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_bloom_bank" -> oracleSqlDedupParagraphs,
+      "dedup_substring" ->
+        (oracleSqlSubstringPrefix +
+          s""",
+            |cov AS (SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+            |        FROM spans),
+            |touched AS (SELECT DISTINCT doc_id FROM cov),
+            |tok AS (SELECT tt.doc_id, s.i - 1 AS pos, tt.ot[s.i] AS tk
+            |        FROM (SELECT t.* FROM t JOIN touched USING (doc_id)) tt,
+            |        LATERAL unnest(generate_series(1, len(tt.ot))) AS s(i)),
+            |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+            |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+            |         WHERE cov.pos IS NULL),
+            |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS newtext
+            |        FROM kept GROUP BY doc_id)
+            |SELECT d.doc_id,
+            |       CASE WHEN tc.doc_id IS NOT NULL THEN coalesce(r.newtext, '')
+            |            ELSE d.text END AS text
+            |FROM documents d
+            |LEFT JOIN touched tc ON d.doc_id = tc.doc_id
+            |LEFT JOIN reb r ON d.doc_id = r.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+      "dedup_substring_spans" ->
+        (oracleSqlSubstringPrefix +
+          "\nSELECT doc_id, span_start, span_end FROM spans " +
+          "ORDER BY doc_id, span_start"),
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

@@ -50,6 +50,39 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3, seed: Int = 42
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL word-shingle hashes — [[ShingleHashes]] keeping order
+  * and duplicates: element i is the 64-bit hash of the gram STARTING
+  * at token i (same tokenize, same baseHash, same seed semantics), so
+  * `posexplode` recovers (token position, gram identity) pairs — the
+  * frame exact-substring dedup ([[graft.operators.Dedup
+  * .removeDuplicateSpans]]) marks and merges into spans. Fewer tokens
+  * than `shingleSize` yields an empty array (such docs carry no
+  * duplicable span). */
+case class PositionalShingleHashes(child: Expression, shingleSize: Int = 13,
+    seed: Int = 42) extends UnaryExpression {
+
+  require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"positional_shingle_hashes requires a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.positionalHashes(v.asInstanceOf[UTF8String], shingleSize, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleHashes.positionalHashes($c, $shingleSize, $seed);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleHashes {
 
   /** THE whitespace token boundary, pinned as an explicit character
@@ -91,6 +124,24 @@ object ShingleHashes {
   @inline def baseHash(shingle: String, seed: Int): Long =
     (MurmurHash3.stringHash(shingle, seed).toLong << 32) |
       (MurmurHash3.stringHash(shingle, seed + 1).toLong & 0xffffffffL)
+
+  /** [[PositionalShingleHashes]]' kernel: hash of the gram starting at
+    * each token index, in order, duplicates kept. */
+  def positionalHashes(u: UTF8String, shingleSize: Int, seed: Int): ArrayData = {
+    val toks = tokenize(u)
+    val n = toks.length - shingleSize + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val shingle =
+        if (shingleSize == 1) toks(i)
+        else toks.slice(i, i + shingleSize).mkString(" ")
+      out(i) = baseHash(shingle, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** The kernel, callable from generated Java (static forwarder). */
   def hashes(u: UTF8String, shingleSize: Int, seed: Int): ArrayData = {

@@ -1111,6 +1111,97 @@ object Dedup {
       .select(col("id_new"), col("id_base"), col("similarity"))
   }
 
+  /** Duplicated-span AUDIT frame for EXACT SUBSTRING dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"
+    * — ExactSubstr, the published rung between paragraph dedup, which
+    * needs duplicates to align on separator-carved units, and
+    * winnowing, which is approximate): every token span of a document
+    * whose content also appears EARLIER in the corpus, as merged
+    * half-open token-index intervals `(idCol, span_start, span_end)`.
+    *
+    * Mechanics: positional k-gram hashes (one codegen pass,
+    * [[graft.expressions.PositionalShingleHashes]] — the
+    * Jaccard-family tokenize: lowercase, pinned whitespace class), a
+    * gram occurrence is DUPLICATED if its gram occurs anywhere else
+    * (count > 1) and it is not the corpus-wide FIRST occurrence (the
+    * min-(id, pos) struct — the paragraph tier's total-order winner,
+    * deterministic where the reference implementation's "keep one
+    * arbitrarily" is a race); marked occurrences' `[pos, pos+k)`
+    * intervals merge per doc with one ordered window (no ×k explode at
+    * this stage — the island trick bounds the work at one row per
+    * marked gram). Scale shape: one gram-key shuffle (map-combined
+    * count+min) + one doc-key window; gram identity is the 64-bit
+    * accept-the-hash argument every sibling tier makes.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 13): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
+      "(k = 1 would delete every repeated word — vocabulary, not duplication)")
+    val grams = df.select(col(idCol).as("__did"),
+      posexplode(ColumnBridge.column(graft.expressions.PositionalShingleHashes(
+        ColumnBridge.expression(col(textCol)), k))).as(Seq("__pos", "__gh")))
+    val dupGrams = grams.groupBy("__gh")
+      .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
+      .where(col("__c") > 1)
+    val marked = grams.join(dupGrams, "__gh")
+      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
+      .select(col("__did"), col("__pos"))
+    val byPos = Window.partitionBy("__did").orderBy("__pos")
+    val prevMax = max(col("__pos") + lit(k))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new",
+        when(prevMax.isNull || col("__pos") > prevMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byPos))
+      .groupBy(col("__did"), col("__isl"))
+      .agg(min("__pos").as("span_start"), (max(col("__pos")) + lit(k)).as("span_end"))
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** EXACT SUBSTRING dedup — excise every [[duplicateSpans]] interval:
+    * the corpus-wide FIRST occurrence of any duplicated k-token span
+    * survives in place; every later occurrence's tokens are removed
+    * and the document reassembles from its surviving tokens
+    * (space-joined — the tokenizer-normalized form, like every
+    * token-stream operator; span identity is case-insensitive, the
+    * Jaccard-family convention, while surviving text keeps its
+    * original case). Documents with NO duplicated span keep their
+    * text BYTE-IDENTICAL (they never re-assemble); a fully-duplicated
+    * document stays as a row with empty text — dropping rows behind
+    * the caller's back is the one thing a span-level operator must
+    * not do. Docs under k tokens carry no gram and are untouched.
+    * Coverage explodes only the MERGED islands (Σ island lengths ≤
+    * corpus tokens — never marked-grams × k). */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 13): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__did", "__pos", "__tok", "__newtext"))
+    require(clash.isEmpty,
+      s"removeDuplicateSpans reserves column(s) ${clash.mkString(", ")}")
+    val covered = duplicateSpans(df, textCol, idCol, k)
+      .select(col(idCol).as("__did"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("__pos"))
+    val touched = covered.select("__did").distinct()
+    // original-case tokens, positions indexed AFTER the empty-drop —
+    // the same indexing PositionalShingleHashes' tokenize produces
+    // (lowercasing never changes the split)
+    val toks = df.select(col(idCol).as("__did"),
+        posexplode(filter(split(col(textCol), TextAnalysis.Ws),
+          t => length(t) > 0)).as(Seq("__pos", "__tok")))
+      .join(touched, "__did") // untouched docs never re-assemble
+    val rebuilt = touched.join(
+      toks.join(covered, Seq("__did", "__pos"), "left_anti")
+        .groupBy("__did")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("__newtext")),
+      Seq("__did"), "left")
+    df.join(rebuilt.select(col("__did").as(idCol),
+        coalesce(col("__newtext"), lit("")).as("__newtext")), Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__newtext").isNotNull, col("__newtext")).otherwise(col(textCol)))
+      .drop("__newtext")
+  }
+
   /** Incremental SemDeDup — the ingest shape (the
     * [[incrementalSurvivors]] contract on the semantic tier): a fresh
     * batch dedups against the RETAINED corpus and within itself, all

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Exact substring dedup (Lee et al. 2022 ExactSubstr): the
+  * corpus-wide first occurrence of any duplicated k-token span
+  * survives, every later occurrence is excised at token granularity,
+  * untouched documents stay byte-identical, and the whole decision is
+  * a deterministic function of the corpus. */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def textsOf(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0),
+      r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toSet
+
+  test("cross-doc span: first occurrence survives in place, the later one is excised") {
+    val docs = Seq(
+      (1L, "x1 x2 aa bb cc dd ee x3"),
+      (2L, "y1 aa bb cc dd ee y2 y3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", k = 5)
+    assert(spansOf(spans) == Set((2L, 1L, 6L)),
+      "only doc 2's copy of the 5-gram is a duplicated span")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 5))
+    assert(out(1L) == "x1 x2 aa bb cc dd ee x3", "the winner doc stays byte-identical")
+    assert(out(2L) == "y1 y2 y3", "the later occurrence's tokens are excised")
+  }
+
+  test("within-doc repeat: the second occurrence inside the SAME doc is excised") {
+    val docs = Seq(
+      (1L, "aa bb cc dd aa bb cc dd tail")).toDF("doc_id", "text")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 4))
+    assert(out(1L) == "aa bb cc dd tail")
+  }
+
+  test("overlapping marked grams merge into ONE island; adjacent islands merge too") {
+    // doc 2 copies doc 1's six tokens: with k = 4, doc 2 carries THREE
+    // marked grams at pos 0,1,2 — overlapping, one island [0, 6)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4)
+    assert(spansOf(spans) == Set((2L, 0L, 6L)), s"got ${spansOf(spans)}")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 4))
+    assert(out(1L) == "aa bb cc dd ee ff")
+    assert(out(2L) == "", "a fully-duplicated doc keeps its row with empty text")
+  }
+
+  test("span identity is case-insensitive; surviving text keeps original case") {
+    val docs = Seq(
+      (1L, "AA BB CC DD EE tail1"),
+      (2L, "head2 aa bb cc dd ee")).toDF("doc_id", "text")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 5))
+    assert(out(1L) == "AA BB CC DD EE tail1", "winner (min id, pos) keeps its case")
+    assert(out(2L) == "head2")
+  }
+
+  test("docs under k tokens are untouched; no-duplicate corpora come back byte-identical") {
+    val docs = Seq(
+      (1L, "short doc"),
+      (2L, "another   doc with    odd   spacing"),
+      (3L, "wholly unique words seven eight nine ten")).toDF("doc_id", "text")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 5))
+    assert(out == textsOf(docs),
+      "untouched docs must not be re-assembled (whitespace preserved)")
+    assert(Dedup.duplicateSpans(docs, "text", "doc_id", k = 5).isEmpty)
+  }
+
+  test("separated repeats produce TWO islands (the gap survives)") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "ee ff gg hh"),
+      (3L, "aa bb cc dd keep me ee ff gg hh")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4)
+    assert(spansOf(spans) == Set((3L, 0L, 4L), (3L, 6L, 10L)), s"got ${spansOf(spans)}")
+    val out = textsOf(Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 4))
+    assert(out(3L) == "keep me")
+  }
+
+  test("deterministic across partitionings") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = textsOf(Dedup.removeDuplicateSpans(docs.repartition(2), "text", "doc_id", k = 13))
+    val b = textsOf(Dedup.removeDuplicateSpans(docs.repartition(17), "text", "doc_id", k = 13))
+    assert(a == b)
+    // and the fixture actually exercises the operator (planted near-dups
+    // share 13-grams — the decontaminate fixture argument)
+    assert(a != textsOf(docs), "fixture must contain duplicated 13-token spans")
+  }
+
+  test("k = 1 refuses (vocabulary deletion, not dedup); reserved columns refuse") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dedup.duplicateSpans(docs, "text", "doc_id", k = 1))
+    val bad = Seq((1L, "a b c", 0)).toDF("doc_id", "text", "__pos")
+    intercept[IllegalArgumentException](
+      Dedup.removeDuplicateSpans(bad, "text", "doc_id", k = 2))
+  }
+}
