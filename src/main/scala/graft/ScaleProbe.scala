@@ -735,6 +735,64 @@ object ScaleProbe {
     // exists for), a hot-cell query is timed on both, then capCells
     // splits the hot cells and the probe is re-timed: the skew tax and
     // its repair, measured.
+    // Exact substring dedup at 1M docs:
+    //   sbt "runMain graft.ScaleProbe 1000000 substring"
+    // Corpus: 24 unique-ish filler tokens per doc (50k vocab hash
+    // draw), ids ≡ 0 (mod 100) are plain sources, ids ≡ 1 (mod 100)
+    // FULLY COPY id−1 (10k whole-doc duplicates), ids ≡ 3 (mod 10)
+    // append one FIXED 15-token boilerplate tail (100k occurrences of
+    // the same grams — the hot-gram stress: every occurrence except
+    // the global winner must excise EXACTLY the tail). Closed-form
+    // check: changed docs = 10,000 full-dups (→ empty text) +
+    // 100,000 − 1 boilerplate losers; everything else byte-identical.
+    if (args.contains("substring")) {
+      val k = 13
+      // globally UNIQUE filler tokens (w<id>x<i>): a vocab draw would
+      // let two carriers share their last filler token and legitimately
+      // extend the excised island one token left — correct behavior,
+      // but it blurs the closed-form check this probe wants
+      val filler = (0 until 24).map(i =>
+        concat(lit("w"), col("id"), lit(s"x$i")))
+      val bp = (1 to 15).map(i => s"bp$i").mkString(" ")
+      val base = spark.range(n).toDF("id")
+        .select(col("id"), concat_ws(" ", filler: _*).as("__filler"))
+        .withColumn("__own",
+          when(pmod(col("id"), lit(10)) === 3,
+            concat(col("__filler"), lit(" " + bp))).otherwise(col("__filler")))
+      // dup docs copy the PREVIOUS doc's final text (sources are
+      // ≡ 0 mod 100, never boilerplate carriers)
+      val prev = base.select((col("id") + 1).as("id"), col("__own").as("__prev"))
+      val docs = base.join(prev, Seq("id"), "left")
+        .select(col("id"),
+          when(pmod(col("id"), lit(100)) === 1 && col("__prev").isNotNull,
+            col("__prev")).otherwise(col("__own")).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val spans = time(s"duplicateSpans over ${n / 1000000}M docs (k=$k)") {
+        Dedup.duplicateSpans(docs, "text", "id", k).localCheckpoint(true)
+      }
+      println(f"[scale-probe] ${spans.count()}%,d merged spans")
+      val out = time("removeDuplicateSpans (excise + reassemble)") {
+        Dedup.removeDuplicateSpans(docs, "text", "id", k).localCheckpoint(true)
+      }
+      val empties = out.where(col("text") === "").count()
+      require(empties == n / 100,
+        s"every full-copy doc must come back empty: $empties vs ${n / 100}")
+      val changed = out.as("o").join(docs.as("d"), "id")
+        .where(col("o.text") =!= col("d.text")).count()
+      require(changed == n / 100 + n / 10 - 1,
+        s"changed docs must be the ${n / 100} full-dups + ${n / 10 - 1} " +
+          s"boilerplate losers, got $changed")
+      // a surviving boilerplate loser kept exactly its 24 filler tokens
+      val survivorToks = out.where(pmod(col("id"), lit(10)) === 3 &&
+          pmod(col("id"), lit(100)) =!= 1 && col("text") =!= "")
+        .select(size(filter(split(col("text"), "[ ]"), t => length(t) > 0)).as("nt"))
+        .groupBy("nt").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      println(s"[scale-probe] boilerplate-carrier token counts after excision: $survivorToks")
+      require(survivorToks.keySet.subsetOf(Set(24, 39)),
+        s"carriers must keep 24 filler tokens (39 = the one global winner): $survivorToks")
+      spark.stop()
+      return
+    }
     // SemDeDup at scale: sbt "runMain graft.ScaleProbe 200000 semdedup"
     // The within-cluster prune caps candidate pairs at Σ n_c²/2 vs the
     // global n²/2 — measured on (a) a balanced 1024-cell corpus (the
