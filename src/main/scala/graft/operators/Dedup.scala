@@ -10,10 +10,11 @@ import graft.expressions.SimHash64
 import graft.functions.vectors
 
 /**
- * Deduplication for LLM-training-data pipelines (SURVEY §2.3 D) — six
- * tiers behind one decision table. Pick by what "duplicate" means and
- * what the corpus affords; every tier emits either survivor rows or
- * `(id1, id2[, similarity])` pairs that feed the same keep rules.
+ * Deduplication for LLM-training-data pipelines (SURVEY §2.3 D) — the
+ * full ladder behind one decision table. Pick by what "duplicate"
+ * means and what the corpus affords; every tier emits survivor rows,
+ * `(id1, id2[, similarity])` pairs that feed the same keep rules, or
+ * (for the span tier) excised documents.
  *
  * | Tier (entry point)                  | Finds                    | Cost shape                          | Use when |
  * |-------------------------------------|--------------------------|-------------------------------------|----------|
@@ -24,8 +25,10 @@ import graft.functions.vectors
  * | PPJoin exact (`prefixJaccardPairs`) | Jaccard ≥ t, EXACT       | prefix inverted index, sub-quadratic (candidates ∝ true pairs) | need exact pairs without a blocking key; the default exact tier |
  * | all-pairs exact (`jaccardPairs`)    | Jaccard ≥ t, EXACT       | O(pairs) within blocks — needs `groupCol` blocking | small corpora or strong natural blocking; the oracle baseline |
  * | bitset exact (`bitsetJaccardPairs`) | Jaccard ≥ t, EXACT       | popcount arithmetic; vocab ≤ 4096 (refuses above) | bounded vocabularies (codes, tags, templated text): ~5× the hash tier |
- * | winnowing (`winnowOverlapPairs`)    | shared SUBSTRINGS (copied passages) | codegen rolling-hash fingerprints + df-capped inverted index | plagiarism-style overlap that token-set Jaccard misses (reordered docs sharing a paragraph) |
+ * | winnowing (`winnowOverlapPairs`)    | shared SUBSTRINGS (copied passages), as PAIRS | codegen rolling-hash fingerprints + df-capped inverted index | plagiarism-style overlap that token-set Jaccard misses (reordered docs sharing a paragraph) |
+ * | exact substring (`removeDuplicateSpans`) | duplicated k-token SPANS, EXCISED in place (Lee et al. 2022 ExactSubstr) | positional-gram shuffle + per-doc island window | remove repeated passages rather than flag documents; first occurrence survives, later copies are cut at token granularity |
  * | embedding (`embeddingPairs`)        | semantic near-dups       | threshold self-join; LSH twin at scale | paraphrase-level dedup after an embed stage |
+ * | SemDeDup (`semanticPairs`/`semanticDedup`) | semantic near-dups at corpus scale | within-IVF-cell threshold join, candidates ≤ Σ n_c²/2 | the published cluster-then-prune recipe; never over-deletes vs the exact tier; `semanticIncrementalSurvivors` for ingest |
  *
  * Precision need → exact tiers (PPJoin default); recall-tolerant scale
  * → MinHash-LSH; semantic → embedding. All thresholds evaluate as
