@@ -763,6 +763,43 @@ object SparkEntry {
         .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"))
         .orderBy(col("doc_id"), col("span_start"))),
+    // §2.3 D ORACLED (round 15): INCREMENTAL exact-substring dedup —
+    // the ingest shape the substring tier was missing (r14 VERDICT
+    // #3, the dedup_incremental_exact pattern): the fresh batch (odd
+    // doc_ids) excises spans that duplicate the FROZEN gram store of
+    // the base corpus (even ids — store hit ⇒ every fresh occurrence
+    // is a duplicate, the store holds the winner) or an earlier fresh
+    // occurrence (the batch-internal min-(id, pos) rule on
+    // store-miss grams). The oracle replays store-membership + the
+    // winner rule + islands + reassembly on the token STRINGS (the
+    // hash-vs-string argument, as dedup_substring).
+    "dedup_substring_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.removeDuplicateSpansAcross(docs.where(col("doc_id") % 2 === 1),
+          Dedup.substringGramFrame(docs.where(col("doc_id") % 2 === 0),
+            "text", "doc_id", k = 13),
+          "text", "doc_id", k = 13)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    }),
+    // §2.3 S × D ORACLED (round 15): the same tier EXECUTED AS A
+    // STREAM — per-batch excision against the accumulated 8-byte-per-
+    // gram store. One-file fixture ⇒ one micro-batch ⇒ the drain
+    // equals the batch operator and SHARES its oracle verbatim; the
+    // two-batch store-carry equivalence is SubstringDedupSpec's.
+    "dedup_substring_stream" -> ((s, d) => {
+      val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamOps.dedupSubstringPerBatch(docsStream, "text", "doc_id",
+        k = 13) { (cleaned, _) =>
+        buf.synchronized {
+          buf ++= cleaned.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+    }),
     // §2.3 D: exact unigram-Jaccard near-dedup survivors, blocked by source
     "dedup_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -2817,13 +2854,55 @@ object SparkEntry {
       |      FROM kept GROUP BY doc_id)
       |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin
 
-  /** Shared prefix of dedup_substring and dedup_substring_spans — the
-    * exact-substring replay through the merged spans: positional
-    * 13-grams on the lowercased token stream (gram STRINGS — the
-    * decontaminate hash-vs-string argument), the duplicated non-first
-    * occurrences (row_number over (doc_id, pos) == Spark's min-struct
-    * winner), and the per-doc island merge as the identical
-    * window-prefix-max arithmetic. */
+  // The substring-tier replays: positional 13-grams on the lowercased
+  // token stream (gram STRINGS — the decontaminate hash-vs-string
+  // argument), a marked-occurrence rule per variant, then the shared
+  // island merge and excise-reassembly below.
+
+  /** Island-merge + span CTEs shared by every substring replay: marked
+    * positions `m(doc_id, pos)` → merged half-open spans, the
+    * identical window-prefix-max arithmetic the Spark operator runs. */
+  private val oracleSqlSubstringIslands: String =
+    s""",
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |              OR pos > max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS newisl
+      |  FROM m),
+      |isl2 AS (SELECT doc_id, pos,
+      |                sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |         FROM isl),
+      |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end
+      |          FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  /** Excise-and-reassemble tail shared by the substring replays:
+    * coverage positions from `spans`, original-case tokens of touched
+    * docs from `t`, reassembly, byte-identical passthrough for
+    * untouched docs of `docsRel`. */
+  private def oracleSqlSubstringExciseTail(docsRel: String): String =
+    s""",
+      |cov AS (SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+      |        FROM spans),
+      |touched AS (SELECT DISTINCT doc_id FROM cov),
+      |tok AS (SELECT tt.doc_id, s.i - 1 AS pos, tt.ot[s.i] AS tk
+      |        FROM (SELECT t.* FROM t JOIN touched USING (doc_id)) tt,
+      |        LATERAL unnest(generate_series(1, len(tt.ot))) AS s(i)),
+      |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+      |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+      |         WHERE cov.pos IS NULL),
+      |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS newtext
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN tc.doc_id IS NOT NULL THEN coalesce(r.newtext, '')
+      |            ELSE d.text END AS text
+      |FROM $docsRel d
+      |LEFT JOIN touched tc ON d.doc_id = tc.doc_id
+      |LEFT JOIN reb r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val oracleSqlSubstringPrefix: String =
     s"""WITH t AS (
       |  SELECT doc_id,
@@ -2839,20 +2918,45 @@ object SparkEntry {
       |    SELECT doc_id, pos,
       |           count(*) OVER (PARTITION BY gram) AS c,
       |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-      |    FROM g) WHERE c > 1 AND rn > 1),
-      |isl AS (
-      |  SELECT doc_id, pos,
-      |         CASE WHEN max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
-      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-      |              OR pos > max(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos
-      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |         THEN 1 ELSE 0 END AS newisl
-      |  FROM m),
-      |isl2 AS (SELECT doc_id, pos,
-      |                sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      |         FROM isl),
-      |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end
-      |          FROM isl2 GROUP BY doc_id, island)""".stripMargin
+      |    FROM g) WHERE c > 1 AND rn > 1)""".stripMargin +
+      oracleSqlSubstringIslands
+
+  /** The full batch excision — dedup_substring, and (one-file fixture
+    * ⇒ one micro-batch ⇒ drain == batch) dedup_substring_stream. */
+  private val oracleSqlSubstringFull: String =
+    oracleSqlSubstringPrefix + oracleSqlSubstringExciseTail("documents")
+
+  /** The INCREMENTAL replay (dedup_substring_incremental): fresh = odd
+    * doc_ids, frozen gram store = the even ids' distinct 13-grams. A
+    * fresh occurrence is marked iff its gram is IN THE STORE (the
+    * store holds the winner) or it loses the batch-internal
+    * min-(doc_id, pos) rule on a store-miss gram — then the shared
+    * islands + excise replay, restricted to fresh docs. */
+  private val oracleSqlSubstringIncremental: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '$Ws'), x -> len(x) > 0) AS lt,
+      |         list_filter(string_split_regex(text, '$Ws'), x -> len(x) > 0) AS ot
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |bt AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '$Ws'), x -> len(x) > 0) AS lt
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(list_slice(lt, s.i, s.i + 12), ' ') AS gram
+      |  FROM bt, LATERAL unnest(generate_series(1, greatest(len(lt) - 12, 0))) AS s(i)),
+      |g AS (
+      |  SELECT doc_id, s.i - 1 AS pos,
+      |         array_to_string(list_slice(lt, s.i, s.i + 12), ' ') AS gram
+      |  FROM t, LATERAL unnest(generate_series(1, greatest(len(lt) - 12, 0))) AS s(i)),
+      |mm AS (
+      |  SELECT g.doc_id, g.pos,
+      |         (bg.gram IS NOT NULL) AS instore,
+      |         count(*) OVER (PARTITION BY g.gram) AS c,
+      |         row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+      |  FROM g LEFT JOIN bg ON g.gram = bg.gram),
+      |m AS (SELECT doc_id, pos FROM mm WHERE instore OR (c > 1 AND rn > 1))""".stripMargin +
+      oracleSqlSubstringIslands +
+      oracleSqlSubstringExciseTail("(SELECT * FROM documents WHERE doc_id % 2 = 1)")
 
   /** Shared by dedup_jaccard and dedup_jaccard_bitset — the hash-set
     * and bitset physical strategies produce identical survivors. */
@@ -3198,31 +3302,13 @@ object SparkEntry {
       "dedup_paragraphs_stream_hashed" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_bloom" -> oracleSqlDedupParagraphs,
       "dedup_paragraphs_stream_bloom_bank" -> oracleSqlDedupParagraphs,
-      "dedup_substring" ->
-        (oracleSqlSubstringPrefix +
-          s""",
-            |cov AS (SELECT doc_id, unnest(range(span_start, span_end)) AS pos
-            |        FROM spans),
-            |touched AS (SELECT DISTINCT doc_id FROM cov),
-            |tok AS (SELECT tt.doc_id, s.i - 1 AS pos, tt.ot[s.i] AS tk
-            |        FROM (SELECT t.* FROM t JOIN touched USING (doc_id)) tt,
-            |        LATERAL unnest(generate_series(1, len(tt.ot))) AS s(i)),
-            |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
-            |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
-            |         WHERE cov.pos IS NULL),
-            |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS newtext
-            |        FROM kept GROUP BY doc_id)
-            |SELECT d.doc_id,
-            |       CASE WHEN tc.doc_id IS NOT NULL THEN coalesce(r.newtext, '')
-            |            ELSE d.text END AS text
-            |FROM documents d
-            |LEFT JOIN touched tc ON d.doc_id = tc.doc_id
-            |LEFT JOIN reb r ON d.doc_id = r.doc_id
-            |ORDER BY d.doc_id""".stripMargin),
+      "dedup_substring" -> oracleSqlSubstringFull,
       "dedup_substring_spans" ->
         (oracleSqlSubstringPrefix +
           "\nSELECT doc_id, span_start, span_end FROM spans " +
           "ORDER BY doc_id, span_start"),
+      "dedup_substring_incremental" -> oracleSqlSubstringIncremental,
+      "dedup_substring_stream" -> oracleSqlSubstringFull,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

@@ -59,6 +59,13 @@ object Classifier {
     * the lmScore micro-nat convention. */
   private val Q = 1e6
 
+  /** Largest vocab [[fit]] will broadcast per iteration (~tok string +
+    * long ≈ 50 B/row ⇒ ~200 MB at the cap — inside Spark's default
+    * 8 GB broadcast-table limit with headroom for the driver holding
+    * iters-in-flight copies). Above it fit auto-falls back to the
+    * shuffle join: bit-identical weights, no broadcast OOM. */
+  private[operators] val BroadcastVocabMax = 4L * 1000 * 1000
+
   /** Tokenizer seam for [[fit]] and [[scoreAgainst]] (r13 VERDICT #3):
     * fastText-shape filters owe much of their robustness to SUBWORD
     * features, and the repo already carries a frozen BPE artifact —
@@ -166,6 +173,19 @@ object Classifier {
         ((col("__ct").cast("double") / col("__nd")) * lit(featScale)).as("__x"))
       .persist()
     val nDocs = feat.select("__id").distinct().count()
+    // broadcastWeights ships the FULL weight frame to every executor
+    // each iteration; vocab is bounded only by minCount, so at
+    // web-corpus vocab sizes that broadcast can exceed driver memory
+    // where the shuffle join would not (r14 ADVICE). Auto-fall back
+    // above the threshold rather than OOM on a silent default, and
+    // say so — weights are bit-identical either way (integer sums
+    // commute), only the plan shape changes.
+    val vocabSize = vocab.count()
+    val useBroadcast = broadcastWeights && vocabSize <= BroadcastVocabMax
+    if (broadcastWeights && !useBroadcast)
+      System.err.println(s"graft.Classifier.fit: vocab has $vocabSize tokens " +
+        s"(> $BroadcastVocabMax) — falling back from broadcast to shuffle " +
+        "join for the weight frame; results are bit-identical")
 
     // Superseded per-iteration checkpoints (the previous w, each r) are
     // released by dropping the reference: localCheckpoint blocks belong
@@ -175,6 +195,10 @@ object Classifier {
     // ~one generation, not iters generations.
     var w = vocab.select(col("__tok"), lit(0L).as("__w_micro")).localCheckpoint(true)
     var bMicro = 0L
+    // finally-unpersist (r14 ADVICE): an exception mid-iteration (a
+    // failed checkpoint, a cancelled job) must not leak the cached
+    // feature frame for the session's lifetime
+    try {
     for (_ <- 1 to iters) {
       // scoring pass: integer micro-logits, exact doc sums. With
       // broadcastWeights (default; the weight frame is vocab-bounded
@@ -186,7 +210,7 @@ object Classifier {
       // #4; ScaleProbe `classifier` measures the cut, ClassifierSpec
       // pins bit-identical weights: the integer sums commute, so the
       // plan shape cannot change a single bit)
-      val z = feat.join(if (broadcastWeights) broadcast(w) else w, "__tok")
+      val z = feat.join(if (useBroadcast) broadcast(w) else w, "__tok")
         .withColumn("__zq", round(col("__x") * col("__w_micro")).cast("long"))
         .groupBy("__id", "__y").agg((sum("__zq") + lit(bMicro)).as("__z_micro"))
       // residuals, quantized before any further aggregation
@@ -209,7 +233,7 @@ object Classifier {
       bMicro -= r.agg(round((lit(lr) * sum("__rq").cast("double")) /
         lit(nDocs.toDouble)).cast("long")).head().getLong(0)
     }
-    feat.unpersist(false) // w is checkpointed — nothing depends on feat now
+    } finally feat.unpersist(false) // w is checkpointed — nothing depends on feat
     LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale)
   }
 
@@ -323,6 +347,13 @@ object Classifier {
         org.apache.spark.sql.types.LongType,
       s"__w_micro must be LongType (integer micro-units), " +
         s"got ${weights.schema("__w_micro").dataType.simpleString}")
+    // null tokens get their own message (r14 ADVICE): countDistinct
+    // ignores NULLs, so without this check a null __tok row would be
+    // refused with a misleading "duplicate __tok rows" complaint
+    val nulls = weights.where(col("__tok").isNull).limit(1).count()
+    require(nulls == 0L,
+      "weights frame has null __tok row(s) — a null token can never " +
+        "match at scoring; drop or fix those rows before importing")
     val Array(total, distinct) = weights
       .agg(count(lit(1)), countDistinct(col("__tok"))).head() match {
       case r => Array(r.getLong(0), r.getLong(1))

@@ -1137,18 +1137,52 @@ object Dedup {
     * accept-the-hash argument every sibling tier makes.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 13): DataFrame = {
+      k: Int = 13, hotGramCap: Long = 1L << 20): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
       "(k = 1 would delete every repeated word — vocabulary, not duplication)")
-    val grams = df.select(col(idCol).as("__did"),
-      posexplode(ColumnBridge.column(graft.expressions.PositionalShingleHashes(
-        ColumnBridge.expression(col(textCol)), k))).as(Seq("__pos", "__gh")))
+    require(hotGramCap >= 2, s"hotGramCap must be >= 2, got $hotGramCap")
+    val grams = positionalGramFrame(df, textCol, idCol, k)
     val dupGrams = grams.groupBy("__gh")
       .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
       .where(col("__c") > 1)
-    val marked = grams.join(dupGrams, "__gh")
+    // HOT-GRAM split (r14 VERDICT #5): the enrich join below shuffles
+    // every occurrence of a gram into ONE partition of the __gh key —
+    // a 10M-occurrence boilerplate gram is one straggler task at
+    // corpus scale. Grams past `hotGramCap` occurrences instead mark
+    // through a BROADCAST of their (gram, winner) rows — occurrences
+    // stay in their scan partitions, no key-skewed shuffle — and a
+    // broadcast anti-join keeps them OUT of the cold shuffle so the
+    // skew never reaches it. The hot side is bounded by construction:
+    // at most totalGrams / hotGramCap distinct grams qualify.
+    // Decisions are identical on both paths (same winner rule); the
+    // three dupGrams consumers share one ReusedExchange of the gram
+    // aggregation. ScaleProbe `substrhot` measures the balance.
+    val hot = dupGrams.where(col("__c") > hotGramCap)
+    val cold = dupGrams.where(col("__c") <= hotGramCap)
+    val markedHot = grams.join(broadcast(hot), "__gh")
       .where(struct(col("__did"), col("__pos")) =!= col("__w"))
       .select(col("__did"), col("__pos"))
+    val markedCold = grams
+      .join(broadcast(hot.select("__gh")), Seq("__gh"), "left_anti")
+      .join(cold, "__gh")
+      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
+      .select(col("__did"), col("__pos"))
+    mergeSpanIslands(markedHot.unionByName(markedCold), k)
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** One codegen pass to positional k-gram hashes: `(__did, __pos,
+    * __gh)` — the shared front of every substring-tier operator. */
+  private def positionalGramFrame(df: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("__did"),
+      posexplode(ColumnBridge.column(graft.expressions.PositionalShingleHashes(
+        ColumnBridge.expression(col(textCol)), k))).as(Seq("__pos", "__gh")))
+
+  /** Merge marked gram occurrences `(__did, __pos)` into half-open
+    * token spans per doc — one ordered window (the island trick:
+    * work bounded at one row per marked gram, never ×k). */
+  private def mergeSpanIslands(marked: DataFrame, k: Int): DataFrame = {
     val byPos = Window.partitionBy("__did").orderBy("__pos")
     val prevMax = max(col("__pos") + lit(k))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -1158,12 +1192,18 @@ object Dedup {
       .withColumn("__isl", sum(col("__new")).over(byPos))
       .groupBy(col("__did"), col("__isl"))
       .agg(min("__pos").as("span_start"), (max(col("__pos")) + lit(k)).as("span_end"))
-      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+      .select(col("__did"), col("span_start"), col("span_end"))
   }
 
   /** EXACT SUBSTRING dedup — excise every [[duplicateSpans]] interval:
     * the corpus-wide FIRST occurrence of any duplicated k-token span
-    * survives in place; every later occurrence's tokens are removed
+    * survives in place UNLESS its tokens are covered by an overlapping
+    * marked span of a DIFFERENT duplicated gram (the inherent
+    * ExactSubstr overlap interaction — e.g. gram A's winner occurrence
+    * sitting inside gram B's non-winner island is excised with the
+    * island, so content duplicated under two overlapping grams can
+    * vanish entirely; deterministic, and exactly what the oracle
+    * replays); every later occurrence's tokens are removed
     * and the document reassembles from its surviving tokens
     * (space-joined — the tokenizer-normalized form, like every
     * token-stream operator; span identity is case-insensitive, the
@@ -1176,11 +1216,19 @@ object Dedup {
     * Coverage explodes only the MERGED islands (Σ island lengths ≤
     * corpus tokens — never marked-grams × k). */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 13): DataFrame = {
+      k: Int = 13): DataFrame =
+    exciseSpans(df, duplicateSpans(df, textCol, idCol, k), textCol, idCol)
+
+  /** Excise `(idCol, span_start, span_end)` token intervals from
+    * `df` — the reassembly half shared by [[removeDuplicateSpans]]
+    * and [[removeDuplicateSpansAcross]]. Spans must be merged
+    * (non-overlapping per doc), as both span producers emit. */
+  private def exciseSpans(df: DataFrame, spans: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
     val clash = df.columns.toSet.intersect(Set("__did", "__pos", "__tok", "__newtext"))
     require(clash.isEmpty,
       s"removeDuplicateSpans reserves column(s) ${clash.mkString(", ")}")
-    val covered = duplicateSpans(df, textCol, idCol, k)
+    val covered = spans
       .select(col(idCol).as("__did"),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("__pos"))
     val touched = covered.select("__did").distinct()
@@ -1205,6 +1253,66 @@ object Dedup {
       .drop("__newtext")
   }
 
+  /** The DISTINCT k-gram hashes of a corpus slice — the substring
+    * tier's store-delta frame (the [[paragraphHashFrame]] analog):
+    * 8 bytes of state per distinct gram, absorbed into the frozen
+    * gram store an ingest stream screens against. */
+  def substringGramFrame(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 13): DataFrame =
+    positionalGramFrame(df, textCol, idCol, k).select("__gh").distinct()
+
+  /** INCREMENTAL exact-substring spans — the ingest shape (the
+    * [[incrementalSurvivors]] contract on the substring tier): the
+    * duplicated spans of a FRESH batch against a FROZEN gram store
+    * (`baseGrams`, a [[substringGramFrame]] union — every gram the
+    * corpus has already shipped) AND against itself, without
+    * re-marking the base corpus. A fresh gram occurrence is duplicated
+    * if its gram is IN THE STORE (the store holds the winner — earlier
+    * arrivals beat every fresh occurrence, the paragraph-Across rule
+    * where arrival order replaces id order) or if it is a non-winner
+    * of the batch-internal min-(__did, __pos) rule on a gram the store
+    * has not seen. Scale shape: the store probe is a gram-key
+    * semi/anti split (8-byte keys both sides — no positions, no text
+    * through the shuffle) and the batch-internal half is
+    * [[duplicateSpans]]' arithmetic on the batch alone; state is
+    * 8 bytes per distinct corpus gram. Draining batches through this
+    * rule equals the batch [[duplicateSpans]] on the concatenation
+    * whenever batches arrive in id order (spec'd — the
+    * dedupParagraphsAcross convention). */
+  def duplicateSpansAcross(freshDf: DataFrame, baseGrams: DataFrame,
+      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
+      "(k = 1 would delete every repeated word — vocabulary, not duplication)")
+    require(baseGrams.columns.contains("__gh"),
+      "baseGrams needs the `__gh` column a substringGramFrame produced")
+    val grams = positionalGramFrame(freshDf, textCol, idCol, k)
+    val store = baseGrams.select("__gh")
+    // store hit ⇒ every fresh occurrence is a duplicate (the winner
+    // lives in the base corpus)
+    val markedVsStore = grams.join(store, Seq("__gh"), "left_semi")
+      .select(col("__did"), col("__pos"))
+    // store miss ⇒ the batch-internal winner rule decides
+    val freshOnly = grams.join(store, Seq("__gh"), "left_anti")
+    val batchDup = freshOnly.groupBy("__gh")
+      .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
+      .where(col("__c") > 1)
+    val markedInBatch = freshOnly.join(batchDup, "__gh")
+      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
+      .select(col("__did"), col("__pos"))
+    mergeSpanIslands(markedVsStore.unionByName(markedInBatch), k)
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** [[duplicateSpansAcross]] + the [[removeDuplicateSpans]] excise:
+    * the fresh batch's documents with every store-or-batch-duplicated
+    * span removed (same reassembly contract — untouched docs stay
+    * byte-identical, fully-duplicated docs become empty-text rows). */
+  def removeDuplicateSpansAcross(freshDf: DataFrame, baseGrams: DataFrame,
+      textCol: String, idCol: String, k: Int = 13): DataFrame =
+    exciseSpans(freshDf,
+      duplicateSpansAcross(freshDf, baseGrams, textCol, idCol, k),
+      textCol, idCol)
+
   /** Incremental SemDeDup — the ingest shape (the
     * [[incrementalSurvivors]] contract on the semantic tier): a fresh
     * batch dedups against the RETAINED corpus and within itself, all
@@ -1226,6 +1334,74 @@ object Dedup {
       idCol, threshold)
     freshDf
       .join(vsBase.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticIncrementalSurvivors]] against a MIXED retained store —
+    * the BOUNDED streaming-SemDeDup state (r14 VERDICT #1: the
+    * full-vector store is the semantic tier's analog of the exact
+    * paragraph store the Bloom bank replaced — d·4 bytes per survivor,
+    * re-joined against every batch forever). The store keeps FULL
+    * vectors (`embCol` non-null) for at most a per-cell cap of
+    * survivors and PQ CODES (`__codes` m·codeBytes bytes + `__norm`,
+    * 16× smaller at d=64/m=8/k≤256, `embCol` null) beyond it; a fresh
+    * row screens against the exact rows by the same cell-blocked
+    * cosine every semantic tier uses, and against the coded rows by
+    * [[graft.expressions.PqQueryDot]] — codeword floats indexed
+    * straight from the frozen codebooks, so the comparison costs the
+    * SAME d multiplies but the store row shipped only m bytes through
+    * the cell join.
+    *
+    * Error contract (one-sided at the store level): with a LOSSLESS
+    * model ([[PqModel.lossless]] — every stored vector reconstructs
+    * exactly) the coded screen is arithmetic-identical to the exact
+    * one (same ascending-dimension double accumulation — the oracled
+    * gate row). With a lossy model each coded comparison carries the
+    * reconstruction error |adc − true| ≤ ‖fresh‖·Σⱼ‖rⱼ‖ (rⱼ the
+    * per-subspace residual): an over-threshold error DROPS a fresh
+    * near-boundary row (an extra drop — the direction the paragraph
+    * Bloom tier already accepts at fpp), an under-threshold error
+    * RETAINS a row the full store would have dropped, and a wrongly
+    * retained survivor can only cause extra FUTURE drops (it screens
+    * later batches) — never resurrect a dropped one. So the drained
+    * output is a SUBSET-leaning approximation whose agreement
+    * ScaleProbe `semdedupstore` measures at ≥1M rows. Store rows with
+    * BOTH halves null never match (nullIntolerant kernels) — there
+    * are none by construction ([[graft.streaming.StreamOps.semanticDedupPerBatchBounded]]
+    * writes exactly one half). */
+  def semanticBoundedSurvivors(freshDf: DataFrame,
+      centroidVectors: Array[Array[Float]], store: DataFrame,
+      model: PqModel, embCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(store.columns.contains("cell") && store.columns.contains("__codes") &&
+        store.columns.contains("__norm") && store.columns.contains(embCol),
+      s"store needs (cell, $embCol, __codes, __norm) — the semanticDedupPerBatchBounded layout")
+    val fresh = IvfIndex.withCentroids(freshDf, embCol, centroidVectors).indexed
+      .select(col(idCol).as("__fid"), col(embCol).as("__femb"), col("cell"))
+      .withColumn("__fnorm", graft.functions.vectors.vector_norm(col("__femb")))
+    val exactStore = store.where(col(embCol).isNotNull)
+      .select(col("cell"), col(embCol).as("__semb"))
+    val codedStore = store.where(col(embCol).isNull)
+      .select(col("cell"), col("__codes"), col("__norm"))
+    val dropExact = fresh.join(exactStore, "cell")
+      .where(graft.functions.vectors
+        .cosine_similarity(col("__femb"), col("__semb")) >= threshold)
+      .select(col("__fid")).distinct()
+    val adcDot = ColumnBridge.column(graft.expressions.PqQueryDot(
+      ColumnBridge.expression(col("__codes")),
+      ColumnBridge.expression(col("__femb")),
+      model.m, model.sub, model.flatCodewords, model.offsets, model.codeBytes))
+    val dropCoded = fresh.join(codedStore, "cell")
+      .withColumn("__sim",
+        when(col("__fnorm") === 0.0 || col("__norm") === 0.0, lit(0.0))
+          .otherwise(adcDot / (col("__fnorm") * col("__norm"))))
+      .where(col("__sim") >= threshold)
+      .select(col("__fid")).distinct()
+    val inBatch = semanticPairs(
+      IvfIndex.withCentroids(freshDf, embCol, centroidVectors), idCol, threshold)
+    freshDf
+      .join(dropExact.select(col("__fid").as(idCol)), Seq(idCol), "left_anti")
+      .join(dropCoded.select(col("__fid").as(idCol)), Seq(idCol), "left_anti")
       .join(inBatch.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 }

@@ -264,6 +264,38 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming EXACT SUBSTRING dedup — the ingest shape of the
+    * [[graft.operators.Dedup.removeDuplicateSpans]] tier (the last
+    * dedup rung without one, r14 VERDICT #3): each micro-batch's
+    * duplicated spans are excised against the accumulated FROZEN gram
+    * store ([[graft.operators.Dedup.removeDuplicateSpansAcross]] —
+    * store hit ⇒ duplicate, miss ⇒ the batch-internal winner rule),
+    * then the store absorbs the RAW batch's distinct gram hashes
+    * (raw, not cleaned: the corpus-wide winners live in the raw
+    * token stream, and the cleaned text's reassembly seams would
+    * otherwise mint grams no document ever contained). State is
+    * 8 bytes per distinct corpus gram ([[graft.operators.Dedup.substringGramFrame]]).
+    * First-arrival order replaces (id, pos) order ACROSS batches, so
+    * the drained stream equals the batch operator whenever batch ids
+    * arrive in order (spec'd — the paragraph stream's convention). */
+  def dedupSubstringPerBatch(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String, k: Int = 13)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seen = Seq.empty[Long].toDF("__gh")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cleaned = graft.operators.Dedup
+        .removeDuplicateSpansAcross(batch, seen, textCol, idCol, k)
+        .localCheckpoint(true)
+      seen = seen
+        .union(graft.operators.Dedup.substringGramFrame(batch, textCol, idCol, k))
+        .distinct().localCheckpoint(true)
+      sink(cleaned, batchId)
+    }.start()
+  }
+
   /** [[dedupParagraphsPerBatch]] on the BOUNDED-memory Bloom store —
     * the shape Dolma actually deploys (a Bloom filter accumulating
     * paragraphs across the whole ingest). Both exact stores grow
@@ -344,6 +376,18 @@ object StreamOps {
         graft.operators.Dedup.paragraphHashFrame(cleaned, textCol, sep, minLen))
       bc.destroy()
       sink(cleaned, batchId)
+      // guard AGAIN after absorb + sink (r14 ADVICE): the entry-time
+      // check alone lets the batch that pushes the store past
+      // refuseAtFill commit its over-drops and fail only one batch
+      // late — a single huge batch could sail far past design capacity
+      // before anything notices. Re-checking here makes the
+      // overfilling batch itself surface the refusal, so no further
+      // batch's decisions are ever made against a saturated filter.
+      // AFTER sink, not before: the batch's paragraphs are already
+      // absorbed, so failing pre-delivery would lose its rows — a
+      // checkpoint replay would re-drop them as duplicates.
+      graft.operators.ParaBloom.saturationGuard(bloom, warnAtFill, refuseAtFill)
+        .foreach(System.err.println)
     }.start()
   }
 
@@ -377,6 +421,93 @@ object StreamOps {
       val assigned = IvfIndex.withCentroids(survivors, embCol, centroidVectors).indexed
       retained = Some(retained.map(_.unionByName(assigned)).getOrElse(assigned)
         .localCheckpoint(true))
+      sink(survivors, batchId)
+    }.start()
+  }
+
+  /** [[semanticDedupPerBatch]] on the BOUNDED retained store (r14
+    * VERDICT #1): the full-vector store above grows d·4 bytes per
+    * survivor forever and re-joins ALL of it against every batch —
+    * the semantic tier's analog of the exact paragraph store the
+    * Bloom bank replaced. Here each cell retains FULL vectors only
+    * for its first `exactCapPerCell` survivors (arrival-then-id
+    * order — deterministic); every later survivor is kept as PQ
+    * codes + norm against the FROZEN `model` (fit once offline, like
+    * the quantizer — m·codeBytes + 8 bytes per row, 16× under d=64
+    * float vectors) and screens fresh rows by
+    * [[graft.operators.Dedup.semanticBoundedSurvivors]]'s ADC path.
+    * Decision contract: EXACT while every cell is under its cap or
+    * the model is lossless (the two oracled gate rows); past a cap
+    * with a lossy model, the documented one-sided drift — a wrongly
+    * retained survivor only causes extra future drops. A cell
+    * crossing its cap logs ONCE, naming the cap and the remedy (the
+    * [[graft.operators.ParaBloom.saturationGuard]] convention —
+    * warn-only, because the coded tier is the design, not a broken
+    * contract). */
+  def semanticDedupPerBatchBounded(
+      docs: DataFrame, // streaming
+      centroidVectors: Array[Array[Float]], // frozen quantizer
+      model: graft.operators.PqModel, // frozen codec
+      embCol: String, idCol: String, threshold: Double,
+      exactCapPerCell: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, IvfIndex, PqIndex}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType}
+    require(exactCapPerCell >= 0L,
+      s"exactCapPerCell must be >= 0, got $exactCapPerCell")
+    var retained: Option[DataFrame] = None
+    val exactCount = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val store = retained.getOrElse(
+        IvfIndex.withCentroids(batch.limit(0), embCol, centroidVectors).indexed
+          .select(col(idCol), col("cell"), col(embCol),
+            lit(null).cast(BinaryType).as("__codes"),
+            lit(null).cast(DoubleType).as("__norm")))
+      val survivors = Dedup.semanticBoundedSurvivors(batch, centroidVectors,
+        store, model, embCol, idCol, threshold).localCheckpoint(true)
+      // fill each cell's remaining exact slots in id order, encode the
+      // overflow; `have` is the driver-held per-cell exact census
+      // (ncells-bounded — never a store-wide aggregate per batch)
+      val have = exactCount.toSeq.toDF("cell", "__have")
+      val marked = IvfIndex.withCentroids(survivors, embCol, centroidVectors).indexed
+        .select(col(idCol), col("cell"), col(embCol))
+        .withColumn("__rk",
+          row_number().over(Window.partitionBy("cell").orderBy(col(idCol))))
+        .join(broadcast(have), Seq("cell"), "left")
+        .withColumn("__exact",
+          (col("__rk") + coalesce(col("__have"), lit(0L))) <= exactCapPerCell)
+      val exactRows = marked.where(col("__exact"))
+        .select(col(idCol), col("cell"), col(embCol),
+          lit(null).cast(BinaryType).as("__codes"),
+          lit(null).cast(DoubleType).as("__norm"))
+      val codedRows = PqIndex.encode(
+          marked.where(!col("__exact")).select(col(idCol), col("cell"), col(embCol)),
+          embCol, model, "__codes", "__norm")
+        .select(col(idCol), col("cell"),
+          lit(null).cast(ArrayType(FloatType)).as(embCol),
+          col("__codes"), col("__norm"))
+      retained = Some(store.unionByName(exactRows.unionByName(codedRows))
+        .localCheckpoint(true))
+      // cap-crossing telemetry + census update: one ncells-bounded
+      // collect over the batch's assignments, never over the store
+      marked.groupBy("cell")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__exact"), 1L).otherwise(0L)).as("__ex"))
+        .collect().foreach { r =>
+          val c = r.getInt(0); val n = r.getLong(1); val ex = r.getLong(2)
+          val before = exactCount(c)
+          if (before < exactCapPerCell && before + n > exactCapPerCell)
+            System.err.println(
+              s"WARNING: semanticDedupPerBatchBounded cell $c crossed " +
+                s"exactCapPerCell = $exactCapPerCell this batch — its further " +
+                "survivors are retained as PQ codes and screened by ADC " +
+                "(exact only for a lossless model; raise the cap or refit " +
+                "the quantizer with more cells to keep cells under it)")
+          exactCount(c) = before + ex
+        }
       sink(survivors, batchId)
     }.start()
   }
@@ -450,6 +581,10 @@ object StreamOps {
             .localCheckpoint(true)
           store.absorb(Dedup.paragraphHashFrame(out, textCol, sep, minLen))
           bc.destroy()
+          // post-absorb re-check runs at batch exit, after sink (r14
+          // ADVICE — see below): the overfilling batch surfaces the
+          // refusal itself, but only after the chain delivers its
+          // already-absorbed rows
           out
         case None =>
           val out = (if (hashedStore)
@@ -477,6 +612,9 @@ object StreamOps {
       val bucketed = TextAnalysis.applyBuckets(scored, boundaries,
         "lm_nll", groupCol, labels, quantizeDp = quantizeDp)
       sink(bucketed.where(col("bucket").isin(shipLabels: _*)), batchId)
+      bloomStore.foreach(store =>
+        graft.operators.ParaBloom.saturationGuard(store)
+          .foreach(System.err.println))
     }.start()
   }
 

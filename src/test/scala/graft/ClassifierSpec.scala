@@ -226,5 +226,13 @@ class ClassifierSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       Classifier.fromWeights(wrong, 0L, 8, 1.0, 2L, 10.0))
     assert(e2.getMessage.contains("LongType"), e2.getMessage)
+    // null __tok gets its OWN message (r14 ADVICE) — countDistinct
+    // ignores NULLs, so without the explicit check this frame would be
+    // refused with a misleading "duplicate" complaint
+    val withNull = Seq((Some("a"), 1L), (None: Option[String], 2L))
+      .toDF("__tok", "__w_micro")
+    val e3 = intercept[IllegalArgumentException](
+      Classifier.fromWeights(withNull, 0L, 8, 1.0, 2L, 10.0))
+    assert(e3.getMessage.contains("null __tok"), e3.getMessage)
   }
 }

@@ -301,26 +301,40 @@ class GuardrailSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     docs.coalesce(1).write.parquet(dir.resolve("b1").toString)
     // a 2-item filter fed 40 distinct paragraphs saturates immediately;
-    // batch 1 absorbs past the refuse line, batch 2's entry guard fires
+    // the post-absorb guard (r14 ADVICE) makes the OVERFILLING batch
+    // itself surface the refusal — after its rows were delivered to
+    // the sink (they're absorbed, so a replay would re-drop them), but
+    // before any further batch's decisions trust the saturated filter
     val tiny = ParaBloom.create(expectedItems = 2, fpp = 0.5)
+    var delivered = 0L
     val s1 = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.resolve("b1").toString)
     val q1 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
-      s1, "text", "doc_id", "\n", 1, tiny) { (_, _) => () }
-    try q1.processAllAvailable() finally q1.stop()
-    assert(tiny.fillRatio > 0.7, "fixture must saturate the filter in one batch")
-    // the NEXT stream over the saturated store refuses at batch entry
-    docs.coalesce(1).write.mode("append").parquet(dir.resolve("b1").toString)
-    val s2 = spark.readStream.schema(docs.schema).parquet(dir.resolve("b1").toString)
-    val q2 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
-      s2, "text", "doc_id", "\n", 1, tiny) { (_, _) => () }
-    val e = intercept[Exception] {
-      try q2.processAllAvailable() finally q2.stop()
-    }
+      s1, "text", "doc_id", "\n", 1, tiny) { (b, _) => delivered += b.count() }
     def rootChain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
         .filter(_ != null).toSeq
-    assert(rootChain(e).exists(m => m.contains("expectedItems") && m.contains("refusing")),
-      s"stream must fail with the saturation refusal, got: ${rootChain(e)}")
+    val e1 = intercept[Exception] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(tiny.fillRatio > 0.7, "fixture must saturate the filter in one batch")
+    assert(rootChain(e1).exists(m => m.contains("expectedItems") && m.contains("refusing")),
+      s"the overfilling batch itself must fail with the saturation refusal, got: ${rootChain(e1)}")
+    assert(delivered > 0L,
+      "the overfilling batch's rows must reach the sink BEFORE the refusal — " +
+        "they are already absorbed, so dropping them would lose data on replay")
+    // any NEW stream over the saturated store refuses at batch entry,
+    // before a single membership decision
+    val s2 = spark.readStream.schema(docs.schema).parquet(dir.resolve("b1").toString)
+    var delivered2 = 0L
+    val q2 = graft.streaming.StreamOps.dedupParagraphsPerBatchBloomFrom(
+      s2, "text", "doc_id", "\n", 1, tiny) { (b, _) => delivered2 += b.count() }
+    val e2 = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(rootChain(e2).exists(m => m.contains("expectedItems") && m.contains("refusing")),
+      s"a fresh stream over the saturated store must refuse at entry, got: ${rootChain(e2)}")
+    assert(delivered2 == 0L,
+      "entry-time refusal must fire before the saturated store makes any decision")
   }
 }

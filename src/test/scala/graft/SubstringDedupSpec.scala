@@ -102,4 +102,89 @@ class SubstringDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.removeDuplicateSpans(bad, "text", "doc_id", k = 2))
   }
+
+  test("across: store hit excises EVERY fresh occurrence; store miss uses the batch winner rule") {
+    val base = Seq((0L, "aa bb cc dd tailb")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "aa bb cc dd tail1 pp qq rr ss"), // store-hit gram AND batch-internal winner of pp..ss
+      (3L, "head3 pp qq rr ss")              // batch-internal loser of pp..ss
+    ).toDF("doc_id", "text")
+    val store = Dedup.substringGramFrame(base, "text", "doc_id", k = 4)
+    val spans = spansOf(Dedup.duplicateSpansAcross(fresh, store, "text", "doc_id", k = 4))
+    // doc 1's aa..dd duplicates the STORE — marked even though it is
+    // the fresh min-(id, pos) occurrence of that gram; doc 1's pp..ss
+    // is a store-miss batch winner and survives; doc 3's copy loses
+    assert(spans == Set((1L, 0L, 4L), (3L, 1L, 5L)), s"got $spans")
+    val out = textsOf(
+      Dedup.removeDuplicateSpansAcross(fresh, store, "text", "doc_id", k = 4))
+    assert(out(1L) == "tail1 pp qq rr ss")
+    assert(out(3L) == "head3")
+  }
+
+  test("across on (odd fresh, even base) equals the batch operator's fresh half") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    val across = textsOf(Dedup.removeDuplicateSpansAcross(fresh,
+      Dedup.substringGramFrame(base, "text", "doc_id", k = 13),
+      "text", "doc_id", k = 13))
+    // batch over the union, restricted to fresh docs: base ids < fresh
+    // ids is NOT generally true here (ids interleave), so the batch
+    // equivalence needs the winner rule to agree — which it does
+    // whenever every duplicated gram's winner is in base OR the gram
+    // never appears in base. Build the provable comparison instead:
+    // re-id base docs BELOW every fresh id, where the across rule and
+    // the global min-(id, pos) rule provably coincide.
+    val minFresh = fresh.agg(min("doc_id")).head().getLong(0)
+    val reIdBase = base.withColumn("doc_id", col("doc_id") - lit(1000000L))
+    val unioned = reIdBase.unionByName(fresh)
+    val batchFresh = textsOf(
+      Dedup.removeDuplicateSpans(unioned, "text", "doc_id", k = 13)
+        .where(col("doc_id") >= minFresh))
+    val acrossReId = textsOf(Dedup.removeDuplicateSpansAcross(fresh,
+      Dedup.substringGramFrame(reIdBase, "text", "doc_id", k = 13),
+      "text", "doc_id", k = 13))
+    assert(acrossReId == batchFresh,
+      "across == batch-on-union's fresh half when base ids precede fresh ids")
+    assert(across.keySet == acrossReId.keySet, "re-idding base never changes fresh doc set")
+  }
+
+  test("stream drain over two batches equals the batch operator on the concatenation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr_stream")
+    val b1 = Seq((1L, "aa bb cc dd ee tail1"), (2L, "solo2 unique two")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "head3 aa bb cc dd ee"),   // duplicates batch 1 via the store
+      (4L, "pp qq rr ss tt pp qq rr ss tt")). // batch-2-internal repeat
+      toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(dir.resolve("data").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("data").toString)
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = graft.streaming.StreamOps.dedupSubstringPerBatch(
+      stream, "text", "doc_id", k = 5) { (cleaned, _) =>
+      got.synchronized { got ++= textsOf(cleaned) }
+    }
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(dir.resolve("data").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = textsOf(Dedup.removeDuplicateSpans(
+      b1.unionByName(b2), "text", "doc_id", k = 5))
+    assert(got.toMap == batch,
+      "two-batch drain must equal the batch operator when ids arrive in order")
+  }
+
+  test("hot-gram cap: decisions identical with the broadcast path forced on (tiny cap)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val default = spansOf(Dedup.duplicateSpans(docs, "text", "doc_id", k = 13)
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_end").cast("long")))
+    // cap = 2 forces EVERY duplicated gram (count > 2) through the
+    // broadcast hot path — the decisions must not move
+    val forced = spansOf(Dedup.duplicateSpans(docs, "text", "doc_id", k = 13,
+        hotGramCap = 2)
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_end").cast("long")))
+    assert(forced == default, "hot path must be decision-identical to the shuffle path")
+    assert(default.nonEmpty, "fixture must carry duplicated spans or the test has no teeth")
+  }
 }
