@@ -928,6 +928,251 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Bounded SemDeDup store at 1M retained rows:
+    //   sbt "runMain graft.ScaleProbe 1000000 semdedupstore"
+    // The full-vector store carries d·4 = 256 B/row through every
+    // batch's cell join; the PQ-coded store carries m + 8 = 16 B/row
+    // (16x). Measured here: both screens of an identical fresh batch
+    // against the SAME 1M-row retained corpus — decision agreement
+    // under a LOSSY production codebook (k = 256), wall-clock of each
+    // screen, and the store bytes. The planted fresh batch is half
+    // near-dups (must drop) / half uniform rows (must survive), both
+    // far from the threshold, so agreement is the expected outcome and
+    // any disagreement counts boundary-effect rows.
+    if (args.contains("semdedupstore")) {
+      val nlist = 1024
+      val rnd = new scala.util.Random(4242)
+      val anchors: Array[Array[Float]] =
+        Array.fill(nlist)(Array.fill(dim)(((rnd.nextDouble() - 0.5) * 2).toFloat))
+      import spark.implicits._
+      val anchorsDf = broadcast(anchors.zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq.toDF("zk", "anchor"))
+      def jittered(ids: org.apache.spark.sql.DataFrame) = ids
+        .withColumn("zk", pmod(hash(col("vec_id") + lit(17)), lit(nlist)).cast("int"))
+        .join(anchorsDf, "zk")
+        .select(col("vec_id"), transform(col("anchor"), (a, j) =>
+          (a + (pmod(hash(col("vec_id") * lit(8191) + j * lit(127) + lit(3)),
+            lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02).cast("float"))
+          .as("embedding"))
+      val base = jittered(spark.range(n).toDF("vec_id"))
+        .repartition(32).localCheckpoint(true)
+      val model = time("PQ fit (m=8, k=256, lossy)") {
+        PqIndex.fit(base, "embedding", m = 8, k = 256)
+      }
+      require(!model.lossless, "1M continuous vectors must exceed 256 codewords")
+      val assigned = IvfIndex.withCentroids(base, "embedding", anchors).indexed
+      val fullStore = assigned
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          lit(null).cast("binary").as("__codes"), lit(null).cast("double").as("__norm"))
+        .repartition(32).localCheckpoint(true)
+      val codedStore = time(f"encode $n%,d-row coded store") {
+        PqIndex.encode(assigned, "embedding", model, "__codes", "__norm")
+          .select(col("vec_id"), col("cell"),
+            lit(null).cast("array<float>").as("embedding"),
+            col("__codes"), col("__norm"))
+          .repartition(32).localCheckpoint(true)
+      }
+      val fullBytes = n * (dim * 4L)
+      val codedBytes = n * (model.m * model.codeBytes + 8L)
+      println(f"[scale-probe] store payload: full $fullBytes%,d B vs coded " +
+        f"$codedBytes%,d B (${fullBytes.toDouble / codedBytes}%.1fx)")
+      // the codec's measured reconstruction quality: each row's ADC
+      // similarity AGAINST ITS OWN CODES — cos(reconstruction, row).
+      // 1 - min(selfSim) is the margin the screen threshold must keep
+      // from 1.0 for near-dup decisions to survive quantization: the
+      // quantified half of the one-sided contract.
+      val simRow = PqIndex.selfSimilarity(base, "embedding", model)
+        .agg(min("self_sim"), expr("percentile_approx(self_sim, 0.5)")).head()
+      val sMin = simRow.getDouble(0); val sMed = simRow.getDouble(1)
+      println(f"[scale-probe] codec self-similarity: min $sMin%.3f median $sMed%.3f " +
+        f"-> screen thresholds below ~$sMin%.2f keep full near-dup margin")
+      // fresh batch: n/200 planted near-dups of base rows + n/200 uniforms
+      val freshDup = jittered(spark.range(n / 200).toDF("vec_id")
+          .select((col("vec_id") * 200 + 7).as("vec_id")))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+      val freshNew = spark.range(n / 200).toDF("vec_id")
+        .select((col("vec_id") + 20000000L).as("vec_id"),
+          array((0 until dim).map(i =>
+            (rand(seed = 77 + i) * 2 - 1).cast("float")): _*).as("embedding"))
+      val fresh = freshDup.unionByName(freshNew).repartition(32).localCheckpoint(true)
+      // threshold 0.6: planted dups score ~1.0 exact / >= selfSim-ish
+      // coded, uniforms ~0.2 — BOTH margins clear the measured
+      // reconstruction error, the design rule the self-similarity
+      // numbers above quantify (a 0.995 threshold under this lossy
+      // codec would sit INSIDE the reconstruction band and under-drop
+      // — the documented failure mode, not a probe target)
+      val thr = 0.6
+      val exactSurv = time("screen vs FULL store (exact)") {
+        Dedup.semanticBoundedSurvivors(fresh, anchors, fullStore, model,
+          "embedding", "vec_id", thr).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+      }
+      val adcSurv = time("screen vs CODED store (ADC)") {
+        Dedup.semanticBoundedSurvivors(fresh, anchors, codedStore, model,
+          "embedding", "vec_id", thr).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+      }
+      val disagree = (exactSurv -- adcSurv) ++ (adcSurv -- exactSurv)
+      println(f"[scale-probe] survivors exact=${exactSurv.size}%,d " +
+        f"adc=${adcSurv.size}%,d disagreements=${disagree.size}%,d " +
+        f"(${disagree.size * 100.0 / (n / 100)}%.3f%% of the batch)")
+      // uniforms survive unless one GENUINELY crosses the threshold
+      // against some of the 1M store rows (measured: ~1 in 5,000 at
+      // t=0.6) — the claim is agreement, not zero true matches
+      require(exactSurv.count(_ >= 20000000L) >= n / 200 * 99 / 100,
+        ">= 99% of uniform fresh rows must survive the exact screen")
+      require(disagree.size <= n / 100 / 50,
+        s"lossy ADC must agree with exact on >= 98% of far-from-boundary decisions")
+      spark.stop()
+      return
+    }
+    // Centroid-screen SemDeDup on the ZIPF-hot layout:
+    //   sbt "runMain graft.ScaleProbe 1000000 semdedupcentroid"
+    // The pairwise prune's candidate mass lives in the hot cell
+    // (Σ n_c²/2); the centroid screen is O(n) scores + an
+    // nlist-bounded min-id table NO MATTER how skewed the cells are —
+    // the operator that stays flat exactly where the pairwise path
+    // needs splitOversized. Measured: the arithmetic candidate mass
+    // the pairwise path would face vs the n scores the screen runs,
+    // and the screen's wall-clock ON the hot layout, with a closed-form
+    // survivor check (the anchor-jittered generator puts every row in
+    // its cell's ball, so survivors == one per non-empty cell).
+    if (args.contains("semdedupcentroid")) {
+      val nlist = 1024
+      val rnd = new scala.util.Random(4242)
+      val anchors: Array[Array[Float]] =
+        Array.fill(nlist)(Array.fill(dim)(((rnd.nextDouble() - 0.5) * 2).toFloat))
+      import spark.implicits._
+      val anchorsDf = broadcast(anchors.zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq.toDF("zk", "anchor"))
+      // zipf cell draw — the semdedup probe's hot layout
+      val u = (pmod(hash(col("vec_id") * lit(131) + lit(7)), lit(1000000))
+        .cast("double") + 0.5) / 1000000.0
+      val corpus = spark.range(n).toDF("vec_id")
+        .withColumn("zk",
+          (least(floor(exp(u * math.log(nlist + 1.0))), lit(nlist.toDouble)) - 1)
+            .cast("int"))
+        .join(anchorsDf, "zk")
+        .select(col("vec_id"), transform(col("anchor"), (a, j) =>
+          (a + (pmod(hash(col("vec_id") * lit(8191) + j * lit(127) + lit(3)),
+            lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02).cast("float"))
+          .as("embedding"))
+        .repartition(32).localCheckpoint(true)
+      val idx = IvfIndex.withCentroids(corpus, "embedding", anchors)
+      val sizes = idx.cellSizeStats.select("n").collect().map(_.getLong(0))
+      val pairCand = sizes.map(c => c * (c - 1) / 2).sum
+      println(f"[scale-probe] zipf layout: pairwise candidates $pairCand%,d " +
+        f"(hot cell ${sizes.max}%,d rows -> ${sizes.max * (sizes.max - 1) / 2}%,d " +
+        f"of them) vs $n%,d centroid scores (${pairCand.toDouble / n}%,.0fx)")
+      val survivors = time("centroid screen on the HOT layout (eps=0.7)") {
+        Dedup.semanticDedupByCentroid(corpus, idx, "vec_id", eps = 0.7).count()
+      }
+      // 0.02-jitter around the anchor keeps every row's cosine-to-
+      // centroid ~0.9999 >> 0.3, so each non-empty cell collapses to
+      // its min id exactly
+      val nonEmpty = sizes.count(_ > 0)
+      require(survivors == nonEmpty,
+        s"closed form: one survivor per non-empty cell ($nonEmpty), got $survivors")
+      println(f"[scale-probe] $survivors%,d survivors == $nonEmpty%,d non-empty cells (closed form)")
+      spark.stop()
+      return
+    }
+    // Hot-gram ExactSubstr at >= 1M occurrences of ONE gram:
+    //   sbt "runMain graft.ScaleProbe 1000000 substrhot"
+    // Every doc carries the same 13-token boilerplate -> its grams
+    // occur n times each. The default path shuffles all n occurrences
+    // of each such gram into ONE partition of the enrich join (the
+    // straggler the r14 VERDICT named); the hotGramCap broadcast path
+    // marks them map-side. Measured: wall-clock of both paths on the
+    // identical corpus and span-set equality (decisions unchanged).
+    if (args.contains("substrhot")) {
+      val k = 13
+      val bp = (1 to 14).map(i => s"bp$i").mkString(" ") // 14 toks -> 2 hot grams
+      val filler = (0 until 10).map(i => concat(lit("w"), col("id"), lit(s"x$i")))
+      val docs = spark.range(n).toDF("id")
+        .select(col("id"),
+          concat_ws(" ", concat_ws(" ", filler: _*), lit(bp)).as("text"))
+        .repartition(32).localCheckpoint(true)
+      def spanSig(capped: Boolean): (Long, Long) = {
+        val cap = if (capped) 65536L else Long.MaxValue
+        val s = Dedup.duplicateSpans(docs, "text", "id", k, hotGramCap = cap)
+        val r = s.agg(count(lit(1)), sum(col("span_start") * 31 + col("span_end")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nHot, sigHot) = time(f"duplicateSpans BROADCAST hot path ($n%,d-occ grams)") {
+        spanSig(capped = true)
+      }
+      val (nShuf, sigShuf) = time("duplicateSpans single-key shuffle path") {
+        spanSig(capped = false)
+      }
+      require(nHot == nShuf && sigHot == sigShuf,
+        s"hot path must be decision-identical: ($nHot,$sigHot) vs ($nShuf,$sigShuf)")
+      println(f"[scale-probe] $nHot%,d spans, signatures equal across paths; " +
+        "n-1 boilerplate losers excised either way")
+      require(nHot == n - 1, s"closed form: one span per non-winner doc, got $nHot")
+      spark.stop()
+      return
+    }
+    // nprobe boundary recall: sbt "runMain graft.ScaleProbe 200000 semdedupnprobe"
+    // Cross-cell near-dup pairs are invisible to single-assignment
+    // SemDeDup by design; nprobe = 2 pairs each row in its two nearest
+    // cells. Planted: pairs jittered to OPPOSITE sides of the midpoint
+    // between two anchors (each side assigns to a different cell at
+    // nprobe = 1). Measured: planted-pair recall at nprobe 1 vs 2 and
+    // the candidate-mass cost of the widening.
+    if (args.contains("semdedupnprobe")) {
+      val nlist = 256
+      val rnd = new scala.util.Random(4242)
+      val anchors: Array[Array[Float]] =
+        Array.fill(nlist)(Array.fill(dim)(((rnd.nextDouble() - 0.5) * 2).toFloat))
+      import spark.implicits._
+      val anchorsDf = broadcast(anchors.zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq.toDF("zk", "anchor"))
+      val nPlant = 500
+      // background: anchor-SCATTERED rows (jitter 0.5 — wide enough
+      // that same-cell background rows are NOT near-dups, so the pair
+      // output stays plant-dominated while the candidate JOIN still
+      // carries the full in-cell mass)
+      val bg = spark.range(n).toDF("vec_id")
+        .withColumn("zk", pmod(hash(col("vec_id") + lit(17)), lit(nlist)).cast("int"))
+        .join(anchorsDf, "zk")
+        .select(col("vec_id"), transform(col("anchor"), (a, j) =>
+          (a + (pmod(hash(col("vec_id") * lit(8191) + j * lit(127) + lit(3)),
+            lit(1000)).cast("double") / 1000.0 - 0.5) * 0.5).cast("float"))
+          .as("embedding"))
+      // planted boundary pairs: both members at the midpoint of anchors
+      // (2b, 2b+1), nudged 1% toward opposite anchors -> different
+      // cells at nprobe = 1, both carry both cells at nprobe = 2,
+      // cosine(pair) ~ 1 >> threshold
+      val planted = (0 until nPlant).flatMap { b =>
+        val a0 = anchors(2 * (b % (nlist / 2))); val a1 = anchors(2 * (b % (nlist / 2)) + 1)
+        val mid = a0.indices.map(i => (a0(i) + a1(i)) / 2).toArray
+        def nudge(toward: Array[Float]) =
+          mid.indices.map(i => mid(i) + 0.01f * (toward(i) - mid(i))).toSeq
+        Seq((1000000000L + 2L * b, nudge(a0)), (1000000000L + 2L * b + 1, nudge(a1)))
+      }.toDF("vec_id", "embedding")
+      val corpus = bg.unionByName(planted).repartition(32).localCheckpoint(true)
+      def recallAt(nprobe: Int): (Long, Long) = {
+        // two lazy counts — pair sets at this scale must never
+        // materialize (the candidate join streams through the filter)
+        def pairs = Dedup.semanticPairsMulti(corpus, anchors,
+          "embedding", "vec_id", 0.995, nprobe).select("id1", "id2")
+        val planted2 = pairs.where(col("id1") >= 1000000000L &&
+          col("id2") === col("id1") + 1 && pmod(col("id1"), lit(2)) === 0).count()
+        (planted2, pairs.count())
+      }
+      val (r1, c1) = time("pairs at nprobe=1")(recallAt(1))
+      val (r2, c2) = time("pairs at nprobe=2")(recallAt(2))
+      println(f"[scale-probe] planted boundary pairs recovered: " +
+        f"$r1%,d/$nPlant%,d at nprobe=1 vs $r2%,d/$nPlant%,d at nprobe=2; " +
+        f"total pairs $c1%,d -> $c2%,d (${c2.toDouble / c1}%.2fx cost)")
+      require(r2 == nPlant, s"nprobe=2 must recover every planted boundary pair, got $r2")
+      require(r1 < nPlant / 4,
+        s"plant must actually straddle boundaries at nprobe=1, got $r1 recovered")
+      spark.stop()
+      return
+    }
     if (args.contains("ivfskew")) {
       val nlist = 64
       val rnd = new scala.util.Random(4242)

@@ -577,6 +577,64 @@ object SparkEntry {
       Dedup.semanticDedup(emb, ivfFor(s, d, nlist = 8), "vec_id", 0.35)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // §2.3 D ORACLED (round 15): the CENTROID-SCREEN SemDeDup variant
+    // (the literal Abbas et al. prune — r14 VERDICT #2) at its exact
+    // degenerate: ONE cell whose centroid is the corpus mean (k-means
+    // at k = 1 IS the mean — computed by the oracled AvgVector, cast
+    // to float exactly as the quantizer stores centroids), ball =
+    // cosine-to-centroid >= 0.3 (eps = 0.7), keep the min id. Every
+    // step is relational arithmetic the oracle replays; the 0.3
+    // boundary gap is >= 1.1e-3 at all three SFs (measured), so the
+    // float-centroid cast can never flip a decision.
+    "semdedup_centroid_exact" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val cent = emb.agg(AvgVector.column(col("embedding")).as("c")).head()
+        .getSeq[Double](0).map(_.toFloat).toArray
+      Dedup.semanticDedupByCentroid(emb,
+          IvfIndex.withCentroids(emb, "embedding", Array(cent)), "vec_id", eps = 0.7)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // §2.3 D (round 15): centroid-screen SemDeDup in its DEPLOYED
+    // shape — per-cell cosine-to-own-centroid over the frozen 8-cell
+    // quantizer, O(n) scores + an nlist-bounded min-id table instead
+    // of Σ n_c²/2 candidate pairs (the scale-saver where cells run
+    // hot — ScaleProbe `semdedupcentroid` measures the cut). Rows-only
+    // (k-means cells); oracled twin above.
+    "semdedup_centroid" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Dedup.semanticDedupByCentroid(emb, ivfFor(s, d, nlist = 8), "vec_id", eps = 0.7)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // §2.3 D ORACLED (round 15): the nprobe boundary-recall knob (r14
+    // VERDICT #6) at its exact degenerate — TWO FIXED centroids
+    // (±e₀: assignment is just the sign of the first component) with
+    // nprobe = nlist = 2, so every row multi-assigns to BOTH cells and
+    // the within-cell pairing provably sees every global pair: the
+    // transitive-closure oracle shared with semdedup_exact verbatim.
+    // Proves the multi-assign explode + pair-dedup machinery end to
+    // end; recall-vs-cost at nprobe ∈ {1, 2} is ScaleProbe
+    // `semdedupnprobe`'s.
+    "semdedup_nprobe_exact" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val two = Array(
+        Array.fill(dim)(0f).updated(0, 1f),
+        Array.fill(dim)(0f).updated(0, -1f))
+      Dedup.semanticDedupMulti(emb, two, "embedding", "vec_id", 0.35, nprobe = 2)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // §2.3 D (round 15): the knob in its DEPLOYED shape — the frozen
+    // 8-cell quantizer at nprobe = 2: each row pairs in its two
+    // nearest cells, recovering boundary pairs single assignment
+    // misses (pairs(nprobe=1) ⊆ pairs(nprobe=2) ⊆ exact pairs,
+    // spec'd). Rows-only (k-means cells); oracled twin above.
+    "semdedup_nprobe" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Dedup.semanticDedupMulti(emb, ivfFor(s, d, nlist = 8).centroidVectors,
+          "embedding", "vec_id", 0.35, nprobe = 2)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     // §2.3 D ORACLED (round 14): INCREMENTAL SemDeDup at the exact
     // degenerate — the ingest shape (the dedup_incremental contract on
     // the semantic tier): the fresh batch (odd vec_ids) dedups against
@@ -613,6 +671,62 @@ object SparkEntry {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
       val q = StreamOps.semanticDedupPerBatch(stream,
         Array(Array.fill(dim)(0f)), "embedding", "vec_id", 0.35) { (survivors, _) =>
+        buf.synchronized {
+          buf ++= survivors.select("vec_id").collect().map(_.getLong(0))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("vec_id").orderBy(col("vec_id"))
+    }),
+    // §2.3 S × D ORACLED (round 15): streaming SemDeDup on the BOUNDED
+    // retained store (r14 VERDICT #1) at the ALL-EXACT degenerate —
+    // exactCapPerCell ≥ corpus means every survivor is retained as a
+    // full vector, so the drain is decision-identical to
+    // semdedup_stream and SHARES its oracle verbatim. The PQ model
+    // rides along unused (no cell ever crosses the cap) — the
+    // machinery is live, the coded path idle by construction.
+    "semdedup_stream_bounded" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = PqIndex.fit(emb, "embedding", m = 8)
+      val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.semanticDedupPerBatchBounded(stream,
+        Array(Array.fill(dim)(0f)), model, "embedding", "vec_id", 0.35,
+        exactCapPerCell = 1L << 40) { (survivors, _) =>
+        buf.synchronized {
+          buf ++= survivors.select("vec_id").collect().map(_.getLong(0))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("vec_id").orderBy(col("vec_id"))
+    }),
+    // §2.3 S × D ORACLED (round 15): the same stream at the ALL-CODED
+    // degenerate — exactCapPerCell = 0 retains EVERY survivor as PQ
+    // codes, and the model is fit LOSSLESS (k = 65536 keeps every
+    // distinct subvector, require()d below), so the ADC screen
+    // reconstructs each stored vector exactly and accumulates the
+    // same ascending-dimension double dot as the exact kernel —
+    // decisions provably identical, the oracle shared verbatim. This
+    // is the row that proves the coded path's arithmetic, not just
+    // its plumbing; the lossy-model agreement is ScaleProbe
+    // `semdedupstore`'s.
+    "semdedup_stream_coded" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val dim = emb.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = PqIndex.fit(emb, "embedding", m = 8, k = 65536)
+      require(model.lossless,
+        "semdedup_stream_coded needs a lossless PQ fit (every distinct " +
+          "subvector kept) — the fixture outgrew k; raise k or maxTrain")
+      val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.semanticDedupPerBatchBounded(stream,
+        Array(Array.fill(dim)(0f)), model, "embedding", "vec_id", 0.35,
+        exactCapPerCell = 0L) { (survivors, _) =>
         buf.synchronized {
           buf ++= survivors.select("vec_id").collect().map(_.getLong(0))
         }
@@ -790,6 +904,28 @@ object SparkEntry {
       val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
       val q = StreamOps.dedupSubstringPerBatch(docsStream, "text", "doc_id",
+        k = 13) { (cleaned, _) =>
+        buf.synchronized {
+          buf ++= cleaned.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+    }),
+    // §2.3 S × D ORACLED (round 15): the same drain on the
+    // BOUNDED-memory Bloom gram store — the substring tier's Dolma
+    // deployment shape. One-file fixture ⇒ one micro-batch ⇒ the
+    // filter is EMPTY while the only batch's decisions are made, so
+    // the drain provably equals the batch operator (an empty filter
+    // has no false positives) and SHARES its oracle; the honest-size
+    // multi-batch equivalence and the one-sided saturated-store
+    // direction are SubstringDedupSpec's.
+    "dedup_substring_stream_bloom" -> ((s, d) => {
+      val docsStream = StreamOps.readParquetStream(s, d, "documents.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamOps.dedupSubstringPerBatchBloom(docsStream, "text", "doc_id",
         k = 13) { (cleaned, _) =>
         buf.synchronized {
           buf ++= cleaned.select("doc_id", "text").collect()
@@ -2854,6 +2990,53 @@ object SparkEntry {
       |      FROM kept GROUP BY doc_id)
       |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin
 
+  /** The exact SemDeDup replay shared by semdedup_exact and the
+    * nprobe = nlist degenerate: global ≥ 0.35 cosine pairs folded to
+    * min-id-per-component survivors via the recursive closure (the
+    * dedup_jaccard_cc pattern). */
+  private val oracleSqlSemdedupClosure: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+      |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+      |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY a.vec_id, b.vec_id),
+      |pairs AS (SELECT id1, id2 FROM p
+      |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+      |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src
+      |)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
+      |ORDER BY vec_id""".stripMargin
+
+  /** The one-cell greedy SemDeDup replay shared by semdedup_stream and
+    * the bounded-store degenerates: drop every id that is the GREATER
+    * id of any ≥ 0.35 cosine pair (the single-batch greedy rule —
+    * one-file fixture ⇒ one micro-batch). */
+  private val oracleSqlSemdedupGreedy: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+      |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+      |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY a.vec_id, b.vec_id),
+      |pairs AS (SELECT id1, id2 FROM p
+      |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+      |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id2 FROM pairs)
+      |ORDER BY vec_id""".stripMargin
+
   // The substring-tier replays: positional 13-grams on the lowercased
   // token stream (gram STRINGS — the decontaminate hash-vs-string
   // argument), a marked-occurrence rule per variant, then the shared
@@ -3225,28 +3408,12 @@ object SparkEntry {
       // neardup_embedding (one cell = no cluster restriction), folded
       // to min-id-per-component survivors by the dedup_jaccard_cc
       // recursive-closure pattern
-      "semdedup_exact" ->
-        """WITH RECURSIVE p AS (
-          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
-          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |  CROSS JOIN range(1, 65) AS r(i)
-          |  GROUP BY a.vec_id, b.vec_id),
-          |pairs AS (SELECT id1, id2 FROM p
-          |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
-          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35),
-          |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-          |          UNION SELECT id2, id1 FROM pairs),
-          |reach AS (
-          |  SELECT src, dst FROM edges
-          |  UNION
-          |  SELECT rr.src, e.dst FROM reach rr JOIN edges e ON rr.dst = e.src
-          |)
-          |SELECT vec_id FROM embeddings
-          |WHERE vec_id NOT IN (SELECT src FROM reach GROUP BY src HAVING min(dst) < src)
-          |ORDER BY vec_id""".stripMargin,
+      "semdedup_exact" -> oracleSqlSemdedupClosure,
+      // nprobe = nlist over FIXED two-cell centroids: every row
+      // multi-assigns to BOTH cells, so the within-cell pairing sees
+      // every pair — provably the global pairwise operator, sharing
+      // the transitive-closure oracle verbatim
+      "semdedup_nprobe_exact" -> oracleSqlSemdedupClosure,
       // the incremental degenerate: same pair arithmetic, the
       // first-arrival greedy rule instead of the closure — a fresh
       // (odd) id drops on any match to a base (even) id, or as the
@@ -3275,21 +3442,38 @@ object SparkEntry {
       // the streamed one-cell degenerate: the single-batch drain's
       // greedy rule — drop every id that is the GREATER id of any
       // qualifying pair (Dedup.survivors' keep-min-id convention)
-      "semdedup_stream" ->
-        """WITH p AS (
-          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
-          |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
-          |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |  CROSS JOIN range(1, 65) AS r(i)
-          |  GROUP BY a.vec_id, b.vec_id),
-          |pairs AS (SELECT id1, id2 FROM p
+      // the centroid-screen exact degenerate: one cell whose centroid
+      // is the corpus avg_vector (k-means at k = 1 IS the mean; here
+      // computed by the oracled AvgVector and cast to float exactly as
+      // the quantizer stores it), ball = cosine-to-centroid >= 0.3,
+      // keep-min-id — every step plain relational arithmetic. The
+      // fixture's nearest sim to the 0.3 boundary is >= 1.1e-3 at all
+      // three SFs (measured), orders above any float-vs-double noise.
+      "semdedup_centroid_exact" ->
+        """WITH cent AS (
+          |  SELECT r.i AS i, CAST(avg(CAST(embedding[r.i] AS DOUBLE)) AS REAL) AS c
+          |  FROM embeddings CROSS JOIN range(1, 65) AS r(i) GROUP BY r.i),
+          |s AS (
+          |  SELECT e.vec_id,
+          |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS dot,
+          |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(e.embedding[cent.i] AS DOUBLE)) AS na,
+          |         sum(CAST(cent.c AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS nb
+          |  FROM embeddings e, cent GROUP BY e.vec_id),
+          |ball AS (
+          |  SELECT vec_id FROM s
           |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
-          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.35)
+          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.3)
           |SELECT vec_id FROM embeddings
-          |WHERE vec_id NOT IN (SELECT id2 FROM pairs)
+          |WHERE vec_id NOT IN (
+          |  SELECT vec_id FROM ball WHERE vec_id <> (SELECT min(vec_id) FROM ball))
           |ORDER BY vec_id""".stripMargin,
+      "semdedup_stream" -> oracleSqlSemdedupGreedy,
+      // the bounded store at its two exact degenerates: cap ≥ corpus
+      // (all-exact store) and cap = 0 with a LOSSLESS codebook (all-
+      // coded store, ADC arithmetic-identical) — both provably the
+      // same greedy rule, sharing the oracle verbatim
+      "semdedup_stream_bounded" -> oracleSqlSemdedupGreedy,
+      "semdedup_stream_coded" -> oracleSqlSemdedupGreedy,
       // bucketLength ≥ 4 ⇒ single bucket ⇒ all-pairs ⇒ exact (see the
       // query comment) — the exact baseline's oracle on the same subset
       "ann_cosine_lsh_exact" ->
@@ -3309,6 +3493,7 @@ object SparkEntry {
           "ORDER BY doc_id, span_start"),
       "dedup_substring_incremental" -> oracleSqlSubstringIncremental,
       "dedup_substring_stream" -> oracleSqlSubstringFull,
+      "dedup_substring_stream_bloom" -> oracleSqlSubstringFull,
       "dedup_jaccard" -> oracleSqlJaccardSurvivors,
       "dedup_jaccard_bitset" -> oracleSqlJaccardSurvivors,
       "text_stats" ->

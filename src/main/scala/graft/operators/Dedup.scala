@@ -26,9 +26,10 @@ import graft.functions.vectors
  * | all-pairs exact (`jaccardPairs`)    | Jaccard ≥ t, EXACT       | O(pairs) within blocks — needs `groupCol` blocking | small corpora or strong natural blocking; the oracle baseline |
  * | bitset exact (`bitsetJaccardPairs`) | Jaccard ≥ t, EXACT       | popcount arithmetic; vocab ≤ 4096 (refuses above) | bounded vocabularies (codes, tags, templated text): ~5× the hash tier |
  * | winnowing (`winnowOverlapPairs`)    | shared SUBSTRINGS (copied passages), as PAIRS | codegen rolling-hash fingerprints + df-capped inverted index | plagiarism-style overlap that token-set Jaccard misses (reordered docs sharing a paragraph) |
- * | exact substring (`removeDuplicateSpans`) | duplicated k-token SPANS, EXCISED in place (Lee et al. 2022 ExactSubstr) | positional-gram shuffle + per-doc island window | remove repeated passages rather than flag documents; first occurrence survives, later copies are cut at token granularity |
+ * | exact substring (`removeDuplicateSpans`) | duplicated k-token SPANS, EXCISED in place (Lee et al. 2022 ExactSubstr) | positional-gram shuffle + per-doc island window; boilerplate grams past `hotGramCap` mark via broadcast | remove repeated passages rather than flag documents; first occurrence survives, later copies are cut at token granularity; ingest: `removeDuplicateSpansAcross` (8 B/gram exact store) or `…AcrossBloom` (bounded filter, over-excise ≤ fpp) |
  * | embedding (`embeddingPairs`)        | semantic near-dups       | threshold self-join; LSH twin at scale | paraphrase-level dedup after an embed stage |
- * | SemDeDup (`semanticPairs`/`semanticDedup`) | semantic near-dups at corpus scale | within-IVF-cell threshold join, candidates ≤ Σ n_c²/2 | the published cluster-then-prune recipe; never over-deletes vs the exact tier; `semanticIncrementalSurvivors` for ingest |
+ * | SemDeDup (`semanticPairs`/`semanticDedup`) | semantic near-dups at corpus scale | within-IVF-cell threshold join, candidates ≤ Σ n_c²/2 | the published cluster-then-prune recipe; never over-deletes vs the exact tier; `semanticIncrementalSurvivors` for ingest, `semanticBoundedSurvivors` for the PQ-coded bounded store; `semanticPairsMulti(nprobe)` recovers boundary pairs |
+ * | SemDeDup centroid screen (`semanticDedupByCentroid`) | rows within ε of their cell centroid, collapsed to min id | O(n) scores + nlist-bounded min-id table — NO pair stage | the literal Abbas et al. prune; the tier that stays flat when cells run hot (a 10M-row cell is 10M scores, not 5·10¹³ candidates); coarser than pairwise (opposite-side ball members count as dups) |
  *
  * Precision need → exact tiers (PPJoin default); recall-tolerant scale
  * → MinHash-LSH; semantic → embedding. All thresholds evaluate as
@@ -1092,6 +1093,67 @@ object Dedup {
       threshold: Double): DataFrame =
     transitiveSurvivors(df, idCol, semanticPairs(idx, idCol, threshold))
 
+  /** SemDeDup's CENTROID-SCREEN variant (r14 VERDICT #2) — the
+    * literal Abbas et al. 2023 prune: instead of pairing rows within a
+    * cell (Σ n_c²/2 candidates — [[semanticPairs]]), score each row's
+    * cosine TO ITS OWN CELL CENTROID once and collapse every row
+    * inside the ε-ball (sim ≥ 1 − eps) to the cell's min id. Cost is
+    * O(n) scores + one nlist-bounded aggregate — no pairwise join at
+    * all, the scale-saver exactly where cells run hot (a 10M-row cell
+    * is 10M scores here vs 5·10¹³ candidate pairs). The trade: two
+    * rows both near the centroid count as duplicates of each other
+    * even if they sit on opposite sides (triangle inequality bounds
+    * their true angle by 2·arccos(1 − eps)) — the published recipe's
+    * documented coarseness, chosen when the pairwise candidate count
+    * is the binding constraint. Centroids broadcast (nlist × d
+    * floats); the ball aggregate's min-id table is nlist-bounded and
+    * broadcasts back, so the only corpus-wide movement is the final
+    * anti-join. Null embeddings join no ball and always survive. */
+  def semanticDedupByCentroid(df: DataFrame, idx: IvfIndex, idCol: String,
+      eps: Double): DataFrame = {
+    require(eps > 0 && eps <= 1,
+      s"eps must be in (0, 1] (ball = cosine >= 1 - eps), got $eps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = idx.centroidVectors.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__cent")
+    val ball = idx.indexed.join(broadcast(cents), "cell")
+      .where(graft.functions.vectors.cosine_similarity(
+        col(idx.embCol), col("__cent")) >= lit(1.0) - lit(eps))
+      .select(col("cell"), col(idCol))
+    val mins = ball.groupBy("cell").agg(min(col(idCol)).as("__min"))
+    val losers = ball.join(broadcast(mins), "cell")
+      .where(col(idCol) =!= col("__min")).select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticPairs]] with nprobe-style MULTI-ASSIGNMENT (r14 VERDICT
+    * #6) — the boundary-recall knob: cross-cell near-dup pairs are
+    * invisible to single-assignment SemDeDup by design (the documented
+    * under-prune); here each row pairs inside its `nprobe` NEAREST
+    * cells ([[graft.expressions.NearestCells]], map-side like the
+    * single assignment), so a pair split by a cell boundary is
+    * recovered whenever the two rows share any of their nprobe cells.
+    * Candidates grow ≤ nprobe²× per cell-pair overlap (measured in
+    * ScaleProbe `semdedupnprobe` against planted boundary pairs);
+    * `nprobe = 1` is provably the single-assignment operator (spec'd).
+    * Pairs found in several shared cells dedup to one row. */
+  def semanticPairsMulti(df: DataFrame, centroidVectors: Array[Array[Float]],
+      embCol: String, idCol: String, threshold: Double,
+      nprobe: Int): DataFrame = {
+    val multi = IvfIndex.assignWithCentroidsMulti(df, embCol, centroidVectors, nprobe)
+    SimJoin.thresholdSelfJoin(multi, idCol, embCol, threshold,
+      groupCol = Some("cell")).distinct()
+  }
+
+  /** [[semanticPairsMulti]] folded to transitive survivors — the
+    * [[semanticDedup]] policy with the recall knob. */
+  def semanticDedupMulti(df: DataFrame, centroidVectors: Array[Array[Float]],
+      embCol: String, idCol: String, threshold: Double,
+      nprobe: Int): DataFrame =
+    transitiveSurvivors(df, idCol,
+      semanticPairsMulti(df, centroidVectors, embCol, idCol, threshold, nprobe))
+
   /** Fresh-batch-vs-retained-corpus near-dup pairs WITHIN the frozen
     * quantizer's cells — the cross half of incremental SemDeDup. The
     * fresh batch assigns to `baseIdx`'s centroids map-side (the
@@ -1311,6 +1373,65 @@ object Dedup {
       textCol: String, idCol: String, k: Int = 13): DataFrame =
     exciseSpans(freshDf,
       duplicateSpansAcross(freshDf, baseGrams, textCol, idCol, k),
+      textCol, idCol)
+
+  /** The gram store as a `(__h1, __h2)` 128-bit frame — the
+    * [[paragraphHashFrame]] analog feeding a [[BloomStore]] delta
+    * build (`__h1` is the positional gram's own 64-bit hash, `__h2` a
+    * salted second hash of it — the probe-pair convention the Bloom
+    * tier shares). */
+  def substringGramHashFrame(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 13): DataFrame =
+    positionalGramFrame(df, textCol, idCol, k)
+      .select(col("__gh").as("__h1"),
+        xxhash64(lit(ParaHashSalt), col("__gh")).as("__h2"))
+      .distinct()
+
+  /** [[duplicateSpansAcross]] against a BOUNDED-memory [[BloomStore]]
+    * of gram hashes — the substring tier's Bloom rung (the exact gram
+    * store grows 8 B per distinct corpus gram forever — at 100 TB
+    * that is TB-scale state reshuffled into every batch's semi-join;
+    * the filter is sized ONCE and probes map-side broadcast, nothing
+    * ever shuffles). Error is one-sided like the paragraph tier, but
+    * note the DIRECTION: a false positive (rate ≤ design `fpp` while
+    * honestly sized) excises a fresh span that was never shipped —
+    * the over-DELETE side, acceptable for dedup where a lost span is
+    * a recall cost, never a correctness one — while a truly
+    * duplicated span can NEVER survive (no false negatives), so the
+    * surviving text ⊆ the exact store's (spec'd, with equality on an
+    * honestly-sized filter deterministic per corpus — the gate row's
+    * shared oracle). Accepts the single filter or the sharded
+    * [[ParaBloomBank]]. */
+  def duplicateSpansAcrossBloom[B <: BloomStore](freshDf: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[B],
+      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
+      "(k = 1 would delete every repeated word — vocabulary, not duplication)")
+    val seen = udf((h1: Long, h2: Long) => bloom.value.mightContain(h1, h2))
+    // ONE probe per gram occurrence: the flag splits both rules below
+    val grams = positionalGramFrame(freshDf, textCol, idCol, k)
+      .withColumn("__instore",
+        seen(col("__gh"), xxhash64(lit(ParaHashSalt), col("__gh"))))
+    val markedVsStore = grams.where(col("__instore"))
+      .select(col("__did"), col("__pos"))
+    val freshOnly = grams.where(!col("__instore"))
+    val batchDup = freshOnly.groupBy("__gh")
+      .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
+      .where(col("__c") > 1)
+    val markedInBatch = freshOnly.join(batchDup, "__gh")
+      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
+      .select(col("__did"), col("__pos"))
+    mergeSpanIslands(markedVsStore.unionByName(markedInBatch), k)
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** [[duplicateSpansAcrossBloom]] + the excise — the bounded-store
+    * ingest excision ([[removeDuplicateSpansAcross]]'s contract). */
+  def removeDuplicateSpansAcrossBloom[B <: BloomStore](freshDf: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[B],
+      textCol: String, idCol: String, k: Int = 13): DataFrame =
+    exciseSpans(freshDf,
+      duplicateSpansAcrossBloom(freshDf, bloom, textCol, idCol, k),
       textCol, idCol)
 
   /** Incremental SemDeDup — the ingest shape (the

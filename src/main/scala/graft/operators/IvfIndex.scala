@@ -340,6 +340,30 @@ object IvfIndex {
     new IvfIndex(centroidVectors, assigned, embCol)
   }
 
+  /** Map-side MULTI-assignment: original columns + `cell`, one row per
+    * (vector, one of its `nprobe` nearest cells) — the SemDeDup
+    * boundary-recall explode ([[graft.operators.Dedup.semanticPairsMulti]]).
+    * `nprobe = 1` produces exactly [[assignWithCentroids]]'s rows
+    * (same kernel tie rule, spec'd). NULL vectors are excluded. */
+  private[operators] def assignWithCentroidsMulti(df: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]], nprobe: Int): DataFrame = {
+    require(centroidVectors.nonEmpty, "centroid table is empty")
+    val dim = centroidVectors.head.length
+    require(centroidVectors.forall(_.length == dim),
+      "ragged centroid table: all centroids must share one dimension")
+    val flat = new Array[Float](centroidVectors.length * dim)
+    var c = 0
+    while (c < centroidVectors.length) {
+      System.arraycopy(centroidVectors(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.where(col(embCol).isNotNull)
+      .withColumn("cell", explode(ColumnBridge.column(
+        graft.expressions.NearestCells(
+          ColumnBridge.expression(col(embCol)), flat, dim, nprobe))))
+  }
+
   /** Map-side frozen-centroid assignment: original columns + `cell`.
     * NULL vectors are excluded, as in [[build]]. */
   private[operators] def assignWithCentroids(df: DataFrame, embCol: String,

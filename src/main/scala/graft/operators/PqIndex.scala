@@ -208,6 +208,29 @@ object PqIndex {
       .limit(n)
   }
 
+  /** Each row's ADC similarity against its OWN codes —
+    * cos(reconstruction, row), the codec's measured reconstruction
+    * quality as a frame `(input columns…, simCol)`. Operational rule:
+    * any screen threshold a coded comparison serves (the bounded
+    * SemDeDup store, IVFADC shortlists) should keep its margin above
+    * `1 − min(selfSim)` — below that the quantization band can flip
+    * decisions (ScaleProbe `semdedupstore` measures it at 1M rows).
+    * One encode + one codegen dot per row; NULL vectors are absent
+    * (encode's contract). */
+  def selfSimilarity(df: DataFrame, embCol: String, model: PqModel,
+      simCol: String = "self_sim"): DataFrame = {
+    val enc = encode(df, embCol, model, "__selfsim_codes", "__selfsim_norm")
+    val dot = ColumnBridge.column(graft.expressions.PqQueryDot(
+      ColumnBridge.expression(col("__selfsim_codes")),
+      ColumnBridge.expression(col(embCol)),
+      model.m, model.sub, model.flatCodewords, model.offsets, model.codeBytes))
+    val qn = graft.functions.vectors.vector_norm(col(embCol))
+    enc.withColumn(simCol,
+        when(col("__selfsim_norm") === 0.0 || qn === 0.0, lit(0.0))
+          .otherwise(dot / (col("__selfsim_norm") * qn)))
+      .drop("__selfsim_codes", "__selfsim_norm")
+  }
+
   /** Persist codebooks as plain parquet (subspace, codeword, vector) —
     * the frozen-artifact layout any engine reloads. */
   def save(model: PqModel, path: String): Unit = {

@@ -296,6 +296,55 @@ object StreamOps {
     }.start()
   }
 
+  /** [[dedupSubstringPerBatch]] on the BOUNDED-memory Bloom store —
+    * the substring tier's [[dedupParagraphsPerBatchBloom]] analog
+    * (the exact gram store grows 8 B per distinct corpus gram; the
+    * filter is `create(expectedItems, fpp)`-sized ONCE). Same
+    * per-batch protocol: saturation guard at entry, broadcast
+    * snapshot probe, absorb the RAW batch's gram hashes, post-absorb
+    * re-check after delivery. One-sided error, note the direction: a
+    * false positive EXCISES a never-shipped span (over-delete at
+    * ≤ fpp while honestly sized; a recall cost) — a true duplicate
+    * never survives. */
+  def dedupSubstringPerBatchBloom(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String, k: Int = 13,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupSubstringPerBatchBloomFrom(docs, textCol, idCol, k,
+      graft.operators.ParaBloom.create(expectedItems, fpp))(sink)
+
+  /** [[dedupSubstringPerBatchBloom]] against a CALLER-OWNED store —
+    * the restart path (the [[dedupParagraphsPerBatchBloomFrom]]
+    * contract: reopen the persisted filter, resume, save on the
+    * sink's checkpoint cadence; bits only ever accumulate, so a crash
+    * between save and checkpoint over-excises at most the unsaved
+    * batches' spans, never revives old ones). */
+  def dedupSubstringPerBatchBloomFrom(
+      docs: DataFrame, // streaming
+      textCol: String, idCol: String, k: Int,
+      bloom: graft.operators.BloomStore,
+      warnAtFill: Double = 0.55, refuseAtFill: Double = 0.7)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.ParaBloom.saturationGuard(bloom, warnAtFill, refuseAtFill)
+        .foreach(System.err.println)
+      val bc = spark.sparkContext.broadcast(bloom.copyStore())
+      val cleaned = graft.operators.Dedup
+        .removeDuplicateSpansAcrossBloom(batch, bc, textCol, idCol, k)
+        .localCheckpoint(true)
+      bloom.absorb(
+        graft.operators.Dedup.substringGramHashFrame(batch, textCol, idCol, k))
+      bc.destroy()
+      sink(cleaned, batchId)
+      // post-absorb re-check AFTER delivery (r14 ADVICE ordering —
+      // see dedupParagraphsPerBatchBloomFrom)
+      graft.operators.ParaBloom.saturationGuard(bloom, warnAtFill, refuseAtFill)
+        .foreach(System.err.println)
+    }.start()
+  }
+
   /** [[dedupParagraphsPerBatch]] on the BOUNDED-memory Bloom store —
     * the shape Dolma actually deploys (a Bloom filter accumulating
     * paragraphs across the whole ingest). Both exact stores grow
@@ -392,7 +441,11 @@ object StreamOps {
   }
 
   /** Streaming SemDeDup — the ingest shape of semantic dedup driven
-    * through a real StreamingQuery: each micro-batch assigns map-side
+    * through a real StreamingQuery. NOTE the store here retains FULL
+    * survivor vectors forever (d·4 bytes each, re-joined every batch)
+    * — at corpus scale prefer [[semanticDedupPerBatchBounded]], which
+    * caps per-cell exact state and codes the rest. Each micro-batch
+    * assigns map-side
     * to the FROZEN quantizer (`centroidVectors` — fit once, like every
     * frozen artifact in the family: a per-batch refit would move the
     * cells under the stream) and survives only if it matches no

@@ -669,4 +669,61 @@ class DedupSimJoinSpec extends AnyFunSuite {
     assert(s2Set != b2OnlyWant,
       "fixture must exercise a cross-batch drop against the carried store")
   }
+
+  test("nprobe = 1 multi-assignment pairs == single-assignment semanticPairs") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.build(emb, "embedding", nlist = 8)
+    val single = Dedup.semanticPairs(idx, "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi1 = Dedup.semanticPairsMulti(emb, idx.centroidVectors,
+        "embedding", "vec_id", 0.35, nprobe = 1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi1 == single,
+      "nprobe = 1 must be the single-assignment operator (same kernel tie rule)")
+    assert(single.nonEmpty, "fixture must carry within-cell pairs")
+  }
+
+  test("nprobe recall ladder: pairs(1) subset pairs(2) subset exact pairs; a boundary pair is recovered") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = IvfIndex.build(emb, "embedding", nlist = 8)
+    def pairSet(n: Int) = Dedup.semanticPairsMulti(emb, idx.centroidVectors,
+        "embedding", "vec_id", 0.35, nprobe = n)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairSet(1); val p2 = pairSet(2)
+    val exact = Dedup.embeddingPairs(emb, "embedding", "vec_id", 0.35)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.subsetOf(p2), s"nprobe widening must only ADD pairs; lost: ${p1 -- p2}")
+    assert(p2.subsetOf(exact), s"multi-assign pairs must stay true pairs; extra: ${p2 -- exact}")
+    assert(p2 != p1 || p1 == exact,
+      "fixture must either recover a boundary pair at nprobe = 2 or already see all pairs")
+  }
+
+  test("centroid-screen: ball members collapse to min id, far rows and other cells survive") {
+    import graft.operators.IvfIndex
+    val dim = 8
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq.tabulate(dim)(i => if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    // two cells at 0 and 90 deg; eps = 0.1 => ball = cos >= 0.9 (~25.8 deg)
+    val centroids = Array(at(0).toArray, at(90).toArray)
+    val emb = Seq(
+      (1L, at(2)),   // cell 0, in ball -> keeper (min id)
+      (2L, at(-5)),  // cell 0, in ball -> drops to 1
+      (3L, at(40)),  // cell 0 (just), cos 40 deg = 0.766 < 0.9 -> survives
+      (4L, at(88)),  // cell 1, in its ball -> keeper (min id of cell 1)
+      (5L, at(92))   // cell 1, in ball -> drops to 4
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupByCentroid(emb,
+        IvfIndex.withCentroids(emb, "embedding", centroids), "vec_id", eps = 0.1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L), s"got $out")
+    // eps bounds refuse
+    intercept[IllegalArgumentException](
+      Dedup.semanticDedupByCentroid(emb,
+        IvfIndex.withCentroids(emb, "embedding", centroids), "vec_id", eps = 0.0))
+  }
 }

@@ -276,6 +276,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an equi-join on the cell key:\n$p")
   }
 
+  test("semanticBoundedSurvivors: both store halves join on the cell key — never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = graft.operators.IvfIndex.build(emb, "embedding", nlist = 4)
+    val model = graft.operators.PqIndex.fit(emb, "embedding", m = 8)
+    val assigned = idx.indexed
+    val store = assigned
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        lit(null).cast("binary").as("__codes"), lit(null).cast("double").as("__norm"))
+      .unionByName(graft.operators.PqIndex
+        .encode(assigned.limit(10), "embedding", model, "__codes", "__norm")
+        .select(col("vec_id"), col("cell"),
+          lit(null).cast("array<float>").as("embedding"), col("__codes"), col("__norm")))
+    val p = graft.operators.Dedup.semanticBoundedSurvivors(emb,
+        idx.centroidVectors, store, model, "embedding", "vec_id", 0.35)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded store's exact AND coded screens must stay cell equi-joins:\n$p")
+  }
+
   test("a persisted window output keeps its partitioning through a broadcast join into an aggregation — the Classifier.fit contract") {
     import org.apache.spark.sql.functions._
     // Classifier.fit's per-iteration plan leans on a specific Spark

@@ -175,6 +175,63 @@ class SubstringDedupSpec extends AnyFunSuite {
       "two-batch drain must equal the batch operator when ids arrive in order")
   }
 
+  test("Bloom gram store: honest-size two-batch drain == the exact-store drain; saturated never revives a duplicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr_bloom")
+    val b1 = Seq((1L, "aa bb cc dd ee tail1"), (2L, "solo2 unique two")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "head3 aa bb cc dd ee"),
+      (4L, "pp qq rr ss tt pp qq rr ss tt")).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(dir.resolve("data").toString)
+    // exact-store reference drain over both batches
+    val gotExact = scala.collection.mutable.Map.empty[Long, String]
+    val qe = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.resolve("data").toString)
+      graft.streaming.StreamOps.dedupSubstringPerBatch(
+        stream, "text", "doc_id", k = 5) { (c, _) =>
+        gotExact.synchronized { gotExact ++= textsOf(c) } }
+    }
+    val gotBloom = scala.collection.mutable.Map.empty[Long, String]
+    val qb = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.resolve("data").toString)
+      graft.streaming.StreamOps.dedupSubstringPerBatchBloom(
+        stream, "text", "doc_id", k = 5) { (c, _) =>
+        gotBloom.synchronized { gotBloom ++= textsOf(c) } }
+    }
+    try {
+      qe.processAllAvailable(); qb.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(dir.resolve("data").toString)
+      qe.processAllAvailable(); qb.processAllAvailable()
+    } finally { qe.stop(); qb.stop() }
+    assert(gotBloom.toMap == gotExact.toMap,
+      "an honestly-sized filter must be decision-identical to the exact gram store")
+    assert(gotExact(3L) == "head3", "the cross-batch duplicate must have been excised")
+    // one-sided under saturation: a deliberately tiny filter may
+    // over-excise fresh spans (false positives) but a TRUE duplicate
+    // of the store can never survive — surviving text ⊆ exact's
+    import graft.operators.ParaBloom
+    val tiny = ParaBloom.create(expectedItems = 1, fpp = 0.5) // 64 bits
+    tiny.absorb(graft.operators.Dedup.substringGramHashFrame(b1, "text", "doc_id", k = 5))
+    val bc = spark.sparkContext.broadcast(tiny.copyStore())
+    val out = textsOf(graft.operators.Dedup
+      .removeDuplicateSpansAcrossBloom(b2, bc, "text", "doc_id", k = 5))
+    val exactOut = textsOf(graft.operators.Dedup.removeDuplicateSpansAcross(b2,
+      graft.operators.Dedup.substringGramFrame(b1, "text", "doc_id", k = 5),
+      "text", "doc_id", k = 5))
+    bc.destroy()
+    assert(!out(3L).contains("aa bb cc dd ee"),
+      "a true duplicate span must never survive the Bloom store")
+    // token-level subset: every surviving token position under the
+    // Bloom store also survives under the exact store
+    out.foreach { case (id, text) =>
+      val b = text.split(" ").filter(_.nonEmpty).toSeq
+      val e = exactOut(id).split(" ").filter(_.nonEmpty).toSeq
+      assert(b.diff(e).isEmpty,
+        s"doc $id: Bloom store may only over-excise, never add back; got '$text' vs '${exactOut(id)}'")
+    }
+  }
+
   test("hot-gram cap: decisions identical with the broadcast path forced on (tiny cap)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val default = spansOf(Dedup.duplicateSpans(docs, "text", "doc_id", k = 13)
