@@ -1058,7 +1058,14 @@ object ScaleProbe {
             lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02).cast("float"))
           .as("embedding"))
         .repartition(32).localCheckpoint(true)
-      val idx = IvfIndex.withCentroids(corpus, "embedding", anchors)
+      // the PERSISTED cell-partitioned layout (the ivfskew/semdedup
+      // discipline): deployed dedup reads the saved `cell` column, so
+      // the screen must not be charged the in-memory lineage's
+      // re-assignment scan (O(n·nlist·d) per pass — measured 55 s of
+      // the unpersisted probe's 62 s)
+      val layoutPath = s"$path-semdedupcentroid"
+      IvfIndex.withCentroids(corpus, "embedding", anchors).save(layoutPath)
+      val idx = IvfIndex.load(spark, layoutPath)
       val sizes = idx.cellSizeStats.select("n").collect().map(_.getLong(0))
       val pairCand = sizes.map(c => c * (c - 1) / 2).sum
       println(f"[scale-probe] zipf layout: pairwise candidates $pairCand%,d " +

@@ -1117,14 +1117,26 @@ object Dedup {
     import spark.implicits._
     val cents = idx.centroidVectors.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__cent")
-    val ball = idx.indexed.join(broadcast(cents), "cell")
-      .where(graft.functions.vectors.cosine_similarity(
-        col(idx.embCol), col("__cent")) >= lit(1.0) - lit(eps))
-      .select(col("cell"), col(idCol))
-    val mins = ball.groupBy("cell").agg(min(col(idCol)).as("__min"))
-    val losers = ball.join(broadcast(mins), "cell")
-      .where(col(idCol) =!= col("__min")).select(col(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    def sim = graft.functions.vectors.cosine_similarity(
+      col(idx.embCol), col("__cent"))
+    // pass 1: per-cell min id among ball members — map-combined down
+    // to nlist rows, nothing corpus-sized moves
+    val mins = idx.indexed.join(broadcast(cents), "cell")
+      .where(sim >= lit(1.0) - lit(eps))
+      .groupBy("cell").agg(min(col(idCol)).as("__min"))
+    // pass 2: keep = outside the ball OR the cell keeper — a pure
+    // map-side filter against the two broadcast tables, so the WHOLE
+    // operator runs zero corpus shuffles (the previous shape
+    // anti-joined a losers frame on the id key — a corpus-wide
+    // shuffle the nlist-bounded mins table makes unnecessary)
+    val kept = idx.indexed.join(broadcast(cents), "cell")
+      .join(broadcast(mins), Seq("cell"), "left")
+      .where(sim < lit(1.0) - lit(eps) ||
+        col("__min").isNull || col(idCol) === col("__min"))
+      .drop("cell", "__cent", "__min")
+    // null-embedding rows never index and always survive
+    kept.unionByName(df.where(col(idx.embCol).isNull), allowMissingColumns = true)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** [[semanticPairs]] with nprobe-style MULTI-ASSIGNMENT (r14 VERDICT

@@ -503,14 +503,53 @@ object StreamOps {
       model: graft.operators.PqModel, // frozen codec
       embCol: String, idCol: String, threshold: Double,
       exactCapPerCell: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    semanticDedupPerBatchBoundedFrom(docs, centroidVectors, model, None,
+      embCol, idCol, threshold, exactCapPerCell)(sink)
+
+  /** [[semanticDedupPerBatchBounded]] against a CALLER-OWNED retained
+    * store — the restart path (the [[dedupParagraphsPerBatchBloomFrom]]
+    * contract for the semantic tier): `initialStore` is the
+    * `(idCol, cell, embCol, __codes, __norm)` frame a previous run's
+    * `onStore` callback persisted (plain parquet — write it with
+    * `df.write.parquet`, reopen with `spark.read.parquet`); its `cell`
+    * column is TRUSTED against the SAME frozen quantizer (the
+    * [[graft.operators.IvfIndex.fromAssigned]] invariant — the caller
+    * owns it). The per-cell exact census seeds from the store in one
+    * opening aggregate; after that, per-batch work is identical.
+    * `onStore` receives the UPDATED retained store after each batch —
+    * persist it on whatever cadence matches the sink's checkpoint
+    * (the store only ever GAINS rows, so a crash between save and
+    * checkpoint re-screens at most the unsaved batches' survivors —
+    * extra drops, never revived duplicates: the family's one-sided
+    * crash story). */
+  def semanticDedupPerBatchBoundedFrom(
+      docs: DataFrame, // streaming
+      centroidVectors: Array[Array[Float]], // frozen quantizer
+      model: graft.operators.PqModel, // frozen codec
+      initialStore: Option[DataFrame],
+      embCol: String, idCol: String, threshold: Double,
+      exactCapPerCell: Long,
+      onStore: (DataFrame, Long) => Unit = (_, _) => ())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, IvfIndex, PqIndex}
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType}
     require(exactCapPerCell >= 0L,
       s"exactCapPerCell must be >= 0, got $exactCapPerCell")
-    var retained: Option[DataFrame] = None
+    initialStore.foreach { st =>
+      val need = Set("cell", embCol, "__codes", "__norm", idCol)
+      require(need.subsetOf(st.columns.toSet),
+        s"initialStore needs columns $need (the semanticDedupPerBatchBounded " +
+          s"layout), got ${st.columns.toSeq}")
+    }
+    var retained: Option[DataFrame] = initialStore
     val exactCount = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    // seed the per-cell exact census from the reopened store — ONE
+    // opening aggregate (ncells rows out), never repeated per batch
+    initialStore.foreach(_.where(col(embCol).isNotNull)
+      .groupBy("cell").count().collect()
+      .foreach(r => exactCount(r.getInt(0)) = r.getLong(1)))
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import spark.implicits._
@@ -561,6 +600,7 @@ object StreamOps {
                 "the quantizer with more cells to keep cells under it)")
           exactCount(c) = before + ex
         }
+      retained.foreach(onStore(_, batchId))
       sink(survivors, batchId)
     }.start()
   }

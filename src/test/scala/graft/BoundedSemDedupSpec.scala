@@ -126,6 +126,52 @@ class BoundedSemDedupSpec extends AnyFunSuite {
     assert(out == Set(3L, 4L), s"got $out")
   }
 
+  test("restart path: persist the store after batch 1, resume a NEW stream over batch 2 — equals the continuous drain") {
+    val e = emb
+    val b1 = e.where(col("vec_id") < 250)
+    val b2 = e.where(col("vec_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_resume")
+    b1.coalesce(1).write.parquet(dir.resolve("d1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("d2").toString)
+    val cap = 3L // mixed store: both halves live in most cells
+    val storePath = dir.resolve("store").toString
+    // run 1: batch 1 only; onStore persists the mixed store to parquet
+    val got1 = scala.collection.mutable.Set.empty[Long]
+    val q1 = graft.streaming.StreamOps.semanticDedupPerBatchBoundedFrom(
+      spark.readStream.schema(b1.schema).parquet(dir.resolve("d1").toString),
+      centroids8, losslessModel, None, "embedding", "vec_id", 0.35, cap,
+      onStore = (st, _) => st.write.mode("overwrite").parquet(storePath)) {
+      (s, _) => got1.synchronized {
+        got1 ++= s.select("vec_id").collect().map(_.getLong(0)) }
+    }
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2: a FRESH stream resumes from the reopened store over batch 2
+    val got2 = scala.collection.mutable.Set.empty[Long]
+    val q2 = graft.streaming.StreamOps.semanticDedupPerBatchBoundedFrom(
+      spark.readStream.schema(b2.schema).parquet(dir.resolve("d2").toString),
+      centroids8, losslessModel, Some(spark.read.parquet(storePath)),
+      "embedding", "vec_id", 0.35, cap) {
+      (s, _) => got2.synchronized {
+        got2 ++= s.select("vec_id").collect().map(_.getLong(0)) }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    assert((got1.toSet ++ got2.toSet) == drainFull(centroids8),
+      "persist + reopen + resume must equal the continuous two-batch drain")
+    // the reopened store really carried: some batch-2 row must drop
+    // against a batch-1 survivor, not just within batch 2
+    val b2Only = Dedup.semanticIncrementalSurvivors(b2,
+      IvfIndex.withCentroids(b2.limit(0), "embedding", centroids8), "vec_id", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2.toSet != b2Only,
+      "fixture must exercise a cross-restart drop against the persisted store")
+    // a store missing the layout columns refuses at stream creation
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamOps.semanticDedupPerBatchBoundedFrom(
+        spark.readStream.schema(b2.schema).parquet(dir.resolve("d2").toString),
+        centroids8, losslessModel, Some(b1), "embedding", "vec_id", 0.35, cap) {
+        (_, _) => () })
+  }
+
   test("store layout refusal: a frame without the bounded columns refuses") {
     val fresh = Seq((1L, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
     val notAStore = Seq((2L, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
