@@ -1358,6 +1358,28 @@ object SparkEntry {
       val (_, _, _, shipped) = pretrainChain(s, d)
       shipped().orderBy(col("doc_id"))
     }),
+    // §2.3 T × composition ORACLED (round 15): the pipeline with the
+    // EXACT SUBSTRING stage spliced in at the Lee et al. 2022
+    // placement — paragraph dedup → substring excision → 13-gram
+    // decontamination → LM scoring → per-language cuts. Five chained
+    // stages, one lazy plan; the oracle splices the substring replay
+    // into the base CTE chain (t tokenizes DD'S reassembled text, sx
+    // feeds every downstream stage), so drift in ANY stage or in the
+    // composition order fails the row.
+    "pipeline_pretrain_substr" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ")
+      val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+      val clean = Dedup.decontaminate(sx,
+        docs.where(col("doc_id") % 7 === 0), "text", "doc_id", n = 13)
+      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T × composition (round 10): the COMPLETE Dolma-style tail —
     // the base pipeline continues through α = 0.5 temperature mixing
     // over the shipped per-language counts (target 100 rows: real
@@ -3236,6 +3258,65 @@ object SparkEntry {
       |SELECT doc_id, lang, lm_nll, bucket FROM lab
       |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin
 
+  /** [[oracleSqlPipelinePretrain]] with the EXACT SUBSTRING stage
+    * spliced between paragraph dedup and decontamination — the Lee et
+    * al. 2022 placement (passage-level excision after unit-level
+    * dedup, before gram-based leak hygiene): the substring replay's t
+    * CTE tokenizes DD'S REASSEMBLED TEXT (each stage feeds the next —
+    * the composition contract), `sx` carries the excised corpus, and
+    * every downstream stage (decon grams, LM fit AND scoring, buckets)
+    * re-points at `sx`. Built from the base replay by three exact
+    * splices so the shared stages can never drift apart. */
+  private val oracleSqlPipelinePretrainSubstr: String = {
+    val substrBlock =
+      s""",
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '$Ws'), x -> len(x) > 0) AS lt,
+        |         list_filter(string_split_regex(text, '$Ws'), x -> len(x) > 0) AS ot
+        |  FROM dd),
+        |g AS (
+        |  SELECT doc_id, s.i - 1 AS pos,
+        |         array_to_string(list_slice(lt, s.i, s.i + 12), ' ') AS gram
+        |  FROM t, LATERAL unnest(generate_series(1, greatest(len(lt) - 12, 0))) AS s(i)),
+        |m AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           count(*) OVER (PARTITION BY gram) AS c,
+        |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE c > 1 AND rn > 1)""".stripMargin +
+      oracleSqlSubstringIslands +
+      s""",
+        |cov AS (SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+        |        FROM spans),
+        |touched AS (SELECT DISTINCT doc_id FROM cov),
+        |tok AS (SELECT tt.doc_id, s.i - 1 AS pos, tt.ot[s.i] AS tk
+        |        FROM (SELECT t.* FROM t JOIN touched USING (doc_id)) tt,
+        |        LATERAL unnest(generate_series(1, len(tt.ot))) AS s(i)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+        |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+        |         WHERE cov.pos IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS newtext
+        |        FROM kept GROUP BY doc_id),
+        |sx AS (SELECT dd.doc_id,
+        |              CASE WHEN tc.doc_id IS NOT NULL THEN coalesce(r.newtext, '')
+        |                   ELSE dd.text END AS text
+        |       FROM dd
+        |       LEFT JOIN touched tc ON dd.doc_id = tc.doc_id
+        |       LEFT JOIN reb r ON dd.doc_id = r.doc_id)""".stripMargin
+    val spliceAfterDd = "FROM pk GROUP BY doc_id)"
+    val cgFromDd = "AS toks FROM dd))"
+    val survFromDd = "surv AS (SELECT doc_id, text FROM dd"
+    require(oracleSqlPipelinePretrain.contains(spliceAfterDd) &&
+      oracleSqlPipelinePretrain.contains(cgFromDd) &&
+      oracleSqlPipelinePretrain.contains(survFromDd),
+      "base pipeline oracle changed shape — re-derive the substring splice")
+    oracleSqlPipelinePretrain
+      .replace(spliceAfterDd, spliceAfterDd + substrBlock)
+      .replace(cgFromDd, "AS toks FROM sx))")
+      .replace(survFromDd, "surv AS (SELECT doc_id, text FROM sx")
+  }
+
   /** [[oracleSqlPipelinePretrain]] extended two stages down the Dolma
     * tail: α = 0.5 temperature mixing over the shipped rows (the
     * sampleTemperature algebra — same ascending-domain √-sum fold,
@@ -3714,6 +3795,7 @@ object SparkEntry {
       // scores feed the per-language cuts — one CTE pipeline, so the
       // row checks the COMPOSITION, not just each operator
       "pipeline_pretrain" -> oracleSqlPipelinePretrain,
+      "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
       // the streamed pipeline drains to the identical rows (frozen
       // artifacts == self-fit on the fitting corpus; one-file fixture
       // == one micro-batch) — shared oracle

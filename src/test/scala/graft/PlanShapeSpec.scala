@@ -296,6 +296,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the bounded store's exact AND coded screens must stay cell equi-joins:\n$p")
   }
 
+  test("semanticDedupByCentroid plans ZERO corpus exchanges — broadcast tables only") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = graft.operators.IvfIndex.build(emb, "embedding", nlist = 4)
+    val p = graft.operators.Dedup.semanticDedupByCentroid(emb, idx, "vec_id", eps = 0.7)
+      .queryExecution.executedPlan.toString
+    // the keep rule is a map-side filter against the broadcast
+    // centroid and min-id tables: the ONLY hash exchange allowed is
+    // the min-id aggregation's own (its input is the map-side partial
+    // — nlist rows per partition, KBs) — never a second, corpus-wide
+    // exchange of the embeddings frame, which is what the pre-r15
+    // losers anti-join cost. A corpus exchange here silently doubles
+    // the 100 TB cost.
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size <= 1,
+      s"centroid screen must carry at most the min-id aggregation's exchange:\n" +
+        s"${hashExchanges.mkString("\n")}\n\nfull plan:\n$p")
+    assert(p.contains("partial_min"),
+      s"the single allowed exchange must belong to the partial-min aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"centroid screen must stay broadcast equi-joins:\n$p")
+  }
+
+  test("semanticPairsMulti plans a cell equi-join over the exploded assignment — never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = graft.operators.IvfIndex.build(emb, "embedding", nlist = 4)
+    val p = graft.operators.Dedup.semanticPairsMulti(emb, idx.centroidVectors,
+        "embedding", "vec_id", 0.35, nprobe = 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-assign pairing must join on the cell key, not cross-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cell key:\n$p")
+  }
+
   test("a persisted window output keeps its partitioning through a broadcast join into an aggregation — the Classifier.fit contract") {
     import org.apache.spark.sql.functions._
     // Classifier.fit's per-iteration plan leans on a specific Spark
