@@ -1461,6 +1461,42 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
     }),
+    // §2.3 S × composition ORACLED (round 15): the SUBSTRING-staged
+    // chain EXECUTED AS A STREAM — pipelinePretrainPerBatch with
+    // substringK = 13: each batch's paragraph-deduped text excises
+    // against the accumulated 8-byte-per-gram store before decon.
+    // Frozen artifacts fit on the substring-chain's reference corpus
+    // (frozen == self-fit on the fitting corpus, the family
+    // argument); one-file fixture ⇒ one batch ⇒ empty gram store ⇒
+    // the drain provably equals the batch chain and SHARES
+    // pipeline_pretrain_substr's five-stage replay verbatim.
+    "pipeline_pretrain_stream_substr" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ")
+      val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val cleanRef = Dedup.decontaminate(sx, evalSet, "text", "doc_id", n = 13)
+        .localCheckpoint(false)
+      val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+      val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "lang")
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, String)]
+      val q = StreamOps.pipelinePretrainPerBatch(stream, evalSet, model, bounds,
+        "text", "doc_id", "lang", sep = " the ",
+        substringK = Some(13)) { (shipped, _) =>
+        buf.synchronized {
+          buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
+    }),
     // §2.3 S × composition (round 14): the SAME frozen-artifact chain
     // with the dedup stage on the BOUNDED Bloom store — the only
     // deployable state shape at 100 TB (the exact hashed store is
@@ -3796,6 +3832,7 @@ object SparkEntry {
       // row checks the COMPOSITION, not just each operator
       "pipeline_pretrain" -> oracleSqlPipelinePretrain,
       "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
+      "pipeline_pretrain_stream_substr" -> oracleSqlPipelinePretrainSubstr,
       // the streamed pipeline drains to the identical rows (frozen
       // artifacts == self-fit on the fitting corpus; one-file fixture
       // == one micro-batch) — shared oracle

@@ -647,11 +647,20 @@ object StreamOps {
       // re-shuffles into every batch); the saturation guard runs per
       // batch, and `hashedStore` is ignored. Same save/restart
       // protocol as dedupParagraphsPerBatchBloomFrom.
-      bloomStore: Option[graft.operators.BloomStore] = None)(
+      bloomStore: Option[graft.operators.BloomStore] = None,
+      // the EXACT SUBSTRING stage (round 15): when set, each batch's
+      // paragraph-deduped text is excised against the accumulated
+      // frozen gram store before decontamination (the Lee et al.
+      // placement the batch `pipeline_pretrain_substr` row pins);
+      // the store absorbs the STAGE INPUT's grams (the
+      // paragraph-deduped text — the corpus the batch operator's
+      // winner rule ranges over), 8 bytes per distinct gram.
+      substringK: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = docs.sparkSession
     import spark.implicits._
+    var seenGrams = Seq.empty[Long].toDF("__gh")
     // the scoring join carries the FULL document row through to the
     // sink, so the scorer's output names must be free on the input
     // (refuse-don't-wedge: a collision would kill the query with an
@@ -690,10 +699,24 @@ object StreamOps {
           seen = seen.union(delta).distinct().localCheckpoint(true)
           out
       }
+      // optional EXACT SUBSTRING stage (round 15) between paragraph
+      // dedup and decon — duplicated spans vs the accumulated gram
+      // store excise, the store grows by the stage input's grams
+      val excised = substringK match {
+        case Some(k) =>
+          val sx = Dedup
+            .removeDuplicateSpansAcross(cleaned, seenGrams, textCol, idCol, k)
+            .localCheckpoint(true)
+          seenGrams = seenGrams
+            .union(Dedup.substringGramFrame(cleaned, textCol, idCol, k))
+            .distinct().localCheckpoint(true)
+          sx
+        case None => cleaned
+      }
       // materialized: decon feeds BOTH the scoring explode and the
       // payload join below — un-cut it would run the gram explode +
       // anti-join twice per batch
-      val decon = Dedup.decontaminate(cleaned, evalDf, textCol, idCol, n)
+      val decon = Dedup.decontaminate(excised, evalDf, textCol, idCol, n)
         .localCheckpoint(true)
       // join the FULL decon frame back: the sink ships documents, so
       // the cleaned text (and every other payload column) must ride

@@ -125,6 +125,72 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(gotBloom.toMap == want, s"bloom-store chain ${gotBloom.toMap} vs batch $want")
   }
 
+  test("substring-staged chain: two-batch drain == batch, the gram store carries a cross-batch span") {
+    // doc 7 embeds batch 1's "alpha beta gamma" run INSIDE a longer,
+    // unique paragraph — paragraph dedup cannot touch it; only the
+    // substring stage's carried gram store can excise it
+    val b2s = batch2.unionByName(
+      Seq((7L, "en", "prefix7 alpha beta gamma suffix7\nsieben acht neun"))
+        .toDF("doc_id", "lang", "text"))
+    val union = batch1.unionByName(b2s)
+    val k = 3
+    def batchPipelineSubstr(corpus: org.apache.spark.sql.DataFrame,
+        model: TextAnalysis.UnigramLm,
+        bounds: org.apache.spark.sql.DataFrame): Map[Long, (String, Double, String)] = {
+      val sx = Dedup.removeDuplicateSpans(
+        Dedup.dedupParagraphs(corpus, "text", "doc_id"), "text", "doc_id", k)
+      val decon = Dedup.decontaminate(sx, evalDf, "text", "doc_id", n = N)
+      val scored = TextAnalysis.lmScoreAgainst(decon, model, "text", "doc_id")
+        .join(decon.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.applyBuckets(scored, bounds, "lm_nll", "lang")
+        .select("doc_id", "lang", "lm_nll", "bucket").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    }
+    // frozen artifacts fit on the SUBSTRING chain's cleaned union
+    val cleanRef = Dedup.decontaminate(
+      Dedup.removeDuplicateSpans(
+        Dedup.dedupParagraphs(union, "text", "doc_id"), "text", "doc_id", k),
+      evalDf, "text", "doc_id", n = N)
+    val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+    val bounds = TextAnalysis.bucketBoundaries(
+      TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id"),
+      "lm_nll", "lang")
+    val want = batchPipelineSubstr(union, model, bounds)
+    // the fixture bites: doc 7 survives but its batch-side text lost
+    // the copied run to the substring stage
+    val sx7 = Dedup.removeDuplicateSpans(
+        Dedup.dedupParagraphs(union, "text", "doc_id"), "text", "doc_id", k)
+      .where(col("doc_id") === 7L).select("text").head().getString(0)
+    assert(sx7 == "prefix7 suffix7 sieben acht neun",
+      s"doc 7 must lose the cross-batch span to the substring stage, got '$sx7'")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_substr_stream")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2s.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, (String, Double, String)]
+    var batches = 0
+    val q = StreamOps.pipelinePretrainPerBatch(stream, evalDf, model, bounds,
+      "text", "doc_id", "lang", n = N,
+      shipLabels = Seq("head", "middle", "tail"),
+      substringK = Some(k)) { (shipped, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toMap == want, s"substring-staged stream ${got.toMap} vs batch $want")
+    assert(got.contains(7L), "doc 7 survives with its excised, re-scored text")
+  }
+
   test("a stream already carrying a scorer output column is refused up front") {
     // the full-row join reserves n_toks/lm_nll/bucket on the input; a
     // collision must refuse at wiring time, not kill the query with an
