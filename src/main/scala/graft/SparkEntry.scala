@@ -605,6 +605,29 @@ object SparkEntry {
       Dedup.semanticDedupByCentroid(emb, ivfFor(s, d, nlist = 8), "vec_id", eps = 0.7)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // §2.3 S × D ORACLED (round 15): the centroid screen EXECUTED AS A
+    // STREAM — the cheapest state in the dedup family: ONE keeper flag
+    // per cell (nlist bits — no vectors, no codes, no hashes), each
+    // batch scoring map-side against the frozen centroid and claiming
+    // unclaimed cells by its min-id ball member. One-file fixture ⇒
+    // one batch ⇒ equals the batch ball rule, sharing the avg-vector
+    // oracle verbatim; the two-batch keeper-carry is spec'd.
+    "semdedup_centroid_stream" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val cent = emb.agg(AvgVector.column(col("embedding")).as("c")).head()
+        .getSeq[Double](0).map(_.toFloat).toArray
+      val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.semanticDedupByCentroidPerBatch(stream, Array(cent),
+        "embedding", "vec_id", eps = 0.7) { (survivors, _) =>
+        buf.synchronized {
+          buf ++= survivors.select("vec_id").collect().map(_.getLong(0))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("vec_id").orderBy(col("vec_id"))
+    }),
     // §2.3 D ORACLED (round 15): the nprobe boundary-recall knob (r14
     // VERDICT #6) at its exact degenerate — TWO FIXED centroids
     // (±e₀: assignment is just the sign of the first component) with
@@ -3048,6 +3071,29 @@ object SparkEntry {
       |      FROM kept GROUP BY doc_id)
       |SELECT doc_id, text FROM r ORDER BY doc_id""".stripMargin
 
+  /** The centroid-screen replay shared by semdedup_centroid_exact and
+    * its streaming twin: avg-vector centroid (cast to float as the
+    * quantizer stores it), cosine-to-centroid ball at ≥ 0.3,
+    * keep-min-id. */
+  private val oracleSqlSemdedupCentroid: String =
+    """WITH cent AS (
+      |  SELECT r.i AS i, CAST(avg(CAST(embedding[r.i] AS DOUBLE)) AS REAL) AS c
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i) GROUP BY r.i),
+      |s AS (
+      |  SELECT e.vec_id,
+      |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS dot,
+      |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(e.embedding[cent.i] AS DOUBLE)) AS na,
+      |         sum(CAST(cent.c AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS nb
+      |  FROM embeddings e, cent GROUP BY e.vec_id),
+      |ball AS (
+      |  SELECT vec_id FROM s
+      |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+      |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.3)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (
+      |  SELECT vec_id FROM ball WHERE vec_id <> (SELECT min(vec_id) FROM ball))
+      |ORDER BY vec_id""".stripMargin
+
   /** The exact SemDeDup replay shared by semdedup_exact and the
     * nprobe = nlist degenerate: global ≥ 0.35 cosine pairs folded to
     * min-id-per-component survivors via the recursive closure (the
@@ -3566,24 +3612,10 @@ object SparkEntry {
       // keep-min-id — every step plain relational arithmetic. The
       // fixture's nearest sim to the 0.3 boundary is >= 1.1e-3 at all
       // three SFs (measured), orders above any float-vs-double noise.
-      "semdedup_centroid_exact" ->
-        """WITH cent AS (
-          |  SELECT r.i AS i, CAST(avg(CAST(embedding[r.i] AS DOUBLE)) AS REAL) AS c
-          |  FROM embeddings CROSS JOIN range(1, 65) AS r(i) GROUP BY r.i),
-          |s AS (
-          |  SELECT e.vec_id,
-          |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS dot,
-          |         sum(CAST(e.embedding[cent.i] AS DOUBLE) * CAST(e.embedding[cent.i] AS DOUBLE)) AS na,
-          |         sum(CAST(cent.c AS DOUBLE) * CAST(cent.c AS DOUBLE)) AS nb
-          |  FROM embeddings e, cent GROUP BY e.vec_id),
-          |ball AS (
-          |  SELECT vec_id FROM s
-          |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
-          |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.3)
-          |SELECT vec_id FROM embeddings
-          |WHERE vec_id NOT IN (
-          |  SELECT vec_id FROM ball WHERE vec_id <> (SELECT min(vec_id) FROM ball))
-          |ORDER BY vec_id""".stripMargin,
+      // Shared by the streaming twin (one-file fixture ⇒ one batch ⇒
+      // the keeper-flag drain equals the batch rule).
+      "semdedup_centroid_exact" -> oracleSqlSemdedupCentroid,
+      "semdedup_centroid_stream" -> oracleSqlSemdedupCentroid,
       "semdedup_stream" -> oracleSqlSemdedupGreedy,
       // the bounded store at its two exact degenerates: cap ≥ corpus
       // (all-exact store) and cap = 0 with a LOSSLESS codebook (all-

@@ -605,6 +605,54 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming CENTROID-SCREEN SemDeDup — the ingest shape of
+    * [[graft.operators.Dedup.semanticDedupByCentroid]], and the
+    * cheapest state in the whole dedup family: ONE flag per cell
+    * ("this cell's ε-ball already has its keeper"), nlist bits total
+    * — no vectors, no codes, no hashes. Each micro-batch assigns
+    * map-side to the FROZEN quantizer, scores cosine-to-own-centroid
+    * against the broadcast centroid table, and a ball member survives
+    * only if its cell has no keeper yet AND it is the batch's min-id
+    * ball member there (first-arrival order replaces id order ACROSS
+    * batches — the family convention, so the drain equals the batch
+    * operator whenever batch ids arrive in order; spec'd two-batch).
+    * Non-ball and null-embedding rows always survive. */
+  def semanticDedupByCentroidPerBatch(
+      docs: DataFrame, // streaming
+      centroidVectors: Array[Array[Float]], // frozen quantizer
+      embCol: String, idCol: String, eps: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IvfIndex
+    require(eps > 0 && eps <= 1,
+      s"eps must be in (0, 1] (ball = cosine >= 1 - eps), got $eps")
+    val keeperCells = scala.collection.mutable.Set.empty[Int]
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cents = centroidVectors.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__cent")
+      val scoredB = IvfIndex.withCentroids(batch, embCol, centroidVectors).indexed
+        .join(broadcast(cents), "cell")
+        .withColumn("__ball", graft.functions.vectors.cosine_similarity(
+          col(embCol), col("__cent")) >= lit(1.0) - lit(eps))
+      // per-cell min id among this batch's ball members in UNCLAIMED
+      // cells — nlist-bounded, broadcast back
+      val claimed = keeperCells.toSeq
+      val newMins = scoredB.where(col("__ball") &&
+          (if (claimed.isEmpty) lit(true) else !col("cell").isin(claimed: _*)))
+        .groupBy("cell").agg(min(col(idCol)).as("__min"))
+      val survivors = scoredB
+        .join(broadcast(newMins), Seq("cell"), "left")
+        .where(!col("__ball") || col(idCol) === col("__min"))
+        .drop("cell", "__cent", "__ball", "__min")
+        .unionByName(batch.where(col(embCol).isNull), allowMissingColumns = true)
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+        .localCheckpoint(true)
+      keeperCells ++= newMins.select("cell").collect().map(_.getInt(0))
+      sink(survivors, batchId)
+    }.start()
+  }
+
   /** The INGEST-TIME pretraining pipeline — the streaming composition
     * of the batch `pipeline_pretrain` chain, every corpus-derived
     * artifact FROZEN so the stream cannot drift under itself:

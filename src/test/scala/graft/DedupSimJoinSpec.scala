@@ -700,6 +700,51 @@ class DedupSimJoinSpec extends AnyFunSuite {
       "fixture must either recover a boundary pair at nprobe = 2 or already see all pairs")
   }
 
+  test("streaming centroid screen: two-batch drain == batch operator; the keeper flag carries") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.agg(graft.functions.AvgVector.column(col("embedding")).as("c"))
+      .head().getSeq[Double](0).map(_.toFloat).toArray
+    val want = Dedup.semanticDedupByCentroid(emb,
+        IvfIndex.withCentroids(emb, "embedding", Array(cent)), "vec_id", eps = 0.7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_centroid_stream")
+    val b1 = emb.where(col("vec_id") < 250)
+    val b2 = emb.where(col("vec_id") >= 250)
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Set.empty[Long]
+    var batches = 0
+    val q = graft.streaming.StreamOps.semanticDedupByCentroidPerBatch(stream,
+      Array(cent), "embedding", "vec_id", eps = 0.7) { (s, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= s.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toSet == want,
+      s"keeper-flag drain must equal the batch ball rule; diff: " +
+        s"${(got.toSet -- want) ++ (want -- got.toSet)}")
+    // the flag CARRIED: the ball spans both halves (the keeper lives
+    // in batch 1, so some batch-2 ball member must have been dropped
+    // against the carried flag, not a batch-2 keeper)
+    val ballIds = emb
+      .join(Seq(cent.toSeq).toDF("__c"), lit(true))
+      .where(graft.functions.vectors.cosine_similarity(
+        col("embedding"), col("__c")) >= lit(0.3))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ballIds.exists(_ < 250) && ballIds.exists(_ >= 250),
+      "fixture must place ball members in BOTH batches or the carry has no teeth")
+  }
+
   test("centroid-screen: ball members collapse to min id, far rows and other cells survive") {
     import graft.operators.IvfIndex
     val dim = 8

@@ -292,6 +292,38 @@ class GuardrailSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ParaBloom.saturationGuard(b, 0.8, 0.7))
   }
 
+  test("bounded SemDeDup store warns ONCE per cell when it crosses exactCapPerCell, naming cap and remedy") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val model = graft.operators.PqIndex.fit(emb, "embedding", m = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_capwarn")
+    emb.where(col("vec_id") < 100).coalesce(1)
+      .write.parquet(dir.resolve("d").toString)
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(dir.resolve("d").toString)
+    // capture the warning: the wrapper prints to System.err
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try {
+      // one cell, cap 1: the first batch has ~dozens of survivors in
+      // that cell, so the cap is crossed in the very first batch
+      val q = graft.streaming.StreamOps.semanticDedupPerBatchBounded(stream,
+        Array(Array.fill(dim)(0f)), model, "embedding", "vec_id", 0.95,
+        exactCapPerCell = 1L) { (_, _) => () }
+      try q.processAllAvailable() finally q.stop()
+    } finally System.setErr(realErr)
+    val err = errBuf.toString
+    assert(err.contains("crossed") && err.contains("exactCapPerCell = 1"),
+      s"cap crossing must warn naming the cap; stderr was:\n$err")
+    assert(err.contains("raise the cap") || err.contains("refit"),
+      s"warning must name a remedy; stderr was:\n$err")
+  }
+
   test("overfed streaming Bloom store refuses mid-stream instead of silently over-dropping") {
     import graft.operators.ParaBloom
     val spark2 = spark
