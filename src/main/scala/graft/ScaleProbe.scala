@@ -1121,6 +1121,98 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Bounded Bloom gram store vs the exact gram frame at ingest:
+    //   sbt "runMain graft.ScaleProbe 1000000 substrbloom"
+    // Base corpus: n docs of 24 globally-unique filler tokens, ids ≡ 3
+    // (mod 10) appending one FIXED 15-token boilerplate tail. Fresh
+    // batch: n NEW docs — ids ≡ 1 (mod 100) fully copy a plain base
+    // source (every gram store-hits ⇒ empty text), ids ≡ 3 (mod 10)
+    // carry the same boilerplate (its 3 pure-bp grams store-hit ⇒
+    // exactly the tail excises — and those n/10 hot occurrences
+    // short-circuit at the store probe, never entering the
+    // batch-internal winner shuffle), everything else byte-identical.
+    // Closed form asserted on the exact path; the Bloom path must be
+    // a one-sided refinement (never excises less, extra excisions
+    // bounded by the design fpp) at a FIXED store size vs the exact
+    // store's 8 B per distinct corpus gram reshuffled into every
+    // batch's semi-join.
+    if (args.contains("substrbloom")) {
+      val k = 13
+      val bp = (1 to 15).map(i => s"bp$i").mkString(" ")
+      require(n % 100 == 0, s"substrbloom wants n % 100 == 0, got $n")
+      def corpus(offset: Long) = {
+        val filler = (0 until 24).map(i => concat(lit("w"), col("id"), lit(s"x$i")))
+        spark.range(n).toDF("__i")
+          .select((col("__i") + offset).as("id"))
+          .select(col("id"), concat_ws(" ", filler: _*).as("__filler"))
+          .select(col("id"),
+            when(pmod(col("id"), lit(10)) === 3,
+              concat(col("__filler"), lit(" " + bp)))
+              .otherwise(col("__filler")).as("text"))
+      }
+      val base = corpus(0).repartition(32).localCheckpoint(true)
+      // fresh id ≡ 1 (mod 100) copies base id (id − n − 1) ≡ 0 (mod
+      // 100) — a plain source, never a boilerplate carrier
+      val src = base.select(col("id").as("__sid"), col("text").as("__srctext"))
+      val fresh = corpus(n)
+        .withColumn("__copyFrom",
+          when(pmod(col("id"), lit(100)) === 1, col("id") - n - 1))
+        .join(src, col("__copyFrom") === col("__sid"), "left")
+        .select(col("id"), coalesce(col("__srctext"), col("text")).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val baseGrams = time("exact gram store build (distinct __gh)") {
+        Dedup.substringGramFrame(base, "text", "id", k).localCheckpoint(true)
+      }
+      val nGrams = baseGrams.count()
+      val outExact = time(f"removeDuplicateSpansAcross ($nGrams%,d-gram exact store)") {
+        Dedup.removeDuplicateSpansAcross(fresh, baseGrams, "text", "id", k)
+          .localCheckpoint(true)
+      }
+      // closed form on the exact path: n/100 full copies come back
+      // empty; changed = those + ALL n/10 carriers (the store holds
+      // the winner, so unlike the batch operator no occurrence wins)
+      val empties = outExact.where(col("text") === "").count()
+      require(empties == n / 100, s"full copies must empty: $empties vs ${n / 100}")
+      val changedExact = outExact.as("o").join(fresh.as("f"), "id")
+        .where(col("o.text") =!= col("f.text")).count()
+      require(changedExact == n / 100 + n / 10,
+        s"changed must be ${n / 100} copies + ${n / 10} carriers, got $changedExact")
+      val fpp = 1e-4
+      val bloom = graft.operators.ParaBloom.create(nGrams, fpp)
+      time("Bloom delta build (absorb base gram hashes)") {
+        bloom.absorb(Dedup.substringGramHashFrame(base, "text", "id", k))
+      }
+      println(f"[scale-probe] exact store ${nGrams * 8 / 1048576}%,d MiB " +
+        f"(8 B × $nGrams%,d grams, grows forever, reshuffles per batch) vs " +
+        f"Bloom ${bloom.sizeBytes / 1048576}%,d MiB FIXED, fill ${bloom.fillRatio}%.4f")
+      val bc = spark.sparkContext.broadcast(bloom.copy())
+      val outBloom = time("removeDuplicateSpansAcrossBloom (broadcast probe)") {
+        Dedup.removeDuplicateSpansAcrossBloom(fresh, bc, "text", "id", k)
+          .localCheckpoint(true)
+      }
+      val both = outExact.select(col("id"), col("text").as("__ex"))
+        .join(outBloom.select(col("id"), col("text").as("__bl")), "id")
+        .localCheckpoint(true)
+      // one-sided: no false negatives ⇒ the Bloom path marks a
+      // SUPERSET of gram positions ⇒ surviving text never longer
+      val longer = both.where(length(col("__bl")) > length(col("__ex"))).count()
+      require(longer == 0, s"Bloom output must never keep more text: $longer rows do")
+      val diffs = both.where(col("__bl") =!= col("__ex")).count()
+      // each diff needs ≥1 false-positive DISTINCT fresh gram (the
+      // probe is a deterministic hash, so every occurrence of one gram
+      // shares one decision); expected FPs = fpp × distinct fresh
+      // grams — allow 4× slack
+      val freshProbes = Dedup.substringGramFrame(fresh, "text", "id", k).count()
+      val bound = math.max(8L, (4 * fpp * freshProbes).toLong)
+      require(diffs <= bound,
+        s"Bloom extra excisions $diffs exceed 4×fpp bound $bound ($freshProbes probes)")
+      println(f"[scale-probe] decisions: $diffs%,d of $n%,d docs differ " +
+        f"(≤ $bound bound from fpp=$fpp over $freshProbes%,d probes); " +
+        "exact-path closed form holds on both")
+      bc.destroy()
+      spark.stop()
+      return
+    }
     // nprobe boundary recall: sbt "runMain graft.ScaleProbe 200000 semdedupnprobe"
     // Cross-cell near-dup pairs are invisible to single-assignment
     // SemDeDup by design; nprobe = 2 pairs each row in its two nearest

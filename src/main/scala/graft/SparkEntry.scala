@@ -1385,17 +1385,27 @@ object SparkEntry {
     // EXACT SUBSTRING stage spliced in at the Lee et al. 2022
     // placement — paragraph dedup → substring excision → 13-gram
     // decontamination → LM scoring → per-language cuts. Five chained
-    // stages, one lazy plan; the oracle splices the substring replay
-    // into the base CTE chain (t tokenizes DD'S reassembled text, sx
-    // feeds every downstream stage), so drift in ANY stage or in the
-    // composition order fails the row.
+    // stages; the oracle splices the substring replay into the base
+    // CTE chain (t tokenizes DD'S reassembled text, sx feeds every
+    // downstream stage), so drift in ANY stage or in the composition
+    // order fails the row. Lazy localCheckpoints cut the three stage
+    // seams a production run materializes anyway (each dedup stage
+    // writes its cleaned corpus before the next reads it):
+    // removeDuplicateSpans consumes its input ~5× (gram agg, hot/cold
+    // mark joins, token re-explode, reassembly join), decontaminate
+    // 2×, and the fit/score/quantile tail re-executes `clean` per
+    // job — un-cut, the paragraph-dedup stage runs 20+× (26.4 s →
+    // cut at sf0.1; the base pipeline_pretrain stays un-cut because
+    // ITS stages are single-pass over a raw scan).
     "pipeline_pretrain_substr" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
       val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+        .localCheckpoint(false)
       val clean = Dedup.decontaminate(sx,
         docs.where(col("doc_id") % 7 === 0), "text", "doc_id", n = 13)
+        .localCheckpoint(false)
       val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
         .join(clean.select(col("doc_id"), col("lang")), "doc_id")
       TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
@@ -1495,9 +1505,13 @@ object SparkEntry {
     // pipeline_pretrain_substr's five-stage replay verbatim.
     "pipeline_pretrain_stream_substr" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // same stage-seam cuts as pipeline_pretrain_substr: un-cut, the
+      // frozen-artifact fits re-execute the dedup→substring lineage
+      // ~10× through cleanRef's one materialization
       val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
       val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+        .localCheckpoint(false)
       val evalSet = docs.where(col("doc_id") % 7 === 0)
       val cleanRef = Dedup.decontaminate(sx, evalSet, "text", "doc_id", n = 13)
         .localCheckpoint(false)
@@ -1515,6 +1529,45 @@ object SparkEntry {
           buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
             .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
         }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
+    }),
+    // §2.3 S × composition (round 15): the substring-staged chain with
+    // the gram store BOUNDED — the fully-bounded deployment shape (the
+    // exact gram store grows 8 B per distinct corpus gram forever and
+    // re-shuffles into every batch's semi-join; the filter is sized
+    // once, probes map-side off a broadcast, saturation-guarded).
+    // Honestly sized it is decision-identical to the exact gram store,
+    // so the drained chain SHARES pipeline_pretrain_substr's
+    // five-stage replay oracle verbatim; the multi-batch carry and the
+    // one-sided undersized story are PretrainStreamSpec's.
+    "pipeline_pretrain_stream_substr_bloom" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
+      val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+        .localCheckpoint(false)
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val cleanRef = Dedup.decontaminate(sx, evalSet, "text", "doc_id", n = 13)
+        .localCheckpoint(false)
+      val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+      val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "lang")
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, String)]
+      val q = StreamOps.pipelinePretrainPerBatch(stream, evalSet, model, bounds,
+        "text", "doc_id", "lang", sep = " the ",
+        substringK = Some(13),
+        substringBloom = Some(graft.operators.ParaBloom.create(1L << 19, 1e-4))) {
+        (shipped, _) =>
+          buf.synchronized {
+            buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+          }
       }
       try q.processAllAvailable() finally q.stop()
       import s.implicits._
@@ -3865,6 +3918,8 @@ object SparkEntry {
       "pipeline_pretrain" -> oracleSqlPipelinePretrain,
       "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
       "pipeline_pretrain_stream_substr" -> oracleSqlPipelinePretrainSubstr,
+      // honestly-sized Bloom gram store ⇒ decision-identical chain
+      "pipeline_pretrain_stream_substr_bloom" -> oracleSqlPipelinePretrainSubstr,
       // the streamed pipeline drains to the identical rows (frozen
       // artifacts == self-fit on the fitting corpus; one-file fixture
       // == one micro-batch) — shared oracle

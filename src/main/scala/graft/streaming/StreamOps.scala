@@ -703,7 +703,20 @@ object StreamOps {
       // the store absorbs the STAGE INPUT's grams (the
       // paragraph-deduped text — the corpus the batch operator's
       // winner rule ranges over), 8 bytes per distinct gram.
-      substringK: Option[Int] = None)(
+      substringK: Option[Int] = None,
+      // the BOUNDED gram store (round 15): when set (requires
+      // substringK), the substring stage runs against this
+      // caller-owned ParaBloom/ParaBloomBank instead of the
+      // accumulated exact gram frame — the exact store grows 8 B per
+      // distinct corpus gram FOREVER and re-shuffles into every
+      // batch's semi-join; the filter is sized once and probes
+      // map-side off a broadcast. Same per-batch protocol as
+      // `bloomStore`: saturation guard at entry, broadcast snapshot
+      // probe, absorb the stage input's gram hashes, post-absorb
+      // re-check after delivery. One-sided at ≤ fpp toward
+      // over-EXCISE (a never-shipped span lost — a recall cost); a
+      // truly duplicated span can never survive.
+      substringBloom: Option[graft.operators.BloomStore] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = docs.sparkSession
@@ -717,6 +730,9 @@ object StreamOps {
     require(clash.isEmpty,
       s"pipelinePretrainPerBatch reserves output column(s) ${clash.mkString(", ")} — " +
         "rename them on the input stream (e.g. a prior scoring pass's columns)")
+    require(substringBloom.isEmpty || substringK.nonEmpty,
+      "substringBloom without substringK — the bounded gram store only exists " +
+        "inside the substring stage; pass substringK to enable it")
     var seen =
       if (hashedStore) Seq.empty[(Long, Long)].toDF("__h1", "__h2")
       else Seq.empty[String].toDF("__para")
@@ -750,8 +766,19 @@ object StreamOps {
       // optional EXACT SUBSTRING stage (round 15) between paragraph
       // dedup and decon — duplicated spans vs the accumulated gram
       // store excise, the store grows by the stage input's grams
-      val excised = substringK match {
-        case Some(k) =>
+      // (bounded Bloom shape when substringBloom is set)
+      val excised = (substringK, substringBloom) match {
+        case (Some(k), Some(store)) =>
+          graft.operators.ParaBloom.saturationGuard(store)
+            .foreach(System.err.println)
+          val bc = spark.sparkContext.broadcast(store.copyStore())
+          val sx = Dedup
+            .removeDuplicateSpansAcrossBloom(cleaned, bc, textCol, idCol, k)
+            .localCheckpoint(true)
+          store.absorb(Dedup.substringGramHashFrame(cleaned, textCol, idCol, k))
+          bc.destroy()
+          sx
+        case (Some(k), None) =>
           val sx = Dedup
             .removeDuplicateSpansAcross(cleaned, seenGrams, textCol, idCol, k)
             .localCheckpoint(true)
@@ -759,7 +786,7 @@ object StreamOps {
             .union(Dedup.substringGramFrame(cleaned, textCol, idCol, k))
             .distinct().localCheckpoint(true)
           sx
-        case None => cleaned
+        case _ => cleaned
       }
       // materialized: decon feeds BOTH the scoring explode and the
       // payload join below — un-cut it would run the gram explode +
@@ -777,6 +804,9 @@ object StreamOps {
         "lm_nll", groupCol, labels, quantizeDp = quantizeDp)
       sink(bucketed.where(col("bucket").isin(shipLabels: _*)), batchId)
       bloomStore.foreach(store =>
+        graft.operators.ParaBloom.saturationGuard(store)
+          .foreach(System.err.println))
+      substringBloom.foreach(store =>
         graft.operators.ParaBloom.saturationGuard(store)
           .foreach(System.err.println))
     }.start()

@@ -189,6 +189,52 @@ class PretrainStreamSpec extends AnyFunSuite {
     assert(batches == 2, s"expected 2 micro-batches, saw $batches")
     assert(got.toMap == want, s"substring-staged stream ${got.toMap} vs batch $want")
     assert(got.contains(7L), "doc 7 survives with its excised, re-scored text")
+
+    // round 15: the SAME two-batch substring chain on the BOUNDED
+    // Bloom gram store — honestly sized, the drain must equal the
+    // exact-store drain decision for decision, INCLUDING doc 7's
+    // cross-batch span excision (which now rides a filter probe, not
+    // a gram-frame semi-join): the fully-bounded chain ships the same
+    // rows
+    val gotBloom = scala.collection.mutable.Map.empty[Long, (String, Double, String)]
+    val s2 = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val q2 = StreamOps.pipelinePretrainPerBatch(s2, evalDf, model, bounds,
+      "text", "doc_id", "lang", n = N,
+      shipLabels = Seq("head", "middle", "tail"),
+      substringK = Some(k),
+      substringBloom = Some(graft.operators.ParaBloom.create(4096, 1e-4))) {
+      (shipped, _) =>
+        gotBloom.synchronized {
+          gotBloom ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+            .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+        }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    assert(gotBloom.toMap == want,
+      s"bloom-gram-store chain ${gotBloom.toMap} vs batch $want")
+  }
+
+  test("substringBloom without substringK is refused at wiring time") {
+    // the bounded gram store only exists inside the substring stage —
+    // silently ignoring it would leave the caller believing their
+    // state is bounded
+    val model = TextAnalysis.fitUnigramLm(batch1, "text")
+    val bounds = TextAnalysis.bucketBoundaries(
+      TextAnalysis.lmScoreAgainst(batch1, model, "text", "doc_id")
+        .join(batch1.select(col("doc_id"), col("lang")), "doc_id"),
+      "lm_nll", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_sbk")
+    batch1.coalesce(1).write.parquet(dir.resolve("b").toString)
+    val stream = spark.readStream.schema(batch1.schema).parquet(s"$dir/*/")
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.pipelinePretrainPerBatch(stream, evalDf, model, bounds,
+        "text", "doc_id", "lang", n = N,
+        substringBloom = Some(graft.operators.ParaBloom.create(64, 0.01))) {
+        (_, _) => ()
+      }
+    }
+    assert(err.getMessage.contains("substringK"))
   }
 
   test("a stream already carrying a scorer output column is refused up front") {
