@@ -1216,21 +1216,32 @@ object Dedup {
       "(k = 1 would delete every repeated word — vocabulary, not duplication)")
     require(hotGramCap >= 2, s"hotGramCap must be >= 2, got $hotGramCap")
     val grams = positionalGramFrame(df, textCol, idCol, k)
+    mergeSpanIslands(markBatchNonWinners(grams, hotGramCap), k)
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The batch-internal winner rule on a positional-gram frame: every
+    * occurrence of a gram seen more than once EXCEPT the
+    * min-(__did, __pos) winner, as marked `(__did, __pos)` rows —
+    * shared by [[duplicateSpans]] and the batch-internal half of both
+    * ingest shapes.
+    *
+    * HOT-GRAM split (r14 VERDICT #5): the enrich join below shuffles
+    * every occurrence of a gram into ONE partition of the __gh key —
+    * a 10M-occurrence boilerplate gram is one straggler task at
+    * corpus scale. Grams past `hotGramCap` occurrences instead mark
+    * through a BROADCAST of their (gram, winner) rows — occurrences
+    * stay in their scan partitions, no key-skewed shuffle — and a
+    * broadcast anti-join keeps them OUT of the cold shuffle so the
+    * skew never reaches it. The hot side is bounded by construction:
+    * at most totalGrams / hotGramCap distinct grams qualify.
+    * Decisions are identical on both paths (same winner rule); the
+    * three dupGrams consumers share one ReusedExchange of the gram
+    * aggregation. ScaleProbe `substrhot` measures the balance. */
+  private def markBatchNonWinners(grams: DataFrame, hotGramCap: Long): DataFrame = {
     val dupGrams = grams.groupBy("__gh")
       .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
       .where(col("__c") > 1)
-    // HOT-GRAM split (r14 VERDICT #5): the enrich join below shuffles
-    // every occurrence of a gram into ONE partition of the __gh key —
-    // a 10M-occurrence boilerplate gram is one straggler task at
-    // corpus scale. Grams past `hotGramCap` occurrences instead mark
-    // through a BROADCAST of their (gram, winner) rows — occurrences
-    // stay in their scan partitions, no key-skewed shuffle — and a
-    // broadcast anti-join keeps them OUT of the cold shuffle so the
-    // skew never reaches it. The hot side is bounded by construction:
-    // at most totalGrams / hotGramCap distinct grams qualify.
-    // Decisions are identical on both paths (same winner rule); the
-    // three dupGrams consumers share one ReusedExchange of the gram
-    // aggregation. ScaleProbe `substrhot` measures the balance.
     val hot = dupGrams.where(col("__c") > hotGramCap)
     val cold = dupGrams.where(col("__c") <= hotGramCap)
     val markedHot = grams.join(broadcast(hot), "__gh")
@@ -1241,8 +1252,7 @@ object Dedup {
       .join(cold, "__gh")
       .where(struct(col("__did"), col("__pos")) =!= col("__w"))
       .select(col("__did"), col("__pos"))
-    mergeSpanIslands(markedHot.unionByName(markedCold), k)
-      .select(col("__did").as(idCol), col("span_start"), col("span_end"))
+    markedHot.unionByName(markedCold)
   }
 
   /** One codegen pass to positional k-gram hashes: `(__did, __pos,
@@ -1354,9 +1364,11 @@ object Dedup {
     * whenever batches arrive in id order (spec'd — the
     * dedupParagraphsAcross convention). */
   def duplicateSpansAcross(freshDf: DataFrame, baseGrams: DataFrame,
-      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+      textCol: String, idCol: String, k: Int = 13,
+      hotGramCap: Long = 1L << 20): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
       "(k = 1 would delete every repeated word — vocabulary, not duplication)")
+    require(hotGramCap >= 2, s"hotGramCap must be >= 2, got $hotGramCap")
     require(baseGrams.columns.contains("__gh"),
       "baseGrams needs the `__gh` column a substringGramFrame produced")
     val grams = positionalGramFrame(freshDf, textCol, idCol, k)
@@ -1365,15 +1377,12 @@ object Dedup {
     // lives in the base corpus)
     val markedVsStore = grams.join(store, Seq("__gh"), "left_semi")
       .select(col("__did"), col("__pos"))
-    // store miss ⇒ the batch-internal winner rule decides
+    // store miss ⇒ the batch-internal winner rule decides (sharing the
+    // batch operator's hot-gram broadcast split — a first-arrival
+    // boilerplate gram is exactly as skewed at ingest as in batch)
     val freshOnly = grams.join(store, Seq("__gh"), "left_anti")
-    val batchDup = freshOnly.groupBy("__gh")
-      .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
-      .where(col("__c") > 1)
-    val markedInBatch = freshOnly.join(batchDup, "__gh")
-      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
-      .select(col("__did"), col("__pos"))
-    mergeSpanIslands(markedVsStore.unionByName(markedInBatch), k)
+    mergeSpanIslands(
+      markedVsStore.unionByName(markBatchNonWinners(freshOnly, hotGramCap)), k)
       .select(col("__did").as(idCol), col("span_start"), col("span_end"))
   }
 
@@ -1382,9 +1391,10 @@ object Dedup {
     * span removed (same reassembly contract — untouched docs stay
     * byte-identical, fully-duplicated docs become empty-text rows). */
   def removeDuplicateSpansAcross(freshDf: DataFrame, baseGrams: DataFrame,
-      textCol: String, idCol: String, k: Int = 13): DataFrame =
+      textCol: String, idCol: String, k: Int = 13,
+      hotGramCap: Long = 1L << 20): DataFrame =
     exciseSpans(freshDf,
-      duplicateSpansAcross(freshDf, baseGrams, textCol, idCol, k),
+      duplicateSpansAcross(freshDf, baseGrams, textCol, idCol, k, hotGramCap),
       textCol, idCol)
 
   /** The gram store as a `(__h1, __h2)` 128-bit frame — the
@@ -1416,24 +1426,24 @@ object Dedup {
     * [[ParaBloomBank]]. */
   def duplicateSpansAcrossBloom[B <: BloomStore](freshDf: DataFrame,
       bloom: org.apache.spark.broadcast.Broadcast[B],
-      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+      textCol: String, idCol: String, k: Int = 13,
+      hotGramCap: Long = 1L << 20): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
       "(k = 1 would delete every repeated word — vocabulary, not duplication)")
+    require(hotGramCap >= 2, s"hotGramCap must be >= 2, got $hotGramCap")
     val seen = udf((h1: Long, h2: Long) => bloom.value.mightContain(h1, h2))
-    // ONE probe per gram occurrence: the flag splits both rules below
+    // ONE probe per gram occurrence: the flag splits both rules below.
+    // A store-hit hot gram never shuffles at all here (the probe is
+    // map-side); a store-MISS hot gram — new boilerplate arriving in
+    // one batch — takes the shared broadcast split below.
     val grams = positionalGramFrame(freshDf, textCol, idCol, k)
       .withColumn("__instore",
         seen(col("__gh"), xxhash64(lit(ParaHashSalt), col("__gh"))))
     val markedVsStore = grams.where(col("__instore"))
       .select(col("__did"), col("__pos"))
     val freshOnly = grams.where(!col("__instore"))
-    val batchDup = freshOnly.groupBy("__gh")
-      .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
-      .where(col("__c") > 1)
-    val markedInBatch = freshOnly.join(batchDup, "__gh")
-      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
-      .select(col("__did"), col("__pos"))
-    mergeSpanIslands(markedVsStore.unionByName(markedInBatch), k)
+    mergeSpanIslands(
+      markedVsStore.unionByName(markBatchNonWinners(freshOnly, hotGramCap)), k)
       .select(col("__did").as(idCol), col("span_start"), col("span_end"))
   }
 
@@ -1441,9 +1451,10 @@ object Dedup {
     * ingest excision ([[removeDuplicateSpansAcross]]'s contract). */
   def removeDuplicateSpansAcrossBloom[B <: BloomStore](freshDf: DataFrame,
       bloom: org.apache.spark.broadcast.Broadcast[B],
-      textCol: String, idCol: String, k: Int = 13): DataFrame =
+      textCol: String, idCol: String, k: Int = 13,
+      hotGramCap: Long = 1L << 20): DataFrame =
     exciseSpans(freshDf,
-      duplicateSpansAcrossBloom(freshDf, bloom, textCol, idCol, k),
+      duplicateSpansAcrossBloom(freshDf, bloom, textCol, idCol, k, hotGramCap),
       textCol, idCol)
 
   /** Incremental SemDeDup — the ingest shape (the

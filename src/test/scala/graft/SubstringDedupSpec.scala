@@ -244,4 +244,37 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(forced == default, "hot path must be decision-identical to the shuffle path")
     assert(default.nonEmpty, "fixture must carry duplicated spans or the test has no teeth")
   }
+
+  test("ingest shapes share the hot-gram split: across + Bloom decisions identical at a forced cap") {
+    // a first-arrival boilerplate gram is exactly as skewed at ingest
+    // as in batch — the store-MISS half must take the same broadcast
+    // path (store-hit occurrences never enter the winner shuffle)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    val store = Dedup.substringGramFrame(base, "text", "doc_id", k = 13)
+      .localCheckpoint()
+    def spansLong(df: org.apache.spark.sql.DataFrame) = spansOf(
+      df.select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long")))
+    val exactDefault = spansLong(
+      Dedup.duplicateSpansAcross(fresh, store, "text", "doc_id", k = 13))
+    val exactForced = spansLong(
+      Dedup.duplicateSpansAcross(fresh, store, "text", "doc_id", k = 13,
+        hotGramCap = 2))
+    assert(exactForced == exactDefault,
+      "across hot path must be decision-identical to the shuffle path")
+    assert(exactDefault.nonEmpty, "fixture must carry cross-half spans")
+    val bloom = graft.operators.ParaBloom.create(1L << 16, 1e-6)
+    bloom.absorb(Dedup.substringGramHashFrame(base, "text", "doc_id", k = 13))
+    val bc = spark.sparkContext.broadcast(bloom)
+    val bloomDefault = spansLong(
+      Dedup.duplicateSpansAcrossBloom(fresh, bc, "text", "doc_id", k = 13))
+    val bloomForced = spansLong(
+      Dedup.duplicateSpansAcrossBloom(fresh, bc, "text", "doc_id", k = 13,
+        hotGramCap = 2))
+    assert(bloomForced == bloomDefault,
+      "Bloom hot path must be decision-identical to the shuffle path")
+    bc.destroy()
+  }
 }
