@@ -1213,6 +1213,62 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // DSIR importance scoring at 1M raw docs:
+    //   sbt "runMain graft.ScaleProbe 1000000 dsir"
+    // Target: n/100 docs over a 1k-token topic vocab. Raw pool: n
+    // docs, ids ≡ 0 (mod 100) topic-voiced (same vocab draw as the
+    // target), the other 99% over a DISJOINT 50k web vocab; 20
+    // deterministic hash-drawn tokens per doc (≈39 features with
+    // bigrams). Measures fit (two map-combined feature shuffles) and
+    // the scoring pass (one broadcast join of the numBuckets-row
+    // ratios + a map-combined per-doc sum — no corpus-scale join),
+    // prints the artifact footprint, and asserts the signal: the
+    // topic-voiced 1% must average ABOVE the web 99% with positive
+    // vs negative means, and resampling must skew toward it.
+    if (args.contains("dsir")) {
+      val buckets = 10000
+      def doc(prefix: String, vocab: Int, salt: Int) = concat_ws(" ",
+        (0 until 20).map(i =>
+          concat(lit(prefix), pmod(xxhash64(col("id"), lit(i + salt)), lit(vocab)))): _*)
+      val target = spark.range(n / 100).toDF("id")
+        .select((col("id") + 3 * n).as("id"))
+        .select(col("id"), doc("a", 1000, 0).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val raw = spark.range(n).toDF("id")
+        .select(col("id"),
+          when(pmod(col("id"), lit(100)) === 0, doc("a", 1000, 7))
+            .otherwise(doc("b", 50000, 7)).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val model = time(f"fitDsir (${n / 100}%,d target + $n%,d raw docs, $buckets buckets)") {
+        TextAnalysis.fitDsir(target, raw, "text", numBuckets = buckets)
+      }
+      println(f"[scale-probe] artifact: ${model.ratios.count()}%,d ratio rows " +
+        f"(≤ $buckets buckets × 16 B — broadcastable at any corpus size); " +
+        f"Nt=${model.nTarget}%,d Nr=${model.nRaw}%,d")
+      val scored = time(f"dsirScoreAgainst ($n%,d docs)") {
+        TextAnalysis.dsirScoreAgainst(raw, model, "text", "id")
+          .localCheckpoint(true)
+      }
+      val sep = scored
+        .withColumn("__topic", pmod(col("id"), lit(100)) === 0)
+        .groupBy("__topic").agg(avg("dsir_logw").as("m"), count(lit(1)).as("c"))
+        .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      println(f"[scale-probe] mean logw: topic ${sep(true)._1}%.3f " +
+        f"(${sep(true)._2}%,d docs) vs web ${sep(false)._1}%.3f (${sep(false)._2}%,d)")
+      require(sep(true)._1 > 0 && sep(false)._1 < 0 && sep(true)._1 > sep(false)._1,
+        s"topic docs must average positive and above the web pool: $sep")
+      val drawn = time(f"dsirResample top-${n / 100}%,d of $n%,d") {
+        TextAnalysis.dsirResample(scored, k = (n / 100).toInt, idCol = "id")
+          .localCheckpoint(true)
+      }
+      val topicDrawn = drawn.where(pmod(col("id"), lit(100)) === 0).count()
+      println(f"[scale-probe] resample drew $topicDrawn%,d topic docs of ${n / 100}%,d " +
+        f"(uniform would draw ~${n / 10000}%,d)")
+      require(topicDrawn > n / 1000,
+        s"resampling must skew hard toward the topic docs: $topicDrawn")
+      spark.stop()
+      return
+    }
     // nprobe boundary recall: sbt "runMain graft.ScaleProbe 200000 semdedupnprobe"
     // Cross-cell near-dup pairs are invisible to single-assignment
     // SemDeDup by design; nprobe = 2 pairs each row in its two nearest

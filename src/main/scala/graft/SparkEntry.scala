@@ -1719,6 +1719,131 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("lm_nll"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 15): DSIR data selection (Xie et al.
+    // 2023) — per-document importance log-weights
+    // log(p_target/p_raw) under add-one-smoothed feature
+    // distributions (unigrams ∪ bigrams), the published
+    // importance-resampling rung between the heuristic filters and
+    // the trained classifier. This row is the EXACT degenerate
+    // (numBuckets = 0: the feature string IS the key — the perfect
+    // hash the bucketing approximates), so DuckDB replays the whole
+    // derivation: both corpora's feature counts, the full-outer
+    // merge, the micro-quantized log ratios, and the per-doc sum
+    // with unseen features at the ct = cr = 0 formula. Target = the
+    // doc_id % 7 = 0 reference split (the decontaminate/frozen-LM
+    // convention); the raw pool scores itself — DSIR's deployment
+    // shape (rank the pool you will resample from).
+    "dsir_score" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 0)
+      TextAnalysis.dsirScoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T rows-only twin: the DEPLOYED hashed shape — the paper's
+    // 10k-bucket feature hashing (xxhash64 mod B has no SQL analog;
+    // the exact row above anchors the arithmetic, DsirSpec pins
+    // hashed == exact on a collision-free fixture and the B = 1
+    // all-collisions closed form of exactly 0). Same splits, same
+    // output shape; at 10k buckets the ratios artifact is ~160 KB —
+    // scoring is one broadcast join, no corpus-scale shuffle but the
+    // per-doc sum.
+    "dsir_score_hashed" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 10000)
+      TextAnalysis.dsirScoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T ORACLED (round 15): DSIR's selection step as the
+    // deterministic top-k baseline (greedy selection — the variant
+    // the paper compares against; the softmax Gumbel draw is
+    // dsir_resample beside it): k highest importance weights with the
+    // id tie-break BOTH engines order by, over the exact-degenerate
+    // scores so the oracle is the score CTE + ORDER BY/LIMIT.
+    "dsir_select_topk" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 0)
+      TextAnalysis.dsirScoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id")
+        .orderBy(desc("dsir_logw"), col("doc_id")).limit(200)
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T rows-only twin: DSIR's published resampling step — k
+    // draws WITHOUT replacement with probability ∝ exp(logw) via the
+    // Gumbel-top-k identity, noise seeded from xxhash64(seed, id) so
+    // a fixed (corpus, seed) resamples identically across runs and
+    // partitionings (never rand()). No SQL analog for the hash-folded
+    // noise; determinism, the ∝-exp(weight) skew, and k-exactness are
+    // DsirSpec's.
+    "dsir_resample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 10000)
+      val scored = TextAnalysis.dsirScoreAgainst(
+        docs.where(col("doc_id") % 7 =!= 0), model, "text", "doc_id")
+      TextAnalysis.dsirResample(scored, k = 200, seed = 7L)
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 S × T ORACLED (round 15): DSIR scoring as a REAL
+    // StreamingQuery — the ingest shape (fit the model once on
+    // (target, raw sample), persist, score every arriving batch
+    // against the frozen B-bounded ratios with zero per-batch model
+    // work). Exercises the save/load round trip; one-file fixture ⇒
+    // one micro-batch ⇒ shares dsir_score's oracle verbatim.
+    "dsir_score_stream" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val fit = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 0)
+      val mPath = java.nio.file.Files
+        .createTempDirectory("graft_dsir_stream").toString
+      TextAnalysis.saveDsir(fit, mPath)
+      val model = TextAnalysis.loadDsir(s, mPath)
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = StreamOps.dsirScorePerBatch(stream, model, "text", "doc_id") {
+        (scored, _) =>
+          buf.synchronized {
+            buf ++= scored.select("doc_id", "n_feats", "dsir_logw").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "n_feats", "dsir_logw").orderBy(col("doc_id"))
+    }),
+    // §2.3 T × composition ORACLED (round 15): DSIR as a PIPELINE
+    // stage — the DCLM-style curation chain with importance-based
+    // selection as the final cut: paragraph dedup → 13-gram
+    // decontamination → DSIR scoring against the held-out reference
+    // split → greedy top-200. The oracle splices the DSIR replay over
+    // the base pipeline's `surv` CTE (raw pool AND scored pool are
+    // the CLEANED corpus — the model must see the text the selection
+    // ranks, not the raw scan), so drift in dedup, decon, the fit, or
+    // the cut fails the row. `clean` is lazily localCheckpointed: the
+    // fit consumes it twice (feature counts + totals) and the scoring
+    // join once more — un-cut, the dedup→decon lineage runs 3×.
+    "pipeline_pretrain_dsir" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ")
+      val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
+        .localCheckpoint(false)
+      val model = TextAnalysis.fitDsir(evalSet, clean, "text", numBuckets = 0)
+      TextAnalysis.dsirScoreAgainst(clean, model, "text", "doc_id")
+        .orderBy(desc("dsir_logw"), col("doc_id")).limit(200)
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T ORACLED (round 13): MODEL-BASED quality filtering — the
     // classifier tier of a modern pretraining pipeline (CCNet/DCLM/
     // FineWeb-Edu train a fastText-shaped model on quality labels and
@@ -3452,6 +3577,27 @@ object SparkEntry {
       .replace(survFromDd, "surv AS (SELECT doc_id, text FROM sx")
   }
 
+  /** [[oracleSqlPipelinePretrain]]'s dedup → decontaminate prefix
+    * (everything up through `surv`) with the DSIR replay spliced over
+    * the cleaned corpus as raw AND scored pool (target = the held-out
+    * reference split), finished by the greedy top-200 cut — the DCLM
+    * curation chain with importance-based selection as its last
+    * stage. */
+  private val oracleSqlPipelinePretrainDsir: String = {
+    val marker = "\ntoks AS (SELECT doc_id, unnest"
+    val i = oracleSqlPipelinePretrain.indexOf(marker)
+    require(i > 0 && oracleSqlPipelinePretrain
+        .substring(0, i).contains("surv AS (SELECT doc_id, text FROM dd"),
+      "base pipeline oracle changed shape — re-derive the DSIR splice")
+    val prefix = oracleSqlPipelinePretrain.substring(0, i) // ends with ','
+    s"""$prefix
+      |${TextAnalysisSql.dsirScoreCtes("doc_id", "text",
+          "documents WHERE doc_id % 7 = 0", "surv", "surv")}
+      |SELECT doc_id, n_feats, dsir_logw FROM (
+      |  SELECT doc_id, n_feats, dsir_logw FROM dsir_scored
+      |  ORDER BY dsir_logw DESC, doc_id LIMIT 200) ORDER BY doc_id""".stripMargin
+  }
+
   /** [[oracleSqlPipelinePretrain]] extended two stages down the Dolma
     * tail: α = 0.5 temperature mixing over the shipped rows (the
     * sampleTemperature algebra — same ascending-domain √-sum fold,
@@ -3853,6 +3999,27 @@ object SparkEntry {
         (TextAnalysisSql.lmScoreFrozenSql("documents", "doc_id", "text",
           "doc_id % 7 = 0", "doc_id % 7 <> 0") +
           "\nORDER BY doc_id"),
+      // DSIR exact degenerate: the whole derivation replayed — both
+      // corpora's (unigram ∪ bigram) feature counts, the full-outer
+      // merge, add-one smoothed micro-quantized log ratios, per-doc
+      // sum with unseen features at ct = cr = 0
+      "dsir_score" ->
+        (TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
+          "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +
+          "\nORDER BY doc_id"),
+      // the stream drains to identical rows (frozen model == the same
+      // fit; one-file fixture == one micro-batch) — shared oracle
+      "dsir_score_stream" ->
+        (TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
+          "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +
+          "\nORDER BY doc_id"),
+      // greedy top-k selection over the exact scores: the score CTE +
+      // the same (weight DESC, id) order both engines sort by
+      "dsir_select_topk" ->
+        ("SELECT doc_id, n_feats, dsir_logw FROM (\n" +
+          TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
+            "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +
+          "\nORDER BY dsir_logw DESC, doc_id LIMIT 200\n) ORDER BY doc_id"),
       // the classifier FIT replayed iteration by iteration (integer-
       // quantized full-batch gradient descent is exact commutative
       // arithmetic in both engines), then frozen-weight scoring; the
@@ -3916,6 +4083,7 @@ object SparkEntry {
       // scores feed the per-language cuts — one CTE pipeline, so the
       // row checks the COMPOSITION, not just each operator
       "pipeline_pretrain" -> oracleSqlPipelinePretrain,
+      "pipeline_pretrain_dsir" -> oracleSqlPipelinePretrainDsir,
       "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
       "pipeline_pretrain_stream_substr" -> oracleSqlPipelinePretrainSubstr,
       // honestly-sized Bloom gram store ⇒ decision-identical chain

@@ -703,6 +703,172 @@ object TextAnalysis {
   }
 
   /**
+   * A FROZEN DSIR importance model (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling") — the published
+   * data-SELECTION rung the quality ladder was missing: given a small
+   * TARGET corpus (the distribution you want more of) and the RAW
+   * pool, estimate per-document importance log-weights
+   * log(p_target(doc)/p_raw(doc)) under hashed n-gram feature
+   * distributions, then resample the pool by those weights. Features
+   * are the paper's: unigrams ∪ adjacent bigrams (space-joined,
+   * lowercase, the pinned [[Ws]] tokenizer), hashed into `numBuckets`
+   * buckets (paper default 10k) — `numBuckets = 0` is the EXACT
+   * degenerate where the feature string itself is the key (a perfect
+   * hash: what the bucketing approximates), fully replayable in SQL
+   * and therefore the oracled gate shape ([[dsirScoreSql]]).
+   *
+   * Arithmetic (both engines replay it bit-for-bit): per feature key
+   * b, `lr_micro(b) = round(1e6·(ln((ct_b+1)/(Nt+B)) −
+   * ln((cr_b+1)/(Nr+B))))` as a long — add-one smoothed bucket
+   * probabilities under each corpus, the [[lmScore]] micro-nat
+   * quantization; a scored doc sums `lr_micro` over its feature
+   * OCCURRENCES (multiplicity counts, per the paper's product of
+   * feature probabilities) with keys unseen at fit taking the same
+   * formula at ct = cr = 0 (`zeroLrMicro`). `ratios` is the
+   * bucket-keyed frame (`__b` long, or `__feat` string when exact);
+   * Nt/Nr are feature-occurrence totals, B the bucket count (exact:
+   * the distinct-feature count of target ∪ raw).
+   *
+   * Scale shape: fit is two map-combined feature shuffles over
+   * corpora that never co-shuffle; the artifact is `numBuckets` rows
+   * (10k ⇒ ~160 KB — always broadcastable), so SCORING is one
+   * broadcast join + a map-side-combined per-doc sum: no
+   * corpus-vs-corpus join anywhere, and a stream scores every batch
+   * against the frozen artifact with zero per-batch model work.
+   */
+  case class DsirModel private[operators] (
+      ratios: org.apache.spark.sql.DataFrame, numBuckets: Int,
+      bEff: Long, nTarget: Long, nRaw: Long, zeroLrMicro: Long) {
+    /** exact (feature-string-keyed) degenerate? */
+    def exact: Boolean = numBuckets == 0
+  }
+
+  /** (id?, `__feat`) feature-occurrence stream: unigrams ∪ adjacent
+    * bigrams (space-joined) — the DSIR feature extractor, shared by
+    * fit and scoring so the two can never tokenize apart. */
+  private def dsirFeatFrame(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val base = df.select(idCols.map(col) :+
+      filter(split(lower(col(textCol)), Ws), t => length(t) > 0).as("__l"): _*)
+    val unis = base.select(idCols.map(col) :+ explode(col("__l")).as("__feat"): _*)
+    val bis = pairFrame(base).select(idCols.map(col) :+
+      concat(col("__prev"), lit(" "), col("__tok")).as("__feat"): _*)
+    unis.unionByName(bis)
+  }
+
+  /** Fit a [[DsirModel]]: one feature count per corpus (map-combined),
+    * a full-outer merge of the two B-bounded count frames, and the
+    * smoothed log-ratio column. The ratios frame localCheckpoint-
+    * materializes at fit (the [[fitUnigramLm]] rationale — fit once,
+    * score many). Refuses an empty target or raw corpus: with zero
+    * feature occurrences the importance ratio is undefined everywhere. */
+  def fitDsir(target: org.apache.spark.sql.DataFrame,
+      raw: org.apache.spark.sql.DataFrame, textCol: String,
+      numBuckets: Int = 10000): DsirModel = {
+    require(numBuckets >= 0,
+      s"numBuckets must be >= 0 (0 = exact feature-keyed degenerate), got $numBuckets")
+    def keyed(df: org.apache.spark.sql.DataFrame) = {
+      val f = dsirFeatFrame(df, textCol, Nil)
+      if (numBuckets == 0) f.select(col("__feat"))
+      else f.select(pmod(xxhash64(col("__feat")), lit(numBuckets.toLong)).as("__b"))
+    }
+    val key = if (numBuckets == 0) "__feat" else "__b"
+    val tc = keyed(target).groupBy(key).agg(count(lit(1)).as("__ct"))
+    val rc = keyed(raw).groupBy(key).agg(count(lit(1)).as("__cr"))
+    val merged = tc.join(rc, Seq(key), "full_outer")
+      .select(col(key), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .localCheckpoint(true)
+    val t = merged.agg(sum("__ct"), sum("__cr"), count(lit(1))).head()
+    val nT = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val nR = if (t.isNullAt(1)) 0L else t.getLong(1)
+    require(nT > 0, "fitDsir needs a non-empty TARGET corpus (0 feature occurrences)")
+    require(nR > 0, "fitDsir needs a non-empty RAW corpus (0 feature occurrences)")
+    val b = if (numBuckets == 0) t.getLong(2) else numBuckets.toLong
+    // the same ((c+1)*1.0/(N+B)) shape on both engines — division
+    // before ln, one rounding of the DIFFERENCE (HALF_UP == DuckDB's
+    // half-away-from-zero on signed values)
+    val ratios = merged.select(col(key),
+        round(lit(1e6) * (log((col("__ct") + 1).cast("double") / lit((nT + b).toDouble))
+          - log((col("__cr") + 1).cast("double") / lit((nR + b).toDouble))))
+          .cast("long").as("__lr_micro"))
+      .localCheckpoint(true)
+    val zero = math.round(1e6 * (math.log(1.0 / (nT + b).toDouble)
+      - math.log(1.0 / (nR + b).toDouble)))
+    DsirModel(ratios, numBuckets, b, nT, nR, zero)
+  }
+
+  /** Per-document DSIR importance log-weight against a FROZEN model:
+    * `dsir_logw = round(Σ lr_micro / 1e6, 6)` over the doc's feature
+    * occurrences plus `n_feats`. Docs with zero tokens are absent
+    * (no features — the [[lmScore]] GROUP BY convention). The ratios
+    * frame broadcasts by default (B-bounded); pass
+    * `broadcastRatios = false` only for an exact model over a vocab
+    * too large to broadcast. */
+  def dsirScoreAgainst(df: org.apache.spark.sql.DataFrame, model: DsirModel,
+      textCol: String, idCol: String, outCol: String = "dsir_logw",
+      broadcastRatios: Boolean = true): org.apache.spark.sql.DataFrame = {
+    requireNoReserved(df, Seq("__feat", "__b", "__l", "__lr_micro"), "dsirScoreAgainst")
+    val feats = dsirFeatFrame(df, textCol, Seq(idCol))
+    val keyedF =
+      if (model.exact) feats
+      else feats.select(col(idCol),
+        pmod(xxhash64(col("__feat")), lit(model.numBuckets.toLong)).as("__b"))
+    val key = if (model.exact) "__feat" else "__b"
+    keyedF.join(
+        if (broadcastRatios) broadcast(model.ratios) else model.ratios,
+        Seq(key), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(coalesce(col("__lr_micro"), lit(model.zeroLrMicro)))
+          .cast("double") / 1e6, 6).as(outCol))
+  }
+
+  /** Persist a [[DsirModel]] (ratios parquet + one-row meta — the
+    * [[saveUnigramLm]] convention: pure data, reloadable anywhere). */
+  def saveDsir(model: DsirModel, path: String): Unit = {
+    val spark = model.ratios.sparkSession
+    import spark.implicits._
+    model.ratios.write.mode("overwrite").parquet(s"$path/ratios")
+    Seq((model.numBuckets, model.bEff, model.nTarget, model.nRaw, model.zeroLrMicro))
+      .toDF("__num_buckets", "__b_eff", "__n_target", "__n_raw", "__zero_lr_micro")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadDsir(spark: org.apache.spark.sql.SparkSession, path: String): DsirModel = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    DsirModel(spark.read.parquet(s"$path/ratios"),
+      m.getAs[Int]("__num_buckets"), m.getAs[Long]("__b_eff"),
+      m.getAs[Long]("__n_target"), m.getAs[Long]("__n_raw"),
+      m.getAs[Long]("__zero_lr_micro"))
+  }
+
+  /** DSIR's resampling step: draw `k` documents WITHOUT replacement
+    * with probability ∝ exp(scoreCol) — the Gumbel-top-k identity
+    * (add independent Gumbel(0,1) noise to each log-weight, keep the
+    * k largest: exactly softmax sampling without replacement), which
+    * distributes as a map-side key + one global top-k instead of any
+    * sequential draw. Noise is the [[splitAssign]] kind of
+    * determinism — seeded `xxhash64(seed, id)` folded to (0,1), never
+    * `rand()` — so a fixed (corpus, seed) resamples identically
+    * across runs, partitionings, and engines. Ties (impossible in
+    * practice) break by id. */
+  def dsirResample(scored: org.apache.spark.sql.DataFrame, k: Int,
+      scoreCol: String = "dsir_logw", idCol: String = "doc_id",
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // 52 mantissa bits of the hash → u ∈ (0,1) exclusive (the +0.5
+    // half-step keeps u away from both endpoints, where ln explodes)
+    val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(1L << 52)).cast("double")
+      + lit(0.5)) / lit((1L << 52).toDouble)
+    scored
+      .withColumn("__gumbel_key", col(scoreCol) - log(-log(u)))
+      .orderBy(desc("__gumbel_key"), col(idCol))
+      .limit(k)
+      .drop("__gumbel_key")
+  }
+
+  /**
    * Temperature-based domain mixing — the multilingual/multi-domain
    * resampling rule (mBERT/XLM-R exponent-smoothed sampling; the
    * static form of DoReMi-style reweighting): domain d with n_d of N
@@ -1413,6 +1579,60 @@ object TextAnalysisSql {
   /** [[TextAnalysis.qualityBuckets]]'s oracle over the lmScore CTEs:
     * same per-(group, score) counts, same windowed cumulative-fraction
     * division of identical integers, same cut boundaries. */
+  /** [[fitDsir]]+[[dsirScoreAgainst]]'s oracle for the EXACT
+    * (`numBuckets = 0`) degenerate: features (unigrams ∪ space-joined
+    * bigrams) counted per corpus, add-one smoothed log ratios
+    * micro-quantized with ONE rounding of the difference, summed per
+    * scored doc with unseen features at the ct = cr = 0 formula —
+    * the same arithmetic shape term for term. */
+  def dsirScoreSql(table: String, id: String, text: String,
+      targetWhere: String, rawWhere: String, scoreWhere: String): String =
+    s"""WITH ${dsirScoreCtes(id, text, s"$table WHERE $targetWhere",
+         s"$table WHERE $rawWhere", s"$table WHERE $scoreWhere")}
+       |SELECT $id, n_feats, dsir_logw FROM dsir_scored""".stripMargin
+
+  /** The CTE list behind [[dsirScoreSql]], with each corpus given as
+    * its own FROM clause (a table + WHERE, or a prior CTE name) so a
+    * pipeline oracle can splice DSIR over an upstream stage's output —
+    * final CTE is `dsir_scored ($id, n_feats, dsir_logw)`. All CTE
+    * names are `dsir_`-prefixed to never clash with a host chain's. */
+  def dsirScoreCtes(id: String, text: String,
+      targetFrom: String, rawFrom: String, scoreFrom: String): String = {
+    val toksOf = (t: String) =>
+      s"list_filter(string_split_regex(lower($t), '$Ws'), x -> len(x) > 0)"
+    def featsOf(src: String, withId: Boolean) = {
+      val idSel = if (withId) s"$id, " else ""
+      s"""SELECT $idSel unnest(l) AS feat FROM $src
+         |  UNION ALL
+         |  SELECT $idSel struct_extract(pr, 1) || ' ' || struct_extract(pr, 2) AS feat
+         |  FROM (SELECT ${idSel}unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+         |        FROM $src WHERE len(l) >= 2)""".stripMargin
+    }
+    s"""dsir_tl AS (SELECT ${toksOf(text)} AS l FROM $targetFrom),
+       |dsir_rl AS (SELECT ${toksOf(text)} AS l FROM $rawFrom),
+       |dsir_tf AS (${featsOf("dsir_tl", withId = false)}),
+       |dsir_rf AS (${featsOf("dsir_rl", withId = false)}),
+       |dsir_tc AS (SELECT feat, count(*) AS ct FROM dsir_tf GROUP BY feat),
+       |dsir_rc AS (SELECT feat, count(*) AS cr FROM dsir_rf GROUP BY feat),
+       |dsir_uni AS (SELECT coalesce(dsir_tc.feat, dsir_rc.feat) AS feat,
+       |               coalesce(dsir_tc.ct, 0) AS ct, coalesce(dsir_rc.cr, 0) AS cr
+       |        FROM dsir_tc FULL OUTER JOIN dsir_rc ON dsir_tc.feat = dsir_rc.feat),
+       |dsir_tot AS (SELECT count(*) AS b, sum(ct) AS nt, sum(cr) AS nr FROM dsir_uni),
+       |dsir_lr AS (SELECT feat,
+       |         CAST(round(1000000.0 * (ln((ct + 1) * 1.0 / (nt + b))
+       |                  - ln((cr + 1) * 1.0 / (nr + b)))) AS BIGINT) AS lrm
+       |       FROM dsir_uni CROSS JOIN dsir_tot),
+       |dsir_zero AS (SELECT CAST(round(1000000.0 * (ln((0 + 1) * 1.0 / (nt + b))
+       |                  - ln((0 + 1) * 1.0 / (nr + b)))) AS BIGINT) AS z FROM dsir_tot),
+       |dsir_sl AS (SELECT $id, ${toksOf(text)} AS l FROM $scoreFrom),
+       |dsir_sf AS (${featsOf("dsir_sl", withId = true)}),
+       |dsir_scored AS (
+       |  SELECT s.$id, count(*) AS n_feats,
+       |         round(sum(coalesce(dsir_lr.lrm, dsir_zero.z)) * 1.0 / 1000000.0, 6) AS dsir_logw
+       |  FROM dsir_sf s LEFT JOIN dsir_lr ON s.feat = dsir_lr.feat CROSS JOIN dsir_zero
+       |  GROUP BY s.$id)""".stripMargin
+  }
+
   def qualityBucketsSql(table: String, id: String, text: String,
       group: String): String =
     s"""WITH ${lmScoreCtes(table, id, text)},

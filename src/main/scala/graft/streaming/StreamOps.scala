@@ -219,6 +219,23 @@ object StreamOps {
         broadcastWeights = broadcastWeights), batchId)
     }.start()
 
+  /** Streaming DSIR importance scoring — each arriving micro-batch
+    * scored against a FROZEN [[graft.operators.TextAnalysis.DsirModel]]
+    * (the deployment shape: fit once on (target, raw-sample), score
+    * the ingest forever; a per-batch refit would change the importance
+    * scale under the stream). foreachBatch because the score is per
+    * document against the static B-bounded ratios broadcast —
+    * per-batch == batch restricted to the batch's rows. */
+  def dsirScorePerBatch(
+      docs: DataFrame, // streaming
+      model: graft.operators.TextAnalysis.DsirModel,
+      textCol: String, idCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.TextAnalysis.dsirScoreAgainst(batch, model,
+        textCol, idCol), batchId)
+    }.start()
+
   /** Streaming paragraph dedup — Dolma's ingest-time paragraph filter
     * made exact and deterministic: each micro-batch is deduped against
     * the paragraphs shipped by ALL previous batches

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** DSIR data selection (Xie et al. 2023): per-document importance
+  * log-weights log(p_target/p_raw) under add-one smoothed (unigram ∪
+  * bigram) feature distributions — the exact (feature-keyed)
+  * degenerate's closed forms, the hashed deployment shape's
+  * collision behavior, the Gumbel-top-k resampler's determinism and
+  * ∝-exp(weight) skew, and the frozen-artifact round trip. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scoresOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    df.select("doc_id", "n_feats", "dsir_logw").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("unseen-vocabulary doc scores exactly n_feats × zeroLr (closed form)") {
+    val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((2L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 0)
+    // target: 3 unigrams + 2 bigrams = 5 occurrences over 5 distinct;
+    // raw: 4 + 3 = 7 over 7 distinct; B = 12, Nt = 5, Nr = 7
+    assert(model.bEff == 12 && model.nTarget == 5 && model.nRaw == 7)
+    val novel = Seq((9L, "one two three")).toDF("doc_id", "text")
+    val got = scoresOf(TextAnalysis.dsirScoreAgainst(novel, model, "text", "doc_id"))
+    val expected = math.rint(5.0 * model.zeroLrMicro / 1e6 * 1e6) / 1e6
+    assert(got(9L)._1 == 5L, "3 unigrams + 2 bigrams")
+    assert(math.abs(got(9L)._2 - expected) < 1e-9,
+      s"all-unseen doc must score n_feats × zeroLr: ${got(9L)._2} vs $expected")
+    // and zeroLr itself: ln(1/(Nt+B)) − ln(1/(Nr+B)) — raw is bigger,
+    // so an unseen feature leans TOWARD target-unlike (negative)
+    assert(model.zeroLrMicro ==
+      math.round(1e6 * (math.log(1.0 / 17) - math.log(1.0 / 19))))
+  }
+
+  test("target-like docs outscore raw-like docs; zero-token docs are absent") {
+    val target = (0L until 20L).map(i => (i, "quantum physics lecture notes"))
+      .toDF("doc_id", "text")
+    val raw = (100L until 120L).map(i => (i, "buy cheap pills online now"))
+      .union(Seq((200L, "quantum physics lecture notes"))).toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 0)
+    val scored = scoresOf(TextAnalysis.dsirScoreAgainst(
+      Seq((1L, "quantum physics lecture notes"),
+        (2L, "buy cheap pills online now"),
+        (3L, "   ")).toDF("doc_id", "text"), model, "text", "doc_id"))
+    assert(scored(1L)._2 > 0 && scored(2L)._2 < 0,
+      s"target-like must be positive, raw-like negative: $scored")
+    assert(scored(1L)._2 > scored(2L)._2)
+    assert(!scored.contains(3L), "a doc with no tokens has no features — absent")
+  }
+
+  test("numBuckets = 1 all-collisions closed form: every score is exactly 0") {
+    // one bucket holds EVERY feature of both corpora: ct = Nt, cr = Nr,
+    // so lr = ln((Nt+1)/(Nt+1)) − ln((Nr+1)/(Nr+1)) = 0 — maximal
+    // collision degrades DSIR to uninformative, never to garbage
+    val target = Seq((1L, "aa bb cc"), (2L, "dd ee")).toDF("doc_id", "text")
+    val raw = Seq((3L, "xx yy zz ww"), (4L, "vv")).toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 1)
+    val got = scoresOf(TextAnalysis.dsirScoreAgainst(
+      Seq((9L, "aa xx new"), (10L, "bb")).toDF("doc_id", "text"),
+      model, "text", "doc_id"))
+    assert(got(9L) == ((5L, 0.0)), s"got ${got(9L)}")
+    assert(got(10L) == ((1L, 0.0)), s"got ${got(10L)}")
+  }
+
+  test("hashed scores are partition-invariant and deterministic") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} tok${i % 13} shared words here"))
+      .toDF("doc_id", "text")
+    val target = docs.where(col("doc_id") % 3 === 0)
+    val raw = docs.where(col("doc_id") % 3 =!= 0)
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 10000)
+    val a = scoresOf(TextAnalysis.dsirScoreAgainst(raw, model, "text", "doc_id"))
+    val b = scoresOf(TextAnalysis.dsirScoreAgainst(raw.repartition(13), model,
+      "text", "doc_id"))
+    assert(a == b, "scores must not depend on partitioning")
+    val model2 = TextAnalysis.fitDsir(target.repartition(7), raw, "text",
+      numBuckets = 10000)
+    val c = scoresOf(TextAnalysis.dsirScoreAgainst(raw, model2, "text", "doc_id"))
+    assert(a == c, "the fit must not depend on partitioning either")
+  }
+
+  test("save/load round trip scores identically (frozen-artifact contract)") {
+    val target = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val raw = Seq((2L, "beta gamma epsilon zeta"), (3L, "eta theta"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_rt").toString
+    TextAnalysis.saveDsir(model, dir)
+    val back = TextAnalysis.loadDsir(spark, dir)
+    assert(back.numBuckets == model.numBuckets && back.bEff == model.bEff &&
+      back.nTarget == model.nTarget && back.nRaw == model.nRaw &&
+      back.zeroLrMicro == model.zeroLrMicro)
+    val a = scoresOf(TextAnalysis.dsirScoreAgainst(raw, model, "text", "doc_id"))
+    val b = scoresOf(TextAnalysis.dsirScoreAgainst(raw, back, "text", "doc_id"))
+    assert(a == b)
+  }
+
+  test("resample: exactly k rows, seed-deterministic, ∝ exp(weight) skew") {
+    val scored = ((0L until 99L).map(i => (i, 10L, -20.0)) :+ ((500L, 10L, 20.0)))
+      .toDF("doc_id", "n_feats", "dsir_logw")
+    val once = TextAnalysis.dsirResample(scored, k = 10, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = TextAnalysis.dsirResample(scored, k = 10, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "same (corpus, seed) must resample identically")
+    assert(once.size == 10)
+    // the +20-logw doc is e^40 more likely than any other — its
+    // exclusion from ANY fixed-seed draw is numerically impossible
+    assert(once.contains(500L), "the overwhelming-weight doc must be drawn")
+    val other = TextAnalysis.dsirResample(scored, k = 10, seed = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once != other, "a different seed draws a different sample")
+    // k ≥ n degenerates to the whole corpus
+    assert(TextAnalysis.dsirResample(scored, k = 1000).count() == 100)
+  }
+
+  test("refusals: empty target, empty raw, negative buckets, reserved columns") {
+    val some = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitDsir(none, some, "text")
+    }.getMessage.contains("TARGET"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitDsir(blank, some, "text")
+    }.getMessage.contains("TARGET"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitDsir(some, none, "text")
+    }.getMessage.contains("RAW"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitDsir(some, some, "text", numBuckets = -1)
+    }.getMessage.contains("numBuckets"))
+    val model = TextAnalysis.fitDsir(some, some, "text")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirScoreAgainst(
+        some.withColumn("__feat", lit("x")), model, "text", "doc_id")
+    }.getMessage.contains("__feat"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirResample(some.withColumn("dsir_logw", lit(0.0)), k = 0)
+    }.getMessage.contains("k must be positive"))
+  }
+
+  test("two-batch stream drain equals the batch score (stateless per-doc contract)") {
+    val target = Seq((100L, "quantum physics lecture notes")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "quantum physics article"), (2L, "cheap pills"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "physics lecture recap"), (4L, "buy now"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, b1.union(b2), "text", numBuckets = 0)
+    val want = scoresOf(TextAnalysis.dsirScoreAgainst(b1.union(b2), model,
+      "text", "doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    var batches = 0
+    val q = graft.streaming.StreamOps.dsirScorePerBatch(stream, model,
+      "text", "doc_id") { (scored, _) =>
+      got.synchronized { got ++= scoresOf(scored); batches += 1 }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toMap == want, s"stream drain ${got.toMap} vs batch $want")
+  }
+}

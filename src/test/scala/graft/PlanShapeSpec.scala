@@ -363,4 +363,25 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("InMemoryTableScan"), s"the cache must be in the plan:\n$p")
     } finally feat.unpersist()
   }
+
+  test("DSIR scoring broadcasts the ratios — the feature stream never shuffles on its key") {
+    import org.apache.spark.sql.functions._
+    // The artifact is numBuckets rows (10k ⇒ ~160 KB) at ANY corpus
+    // size, so scoring must be a broadcast join + the doc-key
+    // aggregation: a feature-key shuffle of the corpus-scale stream
+    // would be the operator's 100-TB bottleneck.
+    val docs = Tables(spark, sf, "documents")
+    val model = graft.operators.TextAnalysis.fitDsir(
+      docs.where(col("doc_id") % 7 === 0), docs.where(col("doc_id") % 7 =!= 0),
+      "text", numBuckets = 10000)
+    val p = graft.operators.TextAnalysis
+      .dsirScoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model, "text", "doc_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("BroadcastHashJoin \\[__b[^\\n]*BuildRight".r.findFirstIn(p).isDefined,
+      s"ratios no longer broadcast under the scoring join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(__b"),
+      s"feature stream shuffles on the bucket key despite broadcast ratios:\n$p")
+    assert(!p.contains("SortMergeJoin [__b"),
+      s"bucket-key sort-merge join crept into the broadcast path:\n$p")
+  }
 }
