@@ -1269,6 +1269,50 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPFHP histogram packing at 10M sequences:
+    //   sbt "runMain graft.ScaleProbe 10000000 packhist"
+    // Realistic length mix at maxLen = 512: a quarter of the corpus
+    // pinned AT capacity (truncated chunks), the rest hash-spread over
+    // [1, 511]. Measures the two bounded fit jobs + the driver loop
+    // (corpus-size-free: it sees 512 histogram rows, never N), the
+    // broadcast rank-arithmetic assignment over all N rows, and the
+    // packing efficiency Σlen / (packs × maxLen) vs the
+    // one-doc-per-pack baseline — asserting zero overflow and zero
+    // dropped rows at scale.
+    if (args.contains("packhist")) {
+      val maxLen = 512
+      val lens = spark.range(n).toDF("id")
+        .select(col("id"),
+          when(pmod(col("id"), lit(4)) === 0, lit(maxLen))
+            .otherwise((pmod(xxhash64(col("id")), lit(maxLen - 1)) + 1).cast("int"))
+            .as("len"))
+        .repartition(32).localCheckpoint(true)
+      val st = time(f"fitPackStrategy ($n%,d lens, maxLen=$maxLen, depth 3)") {
+        TextAnalysis.fitPackStrategy(lens, "len", maxLen, maxPerPack = 3)
+      }
+      println(f"[scale-probe] strategy: ${st.types.size}%,d pack types, " +
+        f"${st.numPacks}%,d packs, ${st.paddingTokens}%,d padding tokens")
+      val out = time(f"packWithStrategy ($n%,d rows)") {
+        TextAnalysis.packWithStrategy(lens, st, "len", "id")
+          .localCheckpoint(true)
+      }
+      val chk = out.groupBy("pack_id").agg(sum("len").as("s")).agg(
+        count(lit(1)), sum(when(col("s") > maxLen, 1L).otherwise(0L)),
+        sum(col("s"))).head()
+      require(out.count() == n, "every row must keep exactly one assignment")
+      require(chk.getLong(1) == 0L, s"${chk.getLong(1)} packs overflowed")
+      require(chk.getLong(0) == st.numPacks,
+        s"assignment realized ${chk.getLong(0)} packs vs strategy ${st.numPacks}")
+      val total = chk.getLong(2).toDouble
+      val eff = total / (st.numPacks.toDouble * maxLen)
+      val effSingleton = total / (n.toDouble * maxLen)
+      println(f"[scale-probe] efficiency: SPFHP $eff%.4f vs one-doc-per-pack " +
+        f"$effSingleton%.4f (concat-chunk is 1.0 but splits docs across windows)")
+      require(eff > 0.95 && eff > effSingleton,
+        s"packing must be near-lossless at this mix: $eff vs singleton $effSingleton")
+      spark.stop()
+      return
+    }
     // nprobe boundary recall: sbt "runMain graft.ScaleProbe 200000 semdedupnprobe"
     // Cross-cell near-dup pairs are invisible to single-assignment
     // SemDeDup by design; nprobe = 2 pairs each row in its two nearest

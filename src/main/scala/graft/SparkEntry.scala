@@ -2601,6 +2601,65 @@ object SparkEntry {
           (col("cum0") % 512).cast("long").as("tok_offset"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 15): SPFHP histogram packing (Kosec, Fu &
+    // Krell 2021) at the EXACT degenerate — every doc forced to one
+    // length, where the shortest-pack-first strategy provably
+    // collapses to floor(maxLen/len)-per-pack and the whole
+    // assignment is pack_id = rank ÷ 4, SQL-replayable arithmetic
+    // (rank = row_number by doc_id). This is the padding-minimizing
+    // layout between pack_shards (token budgets) and pack_sequences
+    // (concat-then-chunk: zero padding but cross-doc truncation) —
+    // docs stay whole, packs never exceed capacity.
+    "pack_hist_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val uni = docs
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__n"))
+        .where(col("__n") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      TextAnalysis.packSequencesHist(uni, "len", "doc_id",
+        maxLen = 64, maxPerPack = 4)
+        .select(col("doc_id"), col("len"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T rows-only twin: the DEPLOYED mixed-length shape — real
+    // token counts through the same strategy + rank arithmetic (the
+    // iterative shortest-pack-first fit has no SQL analog; the exact
+    // row anchors the arithmetic, PackHistSpec pins bulk == the
+    // published one-at-a-time loop, no-overflow, no-drop, depth cap,
+    // and partition invariance)
+    "pack_hist" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val lens = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("int").as("len"))
+        .where(col("len").between(1, 64))
+      TextAnalysis.packSequencesHist(lens, "len", "doc_id",
+        maxLen = 64, maxPerPack = 3)
+        .select(col("doc_id"), col("len"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 S × T ORACLED (round 15): SPFHP packing as a REAL
+    // StreamingQuery — each batch packs independently with a carried
+    // pack-id base (one long of state; batch boundaries are pack
+    // boundaries, the honest streaming trade). One-file fixture ⇒ one
+    // batch at base 0 ⇒ shares pack_hist_exact's oracle verbatim.
+    "pack_hist_stream" -> ((s, d) => {
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__n"),
+          col("text"))
+        .where(col("__n") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      val q = StreamOps.packHistPerBatch(stream, "len", "doc_id",
+        maxLen = 64, maxPerPack = 4) { (packed, _) =>
+        buf.synchronized {
+          buf ++= packed.select("doc_id", "len", "pack_id").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "len", "pack_id").orderBy(col("doc_id"))
+    }),
     // §2.2: semi + anti joins (TPC-H Q4 shape, adapted to the fixture's
     // columns) — EXISTS/NOT EXISTS as left_semi/left_anti, the join
     // types that never widen rows and shuffle only the key columns
@@ -4381,6 +4440,30 @@ object SparkEntry {
            |SELECT doc_id, lang, n_tokens,
            |       cum0 // 512 AS seq_idx, cum0 % 512 AS tok_offset
            |FROM c ORDER BY lang, doc_id""".stripMargin,
+      // SPFHP at the uniform-length degenerate: q = floor(64/10)
+      // capped at maxPerPack 4 ⇒ pack = rank ÷ 4 with the full-quad
+      // type consuming ranks first and the one partial pack landing
+      // at the same ÷-4 index — pure rank arithmetic
+      "pack_hist_exact" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS n
+           |  FROM documents),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+           |      FROM t WHERE n >= 10)
+           |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+           |FROM r ORDER BY doc_id""".stripMargin,
+      // the stream drains to identical rows (one-file fixture ⇒ one
+      // batch at pack base 0) — shared oracle
+      "pack_hist_stream" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS n
+           |  FROM documents),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+           |      FROM t WHERE n >= 10)
+           |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+           |FROM r ORDER BY doc_id""".stripMargin,
       "events_daily_users" ->
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |       count(DISTINCT user_id) AS n_users, count(*) AS n_events

@@ -1155,6 +1155,194 @@ object TextAnalysis {
   }
 
   /**
+   * A histogram-packing STRATEGY (Kosec, Fu & Krell 2021, "Efficient
+   * Sequence Packing without Cross-contamination" — the SPFHP
+   * algorithm): which multisets of sequence lengths share a
+   * fixed-capacity pack, and how many packs of each composition the
+   * corpus needs. The strategy is corpus-DERIVED but tiny (one row
+   * per composition — bounded by `maxStates`, refused past it), so
+   * the corpus-scale assignment is pure broadcast arithmetic
+   * ([[packWithStrategy]]). `types` is in the pinned deterministic
+   * order (descending-lexicographic composition, longer first on
+   * prefix ties) that the assignment replays — reordering it would
+   * change every pack id. */
+  case class PackType(lengths: Vector[Int], count: Long)
+  case class PackStrategy private[operators] (
+      maxLen: Int, maxPerPack: Int, types: Seq[PackType]) {
+    def numPacks: Long = types.map(_.count).sum
+    /** Σ capacity − Σ lengths over all packs — what padding costs. */
+    def paddingTokens: Long =
+      types.map(t => (maxLen - t.lengths.sum).toLong * t.count).sum
+  }
+
+  /** Fit a [[PackStrategy]] by SPFHP over the corpus's length
+    * HISTOGRAM: lengths processed longest-first; each sequence joins
+    * the open pack with the SMALLEST sufficient remaining space
+    * (shortest-pack-first — the published greedy that keeps packs
+    * tight), else opens a new pack; packs close at `maxPerPack`
+    * sequences or when nothing can fit. Processing same-length runs
+    * in bulk on counts is decision-identical to the one-at-a-time
+    * published loop (a fresh pack of remaining r accepts further
+    * `l`-sequences while r ≥ l — exactly the floor(maxLen/l)-per-pack
+    * self-fill the bulk step takes). Deterministic: candidate
+    * selection tie-breaks on the composition key, never on map
+    * iteration order.
+    *
+    * Scale shape: TWO bounded jobs — one global aggregate refusing
+    * lengths outside [1, maxLen] (the caller chunks/truncates FIRST;
+    * a silent truncation here would hide data loss) plus the ≤ maxLen-row
+    * histogram collect — then the driver loop is O(states × lengths),
+    * corpus-size-free. */
+  def fitPackStrategy(df: org.apache.spark.sql.DataFrame, lenCol: String,
+      maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000): PackStrategy = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(maxPerPack >= 1, s"maxPerPack must be >= 1, got $maxPerPack")
+    val mm = df.agg(
+      sum(when(col(lenCol).isNull || col(lenCol) < 1 || col(lenCol) > maxLen,
+        1L).otherwise(0L)), count(lit(1))).head()
+    require(mm.getLong(1) == 0L || mm.getLong(0) == 0L,
+      s"fitPackStrategy: ${mm.getLong(0)} rows with '$lenCol' null or outside " +
+        s"[1, $maxLen] — chunk/truncate before packing (silent truncation here " +
+        "would hide data loss)")
+    val hist = df.groupBy(col(lenCol).cast("int").as("__l"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    // descending-lexicographic composition order, longer first on
+    // prefix ties (lengths ≥ 1 ⇒ the 0-pad sorts after any real entry)
+    def ordKey(comp: Vector[Int]): Vector[Int] =
+      comp.map(-_) ++ Vector.fill(maxPerPack - comp.length)(0)
+    implicit val vecOrd: Ordering[Vector[Int]] =
+      Ordering.Implicits.seqOrdering[Vector, Int]
+    val open = scala.collection.mutable.Map.empty[Vector[Int], Long]
+    val closed = scala.collection.mutable.Map.empty[Vector[Int], Long]
+    def rem(comp: Vector[Int]) = maxLen - comp.sum
+    def put(comp: Vector[Int], n: Long): Unit = {
+      val m = if (comp.length >= maxPerPack || rem(comp) < 1) closed else open
+      m(comp) = m.getOrElse(comp, 0L) + n
+      require(open.size + closed.size <= maxStates,
+        s"fitPackStrategy: more than $maxStates distinct pack compositions — " +
+          "coarsen the length distribution (bucket lengths) or lower maxPerPack")
+    }
+    for ((l, c0) <- hist) {
+      var c = c0
+      while (c > 0) {
+        val fits = open.keys.filter(k => rem(k) >= l)
+        if (fits.isEmpty) {
+          val q = math.min(maxPerPack, maxLen / l)
+          val full = c / q
+          if (full > 0) { put(Vector.fill(q)(l), full); c -= full * q }
+          if (c > 0) { put(Vector.fill(c.toInt)(l), 1L); c = 0 }
+        } else {
+          val best = fits.minBy(k => (rem(k), ordKey(k)))
+          val k = math.min(c, open(best))
+          open(best) -= k
+          if (open(best) == 0L) open.remove(best)
+          put(best :+ l, k)
+          c -= k
+        }
+      }
+    }
+    val types = (open.toSeq ++ closed.toSeq)
+      .groupBy(_._1).map { case (comp, xs) => comp -> xs.map(_._2).sum }
+      .toSeq.sortBy(x => ordKey(x._1))
+      .map { case (comp, n) => PackType(comp, n) }
+    PackStrategy(maxLen, maxPerPack, types)
+  }
+
+  /** Assign every row its pack id under a [[PackStrategy]] — the
+    * corpus-scale half, pure broadcast arithmetic: rows rank within
+    * their length class by `idCol` (the packShards two-level trick —
+    * per-(length, id-bucket) counts, running offsets over the tiny
+    * aggregate frame, row_number only within (length, bucket) — so a
+    * corpus concentrated at one length never funnels through a single
+    * window partition), then a broadcast range join against the
+    * strategy's consumption table maps (length, rank) → pack id:
+    * types consume each length class's ranks contiguously in the
+    * strategy's pinned order, instance j of a type taking its j-th
+    * block of `m` ranks. Output = input + `pack_id`; rows are never
+    * dropped or truncated, Σ lengths ≤ maxLen per pack by
+    * construction (spec'd). */
+  def packWithStrategy(df: org.apache.spark.sql.DataFrame,
+      strategy: PackStrategy, lenCol: String, idCol: String,
+      nBuckets: Int = 256, outCol: String = "pack_id"): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input frame")
+    requireNoReserved(df,
+      Seq("__bk", "__off", "__rnk", "__rlo", "__rhi", "__m", "__pbase"),
+      "packWithStrategy")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric (uniform range bucketing), " +
+        s"got ${df.schema(idCol).dataType.simpleString}")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    // consumption table: for each (type, length) — which rank block of
+    // that length class the type eats, and the per-instance multiplicity
+    val consumption = {
+      val rankOff = scala.collection.mutable.Map.empty[Int, Long]
+      var packBase = 0L
+      val rows = strategy.types.flatMap { t =>
+        val base = packBase
+        packBase += t.count
+        t.lengths.groupBy(identity).toSeq.sortBy(_._1).map { case (l, occ) =>
+          val m = occ.length.toLong
+          val lo = rankOff.getOrElse(l, 0L)
+          rankOff(l) = lo + t.count * m
+          (l, lo, lo + t.count * m - 1, m, base)
+        }
+      }
+      rows.toDF("__l", "__rlo", "__rhi", "__m", "__pbase")
+    }
+    val mm = df.agg(min(col(idCol).cast("double")), max(col(idCol).cast("double")),
+      count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()
+    if (mm.isNullAt(0))
+      return df.withColumn(outCol, lit(null).cast("long")).where(lit(false))
+    require(mm.getLong(4) == mm.getLong(3) && mm.getLong(3) == mm.getLong(2),
+      s"packWithStrategy: id column '$idCol' must be non-null and unique " +
+        "(ranks need a total order)")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bucket =
+      if (nBuckets == 1 || lo == hi) lit(0)
+      else least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col(idCol).cast("double") - lit(lo)) *
+          lit(nBuckets.toDouble / (hi - lo + 1.0))).cast("int")))
+    val tagged = df.withColumn("__bk", bucket)
+    val offsets = tagged.groupBy(col(lenCol).as("__l"), col("__bk"))
+      .agg(count(lit(1)).as("__s"))
+      .withColumn("__off", coalesce(
+        sum(col("__s")).over(Window.partitionBy("__l").orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__l"), col("__bk"), col("__off"))
+    val ranked = tagged
+      .join(broadcast(offsets),
+        tagged(lenCol) === offsets("__l") && tagged("__bk") === offsets("__bk"))
+      .drop(offsets("__l")).drop(offsets("__bk"))
+      .withColumn("__rnk", col("__off") - 1 +
+        row_number().over(Window.partitionBy(col(lenCol), col("__bk"))
+          .orderBy(col(idCol))))
+    ranked
+      .join(broadcast(consumption),
+        ranked(lenCol) === consumption("__l") &&
+          col("__rnk").between(col("__rlo"), col("__rhi")))
+      .withColumn(outCol,
+        col("__pbase") + floor((col("__rnk") - col("__rlo")) / col("__m")).cast("long"))
+      .drop("__bk", "__off", "__rnk", "__l", "__rlo", "__rhi", "__m", "__pbase")
+  }
+
+  /** [[fitPackStrategy]] + [[packWithStrategy]]: SPFHP sequence
+    * packing end to end — the padding-minimizing layout between
+    * [[packShards]] (token-budget shard assignment) and the
+    * concat-then-chunk `pack_sequences` layout (zero padding but
+    * cross-document truncation/contamination): every document stays
+    * whole, packs never exceed `maxLen` tokens, and padding is what
+    * the greedy could not fill. */
+  def packSequencesHist(df: org.apache.spark.sql.DataFrame, lenCol: String,
+      idCol: String, maxLen: Int, maxPerPack: Int = 3,
+      outCol: String = "pack_id"): org.apache.spark.sql.DataFrame =
+    packWithStrategy(df, fitPackStrategy(df, lenCol, maxLen, maxPerPack),
+      lenCol, idCol, outCol = outCol)
+
+  /**
    * CCNet quality bucketing — the head/middle/tail split (Wenzek et
    * al. 2020 §4.3: rank each language's documents by LM score, cut
    * the corpus at fixed cumulative fractions; head = best-scoring

@@ -236,6 +236,30 @@ object StreamOps {
         textCol, idCol), batchId)
     }.start()
 
+  /** Streaming SPFHP packing — each arriving micro-batch packs
+    * INDEPENDENTLY (fit the batch's histogram, assign its rows), with
+    * one long of carried state: the running pack-id base, so ids
+    * never collide across batches. Batch boundaries are pack
+    * boundaries — a later batch never back-fills an earlier batch's
+    * padding (the honest streaming trade; per-batch
+    * `PackStrategy.paddingTokens` quantifies what it costs vs one
+    * batch-spanning fit). foreachBatch because the strategy is a
+    * per-corpus driver artifact, not per-key streaming state. */
+  def packHistPerBatch(
+      docs: DataFrame, // streaming
+      lenCol: String, idCol: String,
+      maxLen: Int, maxPerPack: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var packBase = 0L
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.operators.TextAnalysis
+      val st = TextAnalysis.fitPackStrategy(batch, lenCol, maxLen, maxPerPack)
+      sink(TextAnalysis.packWithStrategy(batch, st, lenCol, idCol)
+        .withColumn("pack_id", col("pack_id") + packBase), batchId)
+      packBase += st.numPacks
+    }.start()
+  }
+
   /** Streaming paragraph dedup — Dolma's ingest-time paragraph filter
     * made exact and deterministic: each micro-batch is deduped against
     * the paragraphs shipped by ALL previous batches

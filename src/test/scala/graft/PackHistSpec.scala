@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** SPFHP histogram packing (Kosec, Fu & Krell 2021): documents pack
+  * whole into fixed-capacity sequences — shortest-pack-first greedy
+  * on the length histogram, deterministic pack ids via rank
+  * arithmetic, packs never overflow, rows never drop. */
+class PackHistSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def packsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hand-traced SPFHP strategy: shortest-pack-first, depth cap, deterministic order") {
+    val docs = Seq((1L, 8), (2L, 5), (3L, 5), (4L, 4), (5L, 2), (6L, 2), (7L, 1))
+      .toDF("doc_id", "len")
+    val st = TextAnalysis.fitPackStrategy(docs, "len", maxLen = 10, maxPerPack = 3)
+    // trace: 8 opens [8](rem 2); the two 5s self-fill [5,5] (closed);
+    // 4 opens [4](rem 6); first 2 joins the TIGHTEST fit [8] -> [8,2]
+    // (rem 0, closed); second 2 joins [4] -> [4,2]; 1 joins [4,2] ->
+    // [4,2,1] (depth 3, closed). Pinned descending-lex order:
+    assert(st.types.map(t => (t.lengths, t.count)) ==
+      Seq((Vector(8, 2), 1L), (Vector(5, 5), 1L), (Vector(4, 2, 1), 1L)),
+      s"got ${st.types}")
+    assert(st.numPacks == 3 && st.paddingTokens == 3)
+    // assignment replays the same order: rank-within-length arithmetic
+    val got = packsOf(TextAnalysis.packWithStrategy(docs, st, "len", "doc_id"))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 0L, 6L -> 2L, 7L -> 2L), s"got $got")
+  }
+
+  test("bulk histogram loop is decision-identical to the published one-at-a-time SPFHP") {
+    // reference: the paper's loop, one sequence at a time
+    def reference(lens: Seq[Int], maxLen: Int, maxPerPack: Int): Map[Vector[Int], Long] = {
+      val open = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+      val done = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+      for (l <- lens.sorted(Ordering.Int.reverse)) {
+        val fits = open.zipWithIndex.filter { case (p, _) => maxLen - p.sum >= l }
+        if (fits.isEmpty) open += Vector(l)
+        else {
+          // smallest remaining space; composition tie-break like the operator
+          implicit val vecOrd: Ordering[Vector[Int]] =
+            Ordering.Implicits.seqOrdering[Vector, Int]
+          val i = fits.minBy { case (p, _) =>
+            (maxLen - p.sum,
+              p.map(x => -x) ++ Vector.fill(maxPerPack - p.length)(0)) }._2
+          open(i) = open(i) :+ l
+        }
+        val (full, rest) = open.partition(p =>
+          p.length >= maxPerPack || maxLen - p.sum < 1)
+        done ++= full
+        open.clear(); open ++= rest
+      }
+      (done ++ open).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val rnd = new scala.util.Random(7)
+    val lens = Seq.fill(400)(1 + rnd.nextInt(64))
+    val want = reference(lens, maxLen = 64, maxPerPack = 3)
+    val st = TextAnalysis.fitPackStrategy(
+      lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "len"),
+      "len", maxLen = 64, maxPerPack = 3)
+    assert(st.types.map(t => t.lengths -> t.count).toMap == want,
+      s"bulk strategy diverged from the one-at-a-time reference")
+  }
+
+  test("uniform-length degenerate: pack_id == rank / floor(maxLen/len) closed form") {
+    val docs = (0L until 37L).map(i => (i * 3 + 1, 10)).toDF("doc_id", "len")
+    val out = TextAnalysis.packSequencesHist(docs, "len", "doc_id",
+      maxLen = 64, maxPerPack = 4)
+    val got = packsOf(out)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    ids.zipWithIndex.foreach { case (id, rank) =>
+      assert(got(id) == rank / 4, s"doc $id rank $rank: ${got(id)}")
+    }
+  }
+
+  test("invariants on the fixture corpus: no overflow, no drops, depth cap, determinism") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("int").as("len"))
+      .where(col("len").between(1, 64))
+    val n = docs.count()
+    val out = TextAnalysis.packSequencesHist(docs, "len", "doc_id",
+      maxLen = 64, maxPerPack = 3).localCheckpoint()
+    assert(out.count() == n, "every row keeps exactly one pack assignment")
+    val perPack = out.groupBy("pack_id")
+      .agg(sum("len").as("s"), count(lit(1)).as("c"))
+    assert(perPack.where(col("s") > 64).count() == 0, "a pack overflowed maxLen")
+    assert(perPack.where(col("c") > 3).count() == 0, "a pack exceeded maxPerPack")
+    val st = TextAnalysis.fitPackStrategy(docs, "len", maxLen = 64, maxPerPack = 3)
+    assert(perPack.count() == st.numPacks, "assignment must realize the strategy")
+    val again = packsOf(TextAnalysis.packSequencesHist(docs.repartition(13),
+      "len", "doc_id", maxLen = 64, maxPerPack = 3))
+    assert(packsOf(out) == again, "pack ids must not depend on partitioning")
+  }
+
+  test("refusals: out-of-range lengths, duplicate ids, output clash, state cap") {
+    val ok = Seq((1L, 5), (2L, 6)).toDF("doc_id", "len")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitPackStrategy(Seq((1L, 70)).toDF("doc_id", "len"), "len",
+        maxLen = 64)
+    }.getMessage.contains("chunk/truncate"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitPackStrategy(Seq((1L, 0)).toDF("doc_id", "len"), "len",
+        maxLen = 64)
+    }.getMessage.contains("chunk/truncate"))
+    val st = TextAnalysis.fitPackStrategy(ok, "len", maxLen = 64)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((1L, 5), (1L, 6)).toDF("doc_id", "len"), st, "len", "doc_id").count()
+    }.getMessage.contains("unique"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(ok.withColumn("pack_id", lit(0L)), st,
+        "len", "doc_id")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitPackStrategy(
+        (1 to 40).map(i => (i.toLong, i)).toDF("doc_id", "len"), "len",
+        maxLen = 64, maxPerPack = 3, maxStates = 2)
+    }.getMessage.contains("maxStates") ||
+      intercept[IllegalArgumentException] {
+        TextAnalysis.fitPackStrategy(
+          (1 to 40).map(i => (i.toLong, i)).toDF("doc_id", "len"), "len",
+          maxLen = 64, maxPerPack = 3, maxStates = 2)
+      }.getMessage.contains("compositions"))
+  }
+
+  test("two-batch stream: each batch packs independently, pack ids never collide") {
+    val b1 = Seq((1L, 30), (2L, 30), (3L, 20)).toDF("doc_id", "len")
+    val b2 = Seq((10L, 40), (11L, 20), (12L, 9)).toDF("doc_id", "len")
+    val dir = java.nio.file.Files.createTempDirectory("graft_packhist_stream")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = graft.streaming.StreamOps.packHistPerBatch(stream, "len", "doc_id",
+      maxLen = 64, maxPerPack = 3) { (packed, _) =>
+      got.synchronized { got ++= packsOf(packed) }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(got.size == 6, s"every row packed exactly once: $got")
+    // batch-local correctness: each batch's assignment equals the
+    // batch operator's, shifted by the carried base
+    val w1 = packsOf(TextAnalysis.packSequencesHist(b1, "len", "doc_id",
+      maxLen = 64, maxPerPack = 3))
+    val n1 = w1.values.max + 1
+    val w2 = packsOf(TextAnalysis.packSequencesHist(b2, "len", "doc_id",
+      maxLen = 64, maxPerPack = 3))
+    val want = w1 ++ w2.map { case (id, p) => id -> (p + n1) }
+    assert(got.toMap == want, s"stream $got vs shifted batch $want")
+    // and the carried base means NO cross-batch pack id collisions
+    assert(Set(got(1L), got(2L), got(3L)).intersect(
+      Set(got(10L), got(11L), got(12L))).isEmpty)
+  }
+
+  test("padding accounting: strategy paddingTokens == packs × maxLen − Σ lengths") {
+    val docs = Seq((1L, 30), (2L, 30), (3L, 20), (4L, 9)).toDF("doc_id", "len")
+    val st = TextAnalysis.fitPackStrategy(docs, "len", maxLen = 64, maxPerPack = 3)
+    assert(st.paddingTokens == st.numPacks * 64 - (30 + 30 + 20 + 9))
+    // vs concat-then-chunk: zero padding but the 89 tokens span two
+    // 64-token windows with doc 2 SPLIT across them — the trade this
+    // operator exists to avoid (every doc stays whole here)
+    assert(st.types.forall(_.lengths.sum <= 64))
+  }
+}

@@ -364,6 +364,31 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally feat.unpersist()
   }
 
+  test("SPFHP assignment: broadcast offsets + broadcast strategy, no length-only shuffle") {
+    import org.apache.spark.sql.functions._
+    // the rank pass may exchange on (len, bucket) — bounded skew by
+    // construction — but never on the bare length key (a corpus
+    // concentrated at maxLen would funnel one partition), and both
+    // small tables must reach the corpus via broadcast
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("int").as("len"))
+      .where(col("len").between(1, 64))
+    val st = graft.operators.TextAnalysis.fitPackStrategy(docs, "len",
+      maxLen = 64, maxPerPack = 3)
+    val p = graft.operators.TextAnalysis.packWithStrategy(docs, st, "len", "doc_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastExchange"),
+      s"offsets/strategy no longer broadcast:\n$p")
+    // bare form = hashpartitioning(len#N, <numPartitions>); the
+    // legitimate rank exchange carries the bucket: (len#N, __bk#M, …)
+    assert("Exchange hashpartitioning\\(len#\\d+, \\d+\\)".r.findFirstIn(p).isEmpty,
+      s"a bare length-key exchange crept in (skew funnel at uniform corpora):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into the broadcast assignment:\n$p")
+  }
+
   test("DSIR scoring broadcasts the ratios — the feature stream never shuffles on its key") {
     import org.apache.spark.sql.functions._
     // The artifact is numBuckets rows (10k ⇒ ~160 KB) at ANY corpus
