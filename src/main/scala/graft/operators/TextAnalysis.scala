@@ -793,8 +793,13 @@ object TextAnalysis {
           - log((col("__cr") + 1).cast("double") / lit((nR + b).toDouble))))
           .cast("long").as("__lr_micro"))
       .localCheckpoint(true)
-    val zero = math.round(1e6 * (math.log(1.0 / (nT + b).toDouble)
-      - math.log(1.0 / (nR + b).toDouble)))
+    // HALF_UP (= half-away-from-zero, what Spark's round and DuckDB's
+    // round both do on SIGNED values), NOT math.round (floor(x+0.5),
+    // which pulls negative halves toward +∞ — zeroLr is negative
+    // whenever the target corpus outweighs the raw pool)
+    val zero = BigDecimal(1e6 * (math.log(1.0 / (nT + b).toDouble)
+        - math.log(1.0 / (nR + b).toDouble)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     DsirModel(ratios, numBuckets, b, nT, nR, zero)
   }
 
@@ -1198,12 +1203,14 @@ object TextAnalysis {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     require(maxPerPack >= 1, s"maxPerPack must be >= 1, got $maxPerPack")
     val mm = df.agg(
-      sum(when(col(lenCol).isNull || col(lenCol) < 1 || col(lenCol) > maxLen,
+      sum(when(col(lenCol).isNull || col(lenCol) < 1 || col(lenCol) > maxLen ||
+        col(lenCol).cast("double") =!= col(lenCol).cast("int").cast("double"),
         1L).otherwise(0L)), count(lit(1))).head()
     require(mm.getLong(1) == 0L || mm.getLong(0) == 0L,
-      s"fitPackStrategy: ${mm.getLong(0)} rows with '$lenCol' null or outside " +
-        s"[1, $maxLen] — chunk/truncate before packing (silent truncation here " +
-        "would hide data loss)")
+      s"fitPackStrategy: ${mm.getLong(0)} rows with '$lenCol' null, non-integral, " +
+        s"or outside [1, $maxLen] — chunk/truncate before packing (silent " +
+        "truncation here would hide data loss, and a fractional length would " +
+        "silently miss the integer strategy key at assignment)")
     val hist = df.groupBy(col(lenCol).cast("int").as("__l"))
       .agg(count(lit(1)).as("__c")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
@@ -1294,12 +1301,30 @@ object TextAnalysis {
       rows.toDF("__l", "__rlo", "__rhi", "__m", "__pbase")
     }
     val mm = df.agg(min(col(idCol).cast("double")), max(col(idCol).cast("double")),
-      count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()
+      count(lit(1)), count(col(idCol)), countDistinct(col(idCol)),
+      // the assignment joins the RAW length value against the integer
+      // strategy key — a null/fractional/out-of-range length would
+      // silently match nothing and drop the row (the never-drop
+      // contract), so refuse here too, not only at fit
+      sum(when(col(lenCol).isNull || col(lenCol) < 1 ||
+        col(lenCol) > strategy.maxLen ||
+        col(lenCol).cast("double") =!= col(lenCol).cast("int").cast("double"),
+        1L).otherwise(0L))).head()
+    // distinguish EMPTY (fine: nothing to pack) from ALL-NULL ids
+    // (refuse — the empty early-return must not swallow the non-null
+    // precondition and silently drop a whole frame/micro-batch)
+    require(!mm.isNullAt(0) || mm.getLong(2) == 0L,
+      s"packWithStrategy: id column '$idCol' is NULL on every row " +
+        "(ranks need a total order)")
     if (mm.isNullAt(0))
       return df.withColumn(outCol, lit(null).cast("long")).where(lit(false))
     require(mm.getLong(4) == mm.getLong(3) && mm.getLong(3) == mm.getLong(2),
       s"packWithStrategy: id column '$idCol' must be non-null and unique " +
         "(ranks need a total order)")
+    require(mm.getLong(5) == 0L,
+      s"packWithStrategy: ${mm.getLong(5)} rows with '$lenCol' null, " +
+        s"non-integral, or outside [1, ${strategy.maxLen}] — such a row would " +
+        "silently miss the strategy's integer length key and vanish")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val bucket =
       if (nBuckets == 1 || lo == hi) lit(0)

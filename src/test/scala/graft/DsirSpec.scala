@@ -35,7 +35,8 @@ class DsirSpec extends AnyFunSuite {
     // and zeroLr itself: ln(1/(Nt+B)) − ln(1/(Nr+B)) — raw is bigger,
     // so an unseen feature leans TOWARD target-unlike (negative)
     assert(model.zeroLrMicro ==
-      math.round(1e6 * (math.log(1.0 / 17) - math.log(1.0 / 19))))
+      BigDecimal(1e6 * (math.log(1.0 / 17) - math.log(1.0 / 19)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
   }
 
   test("target-like docs outscore raw-like docs; zero-token docs are absent") {

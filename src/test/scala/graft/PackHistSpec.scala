@@ -109,7 +109,25 @@ class PackHistSpec extends AnyFunSuite {
       TextAnalysis.fitPackStrategy(Seq((1L, 0)).toDF("doc_id", "len"), "len",
         maxLen = 64)
     }.getMessage.contains("chunk/truncate"))
+    // fractional lengths refuse at FIT (they'd truncate into the
+    // histogram) and at ASSIGNMENT (they'd miss the integer strategy
+    // key and silently vanish — the never-drop contract)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitPackStrategy(Seq((1L, 10.5)).toDF("doc_id", "len"), "len",
+        maxLen = 64)
+    }.getMessage.contains("non-integral"))
     val st = TextAnalysis.fitPackStrategy(ok, "len", maxLen = 64)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((1L, 10.5)).toDF("doc_id", "len"), st, "len", "doc_id")
+    }.getMessage.contains("vanish"))
+    // a non-empty frame whose ids are ALL NULL must refuse, never
+    // silently return the empty frame (the packShards guard)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((null.asInstanceOf[java.lang.Long], 5)).toDF("doc_id", "len"),
+        st, "len", "doc_id")
+    }.getMessage.contains("NULL on every row"))
     assert(intercept[IllegalArgumentException] {
       TextAnalysis.packWithStrategy(
         Seq((1L, 5), (1L, 6)).toDF("doc_id", "len"), st, "len", "doc_id").count()
@@ -136,6 +154,12 @@ class PackHistSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_packhist_stream")
     b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
     b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    // pin file mtimes so the file source's batch ORDER is b1 then b2
+    // (equal-millisecond writes would make the carried-base expectation
+    // flaky — the PretrainStreamSpec convention)
+    for ((sub, ts) <- Seq("b1" -> 1000000L, "b2" -> 2000000L);
+         f <- dir.resolve(sub).toFile.listFiles if f.getName.endsWith(".parquet"))
+      f.setLastModified(ts)
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
     val got = scala.collection.mutable.Map.empty[Long, Long]
