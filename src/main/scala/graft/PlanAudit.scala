@@ -20,7 +20,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val audited = Seq("nearest_cosine", "simjoin_knn", "q3_join", "q5_join",
-      "keyword_search", "dedup_jaccard", "neardup_embedding", "events_hourly")
+      "keyword_search", "dedup_jaccard", "neardup_embedding", "events_hourly",
+      "dsir_score_hashed", "pack_hist")
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.count() // materialize so AQE finalizes and codegen ids appear
