@@ -1363,9 +1363,16 @@ object TextAnalysis {
     * the greedy could not fill. */
   def packSequencesHist(df: org.apache.spark.sql.DataFrame, lenCol: String,
       idCol: String, maxLen: Int, maxPerPack: Int = 3,
-      outCol: String = "pack_id"): org.apache.spark.sql.DataFrame =
-    packWithStrategy(df, fitPackStrategy(df, lenCol, maxLen, maxPerPack),
+      outCol: String = "pack_id"): org.apache.spark.sql.DataFrame = {
+    // fit (range agg + histogram) and assignment (id agg + offsets +
+    // ranked join) together execute the input ~5× — cut the lineage
+    // once here (lazy: first consumer materializes), the pipeline
+    // seam-cut convention; callers composing fit and assignment
+    // themselves pass an already-materialized frame instead
+    val cut = df.localCheckpoint(false)
+    packWithStrategy(cut, fitPackStrategy(cut, lenCol, maxLen, maxPerPack),
       lenCol, idCol, outCol = outCol)
+  }
 
   /**
    * CCNet quality bucketing — the head/middle/tail split (Wenzek et
