@@ -1381,6 +1381,27 @@ object SparkEntry {
       val (_, _, _, shipped) = pretrainChain(s, d)
       shipped().orderBy(col("doc_id"))
     }),
+    // §2.3 T × composition ORACLED (round 15): the curation chain's
+    // OUTPUT laid out for training — the shipped head+middle docs
+    // flow into SPFHP packing at the uniform-length degenerate
+    // (every shipped doc with ≥ 10 tokens packs its first-10-token
+    // slice; uniform ⇒ the strategy provably collapses to rank ÷ 4),
+    // so the ENTIRE composition — dedup → decon → score → cut → pack
+    // — replays in one CTE chain: the packing consumes exactly the
+    // chain's survivors (their CLEANED text tokenizes the length),
+    // and drift in any upstream stage moves the rank arithmetic.
+    "pipeline_pretrain_pack_hist" -> ((s, d) => {
+      val (_, _, clean, shipped) = pretrainChain(s, d)
+      val lens = shipped().select("doc_id")
+        .join(clean.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__n"))
+        .where(col("__n") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      TextAnalysis.packSequencesHist(lens, "len", "doc_id",
+        maxLen = 64, maxPerPack = 4)
+        .select(col("doc_id"), col("len"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T × composition ORACLED (round 15): the pipeline with the
     // EXACT SUBSTRING stage spliced in at the Lee et al. 2022
     // placement — paragraph dedup → substring excision → 13-gram
@@ -3657,6 +3678,30 @@ object SparkEntry {
       |  ORDER BY dsir_logw DESC, doc_id LIMIT 200) ORDER BY doc_id""".stripMargin
   }
 
+  /** [[oracleSqlPipelinePretrain]] extended one stage sideways: the
+    * shipped rows' CLEANED text (the `surv` CTE — what actually
+    * ships) tokenizes a uniform first-10-token slice, and the SPFHP
+    * uniform degenerate packs it by pure rank arithmetic. The whole
+    * five-stage composition replays in one chain. */
+  private val oracleSqlPipelinePretrainPackHist: String = {
+    val ctes = oracleSqlPipelinePretrain
+      .stripSuffix("""
+      |SELECT doc_id, lang, lm_nll, bucket FROM lab
+      |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin)
+    require(ctes.length < oracleSqlPipelinePretrain.length,
+      "base pipeline oracle changed shape — re-derive the pack-hist splice")
+    s"""$ctes,
+      |phship AS (SELECT doc_id FROM lab WHERE bucket <> 'tail'),
+      |pht AS (SELECT s.doc_id,
+      |               len(list_filter(string_split_regex(lower(v.text), '$Ws'),
+      |                               x -> len(x) > 0)) AS n
+      |        FROM phship s JOIN surv v USING (doc_id)),
+      |phr AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+      |        FROM pht WHERE n >= 10)
+      |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+      |FROM phr ORDER BY doc_id""".stripMargin
+  }
+
   /** [[oracleSqlPipelinePretrain]] extended two stages down the Dolma
     * tail: α = 0.5 temperature mixing over the shipped rows (the
     * sampleTemperature algebra — same ascending-domain √-sum fold,
@@ -4143,6 +4188,7 @@ object SparkEntry {
       // row checks the COMPOSITION, not just each operator
       "pipeline_pretrain" -> oracleSqlPipelinePretrain,
       "pipeline_pretrain_dsir" -> oracleSqlPipelinePretrainDsir,
+      "pipeline_pretrain_pack_hist" -> oracleSqlPipelinePretrainPackHist,
       "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
       "pipeline_pretrain_stream_substr" -> oracleSqlPipelinePretrainSubstr,
       // honestly-sized Bloom gram store ⇒ decision-identical chain
