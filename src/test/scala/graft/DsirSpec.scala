@@ -39,6 +39,26 @@ class DsirSpec extends AnyFunSuite {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
   }
 
+  test("zeroLr on a target-heavier-than-raw fit matches Spark's in-plan rounding (negative HALF_UP)") {
+    // when the target corpus outweighs the raw pool, zeroLr is
+    // NEGATIVE; math.round (floor(x+0.5)) pulls negative halves
+    // toward +∞ while the ratios column and the DuckDB oracle round
+    // half-AWAY-from-zero — pin the driver constant to the same
+    // arithmetic Spark's round produces in-plan
+    val target = (0L until 40L).map(i => (i, s"t${i % 9} u${i % 5} v${i % 3}"))
+      .toDF("doc_id", "text")
+    val raw = Seq((100L, "w x")).toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 0)
+    assert(model.nTarget > model.nRaw && model.zeroLrMicro < 0,
+      s"fixture must exercise the negative branch: $model")
+    val inPlan = spark.range(1)
+      .select(round(lit(1e6) * (log(lit(1.0) / lit((model.nTarget + model.bEff).toDouble))
+        - log(lit(1.0) / lit((model.nRaw + model.bEff).toDouble))))
+        .cast("long")).head().getLong(0)
+    assert(model.zeroLrMicro == inPlan,
+      s"driver zeroLr ${model.zeroLrMicro} != Spark in-plan round $inPlan")
+  }
+
   test("target-like docs outscore raw-like docs; zero-token docs are absent") {
     val target = (0L until 20L).map(i => (i, "quantum physics lecture notes"))
       .toDF("doc_id", "text")
