@@ -1434,6 +1434,97 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 D × composition ORACLED (round 16, r15 VERDICT #1): the
+    // pipeline with the SEMANTIC tier spliced in at the Dolma/DCLM
+    // placement — paragraph dedup → substring excision → CENTROID-
+    // SCREEN SemDeDup → decontamination → LM scoring → per-language
+    // cuts. Six chained stages at the centroid screen's exact
+    // degenerate (one cell whose centroid is the corpus-mean
+    // avg_vector, ball = cosine ≥ 0.3): the docs stream carries text,
+    // so the stage joins the embeddings side table on doc_id = vec_id
+    // (LEFT join — docs without a vector are un-screenable and
+    // survive, the null-embedding rule) and collapses the ball to its
+    // MIN-ID SURVIVOR OF THE UPSTREAM STAGES — the composition
+    // coupling: a drift in paragraph/substring dedup changes which
+    // doc anchors the ball, so the oracle replays the whole chain.
+    "pipeline_pretrain_semdedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      // same stage-seam cuts as pipeline_pretrain_substr (each dedup
+      // stage's output feeds several downstream jobs)
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
+      val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+        .localCheckpoint(false)
+      val emb = Tables(s, d, "embeddings")
+      val cent = emb.agg(AvgVector.column(col("embedding")).as("c")).head()
+        .getSeq[Double](0).map(_.toFloat).toArray
+      val withEmb = sx.join(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      val sd = Dedup.semanticDedupByCentroid(withEmb,
+          IvfIndex.withCentroids(withEmb, "embedding", Array(cent)),
+          "doc_id", eps = 0.7)
+        .drop("embedding").localCheckpoint(false)
+      val clean = Dedup.decontaminate(sd,
+        docs.where(col("doc_id") % 7 === 0), "text", "doc_id", n = 13)
+        .localCheckpoint(false)
+      val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.qualityBuckets(scored, "lm_nll", "lang")
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 S × D × composition ORACLED (round 16): the semantic-staged
+    // chain EXECUTED AS A STREAM — pipelinePretrainPerBatch with the
+    // SemdedupCentroidStage: each batch's substring-excised survivors
+    // pass the centroid screen against the static embeddings side
+    // table, with ONE KEEPER FLAG PER CELL as the only carried
+    // semantic state. Frozen artifacts fit on the semantic chain's
+    // reference corpus; one-file fixture ⇒ one batch ⇒ the drain
+    // provably equals the batch chain and SHARES its six-stage replay
+    // oracle verbatim; the two-batch keeper carry is
+    // PretrainStreamSpec's.
+    "pipeline_pretrain_semdedup_stream" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
+      val sx = Dedup.removeDuplicateSpans(dd, "text", "doc_id", k = 13)
+        .localCheckpoint(false)
+      val emb = Tables(s, d, "embeddings")
+      val cent = emb.agg(AvgVector.column(col("embedding")).as("c")).head()
+        .getSeq[Double](0).map(_.toFloat).toArray
+      val withEmb = sx.join(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      val sdRef = Dedup.semanticDedupByCentroid(withEmb,
+          IvfIndex.withCentroids(withEmb, "embedding", Array(cent)),
+          "doc_id", eps = 0.7)
+        .drop("embedding").localCheckpoint(false)
+      val evalSet = docs.where(col("doc_id") % 7 === 0)
+      val cleanRef = Dedup.decontaminate(sdRef, evalSet, "text", "doc_id", n = 13)
+        .localCheckpoint(false)
+      val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+      val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
+      val bounds = TextAnalysis.bucketBoundaries(scoredRef, "lm_nll", "lang")
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .where(col("doc_id") % 7 =!= 0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, String)]
+      val q = StreamOps.pipelinePretrainPerBatch(stream, evalSet, model, bounds,
+        "text", "doc_id", "lang", sep = " the ",
+        substringK = Some(13),
+        semdedup = Some(StreamOps.SemdedupCentroidStage(
+          emb, "vec_id", "embedding", Array(cent), eps = 0.7))) { (shipped, _) =>
+        buf.synchronized {
+          buf ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "lang", "lm_nll", "bucket").orderBy(col("doc_id"))
+    }),
     // §2.3 T × composition (round 10): the COMPLETE Dolma-style tail —
     // the base pipeline continues through α = 0.5 temperature mixing
     // over the shipped per-language counts (target 100 rows: real
@@ -3657,6 +3748,52 @@ object SparkEntry {
       .replace(survFromDd, "surv AS (SELECT doc_id, text FROM sx")
   }
 
+  /** [[oracleSqlPipelinePretrainSubstr]] with the CENTROID-SCREEN
+    * SemDeDup stage spliced between substring excision and
+    * decontamination — the Dolma/DCLM chain placement (r15 VERDICT
+    * #1), at the screen's exact degenerate: one cell whose centroid
+    * is the corpus-mean avg-vector (cast to float as the quantizer
+    * stores it), ball = cosine-to-centroid ≥ 0.3 over the SUBSTRING
+    * STAGE'S SURVIVORS (the `sx` join — the composition coupling:
+    * upstream drift moves the ball's min-id anchor), keep non-ball
+    * docs, docs with no embedding row, and the ball's min id. Every
+    * downstream stage (decon grams, LM fit AND scoring, buckets)
+    * re-points at `sd`. Built from the substring replay by three
+    * exact splices so the shared stages can never drift apart. */
+  private val oracleSqlPipelinePretrainSemdedup: String = {
+    val semBlock =
+      s""",
+        |sdc AS (
+        |  SELECT r.i AS i, CAST(avg(CAST(embedding[r.i] AS DOUBLE)) AS REAL) AS c
+        |  FROM embeddings CROSS JOIN range(1, 65) AS r(i) GROUP BY r.i),
+        |sds AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         sum(CAST(e.embedding[sdc.i] AS DOUBLE) * CAST(sdc.c AS DOUBLE)) AS dot,
+        |         sum(CAST(e.embedding[sdc.i] AS DOUBLE) * CAST(e.embedding[sdc.i] AS DOUBLE)) AS na,
+        |         sum(CAST(sdc.c AS DOUBLE) * CAST(sdc.c AS DOUBLE)) AS nb
+        |  FROM embeddings e, sdc GROUP BY e.vec_id),
+        |sdball AS (
+        |  SELECT s2.doc_id FROM sds s2 JOIN sx USING (doc_id)
+        |  WHERE CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+        |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= 0.3),
+        |sd AS (
+        |  SELECT sx.doc_id, sx.text FROM sx
+        |  WHERE sx.doc_id NOT IN (
+        |    SELECT doc_id FROM sdball
+        |    WHERE doc_id <> (SELECT min(doc_id) FROM sdball)))""".stripMargin
+    val sxEnd = "LEFT JOIN reb r ON dd.doc_id = r.doc_id)"
+    val cgFromSx = "AS toks FROM sx))"
+    val survFromSx = "surv AS (SELECT doc_id, text FROM sx"
+    require(oracleSqlPipelinePretrainSubstr.contains(sxEnd) &&
+      oracleSqlPipelinePretrainSubstr.contains(cgFromSx) &&
+      oracleSqlPipelinePretrainSubstr.contains(survFromSx),
+      "substring pipeline oracle changed shape — re-derive the semdedup splice")
+    oracleSqlPipelinePretrainSubstr
+      .replace(sxEnd, sxEnd + semBlock)
+      .replace(cgFromSx, "AS toks FROM sd))")
+      .replace(survFromSx, "surv AS (SELECT doc_id, text FROM sd")
+  }
+
   /** [[oracleSqlPipelinePretrain]]'s dedup → decontaminate prefix
     * (everything up through `surv`) with the DSIR replay spliced over
     * the cleaned corpus as raw AND scored pool (target = the held-out
@@ -4190,6 +4327,8 @@ object SparkEntry {
       "pipeline_pretrain_dsir" -> oracleSqlPipelinePretrainDsir,
       "pipeline_pretrain_pack_hist" -> oracleSqlPipelinePretrainPackHist,
       "pipeline_pretrain_substr" -> oracleSqlPipelinePretrainSubstr,
+      "pipeline_pretrain_semdedup" -> oracleSqlPipelinePretrainSemdedup,
+      "pipeline_pretrain_semdedup_stream" -> oracleSqlPipelinePretrainSemdedup,
       "pipeline_pretrain_stream_substr" -> oracleSqlPipelinePretrainSubstr,
       // honestly-sized Bloom gram store ⇒ decision-identical chain
       "pipeline_pretrain_stream_substr_bloom" -> oracleSqlPipelinePretrainSubstr,

@@ -1113,6 +1113,15 @@ object Dedup {
       eps: Double): DataFrame = {
     require(eps > 0 && eps <= 1,
       s"eps must be in (0, 1] (ball = cosine >= 1 - eps), got $eps")
+    // refuse-don't-wedge (r15 ADVICE): the screen rides `cell` from
+    // the index plus two broadcast-join temps on the caller's frame —
+    // an input already carrying them would fail with an ambiguous-
+    // reference AnalysisException (or bind the wrong cell column)
+    // instead of the family's named-columns message
+    val clash = df.columns.toSet.intersect(Set("cell", "__cent", "__min"))
+    require(clash.isEmpty,
+      s"semanticDedupByCentroid reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename them on the input frame")
     val spark = df.sparkSession
     import spark.implicits._
     val cents = idx.centroidVectors.zipWithIndex

@@ -1171,13 +1171,46 @@ object TextAnalysis {
    * order (descending-lexicographic composition, longer first on
    * prefix ties) that the assignment replays — reordering it would
    * change every pack id. */
-  case class PackType(lengths: Vector[Int], count: Long)
+  /** `fixedBase`: the first pack id of this type's contiguous id
+    * block, when the FIT pinned it (always for seeded fits — carried
+    * packs must keep the ids they already shipped rows under; `None`
+    * only on hand-built strategies, where [[packWithStrategy]] derives
+    * sequential bases in pinned order). `seedLengths`: the prefix of
+    * `lengths` carried in from a previous batch ([[fitPackStrategyFrom]])
+    * — those occurrences were already assigned THERE, so this fit's
+    * assignment consumes only the `lengths.drop(seedLengths.length)`
+    * suffix. */
+  case class PackType(lengths: Vector[Int], count: Long,
+      fixedBase: Option[Long] = None, seedLengths: Vector[Int] = Vector.empty) {
+    /** Length occurrences appended by THIS fit (what the assignment
+      * consumes); seeds append at the tail, so the seed is a prefix. */
+    def batchLengths: Vector[Int] = lengths.drop(seedLengths.length)
+  }
   case class PackStrategy private[operators] (
       maxLen: Int, maxPerPack: Int, types: Seq[PackType]) {
     def numPacks: Long = types.map(_.count).sum
     /** Σ capacity − Σ lengths over all packs — what padding costs. */
     def paddingTokens: Long =
       types.map(t => (maxLen - t.lengths.sum).toLong * t.count).sum
+    /** Per-length totals THIS fit's assignment must consume — the
+      * never-drop contract's ledger ([[packWithStrategy]] refuses an
+      * input whose per-length counts differ: such rows would silently
+      * miss their rank block and vanish through the inner join). */
+    private[operators] def batchLengthTotals: Map[Int, Long] =
+      types.flatMap(t => t.batchLengths.map(_ -> t.count))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    /** Still-open pack types (below the depth cap with space left) —
+      * the state a streaming caller carries into the NEXT batch's
+      * [[fitPackStrategyFrom]] so batch boundaries stop closing packs. */
+    def openTypes: Seq[PackType] =
+      types.filter(t => t.lengths.length < maxPerPack &&
+        maxLen - t.lengths.sum >= 1)
+    /** First unused pack id after this strategy's blocks (with no
+      * pinned bases the assignment numbers packs 0..numPacks−1). */
+    def nextPackId: Long =
+      if (types.forall(_.fixedBase.isEmpty)) numPacks
+      else types.foldLeft(0L)((acc, t) =>
+        math.max(acc, t.fixedBase.getOrElse(0L) + t.count))
   }
 
   /** Fit a [[PackStrategy]] by SPFHP over the corpus's length
@@ -1187,11 +1220,18 @@ object TextAnalysis {
     * tight), else opens a new pack; packs close at `maxPerPack`
     * sequences or when nothing can fit. Processing same-length runs
     * in bulk on counts is decision-identical to the one-at-a-time
-    * published loop (a fresh pack of remaining r accepts further
-    * `l`-sequences while r ≥ l — exactly the floor(maxLen/l)-per-pack
-    * self-fill the bulk step takes). Deterministic: candidate
-    * selection tie-breaks on the composition key, never on map
-    * iteration order.
+    * published loop because the greedy DEPTH-FILLS: once a pack
+    * accepts an `l`, its remaining space drops strictly below every
+    * other candidate's, so the one-at-a-time loop keeps choosing that
+    * same pack until it can take no more `l`s (rem < l or the depth
+    * cap) — i.e. each chosen pack absorbs q′ = min(maxPerPack − |p|,
+    * ⌊rem(p)/l⌋) sequences before the next identical pack starts.
+    * The bulk step takes exactly q′-sized transfers (r15 ADVICE: a
+    * one-per-pack bulk append diverged whenever rem ≥ 2l — e.g. open
+    * {[50]:2} + two 7s at maxLen 64 must yield {[50,7,7],[50]}, not
+    * {[50,7]:2}; PackHistSpec pins that case and the randomized
+    * identity). Deterministic: candidate selection tie-breaks on the
+    * composition key, never on map iteration order.
     *
     * Scale shape: TWO bounded jobs — one global aggregate refusing
     * lengths outside [1, maxLen] (the caller chunks/truncates FIRST;
@@ -1199,9 +1239,46 @@ object TextAnalysis {
     * histogram collect — then the driver loop is O(states × lengths),
     * corpus-size-free. */
   def fitPackStrategy(df: org.apache.spark.sql.DataFrame, lenCol: String,
-      maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000): PackStrategy = {
+      maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000): PackStrategy =
+    fitPackStrategyFrom(df, lenCol, maxLen, maxPerPack, maxStates, Nil, 0L,
+      pinBases = false)
+
+  /** [[fitPackStrategy]] SEEDED with still-open packs carried from a
+    * previous fit (`carried` = the prior strategy's [[PackStrategy.openTypes]],
+    * `freshBase` = its [[PackStrategy.nextPackId]]) — the streaming
+    * carry: a batch boundary no longer closes every open pack, so a
+    * later batch's short documents back-fill the padding an earlier
+    * batch left (the [[graft.streaming.StreamOps.packHistPerBatchCarried]]
+    * contract). Carried packs keep their already-shipped pack ids
+    * (`fixedBase` blocks, consumed lowest-id-first — deterministic);
+    * packs opened THIS fit take fresh ids from `freshBase` up, in the
+    * pinned composition order. State stays bounded: carried groups
+    * count against the same `maxStates` refusal as fit-time
+    * compositions. With `carried` empty this IS the published
+    * single-corpus SPFHP fit. */
+  def fitPackStrategyFrom(df: org.apache.spark.sql.DataFrame, lenCol: String,
+      maxLen: Int, maxPerPack: Int, maxStates: Int,
+      carried: Seq[PackType], freshBase: Long,
+      pinBases: Boolean = true): PackStrategy = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     require(maxPerPack >= 1, s"maxPerPack must be >= 1, got $maxPerPack")
+    require(carried.size <= maxStates,
+      s"fitPackStrategyFrom: ${carried.size} carried open-pack groups exceed " +
+        s"maxStates = $maxStates — the carried state must stay bounded; close " +
+        "packs (drop the carry) or raise the cap")
+    carried.foreach { t =>
+      require(t.fixedBase.nonEmpty && t.count > 0,
+        s"carried pack type $t needs a fixedBase and a positive count " +
+          "(pass a previous fit's openTypes, which pin both)")
+      require(t.fixedBase.get + t.count <= freshBase,
+        s"carried pack ids [${t.fixedBase.get}, ${t.fixedBase.get + t.count}) " +
+          s"overlap freshBase = $freshBase — fresh packs would collide")
+      require(t.lengths.nonEmpty && t.lengths.length < maxPerPack &&
+        t.lengths.forall(l => l >= 1 && l <= maxLen) &&
+        maxLen - t.lengths.sum >= 1,
+        s"carried pack type $t is not an OPEN pack under maxLen = $maxLen, " +
+          s"maxPerPack = $maxPerPack — only openTypes carry forward")
+    }
     val mm = df.agg(
       sum(when(col(lenCol).isNull || col(lenCol) < 1 || col(lenCol) > maxLen ||
         col(lenCol).cast("double") =!= col(lenCol).cast("int").cast("double"),
@@ -1220,39 +1297,80 @@ object TextAnalysis {
       comp.map(-_) ++ Vector.fill(maxPerPack - comp.length)(0)
     implicit val vecOrd: Ordering[Vector[Int]] =
       Ordering.Implicits.seqOrdering[Vector, Int]
-    val open = scala.collection.mutable.Map.empty[Vector[Int], Long]
-    val closed = scala.collection.mutable.Map.empty[Vector[Int], Long]
+    // group identity = (composition, seed block) — seed groups carry
+    // (first pack id, seed-prefix length) so instances keep the ids
+    // they already shipped under; batch-opened groups (seed = None)
+    // of one composition are interchangeable and merge
+    type Key = (Vector[Int], Option[(Long, Int)])
+    val open = scala.collection.mutable.Map.empty[Key, Long]
+    val closed = scala.collection.mutable.Map.empty[Key, Long]
     def rem(comp: Vector[Int]) = maxLen - comp.sum
-    def put(comp: Vector[Int], n: Long): Unit = {
-      val m = if (comp.length >= maxPerPack || rem(comp) < 1) closed else open
-      m(comp) = m.getOrElse(comp, 0L) + n
+    def put(key: Key, n: Long): Unit = {
+      val m = if (key._1.length >= maxPerPack || rem(key._1) < 1) closed else open
+      m(key) = m.getOrElse(key, 0L) + n
       require(open.size + closed.size <= maxStates,
         s"fitPackStrategy: more than $maxStates distinct pack compositions — " +
           "coarsen the length distribution (bucket lengths) or lower maxPerPack")
     }
+    carried.foreach(t =>
+      put((t.lengths, Some((t.fixedBase.get, t.lengths.length))), t.count))
     for ((l, c0) <- hist) {
       var c = c0
       while (c > 0) {
-        val fits = open.keys.filter(k => rem(k) >= l)
+        val fits = open.keys.filter(k => rem(k._1) >= l)
         if (fits.isEmpty) {
           val q = math.min(maxPerPack, maxLen / l)
           val full = c / q
-          if (full > 0) { put(Vector.fill(q)(l), full); c -= full * q }
-          if (c > 0) { put(Vector.fill(c.toInt)(l), 1L); c = 0 }
+          if (full > 0) { put((Vector.fill(q)(l), None), full); c -= full * q }
+          if (c > 0) { put((Vector.fill(c.toInt)(l), None), 1L); c = 0 }
         } else {
-          val best = fits.minBy(k => (rem(k), ordKey(k)))
-          val k = math.min(c, open(best))
-          open(best) -= k
-          if (open(best) == 0L) open.remove(best)
-          put(best :+ l, k)
-          c -= k
+          // smallest sufficient space, composition tie-break, then
+          // lowest seed block first (None sorts last) — deterministic
+          val best = fits.minBy { case (comp, seed) =>
+            (rem(comp), ordKey(comp), seed.map(_._1).getOrElse(Long.MaxValue)) }
+          val (bComp, bSeed) = best
+          // depth-fill (r15 ADVICE): the one-at-a-time loop keeps
+          // extending the pack it just filled (its rem is strictly
+          // below every other fit), so each copy of `best` absorbs q
+          // sequences before the next copy starts
+          val q = math.min(maxPerPack - bComp.length, rem(bComp) / l)
+          val m = open(best)
+          val full = math.min(m, c / q)
+          // partial pack only when an instance remains after the full
+          // blocks (full == m leaves the leftover run to re-loop)
+          val part = if (full < m && c - full * q > 0) 1L else 0L
+          val partLen = (c - full * q).toInt // < q whenever part == 1
+          // split the group: instances consume lowest-id-first, so
+          // each taken block keeps a base shifted by what preceded it
+          open.remove(best)
+          def shifted(by: Long): Option[(Long, Int)] =
+            bSeed.map { case (b, sl) => (b + by, sl) }
+          if (full > 0) put((bComp ++ Vector.fill(q)(l), bSeed), full)
+          if (part > 0)
+            put((bComp ++ Vector.fill(partLen)(l), shifted(full)), 1L)
+          val left = m - full - part
+          if (left > 0) put((bComp, shifted(full + part)), left)
+          c -= full * q + part * partLen
         }
       }
     }
-    val types = (open.toSeq ++ closed.toSeq)
-      .groupBy(_._1).map { case (comp, xs) => comp -> xs.map(_._2).sum }
-      .toSeq.sortBy(x => ordKey(x._1))
-      .map { case (comp, n) => PackType(comp, n) }
+    val grouped = (open.toSeq ++ closed.toSeq)
+      .groupBy(_._1).map { case (key, xs) => key -> xs.map(_._2).sum }.toSeq
+      .sortBy { case ((comp, seed), _) =>
+        (ordKey(comp), seed.map(_._1).getOrElse(Long.MaxValue)) }
+    var nextFresh = freshBase
+    val types = grouped.map { case ((comp, seed), n) =>
+      seed match {
+        case Some((b, sl)) => PackType(comp, n, Some(b), comp.take(sl))
+        case None if pinBases =>
+          // fresh packs take ids from the frontier up, in pinned order
+          // — same values the sequential assignment would derive, but
+          // explicit so openTypes can carry into the NEXT batch's fit
+          val b = nextFresh; nextFresh += n
+          PackType(comp, n, Some(b))
+        case None => PackType(comp, n)
+      }
+    }
     PackStrategy(maxLen, maxPerPack, types)
   }
 
@@ -1289,9 +1407,12 @@ object TextAnalysis {
       val rankOff = scala.collection.mutable.Map.empty[Int, Long]
       var packBase = 0L
       val rows = strategy.types.flatMap { t =>
-        val base = packBase
-        packBase += t.count
-        t.lengths.groupBy(identity).toSeq.sortBy(_._1).map { case (l, occ) =>
+        // seeded strategies pin each type's id block at fit; unpinned
+        // (hand-built / unseeded) types number sequentially as before
+        val base = t.fixedBase.getOrElse { val b = packBase; packBase += t.count; b }
+        // only THIS fit's occurrences consume ranks — a carried seed
+        // prefix was assigned in its own batch
+        t.batchLengths.groupBy(identity).toSeq.sortBy(_._1).map { case (l, occ) =>
           val m = occ.length.toLong
           val lo = rankOff.getOrElse(l, 0L)
           rankOff(l) = lo + t.count * m
@@ -1325,6 +1446,23 @@ object TextAnalysis {
       s"packWithStrategy: ${mm.getLong(5)} rows with '$lenCol' null, " +
         s"non-integral, or outside [1, ${strategy.maxLen}] — such a row would " +
         "silently miss the strategy's integer length key and vanish")
+    // never-drop ledger (r15 ADVICE): the rank→pack range join is an
+    // INNER join, so a row whose (length, rank) the strategy does not
+    // cover — any strategy not fit on exactly this frame — would
+    // silently vanish; one ≤ maxLen-row aggregate refuses the mismatch
+    // instead (both directions: surplus input rows would overflow
+    // their rank blocks, missing ones would leave phantom pack ids)
+    val expected = strategy.batchLengthTotals
+    val got = df.groupBy(col(lenCol).cast("int").as("__l"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mismatch = (expected.keySet ++ got.keySet).filter(l =>
+      expected.getOrElse(l, 0L) != got.getOrElse(l, 0L))
+    require(mismatch.isEmpty,
+      s"packWithStrategy: input per-length counts differ from the strategy's " +
+        s"at length(s) ${mismatch.toSeq.sorted.take(8).mkString(", ")} — the " +
+        "strategy was not fit on this frame (uncovered rows would silently " +
+        "vanish through the rank join); refit on exactly this input")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val bucket =
       if (nBuckets == 1 || lo == hi) lit(0)

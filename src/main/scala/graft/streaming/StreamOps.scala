@@ -243,20 +243,76 @@ object StreamOps {
     * boundaries — a later batch never back-fills an earlier batch's
     * padding (the honest streaming trade; per-batch
     * `PackStrategy.paddingTokens` quantifies what it costs vs one
-    * batch-spanning fit). foreachBatch because the strategy is a
-    * per-corpus driver artifact, not per-key streaming state. */
+    * batch-spanning fit — [[packHistPerBatchCarried]] closes it).
+    * foreachBatch because the strategy is a per-corpus driver
+    * artifact, not per-key streaming state. Replay-idempotent (r15
+    * ADVICE): a checkpoint-replayed micro-batch (failure between sink
+    * and commit) rolls the base back to its pre-batch value, so the
+    * re-pack ships the SAME ids — unlike a bare running counter,
+    * whose replay would shift every subsequent pack id. */
   def packHistPerBatch(
       docs: DataFrame, // streaming
       lenCol: String, idCol: String,
       maxLen: Int, maxPerPack: Int = 3)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var packBase = 0L
+    var last: Option[(Long, Long)] = None // (batchId, base BEFORE it)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.operators.TextAnalysis
+      last match {
+        case Some((id, before)) if id == batchId => packBase = before
+        case _ => ()
+      }
+      last = Some((batchId, packBase))
       val st = TextAnalysis.fitPackStrategy(batch, lenCol, maxLen, maxPerPack)
       sink(TextAnalysis.packWithStrategy(batch, st, lenCol, idCol)
         .withColumn("pack_id", col("pack_id") + packBase), batchId)
       packBase += st.numPacks
+    }.start()
+  }
+
+  /** [[packHistPerBatch]] with the OPEN PACKS carried across batch
+    * boundaries — the padding closer: each batch's fit SEEDS from the
+    * previous batch's still-open compositions
+    * ([[graft.operators.TextAnalysis.fitPackStrategyFrom]]), so a
+    * later batch's short documents back-fill the space an earlier
+    * batch left instead of every boundary closing every pack. Carried
+    * packs keep the pack ids they already shipped rows under (a
+    * batch-2 row landing in a batch-1 pack carries THAT id — the
+    * cross-seam share PackHistSpec pins); fresh packs take ids from
+    * the running frontier. State is the open (composition, count,
+    * base) groups — bounded by the fit's `maxStates` refusal, the
+    * "refuse, don't grow" convention. When batches arrive with every
+    * length in batch N ≥ every length in batch N+1 (the longest-first
+    * order SPFHP itself processes), the drained partition equals the
+    * batch operator on the concatenation — not just shifted (spec'd,
+    * with the padding-accounting identity across the seam). Same
+    * replay-idempotence as [[packHistPerBatch]]: a replayed batch
+    * re-packs from its pre-batch carried state. */
+  def packHistPerBatchCarried(
+      docs: DataFrame, // streaming
+      lenCol: String, idCol: String,
+      maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextAnalysis
+    var carried: Seq[TextAnalysis.PackType] = Nil
+    var frontier = 0L
+    var last: Option[(Long, Seq[TextAnalysis.PackType], Long)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      last match {
+        case Some((id, c0, f0)) if id == batchId => carried = c0; frontier = f0
+        case _ => ()
+      }
+      last = Some((batchId, carried, frontier))
+      val st = TextAnalysis.fitPackStrategyFrom(batch, lenCol, maxLen,
+        maxPerPack, maxStates, carried, frontier)
+      sink(TextAnalysis.packWithStrategy(batch, st, lenCol, idCol), batchId)
+      carried = st.openTypes
+      // monotonic max, NOT st.nextPackId alone: closed packs leave the
+      // strategy's types, so the surviving open groups' id frontier can
+      // sit below ids already issued — a bare assignment would hand a
+      // later batch's fresh packs a closed pack's id
+      frontier = math.max(frontier, st.nextPackId)
     }.start()
   }
 
@@ -658,38 +714,58 @@ object StreamOps {
     * batches — the family convention, so the drain equals the batch
     * operator whenever batch ids arrive in order; spec'd two-batch).
     * Non-ball and null-embedding rows always survive. */
+  /** One micro-batch of the centroid-screen greedy, against the
+    * carried keeper set: survivors (materialized) + the cells this
+    * batch newly claimed. Shared by [[semanticDedupByCentroidPerBatch]]
+    * and the [[pipelinePretrainPerBatch]] semantic stage — one body,
+    * so the standalone gate row and the chain stage can never drift. */
+  private def centroidScreenStep(batch: DataFrame,
+      centroidVectors: Array[Array[Float]], embCol: String, idCol: String,
+      eps: Double, claimed: Seq[Int]): (DataFrame, Array[Int]) = {
+    import graft.operators.IvfIndex
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = centroidVectors.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__cent")
+    val scoredB = IvfIndex.withCentroids(batch, embCol, centroidVectors).indexed
+      .join(broadcast(cents), "cell")
+      .withColumn("__ball", graft.functions.vectors.cosine_similarity(
+        col(embCol), col("__cent")) >= lit(1.0) - lit(eps))
+    // per-cell min id among this batch's ball members in UNCLAIMED
+    // cells — nlist-bounded, broadcast back
+    val newMins = scoredB.where(col("__ball") &&
+        (if (claimed.isEmpty) lit(true) else !col("cell").isin(claimed: _*)))
+      .groupBy("cell").agg(min(col(idCol)).as("__min"))
+    val survivors = scoredB
+      .join(broadcast(newMins), Seq("cell"), "left")
+      .where(!col("__ball") || col(idCol) === col("__min"))
+      .drop("cell", "__cent", "__ball", "__min")
+      .unionByName(batch.where(col(embCol).isNull), allowMissingColumns = true)
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    (survivors, newMins.select("cell").collect().map(_.getInt(0)))
+  }
+
   def semanticDedupByCentroidPerBatch(
       docs: DataFrame, // streaming
       centroidVectors: Array[Array[Float]], // frozen quantizer
       embCol: String, idCol: String, eps: Double)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.IvfIndex
     require(eps > 0 && eps <= 1,
       s"eps must be in (0, 1] (ball = cosine >= 1 - eps), got $eps")
+    // refuse-don't-wedge (r15 ADVICE — the batch operator's guard):
+    // these names ride the per-batch joins; a clash would kill the
+    // query with an ambiguous-reference error on the first batch
+    val clash = docs.columns.toSet.intersect(
+      Set("cell", "__cent", "__ball", "__min"))
+    require(clash.isEmpty,
+      s"semanticDedupByCentroidPerBatch reserves column name(s) " +
+        s"${clash.mkString(", ")} — rename them on the input stream")
     val keeperCells = scala.collection.mutable.Set.empty[Int]
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val cents = centroidVectors.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__cent")
-      val scoredB = IvfIndex.withCentroids(batch, embCol, centroidVectors).indexed
-        .join(broadcast(cents), "cell")
-        .withColumn("__ball", graft.functions.vectors.cosine_similarity(
-          col(embCol), col("__cent")) >= lit(1.0) - lit(eps))
-      // per-cell min id among this batch's ball members in UNCLAIMED
-      // cells — nlist-bounded, broadcast back
-      val claimed = keeperCells.toSeq
-      val newMins = scoredB.where(col("__ball") &&
-          (if (claimed.isEmpty) lit(true) else !col("cell").isin(claimed: _*)))
-        .groupBy("cell").agg(min(col(idCol)).as("__min"))
-      val survivors = scoredB
-        .join(broadcast(newMins), Seq("cell"), "left")
-        .where(!col("__ball") || col(idCol) === col("__min"))
-        .drop("cell", "__cent", "__ball", "__min")
-        .unionByName(batch.where(col(embCol).isNull), allowMissingColumns = true)
-        .select(batch.columns.map(col).toIndexedSeq: _*)
-        .localCheckpoint(true)
-      keeperCells ++= newMins.select("cell").collect().map(_.getInt(0))
+      val (survivors, newCells) = centroidScreenStep(batch, centroidVectors,
+        embCol, idCol, eps, keeperCells.toSeq)
+      keeperCells ++= newCells
       sink(survivors, batchId)
     }.start()
   }
@@ -757,12 +833,31 @@ object StreamOps {
       // re-check after delivery. One-sided at ≤ fpp toward
       // over-EXCISE (a never-shipped span lost — a recall cost); a
       // truly duplicated span can never survive.
-      substringBloom: Option[graft.operators.BloomStore] = None)(
+      substringBloom: Option[graft.operators.BloomStore] = None,
+      // the SEMANTIC tier (round 16): when set, each batch's
+      // dedup survivors pass the centroid-screen SemDeDup between the
+      // exact-dedup stages and decontamination — the Dolma/DCLM chain
+      // placement. The docs stream carries text, not vectors, so the
+      // stage joins a STATIC embedding side table per batch (left
+      // join: docs without a vector are un-screenable and survive,
+      // the null-embedding rule); the only carried state is one
+      // keeper flag per cell (nlist bits — the cheapest store in the
+      // family), so the drain equals the batch chain whenever batch
+      // ids arrive in order (the family convention; spec'd two-batch).
+      semdedup: Option[SemdedupCentroidStage] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, TextAnalysis}
     val spark = docs.sparkSession
     import spark.implicits._
     var seenGrams = Seq.empty[Long].toDF("__gh")
+    val semKeepers = scala.collection.mutable.Set.empty[Int]
+    semdedup.foreach { stage =>
+      val clash = docs.columns.toSet.intersect(
+        Set(stage.embCol, "cell", "__cent", "__ball", "__min"))
+      require(clash.isEmpty,
+        s"pipelinePretrainPerBatch's semdedup stage reserves column name(s) " +
+          s"${clash.mkString(", ")} — rename them on the input stream")
+    }
     // the scoring join carries the FULL document row through to the
     // sink, so the scorer's output names must be free on the input
     // (refuse-don't-wedge: a collision would kill the query with an
@@ -829,10 +924,25 @@ object StreamOps {
           sx
         case _ => cleaned
       }
+      // optional SEMANTIC stage (round 16) between the exact dedup
+      // tiers and decon — centroid-screen over the static embedding
+      // side table, keeper-cell state carried across batches
+      val semScreened = semdedup match {
+        case Some(stage) =>
+          val withEmb = excised.join(
+            stage.emb.select(col(stage.embIdCol).as(idCol), col(stage.embCol)),
+            Seq(idCol), "left")
+          val (survivors, newCells) = centroidScreenStep(withEmb,
+            stage.centroidVectors, stage.embCol, idCol, stage.eps,
+            semKeepers.toSeq)
+          semKeepers ++= newCells
+          survivors.drop(stage.embCol)
+        case None => excised
+      }
       // materialized: decon feeds BOTH the scoring explode and the
       // payload join below — un-cut it would run the gram explode +
       // anti-join twice per batch
-      val decon = Dedup.decontaminate(excised, evalDf, textCol, idCol, n)
+      val decon = Dedup.decontaminate(semScreened, evalDf, textCol, idCol, n)
         .localCheckpoint(true)
       // join the FULL decon frame back: the sink ships documents, so
       // the cleaned text (and every other payload column) must ride
@@ -851,6 +961,17 @@ object StreamOps {
         graft.operators.ParaBloom.saturationGuard(store)
           .foreach(System.err.println))
     }.start()
+  }
+
+  /** Config for [[pipelinePretrainPerBatch]]'s semantic-dedup stage:
+    * a STATIC embedding side table keyed by `embIdCol` (the docs
+    * stream carries text, not vectors), the frozen coarse quantizer,
+    * and the ball radius (ball = cosine-to-own-centroid ≥ 1 − eps). */
+  case class SemdedupCentroidStage(
+      emb: DataFrame, embIdCol: String, embCol: String,
+      centroidVectors: Array[Array[Float]], eps: Double) {
+    require(eps > 0 && eps <= 1,
+      s"eps must be in (0, 1] (ball = cosine >= 1 - eps), got $eps")
   }
 
   /** Streaming token-budget shard packing — the ingest-time form of

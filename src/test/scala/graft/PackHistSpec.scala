@@ -35,38 +35,82 @@ class PackHistSpec extends AnyFunSuite {
       5L -> 0L, 6L -> 2L, 7L -> 2L), s"got $got")
   }
 
-  test("bulk histogram loop is decision-identical to the published one-at-a-time SPFHP") {
-    // reference: the paper's loop, one sequence at a time
-    def reference(lens: Seq[Int], maxLen: Int, maxPerPack: Int): Map[Vector[Int], Long] = {
-      val open = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
-      val done = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
-      for (l <- lens.sorted(Ordering.Int.reverse)) {
-        val fits = open.zipWithIndex.filter { case (p, _) => maxLen - p.sum >= l }
-        if (fits.isEmpty) open += Vector(l)
-        else {
-          // smallest remaining space; composition tie-break like the operator
-          implicit val vecOrd: Ordering[Vector[Int]] =
-            Ordering.Implicits.seqOrdering[Vector, Int]
-          val i = fits.minBy { case (p, _) =>
-            (maxLen - p.sum,
-              p.map(x => -x) ++ Vector.fill(maxPerPack - p.length)(0)) }._2
-          open(i) = open(i) :+ l
-        }
-        val (full, rest) = open.partition(p =>
-          p.length >= maxPerPack || maxLen - p.sum < 1)
-        done ++= full
-        open.clear(); open ++= rest
+  // reference: the paper's loop, one sequence at a time
+  private def oneAtATime(lens: Seq[Int], maxLen: Int,
+      maxPerPack: Int): Map[Vector[Int], Long] = {
+    val open = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    val done = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    for (l <- lens.sorted(Ordering.Int.reverse)) {
+      val fits = open.zipWithIndex.filter { case (p, _) => maxLen - p.sum >= l }
+      if (fits.isEmpty) open += Vector(l)
+      else {
+        // smallest remaining space; composition tie-break like the operator
+        implicit val vecOrd: Ordering[Vector[Int]] =
+          Ordering.Implicits.seqOrdering[Vector, Int]
+        val i = fits.minBy { case (p, _) =>
+          (maxLen - p.sum,
+            p.map(x => -x) ++ Vector.fill(maxPerPack - p.length)(0)) }._2
+        open(i) = open(i) :+ l
       }
-      (done ++ open).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val (full, rest) = open.partition(p =>
+        p.length >= maxPerPack || maxLen - p.sum < 1)
+      done ++= full
+      open.clear(); open ++= rest
     }
-    val rnd = new scala.util.Random(7)
-    val lens = Seq.fill(400)(1 + rnd.nextInt(64))
-    val want = reference(lens, maxLen = 64, maxPerPack = 3)
+    (done ++ open).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  test("bulk histogram loop is decision-identical to the published one-at-a-time SPFHP") {
+    // many seeds, not one (r15 ADVICE: the pre-depth-fill loop passed
+    // the single-seed version of this test by luck)
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val lens = Seq.fill(400)(1 + rnd.nextInt(64))
+      val want = oneAtATime(lens, maxLen = 64, maxPerPack = 3)
+      val st = TextAnalysis.fitPackStrategy(
+        lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "len"),
+        "len", maxLen = 64, maxPerPack = 3)
+      assert(st.types.map(t => t.lengths -> t.count).toMap == want,
+        s"bulk strategy diverged from the one-at-a-time reference (seed $seed)")
+    }
+  }
+
+  test("depth-fill: multiple open copies absorb a same-length run one pack at a time") {
+    // r15 ADVICE counterexample: two open [50]s and two 7s must yield
+    // {[50,7,7], [50]} (the one-at-a-time depth fill), NOT {[50,7]:2}
+    // (the old one-per-pack bulk append)
+    val lens = Seq(50, 50, 7, 7)
     val st = TextAnalysis.fitPackStrategy(
       lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "len"),
       "len", maxLen = 64, maxPerPack = 3)
-    assert(st.types.map(t => t.lengths -> t.count).toMap == want,
-      s"bulk strategy diverged from the one-at-a-time reference")
+    assert(st.types.map(t => t.lengths -> t.count).toMap ==
+      Map(Vector(50, 7, 7) -> 1L, Vector(50) -> 1L), s"got ${st.types}")
+    assert(st.types.map(t => t.lengths -> t.count).toMap ==
+      oneAtATime(lens, 64, 3))
+  }
+
+  test("stale strategy refuses instead of silently dropping uncovered rows") {
+    // r15 ADVICE: the rank→pack range join is inner — a strategy fit
+    // on a DIFFERENT frame must refuse, not let rows vanish
+    val fitted = TextAnalysis.fitPackStrategy(
+      Seq((1L, 5), (2L, 6)).toDF("doc_id", "len"), "len", maxLen = 64)
+    // surplus rows of a covered length
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((1L, 5), (2L, 5), (3L, 6)).toDF("doc_id", "len"),
+        fitted, "len", "doc_id")
+    }.getMessage.contains("not fit on this frame"))
+    // a length the strategy never saw
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((1L, 5), (2L, 6), (3L, 7)).toDF("doc_id", "len"),
+        fitted, "len", "doc_id")
+    }.getMessage.contains("not fit on this frame"))
+    // missing rows (phantom pack ids) refuse too
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.packWithStrategy(
+        Seq((1L, 5)).toDF("doc_id", "len"), fitted, "len", "doc_id")
+    }.getMessage.contains("not fit on this frame"))
   }
 
   test("uniform-length degenerate: pack_id == rank / floor(maxLen/len) closed form") {
@@ -181,6 +225,66 @@ class PackHistSpec extends AnyFunSuite {
     // and the carried base means NO cross-batch pack id collisions
     assert(Set(got(1L), got(2L), got(3L)).intersect(
       Set(got(10L), got(11L), got(12L))).isEmpty)
+  }
+
+  test("carried open packs: seeded two-batch fit == the batch operator on the concatenation") {
+    // batch order matches SPFHP's own longest-first processing (every
+    // b1 length > every b2 length), so the concatenated fit processes
+    // b1 then b2 — exactly what the carried seed replays. NOT just a
+    // shifted equality: docs from both batches share packs.
+    val b1 = Seq((1L, 30), (2L, 30), (3L, 20)).toDF("doc_id", "len")
+    val b2 = Seq((10L, 19), (11L, 9), (12L, 4)).toDF("doc_id", "len")
+    val all = b1.union(b2)
+    val st1 = TextAnalysis.fitPackStrategyFrom(b1, "len", 64, 3, 1000, Nil, 0L)
+    val got1 = packsOf(TextAnalysis.packWithStrategy(b1, st1, "len", "doc_id"))
+    val st2 = TextAnalysis.fitPackStrategyFrom(b2, "len", 64, 3, 1000,
+      st1.openTypes, st1.nextPackId)
+    val got2 = packsOf(TextAnalysis.packWithStrategy(b2, st2, "len", "doc_id"))
+    val want = packsOf(TextAnalysis.packSequencesHist(all, "len", "doc_id",
+      maxLen = 64, maxPerPack = 3))
+    assert(got1 ++ got2 == want, s"seeded ${got1 ++ got2} vs concat $want")
+    // a batch-2 doc landed in a batch-1 pack (the whole point)
+    assert(got2.values.toSet.intersect(got1.values.toSet).nonEmpty,
+      s"no pack crossed the seam: $got1 / $got2")
+    // padding-accounting identity across the seam: the carried chain's
+    // final strategy covers ALL packs ever opened (none re-counted), so
+    // its padding equals the one-fit padding on the concatenation
+    val stAll = TextAnalysis.fitPackStrategy(all, "len", maxLen = 64, maxPerPack = 3)
+    assert(st2.paddingTokens == stAll.paddingTokens,
+      s"${st2.paddingTokens} vs ${stAll.paddingTokens}")
+    assert(st2.numPacks == stAll.numPacks)
+  }
+
+  test("carried stream: cross-batch pack share, replay-stable ids, cap refusal") {
+    val b1 = Seq((1L, 30), (2L, 30), (3L, 20)).toDF("doc_id", "len")
+    val b2 = Seq((10L, 19), (11L, 9), (12L, 4)).toDF("doc_id", "len")
+    val dir = java.nio.file.Files.createTempDirectory("graft_packhist_carried")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    for ((sub, ts) <- Seq("b1" -> 1000000L, "b2" -> 2000000L);
+         f <- dir.resolve(sub).toFile.listFiles if f.getName.endsWith(".parquet"))
+      f.setLastModified(ts)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = graft.streaming.StreamOps.packHistPerBatchCarried(stream, "len",
+      "doc_id", maxLen = 64, maxPerPack = 3) { (packed, _) =>
+      got.synchronized { got ++= packsOf(packed) }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val want = packsOf(TextAnalysis.packSequencesHist(b1.union(b2), "len",
+      "doc_id", maxLen = 64, maxPerPack = 3))
+    assert(got.toMap == want, s"carried stream $got vs concat batch $want")
+    // the seam genuinely shares a pack: doc 3 (batch 1) packs with
+    // docs 10 and 11 (batch 2)
+    assert(got(3L) == got(10L) && got(10L) == got(11L), s"$got")
+    // carried state past maxStates refuses, never silently drops
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.fitPackStrategyFrom(b2, "len", 64, 3, maxStates = 1,
+        carried = Seq(
+          TextAnalysis.PackType(Vector(30), 1L, Some(0L)),
+          TextAnalysis.PackType(Vector(20), 1L, Some(1L))), freshBase = 2L)
+    }.getMessage.contains("carried"))
   }
 
   test("padding accounting: strategy paddingTokens == packs × maxLen − Σ lengths") {
