@@ -243,6 +243,28 @@ object SparkEntry {
       _ => IvfPqIndex.build(Tables(s, d, "embeddings"), "embedding",
         nlist = nlist, m = m, k = k, maxTrain = maxTrain))
 
+  /** Memoized RESIDUAL-coded IVFADC build (`by_residual = true`, the
+    * Jégou §IV-A default) — the deployed recall-lever shape: real
+    * quantizer, Lloyd codebooks fit on the residual stream. Same
+    * purge semantics as [[ivfPqFor]]; distinct cache (the codebooks
+    * differ, not just a flag). */
+  private val ivfPqResidualCache =
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]]()
+  private def ivfPqResidualFor(s: SparkSession, d: String, nlist: Int = 16,
+      m: Int = 8, k: Int = 16): IvfPqIndex =
+    ivfPqResidualCache.synchronized {
+      ivfPqResidualCache.keySet.removeIf(x => x.sparkContext.isStopped)
+      var mm = ivfPqResidualCache.get(s)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+        ivfPqResidualCache.put(s, mm)
+      }
+      mm
+    }.computeIfAbsent(s"$d#$nlist#$m#$k",
+      _ => IvfPqIndex.build(Tables(s, d, "embeddings"), "embedding",
+        nlist = nlist, m = m, k = k, byResidual = true))
+
   /** The ONE image-feature frame the image-as-query pair ranks over:
     * synth PNGs → real decode → 16-dim (grid=2, bins=4) descriptors.
     * Shared by `multimodal_image_query` and `imageIvfFor` so the
@@ -351,6 +373,46 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       idx.search(q, k = 5, nprobe = idx.centroidVectors.length,
           tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED (round 16, r15 VERDICT #2): IVFADC with
+    // RESIDUAL coding (Jégou et al. 2011 §IV-A, `by_residual = true` —
+    // codes are PQ(x − centroid(cell))) at its exactness anchor: ONE
+    // cell at the origin makes every residual the raw vector BIT FOR
+    // BIT (float x − 0 is the identity; the per-cell q·centroid addend
+    // is 0.0), and the lossless codebook makes ADC cosine exact — so
+    // the row provably equals brute force and shares nearest_cosine's
+    // oracle. The recall lever at a REAL quantizer (residual ≈ 2–3×
+    // raw top-10 recall at equal m/k on the clustered fixture) is
+    // IvfPqIndexSpec's; the repair trade (residual layouts refuse
+    // renumbering) is spec'd there too.
+    "ann_ivfpq_residual_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_ivfpq_residual_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx = IvfPqIndex.withArtifacts(e, "embedding",
+        Array(Array.fill(dim)(0f)), model, byResidual = true)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN (round 16): residual coding in its DEPLOYED shape —
+    // real 16-cell quantizer, Lloyd codebooks fit on the residual
+    // stream, nprobe = 4. Rows-only (k-means cells + Lloyd residual
+    // codebooks have no SQL analog); its exactness anchor is the row
+    // above, its recall-vs-raw story IvfPqIndexSpec + ScaleProbe.
+    "ann_ivfpq_residual" -> ((s, d) => {
+      val idx = ivfPqResidualFor(s, d)
+      val q = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
@@ -3933,6 +3995,15 @@ object SparkEntry {
       // degenerates compose to the exact brute-force result — shares
       // the nearest_cosine oracle
       "ann_ivfpq_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // residual coding at the zero-centroid one-cell degenerate is
+      // bit-identical to the raw path (x − 0 = x, addend 0.0), so the
+      // residual gate row shares the same exact replay
+      "ann_ivfpq_residual_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

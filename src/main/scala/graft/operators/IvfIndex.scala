@@ -302,6 +302,15 @@ object IvfIndex {
       .take(nprobe).map(_._2)
   }
 
+  /** Double-accumulated plain dot product, driver-side — the per-cell
+    * `q·centroid` addend of residual-coded ADC ([[IvfPqIndex.search]]). */
+  private[operators] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var i = 0
+    while (i < n) { d += a(i).toDouble * b(i); i += 1 }
+    d
+  }
+
   /** Double-accumulated cosine, zero-norm → 0 — the same contract as
     * `vectors.cosine_similarity`, evaluated driver-side. */
   private[operators] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {

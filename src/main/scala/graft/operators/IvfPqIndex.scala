@@ -12,15 +12,28 @@ import org.apache.spark.sql.functions._
  * — the two tiers' savings multiply, which is the published serving
  * shape for billion-scale ANN.
  *
- * One deliberate deviation from the paper's §IV.A default: codes are
- * PQ(raw vector), NOT PQ(residual to the centroid). The paper encodes
- * residuals because its metric is L2; this engine's scoring contract is
- * COSINE with a stored norm ([[PqIndex.search]]), where residual codes
- * would (a) destroy the lossless-degenerate anchor (the distinct-set
- * codebook property holds for raw subvectors, giving the provably-exact
- * `ann_ivfpq_exact` gate row) and (b) require per-cell code tables per
- * query (m·k·nprobe table builds instead of m·k). Raw-vector IVF+ADC is
- * the same composition FAISS ships as `IndexIVFPQ(by_residual=false)`.
+ * Both published coding compositions ship, behind `byResidual`:
+ *
+ * - `byResidual = false` (default): codes are PQ(raw vector) — FAISS's
+ *   `IndexIVFPQ(by_residual=false)`. The exactness workhorse: the
+ *   distinct-set codebook property holds for raw subvectors (the
+ *   provably-exact `ann_ivfpq_exact` gate row), and a cell renumbering
+ *   never invalidates a code (repair without re-encode).
+ * - `byResidual = true` (round 16, r15 VERDICT #2): codes are
+ *   PQ(x − centroid(cell)) — the paper's §IV.A default. Residuals
+ *   cluster far tighter than raw vectors (every cell's mass centers at
+ *   the origin), so at equal m the codebooks spend their k codewords
+ *   on a smaller ball — the recall lever (ScaleProbe `ivfpqresidual`
+ *   measures residual ≥ raw recall at equal m on the clustered
+ *   fixture). Scoring needs no per-cell code tables: codebooks are
+ *   pooled across cells (the FAISS layout), so one m·k ADC table per
+ *   query still serves every probed cell — the residual identity
+ *   q·x = q·centroid(cell) + q·(x − centroid) just adds one per-CELL
+ *   scalar (≤ nprobe driver dots, broadcast on the cell key). The
+ *   stored norm stays ‖x‖ (raw), so the cosine contract is unchanged.
+ *   The trade: hot-cell repair cannot renumber coded rows (a residual
+ *   code is minted against its cell's centroid) — `repairSavedFrom`
+ *   refuses, re-fit instead.
  *
  * Scale shape: the cell id is a plain int column, so a saved index
  * (cell-partitioned parquet) gets FILE-level partition pruning on the
@@ -39,7 +52,8 @@ class IvfPqIndex private (
       * `pq_codes: binary`, `emb_norm: double`. */
     val encoded: DataFrame,
     val codesCol: String,
-    val normCol: String) extends Serializable {
+    val normCol: String,
+    val byResidual: Boolean = false) extends Serializable {
 
   /** nlist × dim centroid frame: (cell: int, centroid: array<float>). */
   lazy val centroids: DataFrame = {
@@ -64,9 +78,33 @@ class IvfPqIndex private (
   def search(queryVec: Array[Float], k: Int, nprobe: Int = 4,
       simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame = {
     val cells = probeCells(queryVec, nprobe)
-    PqIndex.search(
-      encoded.where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*)),
-      queryVec, k, model, codesCol, normCol, simCol, tieBreakers)
+    val subset = encoded.where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
+    if (!byResidual)
+      PqIndex.search(subset, queryVec, k, model, codesCol, normCol, simCol, tieBreakers)
+    else {
+      // residual identity: q·x = q·centroid(cell) + q·r̂ — the same
+      // pooled-codebook ADC table scores every probed cell, completed
+      // by one per-cell scalar (≤ nprobe rows, broadcast on cell)
+      val spark = encoded.sparkSession
+      import spark.implicits._
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val qc = cells.toIndexedSeq
+        .map(c => (c, IvfIndex.dotLocal(centroidVectors(c), queryVec)))
+        .toDF("cell", "__qc")
+      val table = PqIndex.adcTable(queryVec, model)
+      val dot = ColumnBridge.column(graft.expressions.PqAdcDot(
+        ColumnBridge.expression(col(codesCol)), model.m, table, model.offsets,
+        model.codeBytes)) + col("__qc")
+      val qnorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+      val sim = if (qnorm == 0.0) lit(0.0)
+        else coalesce(when(col(normCol) === 0.0, lit(0.0))
+          .otherwise(dot / (lit(qnorm) * col(normCol))), lit(0.0))
+      subset.join(broadcast(qc), Seq("cell"), "left")
+        .withColumn(simCol, sim)
+        .drop("__qc")
+        .orderBy(desc(simCol) +: tieBreakers: _*)
+        .limit(k)
+    }
   }
 
   /**
@@ -101,13 +139,27 @@ class IvfPqIndex private (
       .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
       .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
       .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+    // residual coding completes each candidate's dot with the per-
+    // (query, cell) `q·centroid` scalar — computed ONCE on the tiny
+    // probes frame (≤ n_queries·nprobe rows), never per candidate row
+    val probesWithAddend =
+      if (!byResidual) probes.withColumn("__qc", lit(0.0))
+      else probes
+        .join(broadcast(centroids), Seq("cell"))
+        .join(broadcast(queries.select(col(queryIdCol), col(queryEmbCol))),
+          Seq(queryIdCol))
+        .select(col(queryIdCol), col("cell"),
+          vectors.dot_product(col("centroid"), col(queryEmbCol)).as("__qc"))
     val candidates = encoded
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probesWithAddend), Seq("cell"))
       .join(broadcast(queries), Seq(queryIdCol))
-    val dot = ColumnBridge.column(graft.expressions.PqQueryDot(
+    val adc = ColumnBridge.column(graft.expressions.PqQueryDot(
       ColumnBridge.expression(col(codesCol)),
       ColumnBridge.expression(col(queryEmbCol)),
       model.m, model.sub, model.flatCodewords, model.offsets, model.codeBytes))
+    // the raw path keeps its exact expression (`adc`, no addend) so
+    // the lossless-degenerate gate rows stay bit-identical
+    val dot = if (byResidual) adc + col("__qc") else adc
     val qnorm = vectors.vector_norm(col(queryEmbCol))
     val sim = coalesce(
       when(col(normCol) === 0.0 || qnorm === 0.0, lit(0.0))
@@ -136,7 +188,8 @@ class IvfPqIndex private (
    */
   def addBatch(newDf: DataFrame, embCol: String): IvfPqIndex =
     new IvfPqIndex(centroidVectors, model,
-      encoded.unionByName(encodeBatch(newDf, embCol)), codesCol, normCol)
+      encoded.unionByName(encodeBatch(newDf, embCol)), codesCol, normCol,
+      byResidual)
 
   /** [[addBatch]] straight into a SAVED layout: coded rows append as
     * new files under their `cell=` partitions; existing files never
@@ -146,9 +199,9 @@ class IvfPqIndex private (
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
 
   private def encodeBatch(newDf: DataFrame, embCol: String): DataFrame =
-    PqIndex.encode(
+    IvfPqIndex.encodeAssigned(
       IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors),
-      embCol, model, codesCol, normCol).drop(embCol)
+      embCol, centroidVectors, model, codesCol, normCol, byResidual)
 
   /** Per-cell coded-row counts — the drift gauge for appends. */
   def cellSizeStats: DataFrame =
@@ -189,7 +242,8 @@ class IvfPqIndex private (
     // sidecar through the layout-owning Hadoop FS, not java.nio
     // (r13 ADVICE — see IvfIndex.writeSidecar)
     IvfIndex.writeSidecar(encoded.sparkSession, path, "_ivfpq.json",
-      s"""{"codes_column": "$codesCol", "norm_column": "$normCol", "nlist": ${centroidVectors.length}}""")
+      s"""{"codes_column": "$codesCol", "norm_column": "$normCol", """ +
+        s""""by_residual": "$byResidual", "nlist": ${centroidVectors.length}}""")
   }
 }
 
@@ -209,21 +263,67 @@ object IvfPqIndex {
     * of the corpus and appending the rest yields the identical index. */
   def withArtifacts(df: DataFrame, embCol: String,
       centroidVectors: Array[Array[Float]], model: PqModel,
-      codesCol: String = "pq_codes", normCol: String = "emb_norm"): IvfPqIndex =
+      codesCol: String = "pq_codes", normCol: String = "emb_norm",
+      byResidual: Boolean = false): IvfPqIndex =
     new IvfPqIndex(centroidVectors, model,
-      PqIndex.encode(
+      encodeAssigned(
         IvfIndex.assignWithCentroids(df, embCol, centroidVectors),
-        embCol, model, codesCol, normCol).drop(embCol),
-      codesCol, normCol)
+        embCol, centroidVectors, model, codesCol, normCol, byResidual),
+      codesCol, normCol, byResidual)
+
+  /** The residual column for an already-assigned frame: x − centroid
+    * (float32, the FAISS convention) via a broadcast centroid join +
+    * one codegen'd `zip_with`. */
+  private def withResidual(assigned: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]], out: String): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroidVectors.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "__rcent")
+    assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn(out, zip_with(col(embCol), col("__rcent"), (a, b) => a - b))
+      .drop("__rcent")
+  }
+
+  /** Encode an assigned frame under either coding: raw codes + norm in
+    * one PqEncode pass, or residual codes with the stored norm kept as
+    * ‖x‖ (raw — the cosine contract is coding-independent). Drops the
+    * embedding either way: from here on the corpus is (cell, codes,
+    * norm). */
+  private def encodeAssigned(assigned: DataFrame, embCol: String,
+      centroidVectors: Array[Array[Float]], model: PqModel,
+      codesCol: String, normCol: String, byResidual: Boolean): DataFrame =
+    if (!byResidual)
+      PqIndex.encode(assigned, embCol, model, codesCol, normCol).drop(embCol)
+    else {
+      require(!assigned.columns.contains("__resid") &&
+        !assigned.columns.contains("__rcent") &&
+        !assigned.columns.contains("__rnorm"),
+        "input frame carries a reserved residual staging column " +
+          "(__resid/__rcent/__rnorm) — rename it before encode")
+      PqIndex.encode(withResidual(assigned, embCol, centroidVectors, "__resid"),
+          "__resid", model, codesCol, "__rnorm")
+        .withColumn(normCol, graft.functions.vectors.vector_norm(col(embCol)))
+        .drop(embCol, "__resid", "__rnorm")
+    }
 
   def build(df: DataFrame, embCol: String, nlist: Int = 16, m: Int = 8,
       k: Int = 256, maxTrain: Int = 65536, seed: Long = 123L,
-      codesCol: String = "pq_codes", normCol: String = "emb_norm"): IvfPqIndex = {
+      codesCol: String = "pq_codes", normCol: String = "emb_norm",
+      byResidual: Boolean = false): IvfPqIndex = {
     val ivf = IvfIndex.build(df, embCol, nlist, seed)
-    val model = PqIndex.fit(ivf.indexed, embCol, m, k, maxTrain)
-    val encoded = PqIndex.encode(ivf.indexed, embCol, model, codesCol, normCol)
-      .drop(embCol)
-    new IvfPqIndex(ivf.centroidVectors, model, encoded, codesCol, normCol)
+    val model =
+      if (!byResidual) PqIndex.fit(ivf.indexed, embCol, m, k, maxTrain)
+      else
+        // codebooks fit on the RESIDUAL stream (pooled across cells —
+        // the FAISS layout): the quantized domain must be the coded
+        // domain, and residuals are what makes k codewords dense
+        PqIndex.fit(withResidual(ivf.indexed, embCol, ivf.centroidVectors,
+          "__resid"), "__resid", m, k, maxTrain)
+    new IvfPqIndex(ivf.centroidVectors, model,
+      encodeAssigned(ivf.indexed, embCol, ivf.centroidVectors, model,
+        codesCol, normCol, byResidual),
+      codesCol, normCol, byResidual)
   }
 
   /**
@@ -256,6 +356,15 @@ object IvfPqIndex {
   def repairSavedFrom(spark: SparkSession, path: String,
       vectorIdx: IvfIndex, idCol: String): IvfPqIndex = {
     val idx = load(spark, path)
+    // residual codes are minted AGAINST their cell's centroid — a
+    // renumbered row's code would decode against the wrong centroid,
+    // silently corrupting every ADC score. Refuse-don't-degrade: the
+    // raw-coded layout is the repair-agile composition (class doc);
+    // a residual layout under drift re-fits (build) instead.
+    require(!idx.byResidual,
+      "repairSavedFrom cannot renumber a RESIDUAL-coded layout (codes are " +
+        "PQ(x − centroid(cell)); a cell change invalidates them) — re-fit with " +
+        "IvfPqIndex.build, or use byResidual = false where repair agility matters")
     val oldN = idx.centroidVectors.length
     require(vectorIdx.centroidVectors.length >= oldN,
       s"repaired quantizer has ${vectorIdx.centroidVectors.length} cells, fewer " +
@@ -309,6 +418,8 @@ object IvfPqIndex {
         .findFirstMatchIn(json).map(_.group(1)).getOrElse(dflt)
     val codesCol = field("codes_column", "pq_codes")
     val normCol = field("norm_column", "emb_norm")
+    // layouts written before the residual option existed are raw-coded
+    val byResidual = field("by_residual", "false").toBoolean
     // by-name reads (r12 ADVICE): a rewritten/evolved centroids file
     // with reordered columns must fail by name, not silently misread
     // by ordinal
@@ -317,6 +428,6 @@ object IvfPqIndex {
       .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
     val model = PqIndex.load(spark, s"$path/pq")
     new IvfPqIndex(cents, model, spark.read.parquet(s"$path/data"),
-      codesCol, normCol)
+      codesCol, normCol, byResidual)
   }
 }

@@ -172,9 +172,13 @@ object PqIndex {
     * once from the query, similarity = adcDot / (|q|·norm) with the
     * `nearest` zero-norm rule, then sort desc + limit — the
     * `TakeOrderedAndProject` shape, no decompression, no shuffle. */
-  def search(encoded: DataFrame, queryVec: Array[Float], n: Int,
-      model: PqModel, codesCol: String = "pq_codes", normCol: String = "emb_norm",
-      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame = {
+  /** The per-query ADC lookup table: dot of the query's j-th subvector
+    * against every codeword of subspace j, flat-indexed by
+    * `model.offsets` — computed ONCE driver-side per query (m·k·sub
+    * FLOPs), shared by [[search]] and the residual-coded
+    * [[IvfPqIndex.search]] (where the same table scores residual
+    * codebooks and a per-cell `q·centroid` addend completes the dot). */
+  private[operators] def adcTable(queryVec: Array[Float], model: PqModel): Array[Double] = {
     require(queryVec.length == model.dim,
       s"query dim ${queryVec.length} != model dim ${model.dim}")
     val sub = model.sub
@@ -193,6 +197,14 @@ object PqIndex {
       }
       j += 1
     }
+    table
+  }
+
+  def search(encoded: DataFrame, queryVec: Array[Float], n: Int,
+      model: PqModel, codesCol: String = "pq_codes", normCol: String = "emb_norm",
+      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val offsets = model.offsets
+    val table = adcTable(queryVec, model)
     val qnorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val dot = ColumnBridge.column(graft.expressions.PqAdcDot(
       ColumnBridge.expression(col(codesCol)), model.m, table, offsets,

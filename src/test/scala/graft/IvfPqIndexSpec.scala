@@ -174,6 +174,138 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("residual coding: zero-centroid degenerate is bit-identical to the raw path") {
+    // one cell at the origin ⇒ residual = x − 0 = x exactly (float sub
+    // by zero is the identity) and the q·centroid addend is 0.0, so
+    // the residual composition IS the raw composition bit for bit —
+    // the exactness anchor the gate row shares
+    val df = fixture
+    val zero = Array(Array.fill(dim)(0f))
+    val raw = IvfPqIndex.withArtifacts(df, "embedding", zero,
+      graft.operators.PqIndex.fit(df, "embedding", m = 4, k = 65536,
+        maxTrain = 65536))
+    val res = IvfPqIndex.withArtifacts(df, "embedding", zero, raw.model,
+      byResidual = true)
+    assert(res.byResidual && !raw.byResidual)
+    def rows(i: IvfPqIndex) = i.encoded
+      .select(col("vec_id"), col("cell"), hex(col("pq_codes")), col("emb_norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(rows(res) == rows(raw), "zero-centroid residual codes must equal raw codes")
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    def run(i: IvfPqIndex) =
+      i.search(q, k = 10, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), col("similarity"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(res) == run(raw), "zero-centroid residual search must be bit-identical")
+  }
+
+  test("residual coding: lossless codebooks at nlist > 1 recover the exact result") {
+    // residual reconstruction is exact under a lossless codebook, so
+    // nprobe = nlist composes to the brute-force answer (within one
+    // 6-dp rounding — q·c + q·(x−c) re-associates the float dot)
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536, byResidual = true)
+    assert(idx.model.lossless, "full residual sample must report lossless")
+    assert(!idx.encoded.columns.contains("embedding"))
+    val q = df.where(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val got = idx.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = exactTopK(df, 3L, 10)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1),
+      s"residual lossless ids diverge:\n$got\n$want")
+    got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) <= 1e-6, s"residual sim $gs vs exact $ws")
+    }
+    // searchMany agrees with per-query search under residual coding
+    val queries = df.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val many = idx.searchMany(queries, "query_id", "qe", "vec_id", k = 5, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = (0L until 4L).flatMap { qid =>
+      val qv = df.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(qv, k = 5, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(many == single, s"residual searchMany != per-query:\n$many\n$single")
+  }
+
+  test("residual coding: recall beats raw at equal m/k on the clustered fixture (the published lever)") {
+    // top-10-vs-exact-10 is the HARD metric here: every cluster member
+    // sits at sim ≈ 0.99 to the query, so fine ranking is decided by
+    // the 0.15-σ noise — exactly the detail raw-vector codebooks
+    // spend on cluster separation and residual codebooks keep (the
+    // Jégou §IV-A argument). Measured on this seeded fixture:
+    // residual ≈ 0.43 vs raw ≈ 0.15 at m=8/k=16 (2–3× across every
+    // m/k probed); everything is seed-pinned, so the gap is stable.
+    val df = fixture
+    def recall(byResidual: Boolean): Double = {
+      val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 16,
+        byResidual = byResidual)
+      assert(!idx.model.lossless)
+      (0L until 8L).map { qid =>
+        val q = df.where(col("vec_id") === qid).select("embedding")
+          .head().getSeq[Float](0).toArray
+        val got = idx.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val want = exactTopK(df, qid, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+        (got & want).size.toDouble / want.size
+      }.sum / 8
+    }
+    val (r, w) = (recall(byResidual = true), recall(byResidual = false))
+    assert(r >= w + 0.2, s"residual recall $r must clearly beat raw $w at equal m/k")
+    assert(r >= 0.4, s"residual recall $r below the measured fixture floor")
+  }
+
+  test("residual layouts: save/load round-trips the coding; repair refuses") {
+    import graft.operators.IvfIndex
+    val df = fixture
+    val idx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536, byResidual = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    try {
+      idx.save(dir)
+      val re = IvfPqIndex.load(spark, dir)
+      assert(re.byResidual, "by_residual must survive the sidecar round trip")
+      val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      def run(i: IvfPqIndex) =
+        i.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+          .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(run(re) == run(idx))
+      // a residual code is minted against its cell's centroid — repair
+      // must refuse to renumber, not silently corrupt ADC scores
+      val vec = IvfIndex.build(df, "embedding", nlist = 8)
+      val ex = intercept[IllegalArgumentException](
+        IvfPqIndex.repairSavedFrom(spark, dir, vec, "vec_id"))
+      assert(ex.getMessage.contains("RESIDUAL"), ex.getMessage)
+      // incremental appends stay residual-coded: addBatch == full build
+      val a = df.where(col("vec_id") % 2 === 0)
+      val b = df.where(col("vec_id") % 2 === 1)
+      val inc = IvfPqIndex.withArtifacts(a, "embedding", idx.centroidVectors,
+          idx.model, byResidual = true)
+        .addBatch(b, "embedding")
+      val full = IvfPqIndex.withArtifacts(df, "embedding", idx.centroidVectors,
+        idx.model, byResidual = true)
+      def rows(i: IvfPqIndex) = i.encoded
+        .select(col("vec_id"), col("cell"), hex(col("pq_codes")), col("emb_norm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      assert(rows(inc) == rows(full))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("repairSavedFrom follows a repaired vector tier: cold coded files untouched, serving identical, refusals") {
     import graft.operators.IvfIndex
     val df = fixture

@@ -215,6 +215,82 @@ class PretrainStreamSpec extends AnyFunSuite {
       s"bloom-gram-store chain ${gotBloom.toMap} vs batch $want")
   }
 
+  test("semantic-staged chain: two-batch drain == batch, the keeper flag carries across batches") {
+    // one cell, frozen centroid [1, 0]; eps = 0.5 ⇒ ball = cos ≥ 0.5.
+    // Batch 1's doc 1 sits at the centroid and claims the cell; batch
+    // 2's doc 4 is deep inside the ball (cos ≈ 0.994) and must DROP on
+    // the CARRIED keeper flag — paragraph dedup alone would keep it
+    // (its banner drop changes text, not survival). Docs 2/6 are
+    // non-ball, doc 5 has NO embedding row (un-screenable, survives).
+    val cent = Array(Array(1f, 0f))
+    val eps = 0.5
+    val embDf = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0.9f, 0.1f)),
+      (6L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val union = batch1.unionByName(batch2)
+    def semStage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val withEmb = df.join(
+        embDf.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      Dedup.semanticDedupByCentroid(withEmb,
+          graft.operators.IvfIndex.withCentroids(withEmb, "embedding", cent),
+          "doc_id", eps)
+        .drop("embedding")
+    }
+    def batchPipelineSem(corpus: org.apache.spark.sql.DataFrame,
+        model: TextAnalysis.UnigramLm,
+        bounds: org.apache.spark.sql.DataFrame): Map[Long, (String, Double, String)] = {
+      val sd = semStage(Dedup.dedupParagraphs(corpus, "text", "doc_id"))
+      val decon = Dedup.decontaminate(sd, evalDf, "text", "doc_id", n = N)
+      val scored = TextAnalysis.lmScoreAgainst(decon, model, "text", "doc_id")
+        .join(decon.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.applyBuckets(scored, bounds, "lm_nll", "lang")
+        .select("doc_id", "lang", "lm_nll", "bucket").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    }
+    val cleanRef = Dedup.decontaminate(
+      semStage(Dedup.dedupParagraphs(union, "text", "doc_id")),
+      evalDf, "text", "doc_id", n = N)
+    val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
+    val bounds = TextAnalysis.bucketBoundaries(
+      TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
+        .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id"),
+      "lm_nll", "lang")
+    val want = batchPipelineSem(union, model, bounds)
+    assert(!want.contains(4L), "doc 4 is a ball member of doc 1's claimed cell")
+    assert(want.contains(2L) && want.contains(5L) && want.contains(6L),
+      s"non-ball and no-embedding docs survive the screen: $want")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pretrain_sem_stream")
+    batch1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    batch2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val Seq(f1, f2) = Seq("b1", "b2").map(b =>
+      new java.io.File(dir.resolve(b).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
+    f1.setLastModified(1000000L); f2.setLastModified(2000000L)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, (String, Double, String)]
+    var batches = 0
+    val q = StreamOps.pipelinePretrainPerBatch(stream, evalDf, model, bounds,
+      "text", "doc_id", "lang", n = N,
+      shipLabels = Seq("head", "middle", "tail"),
+      semdedup = Some(StreamOps.SemdedupCentroidStage(
+        embDf, "vec_id", "embedding", cent, eps))) { (shipped, _) =>
+      got.synchronized {
+        batches += 1
+        got ++= shipped.select("doc_id", "lang", "lm_nll", "bucket").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getString(3))))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(got.toMap == want, s"semantic-staged stream ${got.toMap} vs batch $want")
+    // the carry bit: doc 4 arrived in batch 2, its cell's keeper (doc
+    // 1) in batch 1 — only the carried flag can drop it
+    assert(!got.contains(4L), "doc 4 must drop on the carried keeper flag")
+  }
+
   test("substringBloom without substringK is refused at wiring time") {
     // the bounded gram store only exists inside the substring stage —
     // silently ignoring it would leave the caller believing their
