@@ -552,6 +552,74 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Hashed-feature classifier collision trade at a web-scale vocab:
+    //   sbt "runMain graft.ScaleProbe 1000000 clfbuckets"
+    // The r15 VERDICT #3 measurement: a zipf corpus over 500k surface
+    // forms blows past any broadcastable exact vocab; hashing into 10k
+    // buckets bounds the artifact at ~0.16 MB. What the probe reports:
+    // exact vocab size vs occupied buckets (the compression ratio),
+    // mean/max tokens-per-bucket (collision load), and — the number a
+    // 100 TB user sizes numBuckets from — whether the filter still
+    // SEPARATES after collisions (marker-vs-background probability
+    // gap, hashed vs exact, same corpus, same GD budget).
+    if (args.contains("clfbuckets")) {
+      val tokensPerDoc = 100
+      val vocab = 500000
+      val numBuckets = 10000
+      val marked = zipfCorpus(tokensPerDoc, vocab)
+        .select(col("id"),
+          when(col("id") % 2 === 1,
+            concat(col("text"), lit(" qmark0 qmark1 qmark0 qmark1 qmark0" * 4)))
+            .otherwise(col("text")).as("text"),
+          (col("id") % 2).cast("int").as("y"))
+        .repartition(32).localCheckpoint(true)
+      val iters = 2
+      val exact = time(s"clfbuckets EXACT fit ${n / 1000000}M docs, " +
+        s"~$vocab-form vocab, $iters iters") {
+        graft.operators.Classifier.fit(marked, "text", "y", "id",
+          minCount = 2L, iters = iters, lr = 1.0)
+      }
+      val hashed = time(s"clfbuckets HASHED fit, $numBuckets buckets") {
+        graft.operators.Classifier.fit(marked, "text", "y", "id",
+          minCount = 2L, iters = iters, lr = 1.0, numBuckets = numBuckets)
+      }
+      val exactVocab = exact.weights.count()
+      val occupied = hashed.weights.count()
+      require(occupied <= numBuckets,
+        s"hashed weight frame $occupied rows > $numBuckets buckets")
+      // collision load: distinct in-vocab tokens per occupied bucket
+      val toks = marked.select(explode(filter(
+          split(lower(col("text")), graft.operators.TextAnalysis.Ws),
+          t => length(t) > 0)).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as("__c"))
+        .where(col("__c") >= 2)
+        .select(pmod(xxhash64(col("__tok")), lit(numBuckets.toLong)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__load"))
+      val load = toks.agg(avg("__load"), max("__load")).head()
+      println(f"[scale-probe] clfbuckets: exact vocab $exactVocab%d → " +
+        f"$occupied%d/$numBuckets%d buckets occupied " +
+        f"(${exactVocab.toDouble / numBuckets}%.1f tokens/bucket mean target); " +
+        f"in-vocab collision load mean ${load.getDouble(0)}%.1f max ${load.getLong(1)}%d")
+      // does the filter still separate? marker-vs-background prob gap,
+      // both models scoring the same corpus
+      def gap(m: graft.operators.Classifier.LinearQualityClassifier): Double = {
+        val p = graft.operators.Classifier.scoreAgainst(
+            marked, m, "text", "id", broadcastWeights = true)
+          .join(marked.select("id", "y"), "id")
+          .groupBy("y").agg(avg("clf_prob")).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        p(1) - p(0)
+      }
+      val (ge, gh) = (gap(exact), gap(hashed))
+      println(f"[scale-probe] clfbuckets separation: exact gap $ge%.3f, " +
+        f"hashed gap $gh%.3f (${100 * gh / ge}%.0f%% retained at " +
+        f"${exactVocab / numBuckets}× vocab compression)")
+      require(gh > 0.5 * ge,
+        f"hashed separation $gh%.3f lost more than half the exact gap $ge%.3f — " +
+          "numBuckets too small for this vocab")
+      spark.stop()
+      return
+    }
     // Round-10 frozen-artifact deployment shape at scale:
     // sbt "runMain graft.ScaleProbe 1000000 frozen". Fit + persist the
     // unigram model on the even-id half, score the odd half against the

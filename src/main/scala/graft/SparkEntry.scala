@@ -169,7 +169,8 @@ object SparkEntry {
     new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Classifier.LinearQualityClassifier]]()
   private def classifierFitFor(s: SparkSession, d: String, key: String,
-      tokenizer: Classifier.Tokenizer): Classifier.LinearQualityClassifier =
+      tokenizer: Classifier.Tokenizer,
+      numBuckets: Int = 0): Classifier.LinearQualityClassifier =
     clfModelCache.synchronized {
       clfModelCache.keySet.removeIf(x => x.sparkContext.isStopped)
       var mm = clfModelCache.get(s)
@@ -177,10 +178,10 @@ object SparkEntry {
         mm = new java.util.concurrent.ConcurrentHashMap[String, Classifier.LinearQualityClassifier]()
         clfModelCache.put(s, mm)
       }
-      mm.computeIfAbsent(s"$d#$key", _ => assembleClassifier(s, d, key, tokenizer))
+      mm.computeIfAbsent(s"$d#$key", _ => assembleClassifier(s, d, key, tokenizer, numBuckets))
     }
   private def assembleClassifier(s: SparkSession, d: String, key: String,
-      tokenizer: Classifier.Tokenizer): Classifier.LinearQualityClassifier = {
+      tokenizer: Classifier.Tokenizer, numBuckets: Int): Classifier.LinearQualityClassifier = {
     val (w, b) = clfCache.computeIfAbsent(s"$d#$key", _ => {
       val docs = Tables(s, d, "documents")
       val stop = TextAnalysis.LangProfiles.toMap.apply("en")
@@ -194,12 +195,14 @@ object SparkEntry {
         (lit(100) * hits >= lit(6) * n).cast("int"))
       val extremes = (lit(100) * hits >= lit(8) * n) || (lit(25) * hits <= n)
       val m = Classifier.fit(labeled.where(col("doc_id") % 7 === 0 && extremes),
-        "text", "__label", "doc_id", iters = 8, lr = 1.0, tokenizer = tokenizer)
+        "text", "__label", "doc_id", iters = 8, lr = 1.0, tokenizer = tokenizer,
+        numBuckets = numBuckets)
       (m.weights.collect().map(r => (r.getString(0), r.getLong(1))), m.biasMicro)
     })
     import s.implicits._
     Classifier.fromWeights(w.toSeq.toDF("__tok", "__w_micro"), b,
-      iters = 8, lr = 1.0, minCount = 2L, featScale = 10.0)
+      iters = 8, lr = 1.0, minCount = 2L, featScale = 10.0,
+      numBuckets = numBuckets)
   }
   private def classifierFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier =
     classifierFitFor(s, d, "ws", Classifier.WhitespaceTokenizer)
@@ -208,6 +211,12 @@ object SparkEntry {
   private def classifierBpeFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier =
     classifierFitFor(s, d, "bpe24",
       Classifier.BpeTokenizer(bpeFor(s, d, numMerges = 24)))
+  /** The HASHED-feature variant (r15 VERDICT #3): same labels, same
+    * fit machinery, features bucketed to 512 hashed slots — the
+    * artifact-bounding shape a web-scale vocab deploys. */
+  private def classifierHashedFor(s: SparkSession, d: String): Classifier.LinearQualityClassifier =
+    classifierFitFor(s, d, "hash512", Classifier.WhitespaceTokenizer,
+      numBuckets = 512)
 
   /** Memoized PQ codebook fits per (fixture, knobs) — the frozen
     * artifact is fit once and applied everywhere (the bpeFor shape: a
@@ -2041,6 +2050,27 @@ object SparkEntry {
       val model = classifierFor(s, d) // memoized fit — see classifierFor
       Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
         "text", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T (round 16, r15 VERDICT #3): the classifier with HASHED
+    // feature buckets — fastText's hashing trick, the move that makes
+    // the weight artifact ≤ numBuckets rows no matter how the corpus
+    // vocabulary grows (so the r14 broadcast-vs-shuffle fallback never
+    // triggers on a deployed filter). Same labels, same
+    // derivation-checked GD machinery; only the feature key changes
+    // (token → pmod(xxhash64(token), 512), the DSIR bucketing
+    // convention). Rows-only (DuckDB has no Spark-compatible xxhash64
+    // — the dsir_score_hashed precedent); its exact twin is
+    // quality_classifier_frozen, whose oracle the numBuckets = 0
+    // degenerate shares bit for bit (ClassifierSpec pins the
+    // degenerate identity; ScaleProbe `clfbuckets` measures the
+    // collision trade at a web-scale vocab).
+    "quality_classifier_hashed" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = classifierHashedFor(s, d)
+      Classifier.scoreAgainst(docs.where(col("doc_id") % 7 =!= 0), model,
+        "text", "doc_id", broadcastWeights = true)
         .select(col("doc_id"), col("n_toks"), col("clf_logit"), col("clf_prob"))
         .orderBy(col("doc_id"))
     }),

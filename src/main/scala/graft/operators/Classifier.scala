@@ -104,11 +104,29 @@ object Classifier {
    * __w_micro)` frame (integer micro-units, the [[TextAnalysis.UnigramLm]]
    * counts-frame convention: pure data, reloadable by any engine) plus
    * an integer micro-unit bias. `iters`/`lr`/`minCount` ride along so
-   * a persisted model records how it was fit.
-   */
+   * a persisted model records how it was fit. `numBuckets > 0` marks a
+   * HASHED-feature model (fastText's hashing trick, r15 VERDICT #3):
+   * `__tok` holds bucket ids, not surface tokens, and scoring MUST
+   * hash through the same map — which is why the knob is model state,
+   * not a scoring parameter (the frozen-tokenizer caveat, applied to
+   * the feature space). */
   case class LinearQualityClassifier private[operators] (
       weights: DataFrame, biasMicro: Long,
-      iters: Int, lr: Double, minCount: Long, featScale: Double)
+      iters: Int, lr: Double, minCount: Long, featScale: Double,
+      numBuckets: Int = 0) {
+    /** exact (surface-token-keyed) feature space? */
+    def exact: Boolean = numBuckets == 0
+  }
+
+  /** The fastText hashing trick as one column map: token → bucket id
+    * (as a STRING, so the weights frame keeps its `(__tok string,
+    * __w_micro long)` schema and every downstream join/save/import
+    * path is coding-agnostic). Same `pmod(xxhash64(…), B)` family as
+    * [[TextAnalysis.fitDsir]] — the repo's one bucketing convention. */
+  private def bucketed(toks: DataFrame, numBuckets: Int): DataFrame =
+    if (numBuckets == 0) toks
+    else toks.withColumn("__tok",
+      pmod(xxhash64(col("__tok")), lit(numBuckets.toLong)).cast("string"))
 
   /**
    * Fit by `iters` rounds of full-batch gradient descent (see object
@@ -126,11 +144,27 @@ object Classifier {
    * floor(x+0.5) and would diverge on negative halves), including the
    * bias: its per-iteration update is computed IN-PLAN by a one-row
    * aggregate so the driver never rounds a double itself.
+   *
+   * `numBuckets > 0` hashes every token into that many feature buckets
+   * BEFORE anything else sees it (fastText's hashing trick; r15
+   * VERDICT #3) — the move that makes the weight artifact's size a
+   * BUILD parameter instead of a corpus property: the frame is ≤
+   * numBuckets rows no matter how the vocabulary grows, so the
+   * broadcast-vs-shuffle fallback ([[BroadcastVocabMax]]) never
+   * triggers on a hashed model. `minCount` then bounds BUCKET
+   * occurrences (a bucket is in-vocab if the tokens hashing into it
+   * total ≥ minCount); colliding tokens share one weight — the
+   * documented fastText trade, measured by ScaleProbe `clfbuckets`.
+   * `numBuckets = 0` (default) is the exact surface-token degenerate:
+   * bit-for-bit the pre-knob fit, sharing `quality_classifier_frozen`'s
+   * DuckDB derivation oracle.
    */
   def fit(df: DataFrame, textCol: String, labelCol: String, idCol: String,
       minCount: Long = 2L, iters: Int = 8, lr: Double = 2.0,
       featScale: Double = 10.0, tokenizer: Tokenizer = WhitespaceTokenizer,
-      broadcastWeights: Boolean = true): LinearQualityClassifier = {
+      broadcastWeights: Boolean = true, numBuckets: Int = 0): LinearQualityClassifier = {
+    require(numBuckets >= 0,
+      s"numBuckets must be >= 0 (0 = exact surface-token degenerate), got $numBuckets")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(featScale > 0 && java.lang.Double.isFinite(featScale),
       s"featScale must be positive and finite, got $featScale")
@@ -141,9 +175,9 @@ object Classifier {
     require(bad == 0L,
       s"fit needs 0/1 labels in '$labelCol' — found other values; map them before fitting")
 
-    val toks = df.where(col(labelCol).isin(0, 1))
+    val toks = bucketed(df.where(col(labelCol).isin(0, 1))
       .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__y"),
-        explode(tokenizer.toks(col(textCol))).as("__tok"))
+        explode(tokenizer.toks(col(textCol))).as("__tok")), numBuckets)
     val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__tok").localCheckpoint(true)
     require(!vocab.isEmpty,
@@ -234,7 +268,7 @@ object Classifier {
         lit(nDocs.toDouble)).cast("long")).head().getLong(0)
     }
     } finally feat.unpersist(false) // w is checkpointed — nothing depends on feat
-    LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale)
+    LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale, numBuckets)
   }
 
   /**
@@ -258,8 +292,11 @@ object Classifier {
       broadcastWeights: Boolean = false,
       tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
     val w = if (broadcastWeights) broadcast(model.weights) else model.weights
-    val toks = df.select(col(idCol),
-      explode(tokenizer.toks(col(textCol))).as("__tok"))
+    // a hashed model's weights are keyed by bucket id — score-side
+    // tokens go through the identical hash (model state, so fit and
+    // serving can never bucket apart)
+    val toks = bucketed(df.select(col(idCol),
+      explode(tokenizer.toks(col(textCol))).as("__tok")), model.numBuckets)
     val cnt = toks.join(w, "__tok")
       .groupBy(col(idCol), col("__tok"), col("__w_micro"))
       .agg(count(lit(1)).as("__ct"))
@@ -332,10 +369,14 @@ object Classifier {
     * model's vocab dump, a cached earlier fit) serve through the same
     * [[scoreAgainst]] path, provided they use the same micro-unit
     * convention and the same `featScale` as at training. `weights`
-    * must be `(__tok string, __w_micro long)`. */
+    * must be `(__tok string, __w_micro long)`; for a hashed import
+    * (`numBuckets > 0`) the `__tok` values are bucket ids and MUST
+    * come from the same `pmod(xxhash64(token), numBuckets)` map this
+    * engine applies at scoring. */
   def fromWeights(weights: DataFrame, biasMicro: Long,
       iters: Int, lr: Double, minCount: Long,
-      featScale: Double): LinearQualityClassifier = {
+      featScale: Double, numBuckets: Int = 0): LinearQualityClassifier = {
+    require(numBuckets >= 0, s"numBuckets must be >= 0, got $numBuckets")
     val names = weights.columns.toSet
     require(names("__tok") && names("__w_micro"),
       s"weights frame needs (__tok, __w_micro) columns, got ${weights.columns.toSeq}")
@@ -362,7 +403,8 @@ object Classifier {
       s"weights frame has ${total - distinct} duplicate __tok rows " +
         s"($total rows, $distinct distinct tokens) — each duplicate would " +
         "double-count its logit at scoring; deduplicate the import first")
-    LinearQualityClassifier(weights, biasMicro, iters, lr, minCount, featScale)
+    LinearQualityClassifier(weights, biasMicro, iters, lr, minCount, featScale,
+      numBuckets)
   }
 
   /** Persist: weights parquet + a one-row meta table (pure data — the
@@ -371,19 +413,26 @@ object Classifier {
     val spark = model.weights.sparkSession
     import spark.implicits._
     model.weights.write.mode("overwrite").parquet(s"$path/weights")
-    Seq((model.biasMicro, model.iters, model.lr, model.minCount, model.featScale))
-      .toDF("__bias_micro", "__iters", "__lr", "__min_count", "__feat_scale")
+    Seq((model.biasMicro, model.iters, model.lr, model.minCount, model.featScale,
+        model.numBuckets))
+      .toDF("__bias_micro", "__iters", "__lr", "__min_count", "__feat_scale",
+        "__num_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Reopen a [[save]]d model — columns read by NAME (a reloadable
-    * artifact may come back column-reordered). */
+    * artifact may come back column-reordered). Layouts written before
+    * the bucket knob existed carry no `__num_buckets` column and are
+    * exact-coded by construction. */
   def load(spark: SparkSession, path: String): LinearQualityClassifier = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
+    val m = meta.head()
     LinearQualityClassifier(spark.read.parquet(s"$path/weights"),
       m.getAs[Long]("__bias_micro"), m.getAs[Int]("__iters"),
       m.getAs[Double]("__lr"), m.getAs[Long]("__min_count"),
-      m.getAs[Double]("__feat_scale"))
+      m.getAs[Double]("__feat_scale"),
+      if (meta.columns.contains("__num_buckets")) m.getAs[Int]("__num_buckets")
+      else 0)
   }
 }
 
