@@ -1392,6 +1392,71 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // DSIR bucketing TELEMETRY at corpus scale (r15 VERDICT #6):
+    //   sbt "runMain graft.ScaleProbe 1000000 dsirstats"
+    // Same corpus design as the `dsir` probe — which is ADVERSARIAL
+    // for bucketing: ~19M distinct features (the bigrams are nearly
+    // all hapax) into 10k buckets is ~1,900 features/bucket, and the
+    // telemetry duly reads "undersized" (flip mass ≈ 0.48 measured —
+    // the refusal signal it exists to give; the `dsir` probe shows
+    // RANKING still separates at +26 vs −20, the paper's actual
+    // claim). What the probe asserts is the SIZING WORKFLOW: the same
+    // telemetry at 2^20 buckets (~18 features/bucket) must report
+    // strictly less flipped mass and a smaller mean ratio gap — the
+    // two numbers a 100 TB user walks up numBuckets until they like.
+    // Also times the 1-in-10 feature-sampled variant (the shape a
+    // petabyte corpus would run) and asserts its full-corpus columns
+    // match the unsampled row's.
+    if (args.contains("dsirstats")) {
+      val buckets = 10000
+      def doc(prefix: String, vocab: Int, salt: Int) = concat_ws(" ",
+        (0 until 20).map(i =>
+          concat(lit(prefix), pmod(xxhash64(col("id"), lit(i + salt)), lit(vocab)))): _*)
+      val target = spark.range(n / 100).toDF("id")
+        .select((col("id") + 3 * n).as("id"))
+        .select(col("id"), doc("a", 1000, 0).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val raw = spark.range(n).toDF("id")
+        .select(col("id"),
+          when(pmod(col("id"), lit(100)) === 0, doc("a", 1000, 7))
+            .otherwise(doc("b", 50000, 7)).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val model = time(f"fitDsir ($buckets buckets)") {
+        TextAnalysis.fitDsir(target, raw, "text", numBuckets = buckets)
+      }
+      val full = time(f"dsirBucketStats full comparison ($n%,d raw docs)") {
+        TextAnalysis.dsirBucketStats(model, target, raw, "text").head()
+      }
+      val cols = Seq("num_buckets", "buckets_hit", "distinct_feats",
+        "feats_per_bucket", "sampled_feats", "sign_flips", "sign_flip_frac",
+        "flip_mass_frac", "mean_abs_gap")
+      println("[scale-probe] dsirstats full: " +
+        cols.zipWithIndex.map { case (c, i) => s"$c=${full.get(i)}" }.mkString(" "))
+      val thin = time("dsirBucketStats sampleMod=10 (1-in-10 features)") {
+        TextAnalysis.dsirBucketStats(model, target, raw, "text", sampleMod = 10)
+          .head()
+      }
+      println("[scale-probe] dsirstats 1-in-10: " +
+        cols.zipWithIndex.map { case (c, i) => s"$c=${thin.get(i)}" }.mkString(" "))
+      require(thin.getAs[Long]("buckets_hit") == full.getAs[Long]("buckets_hit") &&
+        thin.getAs[Long]("distinct_feats") == full.getAs[Long]("distinct_feats"),
+        "sampling must thin only the comparison, never the occupancy columns")
+      // the sizing move: 100× more buckets must measurably help — the
+      // monotonicity that makes walking numBuckets up a procedure
+      val wide = time(f"fitDsir (${1 << 20} buckets) + dsirBucketStats") {
+        TextAnalysis.dsirBucketStats(
+          TextAnalysis.fitDsir(target, raw, "text", numBuckets = 1 << 20),
+          target, raw, "text", sampleMod = 10).head()
+      }
+      println("[scale-probe] dsirstats 2^20 buckets (1-in-10): " +
+        cols.zipWithIndex.map { case (c, i) => s"$c=${wide.get(i)}" }.mkString(" "))
+      require(wide.getAs[Double]("flip_mass_frac") <
+          thin.getAs[Double]("flip_mass_frac") &&
+        wide.getAs[Double]("mean_abs_gap") < thin.getAs[Double]("mean_abs_gap"),
+        s"100× more buckets must cut flipped mass and the ratio gap: $wide vs $thin")
+      spark.stop()
+      return
+    }
     // SPFHP histogram packing at 10M sequences:
     //   sbt "runMain graft.ScaleProbe 10000000 packhist"
     // Realistic length mix at maxLen = 512: a quarter of the corpus

@@ -1975,6 +1975,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 16, r15 VERDICT #6): DSIR bucketing
+    // TELEMETRY at its all-collisions degenerate — what hashing costs,
+    // as data: occupancy, sign-flip counts (features whose bucketed
+    // ratio points the wrong way), flipped occurrence mass, and the
+    // mean |exact − bucketed| ratio gap. numBuckets = 1 pools every
+    // feature into one bucket whose ratio derives to exactly 0, so
+    // DuckDB replays the WHOLE stats arithmetic: the exact per-feature
+    // ratios (dsir_score's CTEs), the pooled-bucket derivation, the
+    // flip predicates, and every aggregate.
+    "dsir_bucket_stats_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val (t, r) = (docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))
+      val model = TextAnalysis.fitDsir(t, r, "text", numBuckets = 1)
+      TextAnalysis.dsirBucketStats(model, t, r, "text")
+    }),
+    // §2.3 T rows-only twin: the telemetry over the DEPLOYED 10k-bucket
+    // shape — the row a 100 TB user actually reads to size numBuckets
+    // (xxhash64 bucket assignment has no SQL analog; the degenerate
+    // above anchors the arithmetic, DsirSpec pins the balanced-pool
+    // exactness closed form and the smoothing-mass flip regime).
+    "dsir_bucket_stats" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val (t, r) = (docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))
+      val model = TextAnalysis.fitDsir(t, r, "text", numBuckets = 10000)
+      TextAnalysis.dsirBucketStats(model, t, r, "text")
+    }),
     // §2.3 S × T ORACLED (round 15): DSIR scoring as a REAL
     // StreamingQuery — the ingest shape (fit the model once on
     // (target, raw sample), persist, score every arriving batch
@@ -4355,6 +4383,13 @@ object SparkEntry {
         (TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
           "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +
           "\nORDER BY doc_id"),
+      // bucketing telemetry at the numBuckets = 1 degenerate: exact
+      // per-feature ratios (the dsir_score CTEs) against the pooled
+      // single bucket's derived-to-zero ratio — occupancy, flips, and
+      // the mean |exact − bucketed| gap all replayed
+      "dsir_bucket_stats_exact" ->
+        TextAnalysisSql.dsirBucketStatsExactSql("documents", "doc_id", "text",
+          "doc_id % 7 = 0", "doc_id % 7 <> 0"),
       // greedy top-k selection over the exact scores: the score CTE +
       // the same (weight DESC, id) order both engines sort by
       "dsir_select_topk" ->

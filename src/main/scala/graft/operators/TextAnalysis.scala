@@ -829,6 +829,95 @@ object TextAnalysis {
           .cast("double") / 1e6, 6).as(outCol))
   }
 
+  /** What the DSIR bucketing COSTS, as one telemetry row (r15 VERDICT
+    * #6) — the numbers a 100 TB user sizes `numBuckets` from instead
+    * of guessing: occupancy (`buckets_hit` of `num_buckets`; distinct
+    * features per bucket), and fidelity against the exact
+    * feature-keyed model on the same corpora — `sign_flips` counts
+    * sampled features whose bucketed log-ratio points the WRONG WAY
+    * (exact says target-like, the bucket says raw-like, or vice
+    * versa — from collisions AND from the smoothing-mass mismatch:
+    * the hashed model adds `numBuckets` pseudo-counts where the exact
+    * model adds its vocab size, which alone flips rare features when
+    * the pools are imbalanced; DsirSpec pins both regimes, including
+    * the balanced-pool closed form where B cancels and a
+    * collision-free bucketing is EXACT), `flip_mass_frac`
+    * weights them by occurrence mass (a flipped hapax is noise; a
+    * flipped stopword poisons every document), `mean_abs_gap` is the
+    * average |exact − bucketed| ratio distortion in nats.
+    *
+    * `sampleMod` hash-samples the feature space 1-in-`sampleMod` for
+    * the exact-side comparison (seeded `xxhash64(7, feat)` — SALTED,
+    * deliberately a different stream than the bucket hash, so the
+    * sample is uncorrelated with bucket assignment; the
+    * [[dsirResample]] never-`rand()` discipline). The bucket-side
+    * numbers (`buckets_hit`, totals) are always full-corpus. Scale
+    * shape: one map-combined count pass per corpus over the (sampled)
+    * feature stream + one exact distinct count for the B the exact
+    * model would need anyway; the model's ratios join BROADCAST
+    * (B-bounded); everything else is one-row cross joins — no
+    * corpus-keyed shuffle beyond the count passes.
+    *
+    * Columns: (num_buckets, buckets_hit, distinct_feats,
+    * feats_per_bucket, sampled_feats, sign_flips, sign_flip_frac,
+    * flip_mass_frac, mean_abs_gap). */
+  def dsirBucketStats(model: DsirModel,
+      target: org.apache.spark.sql.DataFrame,
+      raw: org.apache.spark.sql.DataFrame, textCol: String,
+      sampleMod: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(!model.exact,
+      "dsirBucketStats measures a HASHED model's bucketing cost — an exact " +
+        "(numBuckets = 0) model has nothing to measure")
+    require(sampleMod >= 1, s"sampleMod must be >= 1 (1 = every feature), got $sampleMod")
+    val tf = dsirFeatFrame(target, textCol, Nil).select("__feat")
+    val rf = dsirFeatFrame(raw, textCol, Nil).select("__feat")
+    def sampled(f: org.apache.spark.sql.DataFrame) =
+      if (sampleMod == 1) f
+      else f.where(pmod(xxhash64(lit(7L), col("__feat")), lit(sampleMod.toLong)) === 0)
+    // exact per-feature counts over the sampled feature space; the
+    // smoothing constants (nT, nR) are the model's FULL-corpus totals
+    // and B the full distinct-feature count — the ratios the exact
+    // model would actually publish, evaluated on the sample
+    val tc = sampled(tf).groupBy("__feat").agg(count(lit(1)).as("__ct"))
+    val rc = sampled(rf).groupBy("__feat").agg(count(lit(1)).as("__cr"))
+    val merged = tc.join(rc, Seq("__feat"), "full_outer")
+      .select(col("__feat"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val bx = tf.unionByName(rf).distinct()
+      .agg(count(lit(1)).as("__bx"))
+    val hit = model.ratios.agg(count(lit(1)).as("__hit"))
+    val (nT, nR) = (model.nTarget, model.nRaw)
+    val compared = merged.crossJoin(bx)
+      .select(col("__feat"), col("__ct"), col("__cr"),
+        round(lit(1e6) * (log((col("__ct") + 1).cast("double") /
+            (col("__bx") + lit(nT)).cast("double"))
+          - log((col("__cr") + 1).cast("double") /
+            (col("__bx") + lit(nR)).cast("double"))))
+          .cast("long").as("__exact_lrm"))
+      .withColumn("__b", pmod(xxhash64(col("__feat")), lit(model.numBuckets.toLong)))
+      .join(broadcast(model.ratios), Seq("__b"), "left")
+      .select(col("__ct"), col("__cr"), col("__exact_lrm"),
+        coalesce(col("__lr_micro"), lit(model.zeroLrMicro)).as("__bucket_lrm"))
+    val flip = (col("__exact_lrm") > 0 && col("__bucket_lrm") < 0) ||
+      (col("__exact_lrm") < 0 && col("__bucket_lrm") > 0)
+    compared
+      .agg(count(lit(1)).as("sampled_feats"),
+        sum(when(flip, 1L).otherwise(0L)).as("sign_flips"),
+        round(sum(when(flip, col("__ct") + col("__cr")).otherwise(0L))
+          .cast("double") / sum(col("__ct") + col("__cr")), 6).as("flip_mass_frac"),
+        round(avg(abs(col("__exact_lrm") - col("__bucket_lrm"))) / lit(1e6), 6)
+          .as("mean_abs_gap"))
+      .withColumn("sign_flip_frac",
+        round(col("sign_flips").cast("double") / col("sampled_feats"), 6))
+      .crossJoin(bx).crossJoin(hit)
+      .select(lit(model.numBuckets).as("num_buckets"),
+        col("__hit").as("buckets_hit"),
+        col("__bx").as("distinct_feats"),
+        round(col("__bx").cast("double") / col("__hit"), 2).as("feats_per_bucket"),
+        col("sampled_feats"), col("sign_flips"), col("sign_flip_frac"),
+        col("flip_mass_frac"), col("mean_abs_gap"))
+  }
+
   /** Persist a [[DsirModel]] (ratios parquet + one-row meta — the
     * [[saveUnigramLm]] convention: pure data, reloadable anywhere). */
   def saveDsir(model: DsirModel, path: String): Unit = {
@@ -1948,6 +2037,41 @@ object TextAnalysisSql {
     s"""WITH ${dsirScoreCtes(id, text, s"$table WHERE $targetWhere",
          s"$table WHERE $rawWhere", s"$table WHERE $scoreWhere")}
        |SELECT $id, n_feats, dsir_logw FROM dsir_scored""".stripMargin
+
+  /** [[TextAnalysis.dsirBucketStats]]'s oracle at the numBuckets = 1
+    * all-collisions degenerate: the single bucket's ratio derives to
+    * ln((nt+1)/(nt+1)) − ln((nr+1)/(nr+1)) (the pooled counts ARE the
+    * totals, B = 1) — kept as the derivation rather than folded to
+    * its value 0 so the replay proves the arithmetic; the exact side
+    * reuses [[dsirScoreCtes]]'s per-feature `dsir_lr`. Sign flips are
+    * structurally impossible against a zero bucket (strict opposite
+    * signs), so the row's content is the occupancy columns and
+    * `mean_abs_gap` = mean |exact ratio| — the full exact-lr
+    * derivation aggregated. */
+  def dsirBucketStatsExactSql(table: String, id: String, text: String,
+      targetWhere: String, rawWhere: String): String =
+    s"""WITH ${dsirScoreCtes(id, text, s"$table WHERE $targetWhere",
+         s"$table WHERE $rawWhere", s"$table WHERE $rawWhere")},
+       |dsir_blr AS (SELECT CAST(round(1000000.0 *
+       |    (ln((nt + 1) * 1.0 / (nt + 1)) - ln((nr + 1) * 1.0 / (nr + 1))))
+       |    AS BIGINT) AS blrm FROM dsir_tot),
+       |dsir_cmp AS (
+       |  SELECT u.ct, u.cr, l.lrm, b.blrm
+       |  FROM dsir_uni u JOIN dsir_lr l USING (feat) CROSS JOIN dsir_blr b)
+       |SELECT CAST(1 AS INTEGER) AS num_buckets,
+       |       CAST(1 AS BIGINT) AS buckets_hit,
+       |       (SELECT b FROM dsir_tot) AS distinct_feats,
+       |       round((SELECT b FROM dsir_tot) * 1.0 / 1, 2) AS feats_per_bucket,
+       |       count(*) AS sampled_feats,
+       |       CAST(sum(CASE WHEN (lrm > 0 AND blrm < 0) OR (lrm < 0 AND blrm > 0)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS sign_flips,
+       |       round(CAST(sum(CASE WHEN (lrm > 0 AND blrm < 0) OR (lrm < 0 AND blrm > 0)
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS sign_flip_frac,
+       |       round(CAST(sum(CASE WHEN (lrm > 0 AND blrm < 0) OR (lrm < 0 AND blrm > 0)
+       |                     THEN ct + cr ELSE 0 END) AS DOUBLE) / sum(ct + cr), 6)
+       |         AS flip_mass_frac,
+       |       round(avg(abs(lrm - blrm)) / 1000000.0, 6) AS mean_abs_gap
+       |FROM dsir_cmp""".stripMargin
 
   /** The CTE list behind [[dsirScoreSql]], with each corpus given as
     * its own FROM clause (a table + WHERE, or a prior CTE name) so a

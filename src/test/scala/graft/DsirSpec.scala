@@ -191,4 +191,93 @@ class DsirSpec extends AnyFunSuite {
     assert(batches == 2, s"expected 2 micro-batches, saw $batches")
     assert(got.toMap == want, s"stream drain ${got.toMap} vs batch $want")
   }
+
+  private def statsRow(df: org.apache.spark.sql.DataFrame): Map[String, Any] = {
+    val r = df.head()
+    df.columns.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+  }
+
+  test("bucket stats at numBuckets=1 (all collisions): closed forms for every column") {
+    // target: 5 feature occurrences over 5 distinct; raw: 7 over 7;
+    // union 12 distinct. One bucket pools everything: its ratio is
+    // EXACTLY 0 (ln((nT+1)/(nT+1)) − ln((nR+1)/(nR+1))), so no strict
+    // sign flip is possible and mean_abs_gap is the mean |exact lr|.
+    val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((2L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val model = TextAnalysis.fitDsir(target, raw, "text", numBuckets = 1)
+    val got = statsRow(TextAnalysis.dsirBucketStats(model, target, raw, "text"))
+    assert(got("num_buckets") == 1 && got("buckets_hit") == 1L)
+    assert(got("distinct_feats") == 12L && got("sampled_feats") == 12L)
+    assert(got("feats_per_bucket") == 12.0)
+    assert(got("sign_flips") == 0L && got("sign_flip_frac") == 0.0 &&
+      got("flip_mass_frac") == 0.0)
+    // mean |exact lr|: 5 target-only features at round(1e6·(ln(2/17) −
+    // ln(1/19))) and 7 raw-only at round(1e6·(ln(1/17) − ln(2/19))),
+    // each micro-rounded HALF_UP before the average — replicated here
+    def lrm(ct: Long, cr: Long): Long =
+      BigDecimal(1e6 * (math.log((ct + 1) / 17.0) - math.log((cr + 1) / 19.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val gaps = Seq.fill(5)(math.abs(lrm(1, 0))) ++ Seq.fill(7)(math.abs(lrm(0, 1)))
+    val want = math.rint(gaps.sum.toDouble / 12 / 1e6 * 1e6) / 1e6
+    assert(got("mean_abs_gap") == want,
+      s"mean_abs_gap ${got("mean_abs_gap")} vs hand-computed $want")
+  }
+
+  test("bucket stats: balanced pools + collision-free buckets are EXACT (B cancels); imbalanced pools flip even without collisions") {
+    // BALANCED pools (nT == nR): the smoothed ratio collapses to
+    // ln((ct+1)/(cr+1)) — the smoothing mass B cancels — so a
+    // collision-free bucketing IS the exact model, micro-round for
+    // micro-round: gap exactly 0.0, zero flips, one feature per
+    // occupied bucket. The telemetry's clean bill of health.
+    val bt = (0L until 40L).map(i =>
+      (i, s"t${i % 13}a t${i % 7}b t${i % 5}c")).toDF("doc_id", "text")
+    val br = (0L until 40L).map(i =>
+      (100L + i, s"r${i % 13}a r${i % 7}b r${i % 5}c")).toDF("doc_id", "text")
+    val wide = TextAnalysis.fitDsir(bt, br, "text", numBuckets = 1 << 16)
+    val gw = statsRow(TextAnalysis.dsirBucketStats(wide, bt, br, "text"))
+    assert(gw("sign_flips") == 0L && gw("mean_abs_gap") == 0.0 &&
+      gw("flip_mass_frac") == 0.0,
+      s"balanced + collision-free must be exact: $gw")
+    assert(gw("feats_per_bucket") == 1.0 &&
+      gw("buckets_hit") == gw("distinct_feats"), s"$gw")
+    // IMBALANCED pools (tiny target vs 40-doc raw): even with ZERO
+    // collisions the bucketed model smooths by B = 65536 while the
+    // exact model smooths by its ~105-feature vocab, and that alone
+    // flips the rare raw-only features the big pool's smoothing
+    // renders target-leaning. Sizing numBuckets is about BOTH
+    // collisions and the smoothing mass — which is exactly why the
+    // telemetry reports flip counts instead of a collision rate alone.
+    val it = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val imb = TextAnalysis.fitDsir(it, br, "text", numBuckets = 1 << 16)
+    val gi = statsRow(TextAnalysis.dsirBucketStats(imb, it, br, "text"))
+    assert(gi("sign_flips").asInstanceOf[Long] > 0L &&
+      gi("mean_abs_gap").asInstanceOf[Double] > 0.0,
+      s"imbalanced pools must surface the smoothing distortion: $gi")
+  }
+
+  test("bucket stats: sampling thins only the comparison; refusals") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (t, r) = (docs.where(col("doc_id") % 7 === 0),
+      docs.where(col("doc_id") % 7 =!= 0))
+    val model = TextAnalysis.fitDsir(t, r, "text", numBuckets = 64)
+    val full = statsRow(TextAnalysis.dsirBucketStats(model, t, r, "text"))
+    val thin = statsRow(TextAnalysis.dsirBucketStats(model, t, r, "text",
+      sampleMod = 3))
+    // full-corpus columns identical; the sampled comparison shrinks
+    assert(thin("buckets_hit") == full("buckets_hit") &&
+      thin("distinct_feats") == full("distinct_feats"))
+    val (sf, st) = (full("sampled_feats").asInstanceOf[Long],
+      thin("sampled_feats").asInstanceOf[Long])
+    assert(st < sf && st > 0, s"1-in-3 feature sample: $st of $sf")
+    // deterministic: same inputs, same row
+    assert(thin == statsRow(TextAnalysis.dsirBucketStats(model, t, r, "text",
+      sampleMod = 3)))
+    val exact = TextAnalysis.fitDsir(t, r, "text", numBuckets = 0)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirBucketStats(exact, t, r, "text")
+    }.getMessage.contains("HASHED"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirBucketStats(model, t, r, "text", sampleMod = 0)
+    }.getMessage.contains("sampleMod"))
+  }
 }
