@@ -1028,7 +1028,7 @@ object ScaleProbe {
       // broadcast membership probe over the full frame — the map-side
       // dedup decision; every inserted pair MUST probe positive
       val bc = spark.sparkContext.broadcast(bank.copyStore())
-      val seenUdf = udf((h1: Long, h2: Long) => bc.value.mightContain(h1, h2))
+      val seenUdf = graft.expressions.BloomMightContain.probe(bc) _
       val positives = time("bank broadcast probe (all inserted)") {
         hashes.where(seenUdf(col("__h1"), col("__h2"))).count()
       }

@@ -256,9 +256,11 @@ object Dedup {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     requireNotReservedPara(idCol, textCol)
-    // the probe itself is a bit-array lookup; the hashing it feeds on
-    // stays in codegen'd xxhash64 columns
-    val seen = udf((h1: Long, h2: Long) => bloom.value.mightContain(h1, h2))
+    // the probe is the codegen'd BloomMightContain expression over the
+    // broadcast store (r15 audit note: the former two-long UDF boxed
+    // per row and broke whole-stage codegen around the hot filter);
+    // the hashing it feeds on stays in codegen'd xxhash64 columns
+    val seen = graft.expressions.BloomMightContain.probe(bloom) _
     val paras = explodeParas(newDf, textCol, idCol, sep)
     val subject = paras.where(length(col("__para")) >= minLen)
       .where(!seen(paraHash1(col("__para")), paraHash2(col("__para"))))
@@ -1440,7 +1442,7 @@ object Dedup {
     require(k >= 2, s"span gram size must be >= 2 tokens, got $k " +
       "(k = 1 would delete every repeated word — vocabulary, not duplication)")
     require(hotGramCap >= 2, s"hotGramCap must be >= 2, got $hotGramCap")
-    val seen = udf((h1: Long, h2: Long) => bloom.value.mightContain(h1, h2))
+    val seen = graft.expressions.BloomMightContain.probe(bloom) _
     // ONE probe per gram occurrence: the flag splits both rules below.
     // A store-hit hot gram never shuffles at all here (the probe is
     // map-side); a store-MISS hot gram — new boilerplate arriving in

@@ -223,4 +223,44 @@ class ParaBloomSpec extends AnyFunSuite {
     val want = textsOf(Dedup.dedupParagraphs(batch1.unionByName(batch2), "text", "doc_id"))
     assert(got.toMap == want, s"restarted bloom stream $got vs batch $want")
   }
+
+  test("codegen probe expression == direct mightContain, stays inside WholeStageCodegen, refuses non-long inputs") {
+    // the BloomMightContain expression replaced the two-long Scala UDF
+    // (r15 audit note): decisions must be identical on every row, the
+    // filter must stay inside the generated loop (no UDF boxing
+    // boundary), and the interpreted path (nullSafeEval) must agree
+    // with codegen
+    val bloom = ParaBloom.create(1000, 0.01)
+    (0L until 500L).foreach(i => bloom.add(i * 31 + 7, i * 17 + 3))
+    val bc = spark.sparkContext.broadcast(bloom)
+    val df = spark.range(1000).toDF("i")
+      .select(col("i"), (col("i") * 31 + 7).as("h1"), (col("i") * 17 + 3).as("h2"))
+    val got = df.withColumn("__seen",
+        graft.expressions.BloomMightContain.probe(bc)(col("h1"), col("h2")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val want = (0L until 1000L)
+      .map(i => i -> bloom.mightContain(i * 31 + 7, i * 17 + 3)).toMap
+    assert(got == want, "expression decisions must equal direct store probes")
+    assert((0L until 500L).forall(got(_)), "no false negatives through the expression")
+    // interpreted path agrees (codegen fallback safety)
+    val e = graft.expressions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(123L),
+      org.apache.spark.sql.catalyst.expressions.Literal(456L), bc)
+    assert(e.eval(null) == bloom.mightContain(123L, 456L))
+    // the probe compiles INTO the whole-stage-generated filter — the
+    // entire point of replacing the UDF
+    val plan = df.where(graft.expressions.BloomMightContain.probe(bc)(
+      col("h1"), col("h2"))).queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the whole-stage-codegen marker: the Filter
+    // carrying the probe must sit inside a generated stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter bloom_might_contain") && l.trim.startsWith("+- *(")),
+      s"probe filter must be whole-stage-codegen'd:\n$plan")
+    assert(!plan.contains("UDF"), s"no UDF boundary expected:\n$plan")
+    // type check refuses non-long hashes
+    val bad = graft.expressions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(2L), bc)
+    assert(bad.checkInputDataTypes().isFailure)
+  }
 }
