@@ -1060,6 +1060,20 @@ object SparkEntry {
       Dedup.transitiveSurvivors(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED (round 16): the MinHash banding knob SIZED FROM
+    // MATH — the datasketch-style (b, r) optimizer: one row per valid
+    // banding of 128 hashes, scoring the S-curve 1 − (1 − s^r)^b at
+    // t = 0.5 by midpoint quadrature with every grid evaluation
+    // micro-quantized BEFORE the sum (integer sums commute ⇒
+    // partition-order-free ⇒ the WHOLE computation replays in DuckDB —
+    // fp/fn error areas, the weighted cost, and the argmin marker).
+    // The row documents the deployed default: bands = 32 (r = 4) is
+    // the cost argmin at equal weights, and its p_at_threshold
+    // 0.873211 is the "≈0.87 recall at J = t = 0.5" the minhashPairs
+    // scaladoc has always claimed.
+    "minhash_tune_bands" -> ((s, d) =>
+      Dedup.minhashTuneBands(s, numHashes = 128, threshold = 0.5)
+        .orderBy(col("bands"))),
     // §2.3 D: MinHash-LSH near-dedup survivors (approx recall; no SQL analog)
     "dedup_minhash" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -5235,6 +5249,37 @@ object SparkEntry {
           |  (374), (377), (383), (387), (389), (413), (420), (447),
           |  (450), (453), (457), (462), (466), (486)
           |) AS t(doc_id) ORDER BY doc_id""".stripMargin,
+      // the banding optimizer replayed end to end: same divisors, same
+      // midpoint grid, same micro-quantize-then-sum quadrature, same
+      // cost argmin (ties to fewer bands)
+      "minhash_tune_bands" ->
+        """WITH divs AS (
+          |  SELECT CAST(b AS INTEGER) AS bands, CAST(128 / b AS INTEGER) AS rows_per_band
+          |  FROM generate_series(1, 128) t(b) WHERE 128 % b = 0),
+          |grid AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 1000.0 AS s
+          |         FROM generate_series(0, 999) g(i)),
+          |q AS (SELECT d.bands, d.rows_per_band, g.s,
+          |        CAST(round(1000000.0 * (1.0 - pow(1.0 - pow(g.s, d.rows_per_band),
+          |                                          d.bands))) AS BIGINT) AS pm
+          |      FROM divs d CROSS JOIN grid g),
+          |agg AS (SELECT bands, rows_per_band,
+          |          sum(CASE WHEN s < 0.5 THEN pm ELSE 0 END) AS fpm,
+          |          sum(CASE WHEN s >= 0.5 THEN 1000000 - pm ELSE 0 END) AS fnm
+          |        FROM q GROUP BY bands, rows_per_band),
+          |rk AS (SELECT bands,
+          |         row_number() OVER (ORDER BY 1.0 * CAST(fpm AS DOUBLE)
+          |                            + 1.0 * CAST(fnm AS DOUBLE) ASC, bands ASC) AS rn
+          |       FROM agg)
+          |SELECT a.bands, a.rows_per_band,
+          |       round(1.0 - pow(1.0 - pow(0.5, a.rows_per_band), a.bands), 6)
+          |         AS p_at_threshold,
+          |       round(CAST(a.fpm AS DOUBLE) / (1000000.0 * 1000), 6) AS fp_area,
+          |       round(CAST(a.fnm AS DOUBLE) / (1000000.0 * 1000), 6) AS fn_area,
+          |       round((1.0 * CAST(a.fpm AS DOUBLE) + 1.0 * CAST(a.fnm AS DOUBLE))
+          |             / (1000000.0 * 1000), 6) AS cost,
+          |       (rk.rn = 1) AS best
+          |FROM agg a JOIN rk USING (bands)
+          |ORDER BY a.bands""".stripMargin,
       // Single-corpus MinHash at threshold = 1.0 (see the query
       // comment): survivors keep the min-id representative of every
       // identical-word-set group.

@@ -730,6 +730,85 @@ object Dedup {
       idCol, threshold)
 
   /**
+   * The `bands` knob SIZED FROM MATH instead of folklore — the
+   * datasketch-style (b, r) optimizer for [[minhashPairs]]'s banding:
+   * one row per valid banding (every `bands` dividing `numHashes`,
+   * the operator's own constraint), scoring the collision S-curve
+   * P(s) = 1 − (1 − s^r)^b against the caller's `threshold`:
+   *
+   * - `fp_area` = ∫₀ᵗ P(s) ds — collision mass SPENT below the
+   *   threshold (candidates the exact-Jaccard verify stage must
+   *   reject: wasted shuffle + verify work, the quantity that
+   *   explodes at r = 1 — spark.ml's hash-table shape);
+   * - `fn_area` = ∫ₜ¹ (1 − P(s)) ds — true-duplicate mass the
+   *   banding never surfaces (unfixable downstream: precision is
+   *   exact, recall is this curve);
+   * - `cost` = fpWeight·fp_area + fnWeight·fn_area, with `best`
+   *   marking the argmin (ties to fewer bands). A dedup run that
+   *   fears data loss weights fn higher; a budget-bound run weights
+   *   fp.
+   *
+   * Both integrals are midpoint-rule quadrature on a uniform
+   * `steps`-cell grid over [0, 1] (the cell holding `threshold` goes
+   * to the side its MIDPOINT falls on — same rule both engines), each
+   * grid evaluation micro-quantized BEFORE the sum (the [[TextAnalysis.lmScore]]
+   * discipline: integer sums commute, so the frame is
+   * partition-order-free and DuckDB replays it exactly — the gate row
+   * is fully derivation-oracled, no golden). Uniform-s prior, the
+   * datasketch convention: it scores the CURVE, not a corpus — pair
+   * similarities aren't uniform in practice, which is why the output
+   * ships both raw areas for callers who reweight by their own
+   * similarity histogram.
+   *
+   * Driver cost: none — divisor enumeration is over numHashes ≤ 4096
+   * ints; the divisors × steps grid (≤ a few M rows) evaluates
+   * in-plan. Columns: (bands, rows_per_band, p_at_threshold, fp_area,
+   * fn_area, cost, best).
+   */
+  def minhashTuneBands(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 128, threshold: Double = 0.5,
+      fpWeight: Double = 1.0, fnWeight: Double = 1.0,
+      steps: Int = 1000): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4096,
+      s"numHashes must be in [1, 4096], got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0 &&
+      java.lang.Double.isFinite(fpWeight) && java.lang.Double.isFinite(fnWeight),
+      s"weights must be non-negative, finite, not both zero: ($fpWeight, $fnWeight)")
+    require(steps >= 10 && steps <= 1000000, s"steps must be in [10, 1e6], got $steps")
+    import spark.implicits._
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val q = divisors.toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(steps).toDF("__i"))
+      .withColumn("__s", (col("__i").cast("double") + 0.5) / steps)
+      .withColumn("__pm", round(lit(1e6) * (lit(1.0) -
+        pow(lit(1.0) - pow(col("__s"), col("rows_per_band").cast("double")),
+          col("bands").cast("double")))).cast("long"))
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("__s") < threshold, col("__pm")).otherwise(0L)).as("__fpm"),
+        sum(when(col("__s") >= threshold, lit(1000000L) - col("__pm"))
+          .otherwise(0L)).as("__fnm"))
+    val costKey = lit(fpWeight) * col("__fpm").cast("double") +
+      lit(fnWeight) * col("__fnm").cast("double")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(costKey.asc, col("bands").asc)
+    q.withColumn("__rn", row_number().over(win))
+      .select(col("bands"), col("rows_per_band"),
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(lit(threshold), col("rows_per_band").cast("double")),
+          col("bands").cast("double")), 6).as("p_at_threshold"),
+        round(col("__fpm").cast("double") / (1e6 * steps), 6).as("fp_area"),
+        round(col("__fnm").cast("double") / (1e6 * steps), 6).as("fn_area"),
+        round((lit(fpWeight) * col("__fpm").cast("double") +
+          lit(fnWeight) * col("__fnm").cast("double")) / (1e6 * steps), 6)
+          .as("cost"),
+        (col("__rn") === 1).as("best"))
+  }
+
+  /**
    * Cross-corpus MinHash near-dup — pairs `(id_new, id_base)` where a
    * NEW document near-duplicates an EXISTING corpus document: the
    * incremental-ingest shape (dedup today's crawl against history,

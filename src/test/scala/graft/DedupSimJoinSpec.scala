@@ -771,4 +771,52 @@ class DedupSimJoinSpec extends AnyFunSuite {
       Dedup.semanticDedupByCentroid(emb,
         IvfIndex.withCentroids(emb, "embedding", centroids), "vec_id", eps = 0.0))
   }
+
+  test("minhashTuneBands: closed forms at the extremes, monotone trade, argmin matches brute force, weights steer it") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("bands")).collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6)))
+    val t = rows(Dedup.minhashTuneBands(spark, numHashes = 128, threshold = 0.5))
+    assert(t.map(_._1).toSeq == Seq(1, 2, 4, 8, 16, 32, 64, 128),
+      "one row per divisor of 128")
+    t.foreach { case (b, r, _, _, _, _, _) => assert(b * r == 128) }
+    // extremes: b = 1 (AND of all 128 hashes) collides on s^128 ≈ 0 —
+    // no false positives, catastrophic false negatives; b = 128 (r = 1,
+    // the spark.ml hash-table shape) collides on 1 − (1−s)^128 ≈ 1 —
+    // total candidate explosion, no false negatives
+    val by = t.map(x => x._1 -> x).toMap
+    assert(by(1)._4 == 0.0 && by(1)._5 > 0.4, s"b=1: ${by(1)}")
+    assert(by(128)._5 == 0.0 && by(128)._4 > 0.4, s"b=128: ${by(128)}")
+    // the S-curve trade is MONOTONE in b: fp_area non-decreasing,
+    // fn_area non-increasing — the sizing dial turns one way
+    t.sliding(2).foreach { case Array(a, c) =>
+      assert(a._4 <= c._4 && a._5 >= c._5, s"monotone trade violated: $a vs $c")
+    }
+    // p at the threshold: hand closed form 1 − (1 − 0.5^4)^32 for the
+    // deployed (32, 4) default — the scaladoc's "≈0.87 at J = t = 0.5"
+    assert(by(32)._3 == math.rint((1.0 - math.pow(1.0 - math.pow(0.5, 4), 32)) * 1e6) / 1e6,
+      s"p_at_threshold closed form: ${by(32)}")
+    // exactly one best, and it is the brute-force cost argmin — which
+    // at equal weights is the deployed default bands = 32
+    assert(t.count(_._7) == 1)
+    val argmin = t.minBy(x => (x._6, x._1))
+    assert(argmin._7 && argmin._1 == 32,
+      s"equal-weight argmin must be the deployed (32, 4): $argmin")
+    // weights steer the pick: fearing data loss (fn × 100) pushes to
+    // MORE bands (higher recall); fearing candidate cost (fp × 100)
+    // pushes to fewer
+    val fnShy = rows(Dedup.minhashTuneBands(spark, 128, 0.5, fnWeight = 100.0))
+      .find(_._7).get._1
+    val fpShy = rows(Dedup.minhashTuneBands(spark, 128, 0.5, fpWeight = 100.0))
+      .find(_._7).get._1
+    assert(fnShy > 32 && fpShy < 32, s"weights must steer: fn-shy $fnShy, fp-shy $fpShy")
+    // refusals
+    intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 0))
+    intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 128, 1.0))
+    intercept[IllegalArgumentException](
+      Dedup.minhashTuneBands(spark, 128, 0.5, fpWeight = 0.0, fnWeight = 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.minhashTuneBands(spark, 128, 0.5, steps = 5))
+  }
 }
