@@ -2906,6 +2906,35 @@ object SparkEntry {
       import s.implicits._
       buf.toSeq.toDF("doc_id", "len", "pack_id").orderBy(col("doc_id"))
     }),
+    // §2.3 S × T ORACLED (round 16, r15 VERDICT #4): SPFHP streaming
+    // with CARRIED OPEN PACKS — `packHistPerBatchCarried` seeds each
+    // batch's fit from the previous batch's still-open compositions
+    // (≤ maxStates rows of state; ids pinned so carried packs keep
+    // what they shipped), recovering the padding a per-batch-
+    // independent fit pays at every batch boundary. One-file fixture ⇒
+    // one batch with EMPTY carried state ⇒ the fit degenerates to the
+    // batch operator, sharing pack_hist_exact's oracle verbatim; the
+    // two-batch carried semantics (drain == batch on the concatenation
+    // when batches arrive longest-first, padding identity across the
+    // seam, frontier monotonicity) are PackHistSpec's.
+    "pack_hist_stream_carried" -> ((s, d) => {
+      val stream = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__n"),
+          col("text"))
+        .where(col("__n") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      val q = StreamOps.packHistPerBatchCarried(stream, "len", "doc_id",
+        maxLen = 64, maxPerPack = 4) { (packed, _) =>
+        buf.synchronized {
+          buf ++= packed.select("doc_id", "len", "pack_id").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id", "len", "pack_id").orderBy(col("doc_id"))
+    }),
     // §2.2: semi + anti joins (TPC-H Q4 shape, adapted to the fixture's
     // columns) — EXISTS/NOT EXISTS as left_semi/left_anti, the join
     // types that never widen rows and shuffle only the key columns
@@ -4780,6 +4809,17 @@ object SparkEntry {
       // type consuming ranks first and the one partial pack landing
       // at the same ÷-4 index — pure rank arithmetic
       "pack_hist_exact" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS n
+           |  FROM documents),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+           |      FROM t WHERE n >= 10)
+           |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+           |FROM r ORDER BY doc_id""".stripMargin,
+      // the carried-state stream drains to identical rows too (one
+      // batch ⇒ empty carried seed ⇒ the batch fit) — shared oracle
+      "pack_hist_stream_carried" ->
         s"""WITH t AS (
            |  SELECT doc_id,
            |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS n
