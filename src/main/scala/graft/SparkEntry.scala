@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, OpqIndex, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.sources.DocIO
 import graft.streaming.StreamOps
 
@@ -232,6 +232,16 @@ object SparkEntry {
       _ => PqIndex.fit(Tables(s, d, "embeddings"), "embedding",
         m = m, k = k, maxTrain = maxTrain))
 
+  /** Memoized LEARNED-rotation OPQ fit (pure driver data, the pqFor
+    * shape): bench times rotate+encode+ADC search — the recurring
+    * path — not the one-time alternating fit. */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.OpqModel]()
+  private def opqFor(s: SparkSession, d: String, m: Int = 8,
+      k: Int = 16): graft.operators.OpqModel =
+    opqCache.computeIfAbsent(s"$d#$m#$k",
+      _ => OpqIndex.fit(Tables(s, d, "embeddings"), "embedding", m = m, k = k))
+
   /** Memoized IVFADC build — same rationale and purge semantics as
     * `ivfFor` (both k-means fits are seed-pinned, a production index is
     * built once and probed many times, bench times the probe path). */
@@ -362,6 +372,44 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       PqIndex.search(PqIndex.encode(e, "embedding", model).drop("embedding"),
         q, n = 5, model, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED (round 16): OPQ — Optimized Product
+    // Quantization (Ge et al. 2013), the learned-rotation rung: code
+    // R·x instead of x, with R orthogonal so cosine is untouched
+    // ((Rq)·(Rx) = q·x, ‖Rx‖ = ‖x‖). This row is the exactness
+    // anchor: the IDENTITY rotation through the full rotate-encode-
+    // search plumbing (RotateVector's double-accumulated identity
+    // product returns the input values) over the lossless codebook —
+    // bit-for-bit ann_pq_exact, sharing nearest_cosine's oracle. The
+    // LEARNED rotation cannot share a float oracle (float32 R perturbs
+    // the 6th decimal); its recall-beats-PQ claim is OpqIndexSpec's
+    // (measured) and ScaleProbe `opq`'s at 1M.
+    "ann_opq_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_exact requires the lossless codebook degenerate — corpus outgrew maxTrain")
+      val opq = OpqIndex.withArtifacts(OpqIndex.identityRotation(dim), model)
+      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      OpqIndex.search(OpqIndex.encode(e, "embedding", opq), q, n = 5, opq,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN rows-only twin: the DEPLOYED OPQ shape — alternating
+    // Procrustes/codebook fit (driver-side on the hash-ordered sample,
+    // one-sided Jacobi SVD, bit-reproducible), lossy k. Its exactness
+    // anchor is the row above; the recall lever is spec'd + probed.
+    "ann_opq" -> ((s, d) => {
+      val model = opqFor(s, d)
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      OpqIndex.search(OpqIndex.encode(e, "embedding", model), q, n = 5, model,
+          tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
@@ -4121,6 +4169,14 @@ object SparkEntry {
       // PQ with distinct-set codebooks reconstructs losslessly, so ADC
       // cosine equals exact cosine — shares the nearest_cosine oracle
       "ann_pq_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the identity rotation through the full OPQ plumbing over a
+      // lossless codebook is bit-for-bit the PQ path — shared oracle
+      "ann_opq_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

