@@ -349,6 +349,24 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 #8 nearest — three scoring methods + min_score
     "nearest_cosine"    -> ((s, d) => nearestBy("cosine", 5)(s, d)),
+    // §2.3 J ORACLED (round 16): Matryoshka-style TWO-STAGE retrieval
+    // (Kusupati et al. 2022's serving pattern: shortlist on a prefix
+    // of the dimensions, re-rank the shortlist at full precision) —
+    // prefix-16 of 64 shortlists 50 of the corpus at 1/4 the FLOPs,
+    // then full cosine re-ranks to the top 5. Unlike the hashed/coded
+    // ANN rungs, EVERY step is plain arithmetic, so the DEPLOYED shape
+    // is derivation-oracled end to end (both stages' memberships
+    // replay in DuckDB), not just a degenerate.
+    "nearest_matryoshka" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Nearest.twoStageTopK(e.select(col("vec_id"), col("embedding")),
+          "embedding", q, n = 5, prefixDims = 16, shortlist = 50,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     "nearest_dot"       -> ((s, d) => nearestBy("dot", 5)(s, d)),
     "nearest_euclidean" -> ((s, d) => nearestBy("euclidean", 5)(s, d)),
     "nearest_minscore"  -> ((s, d) => nearestBy("cosine", 20, minScore = 0.1)(s, d)),
@@ -4130,6 +4148,27 @@ object SparkEntry {
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // two-stage Matryoshka retrieval replayed END TO END: the
+      // prefix-16 shortlist membership (stage 1's raw-score LIMIT with
+      // the same vec_id tie-break), then the full-dim re-rank over
+      // exactly that shortlist
+      "nearest_matryoshka" ->
+        s"""$scoredCte,
+           |mp AS (
+           |  SELECT e.vec_id AS vec_id,
+           |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+           |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+           |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+           |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 17) AS r(i)
+           |  GROUP BY e.vec_id),
+           |mshort AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, $cosine AS praw FROM mp
+           |    ORDER BY praw DESC, vec_id LIMIT 50))
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT s.vec_id, $cosine AS raw FROM s JOIN mshort USING (vec_id)
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       // save→load→search at nprobe = nlist: the persisted

@@ -87,4 +87,55 @@ object Nearest {
       .limit(n)
       .filter(col(simCol) >= lit(minScore))
   }
+
+  /**
+   * Matryoshka-style TWO-STAGE retrieval (Kusupati et al. 2022:
+   * MRL-trained embeddings keep most of their signal in a prefix of
+   * the dimensions; the published serving pattern shortlists on the
+   * cheap prefix and re-ranks the shortlist at full precision):
+   *
+   * - stage 1 ranks the WHOLE corpus by cosine over the first
+   *   `prefixDims` dimensions and keeps `shortlist` rows — the
+   *   corpus-scale pass at prefixDims/dim of the FLOPs (and, where the
+   *   prefix is materialized as its own column, of the bytes read);
+   * - stage 2 re-scores ONLY the shortlist at full dimension and
+   *   returns the top `n`.
+   *
+   * Both stages are `TakeOrderedAndProject` tails of one lazy plan —
+   * no shuffle, no decompression tier, and (unlike the hashed/coded
+   * ANN rungs) EVERY arithmetic step is plain SQL, so the deployed
+   * shape itself is derivation-oracled, not just a degenerate.
+   *
+   * Exactness: `prefixDims ≥ dim` makes stage 1 the full ranking, so
+   * the result IS [[topK]]'s (spec'd); at a genuine prefix the
+   * shortlist's recall is the data's prefix-signal property — MRL
+   * training buys it, and the spec measures it on a prefix-heavy
+   * fixture. NULL embeddings score 0 in both stages (the unembedded-
+   * row rule); rows shorter than `prefixDims` slice to themselves
+   * (cosine over what exists — the mixed-dim refusal belongs to the
+   * coded tiers, this one scores like `nearest` does).
+   */
+  def twoStageTopK(df: DataFrame, embCol: String, queryVec: Array[Float],
+      n: Int, prefixDims: Int, shortlist: Int,
+      simCol: String = "similarity",
+      tieBreakers: Seq[Column] = Nil): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(!df.columns.contains("__pre_sim"),
+      "input frame carries reserved staging column '__pre_sim' — rename it first")
+    val prefixQ = queryVec.take(prefixDims)
+    val pre = coalesce(vectors.similarity(
+      slice(col(embCol), 1, prefixDims),
+      lit(prefixQ), "cosine"), lit(0.0))
+    val full = coalesce(vectors.similarity(
+      col(embCol), lit(queryVec), "cosine"), lit(0.0))
+    df.withColumn("__pre_sim", pre)
+      .orderBy(desc("__pre_sim") +: tieBreakers: _*)
+      .limit(shortlist)
+      .withColumn(simCol, full)
+      .orderBy(desc(simCol) +: tieBreakers: _*)
+      .limit(n)
+      .drop("__pre_sim")
+  }
 }
