@@ -1454,6 +1454,37 @@ object SparkEntry {
         threshold = 0.35, bucketLength = 8.0, numHashTables = 1)
         .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("id1"), col("id2"))),
+    // §2.3 J ORACLED (round 16): HARD-NEGATIVE MINING — the
+    // contrastive-training-data step (DPR/SBERT/E5 all mine the
+    // most-similar DIFFERENT-LABEL rows per anchor; random negatives
+    // are too easy to teach a margin). Exact all-pairs baseline: self
+    // cross join, label-mismatch filter, per-anchor top-3 by (sim
+    // desc, neg_id) — every step plain arithmetic, fully
+    // derivation-oracled.
+    "hard_negatives" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      SimJoin.hardNegatives(e, "vec_id", "embedding", "label", k = 3)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
+    }),
+    // §2.3 J ORACLED (round 16): the same mining rule over a PRUNED
+    // candidate frame — approxCosineSelfJoin's banded pairs (at its
+    // provable exact-degenerate config: bucketLength 8 ⇒ every
+    // centered projection lands in bucket 0 ⇒ the threshold self-join
+    // is exact) feeding hardNegativesFromPairs. This is the 100 TB
+    // composition: hard negatives are BY DEFINITION high-similarity
+    // rows, so a threshold'd candidate set is exactly where they live;
+    // the degenerate makes the whole chain SQL-replayable.
+    "hard_negatives_banded" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val pairs = SimJoin.approxCosineSelfJoin(e, "vec_id", "embedding",
+        threshold = 0.35, bucketLength = 8.0, numHashTables = 1)
+      SimJoin.hardNegativesFromPairs(pairs, e, "vec_id", "label", k = 3)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
+    }),
     // §2.3 T: token counting + length stats
     "text_stats" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -3614,6 +3645,34 @@ object SparkEntry {
   /** Exact all-pairs cosine-threshold SQL, shared (modulo the subset
     * predicate) by neardup_embedding and ann_cosine_lsh_exact — the
     * LSH path at bucketLength ≥ 4 provably degenerates to all pairs. */
+  /** Hard-negative mining replay: directed different-label pairs,
+    * cosine over the 64 dims, per-anchor top-3 — optionally over only
+    * the ≥ 0.35 candidates (the banded composition's degenerate). */
+  private def hardNegativesSql(withThreshold: Boolean): String = {
+    val cand = if (withThreshold) "WHERE cos >= 0.35" else ""
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+       |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+       |         sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS na,
+       |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id <> b.vec_id AND a.label IS NOT NULL
+       |   AND b.label IS NOT NULL AND a.label <> b.label
+       |  CROSS JOIN range(1, 65) AS r(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |scored AS (SELECT anchor_id, neg_id,
+       |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM p),
+       |cand AS (SELECT * FROM scored $cand),
+       |rk AS (SELECT anchor_id, neg_id, cos,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cos DESC, neg_id) AS rn
+       |       FROM cand)
+       |SELECT anchor_id, neg_id, round(cos, 6) AS similarity FROM rk
+       |WHERE rn <= 3
+       |ORDER BY anchor_id, similarity DESC, neg_id""".stripMargin
+  }
+
   private def neardupEmbeddingSql(extraWhere: String): String =
     s"""WITH p AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -4334,6 +4393,13 @@ object SparkEntry {
       // query comment) — the exact baseline's oracle on the same subset
       "ann_cosine_lsh_exact" ->
         neardupEmbeddingSql("AND a.vec_id < 2000 AND b.vec_id < 2000"),
+      // exact hard-negative mining replayed: different-label directed
+      // pairs, cosine, per-anchor top-3 by (raw sim DESC, neg_id)
+      "hard_negatives" -> hardNegativesSql(withThreshold = false),
+      // the banded composition at its exact degenerate: candidates are
+      // EXACTLY the pairs ≥ 0.35 (the ann_cosine_lsh_exact property),
+      // symmetrized, then the identical mining rule
+      "hard_negatives_banded" -> hardNegativesSql(withThreshold = true),
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

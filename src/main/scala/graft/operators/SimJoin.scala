@@ -116,6 +116,74 @@ object SimJoin {
   }
 
   /**
+   * HARD-NEGATIVE MINING for contrastive training data — the published
+   * step behind every dual-encoder finetune (DPR, Sentence-BERT, E5
+   * all mine "hard" negatives: the most-similar corpus rows whose
+   * LABEL differs from the anchor's — random negatives are too easy to
+   * teach a margin). Per anchor: the `k` highest-similarity
+   * different-label rows, self excluded, ties to the lower negative
+   * id. Emits (anchorId, negId, similarity).
+   *
+   * This exact form is the all-pairs baseline (one self cross join +
+   * a per-anchor ranking window — correct and fine while one side
+   * broadcasts). At corpus scale, mine from a PRUNED candidate frame
+   * instead: `approxCosineSelfJoin` (banded, near-linear candidates) →
+   * [[hardNegativesFromPairs]] — the same rule applied to whatever
+   * candidate generator fits the corpus, and because hard negatives
+   * are by definition HIGH-similarity rows, a threshold'd candidate
+   * set is exactly where they live (recall loss concentrates in the
+   * easy negatives nobody wanted).
+   */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, method: String = "cosine",
+      simCol: String = "similarity"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = df.select(col(idCol).as("anchor_id"), col(embCol).as("__emb1"),
+      col(labelCol).as("__l1"))
+    val b = df.select(col(idCol).as("neg_id"), col(embCol).as("__emb2"),
+      col(labelCol).as("__l2"))
+    // null labels are UNLABELED rows: they mine no negatives and serve
+    // as none (a null-label "negative" may secretly share the class —
+    // the one-sided-safe exclusion)
+    val scored = a.join(b,
+        col("anchor_id") =!= col("neg_id") &&
+          col("__l1").isNotNull && col("__l2").isNotNull &&
+          col("__l1") =!= col("__l2"))
+      .withColumn(simCol,
+        coalesce(vectors.similarity(col("__emb1"), col("__emb2"), method), lit(0.0)))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc(simCol), asc("neg_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("anchor_id"), col("neg_id"), col(simCol))
+  }
+
+  /** [[hardNegatives]] over a PRE-PRUNED candidate pair frame
+    * `(id1, id2, simCol)` — the scale composition (feed it
+    * [[approxCosineSelfJoin]]'s output). Pairs are symmetrized (each
+    * undirected pair serves both anchors), labels join from `labels`
+    * (`idCol`, `labelCol`), label-mismatch and per-anchor top-k as in
+    * the exact form. Candidate recall is the generator's; the rule is
+    * identical (spec'd equal on an exhaustive pair frame). */
+  def hardNegativesFromPairs(pairs: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, k: Int,
+      simCol: String = "similarity"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("neg_id"), col(simCol))
+      .unionByName(pairs.select(col("id2").as("anchor_id"), col("id1").as("neg_id"), col(simCol)))
+    val lab = labels.select(col(idCol), col(labelCol)).where(col(labelCol).isNotNull)
+    val scored = sym
+      .join(broadcast(lab.select(col(idCol).as("anchor_id"), col(labelCol).as("__l1"))), "anchor_id")
+      .join(broadcast(lab.select(col(idCol).as("neg_id"), col(labelCol).as("__l2"))), "neg_id")
+      .where(col("__l1") =!= col("__l2"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc(simCol), asc("neg_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("anchor_id"), col("neg_id"), col(simCol))
+  }
+
+  /**
    * LSH-pruned cosine threshold self-join — the 100 TB path. One
    * codegen'd [[graft.expressions.RandomProjectionKeys]] pass computes
    * `numHashTables` compound keys per row (each the fold of

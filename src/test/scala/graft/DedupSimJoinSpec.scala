@@ -772,6 +772,44 @@ class DedupSimJoinSpec extends AnyFunSuite {
         IvfIndex.withCentroids(emb, "embedding", centroids), "vec_id", eps = 0.0))
   }
 
+  test("hardNegatives: hand-traced picks, self and same-label and null-label excluded, fromPairs == exact on an exhaustive frame") {
+    // two classes on a line: anchors pick the CLOSEST other-class row
+    // first. Vector (x, 1−x)-ish so cosines order by |Δx|.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(0)),   // class 0
+      (2L, Seq(0.9f, 0.1f), Some(0)),
+      (3L, Seq(0.6f, 0.4f), Some(1)),   // class 1 — the hard negative for 1/2
+      (4L, Seq(0.1f, 0.9f), Some(1)),   // easy negative
+      (5L, Seq(0.95f, 0.05f), None)     // unlabeled: mines none, serves as none
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = SimJoin.hardNegatives(emb, "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // anchors 1 and 2 (class 0) pick 3 (the nearest class-1 row, not 4,
+    // and never the closer-but-unlabeled 5); anchors 3 and 4 pick 2 and
+    // 3's nearest class-0... 3's nearest is 2, 4's nearest is 3? no —
+    // 4's negatives are class-0 rows {1, 2}: 2 is nearer
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L),
+      s"hand-traced hard negatives diverge: $got")
+    assert(!got.contains(5L), "unlabeled anchors mine nothing")
+    // fromPairs over an EXHAUSTIVE candidate frame applies the same
+    // rule — the scale composition's correctness contract
+    val allPairs = SimJoin.thresholdSelfJoin(emb, "vec_id", "embedding",
+      threshold = -1.0)
+    val viaPairs = SimJoin.hardNegativesFromPairs(allPairs, emb, "vec_id",
+        "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPairs == got, s"fromPairs over all pairs must equal exact: $viaPairs")
+    // k bound + determinism of the (sim desc, neg_id) order
+    val k2 = SimJoin.hardNegatives(emb, "vec_id", "embedding", "label", k = 2)
+      .groupBy("anchor_id").count().collect().map(_.getLong(1)).toSet
+    assert(k2 == Set(2L), s"every labeled anchor has exactly 2 of 2 negatives: $k2")
+    intercept[IllegalArgumentException](
+      SimJoin.hardNegatives(emb, "vec_id", "embedding", "label", k = 0))
+    intercept[IllegalArgumentException](
+      SimJoin.hardNegativesFromPairs(allPairs, emb, "vec_id", "label", k = 0))
+  }
+
   test("minhashTuneBands: closed forms at the extremes, monotone trade, argmin matches brute force, weights steer it") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(col("bands")).collect().map(r => (r.getInt(0), r.getInt(1),
