@@ -1454,6 +1454,38 @@ object SparkEntry {
         threshold = 0.35, bucketLength = 8.0, numHashTables = 1)
         .select(col("id1"), col("id2"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("id1"), col("id2"))),
+    // §2.3 J ORACLED (round 16): MMR diversified retrieval (Carbonell
+    // & Goldstein 1998) at its exactness degenerate — λ = 1 has no
+    // redundancy term, so the greedy provably selects in relevance
+    // order and the row replays as nearest_cosine's scoring + a
+    // row_number: the selection RANK is oracled too. The corpus-scale
+    // part is one TakeOrderedAndProject shortlist pass; the greedy is
+    // a shortlist-bounded driver loop behind an explicit maxShortlist
+    // refusal (the UMAP bounded-collect convention).
+    "nearest_mmr_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Nearest.mmrTopK(e.select(col("vec_id"), col("embedding")), "embedding",
+          "vec_id", q, n = 5, lambda = 1.0, shortlist = 50)
+        .select(col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("mmr_rank"))
+    }),
+    // §2.3 J rows-only twin: the DEPLOYED diversity trade (λ = 0.5) —
+    // the greedy's sequential redundancy term has no tractable SQL
+    // analog; the λ = 1 degenerate above anchors the machinery and
+    // NearestTwoStageSpec pins the cluster-crossing behavior.
+    "nearest_mmr" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Nearest.mmrTopK(e.select(col("vec_id"), col("embedding")), "embedding",
+          "vec_id", q, n = 5, lambda = 0.5, shortlist = 50)
+        .select(col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("mmr_rank"))
+    }),
     // §2.3 J ORACLED (round 16): HARD-NEGATIVE MINING — the
     // contrastive-training-data step (DPR/SBERT/E5 all mine the
     // most-similar DIFFERENT-LABEL rows per anchor; random negatives
@@ -4393,6 +4425,16 @@ object SparkEntry {
       // query comment) — the exact baseline's oracle on the same subset
       "ann_cosine_lsh_exact" ->
         neardupEmbeddingSql("AND a.vec_id < 2000 AND b.vec_id < 2000"),
+      // MMR at λ = 1 is relevance-greedy: top-5 by raw score with the
+      // SELECTION RANK replayed as a row_number over the same order
+      "nearest_mmr_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+           |       round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw,
+           |         row_number() OVER (ORDER BY $cosine DESC, vec_id) AS rn
+           |  FROM s ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY mmr_rank""".stripMargin,
       // exact hard-negative mining replayed: different-label directed
       // pairs, cosine, per-anchor top-3 by (raw sim DESC, neg_id)
       "hard_negatives" -> hardNegativesSql(withThreshold = false),

@@ -138,4 +138,100 @@ object Nearest {
       .limit(n)
       .drop("__pre_sim")
   }
+
+  /**
+   * Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+   * diversity-aware top-k every retrieval-augmented serving stack
+   * ships: greedily select n documents maximizing
+   * `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance
+   * traded against redundancy with what's already picked, so a query
+   * sitting on a cluster of near-duplicates returns the cluster ONCE
+   * plus the next-best distinct answers instead of k copies.
+   *
+   * Scale shape: one corpus-scale [[topK]] pass shortlists
+   * `shortlist` rows (TakeOrderedAndProject — the only part that sees
+   * the corpus), then the greedy runs DRIVER-side over the collected
+   * shortlist — a `shortlist`-bounded collect with an explicit
+   * refusal above `maxShortlist` (the UMAP/t-SNE bounded-collect
+   * convention: the reference algorithm is inherently sequential in
+   * n, so the driver loop is honest, and it is capped, never silent).
+   * Fully deterministic: MMR-score ties break by shortlist position —
+   * (relevance desc, id asc), the same total order stage 1 used.
+   *
+   * `lambda = 1` is the exactness degenerate: no redundancy term, the
+   * greedy picks relevance order — provably [[topK]]'s result (the
+   * gate row shares `nearest_cosine`'s oracle). Output: the selected
+   * rows as (idCol, mmr_rank, simCol) — `mmr_rank` is selection
+   * order, the order a RAG prompt would splice them in.
+   */
+  def mmrTopK(df: DataFrame, embCol: String, idCol: String,
+      queryVec: Array[Float], n: Int, lambda: Double,
+      shortlist: Int, simCol: String = "similarity",
+      maxShortlist: Int = 4096): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    require(n >= 1 && shortlist >= n, s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the greedy is a " +
+        "driver loop over the collected shortlist; raise maxShortlist deliberately " +
+        "if your driver has the memory, or shrink the shortlist")
+    val spark = df.sparkSession
+    val short = topK(df.select(col(idCol), col(embCol)), embCol, lit(queryVec),
+        n = shortlist, tieBreakers = Seq(asc(idCol)))
+      .collect()
+    val ids = short.map(_.get(0))
+    val sims = short.map(_.getDouble(2))
+    val vecs = short.map { r =>
+      val s = r.get(1)
+      if (s == null) null
+      else s.asInstanceOf[scala.collection.Seq[Float]].toArray
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      if (a == null || b == null) return 0.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // greedy: strict > with candidates scanned in shortlist order, so
+    // MMR-score ties break by shortlist position — (relevance desc,
+    // id asc), the same total order stage 1 used. Deterministic.
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val isPicked = new Array[Boolean](short.length)
+    val maxRed = Array.fill(short.length)(0.0) // max sim to any picked row
+    while (picked.length < math.min(n, short.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < short.length) {
+        if (!isPicked(c)) {
+          val score =
+            if (picked.isEmpty) sims(c) // first pick is pure relevance at any λ
+            else lambda * sims(c) - (1.0 - lambda) * maxRed(c)
+          if (score > bestScore) { bestScore = score; best = c }
+        }
+        c += 1
+      }
+      picked += best
+      isPicked(best) = true
+      var c2 = 0
+      while (c2 < short.length) {
+        val r = cos(vecs(c2), vecs(best))
+        if (r > maxRed(c2)) maxRed(c2) = r
+        c2 += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val outRows = picked.zipWithIndex.map { case (c, rank) =>
+      org.apache.spark.sql.Row(ids(c), rank + 1, sims(c))
+    }
+    spark.createDataFrame(outRows.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(idCol),
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(simCol,
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

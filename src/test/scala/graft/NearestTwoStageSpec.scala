@@ -100,4 +100,53 @@ class NearestTwoStageSpec extends AnyFunSuite {
       Nearest.twoStageTopK(fixture.withColumn("__pre_sim", lit(1)),
         "embedding", q, n = 5, prefixDims = 4, shortlist = 10))
   }
+
+  test("MMR: lambda = 1 degenerates to topK; diversity breaks up a duplicate cluster; deterministic; refusals") {
+    // TWO near-duplicate clusters on orthogonal directions, query
+    // tilted toward cluster A: pure relevance returns A twice;
+    // MMR's redundancy term (≈1 within a cluster, ≈0 across) forces
+    // the second slot to cluster B
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f)), // cluster A
+      (2L, Seq(0.999f, 0.001f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f)), // cluster B
+      (5L, Seq(0.001f, 0.999f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = Array(0.75f, 0.66f, 0f)
+    def picks(lambda: Double, n: Int = 3) =
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = n, lambda = lambda,
+        shortlist = 5)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // λ = 1: pure relevance — exactly topK's order (all of cluster A
+    // before any of B)
+    val rel = Nearest.topK(emb, "embedding", lit(q), n = 3,
+        tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(picks(1.0).map(_._1) == rel, s"λ=1 must be relevance order: ${picks(1.0)}")
+    assert(picks(1.0).map(_._2) == Seq(1, 2, 3), "mmr_rank is selection order")
+    val (a, b) = (Set(1L, 2L, 3L), Set(4L, 5L))
+    assert(rel.toSet.subsetOf(a), s"relevance-only top-3 is all cluster A: $rel")
+    // λ = 0.5: slot 1 = the relevance winner (cluster A); slot 2 must
+    // CROSS to cluster B — an A near-copy pays redundancy ≈ 1 while B
+    // pays ≈ 0
+    val div = picks(0.5).map(_._1)
+    assert(div.head == rel.head && a(div.head) && b(div(1)),
+      s"MMR must cross clusters at slot 2: $div")
+    // deterministic across runs
+    assert(picks(0.5) == picks(0.5))
+    // refusals: λ out of range, shortlist < n, shortlist over the
+    // driver-collect cap
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 2, lambda = 1.5,
+        shortlist = 5))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 5, lambda = 0.5,
+        shortlist = 3))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 2, lambda = 0.5,
+        shortlist = 5000))
+  }
 }
