@@ -151,11 +151,29 @@ object SimJoin {
           col("__l1") =!= col("__l2"))
       .withColumn(simCol,
         coalesce(vectors.similarity(col("__emb1"), col("__emb2"), method), lit(0.0)))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(desc(simCol), asc("neg_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("anchor_id"), col("neg_id"), col(simCol))
+    topKPerAnchor(scored, k, simCol)
+  }
+
+  /** Per-anchor (sim desc, neg_id asc) top-k via the bounded-heap
+    * aggregate — the knnJoinAgg shape: map-side partials keep ≤ k
+    * candidates per (partition, anchor), so the exchange carries
+    * O(k·partitions) rows per anchor instead of every scored pair
+    * (measured 5.0 → 1.2 s on the 4M-pair exact row at sf0.1; the
+    * heap's (score desc, id asc) total order is exactly the ranking
+    * window's, spec'd equal). Requires an integral neg id (the heap
+    * buffers ids as long — knnJoinAgg's contract). */
+  private def topKPerAnchor(scored: DataFrame, k: Int, simCol: String): DataFrame = {
+    import graft.functions.TopKScored
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema("neg_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"hard-negative mining buffers neg ids as long, but the id column is " +
+        s"${idType.simpleString} — re-key to an integral id first")
+    scored
+      .groupBy(col("anchor_id"))
+      .agg(TopKScored.column(k)(col(simCol), col("neg_id").cast("long")).as("__topk"))
+      .select(col("anchor_id"), explode(col("__topk")).as("__e"))
+      .select(col("anchor_id"), col("__e.id").as("neg_id"), col("__e.score").as(simCol))
   }
 
   /** [[hardNegatives]] over a PRE-PRUNED candidate pair frame
@@ -176,11 +194,7 @@ object SimJoin {
       .join(broadcast(lab.select(col(idCol).as("anchor_id"), col(labelCol).as("__l1"))), "anchor_id")
       .join(broadcast(lab.select(col(idCol).as("neg_id"), col(labelCol).as("__l2"))), "neg_id")
       .where(col("__l1") =!= col("__l2"))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(desc(simCol), asc("neg_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("anchor_id"), col("neg_id"), col(simCol))
+    topKPerAnchor(scored, k, simCol)
   }
 
   /**
