@@ -409,4 +409,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [__b"),
       s"bucket-key sort-merge join crept into the broadcast path:\n$p")
   }
+
+  test("two-stage Matryoshka retrieval: both stages are top-k heaps — no global sort, no exchange between stages") {
+    val p = plan("nearest_matryoshka")
+    // stage 1 (prefix shortlist) and stage 2 (full re-rank) each plan
+    // TakeOrderedAndProject; a Sort or a shuffle between them would
+    // mean the shortlist stopped being a bounded-heap pass
+    assert(p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject") >= 2,
+      s"expected two top-k heap stages:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no key shuffle belongs in a two-stage rank:\n$p")
+  }
+
+  test("hard-negative mining from pairs: labels broadcast, top-k via partial aggregation — no window, no label shuffle") {
+    val p = plan("hard_negatives_banded")
+    assert(!p.contains("Window"),
+      s"the per-anchor top-k must be the bounded heap, not a ranking window:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"map-side partial aggregation expected:\n$p")
+    assert("BroadcastHashJoin \\[(anchor_id|neg_id)".r.findFirstIn(p).isDefined,
+      s"label joins must broadcast the label table:\n$p")
+  }
+
+  test("DSIR bucket telemetry: the model ratios join is broadcast — the sampled feature stream never shuffles on the bucket key") {
+    val p = plan("dsir_bucket_stats")
+    assert("BroadcastHashJoin \\[[^\\n]*__b[^\\n]*BuildRight".r.findFirstIn(p).isDefined,
+      s"ratios no longer broadcast under the comparison join:\n$p")
+    assert(!p.contains("SortMergeJoin [__b"),
+      s"bucket-key sort-merge join crept into the telemetry:\n$p")
+  }
+
+  test("OPQ search: the rotated ADC scan sits under TakeOrderedAndProject with no exchange") {
+    val p = plan("ann_opq")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k heap expected:\n$p")
+    val below = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!below.contains("Exchange") && !below.contains("Sort "),
+      s"nothing may shuffle or sort under the coded top-k:\n$p")
+  }
 }
