@@ -157,6 +157,34 @@ class OpqIndexSpec extends AnyFunSuite {
     assert(ro > rp, s"OPQ recall $ro must beat plain PQ $rp at equal m/k")
   }
 
+  test("OPQ composes with IVFADC as a pretransform: rotated build + rotated query == brute force at the composed degenerates") {
+    // the FAISS `OPQ,IVF,PQ` factory string: rotate the corpus once
+    // (in-plan RotateVector), build the IVFADC index on the rotated
+    // column, rotate each query driver-side — at identity rotation +
+    // lossless codebooks + nprobe = nlist the whole composition
+    // provably returns the brute-force result (and the rotation seam
+    // is the SAME column both tiers then quantize)
+    import graft.operators.IvfPqIndex
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = fixture
+    val opqRot = OpqIndex.identityRotation(dim)
+    val rotated = df.select(col("vec_id"), ColumnBridge.column(
+      graft.expressions.RotateVector(
+        ColumnBridge.expression(col("embedding")), opqRot, dim)).as("embedding"))
+    val idx = IvfPqIndex.build(rotated, "embedding", nlist = 4, m = 4,
+      k = 65536, maxTrain = 65536)
+    assert(idx.model.lossless)
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rq = OpqIndex.withArtifacts(opqRot, idx.model).rotateLocal(q)
+    val got = idx.search(rq, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = exactTopK(df, 0L, 10)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"OPQ∘IVFADC composed degenerates must equal brute force:\n$got\n$want")
+  }
+
   test("save/load round-trips rotation and codebooks; refusals") {
     val df = correlated
     val model = OpqIndex.fit(df, "embedding", m = 4, k = 8, opqIters = 3)
