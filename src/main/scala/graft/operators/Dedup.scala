@@ -793,6 +793,9 @@ object Dedup {
           .otherwise(0L)).as("__fnm"))
     val costKey = lit(fpWeight) * col("__fpm").cast("double") +
       lit(fnWeight) * col("__fnm").cast("double")
+    // a GLOBAL (unpartitioned) window is deliberate and safe here: it
+    // ranks one row per divisor of numHashes — ≤ 31 rows at the 4096
+    // cap — never corpus data
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(costKey.asc, col("bands").asc)
     q.withColumn("__rn", row_number().over(win))
