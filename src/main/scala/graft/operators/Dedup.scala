@@ -811,6 +811,24 @@ object Dedup {
         (col("__rn") === 1).as("best"))
   }
 
+  /** [[minhashPairs]] with the banding CHOSEN BY [[minhashTuneBands]]
+    * instead of passed in — the knob closed into a loop: the tuner's
+    * equal-weight argmin for (numHashes, threshold) picks `bands`
+    * (a ≤ 31-row driver read of the tuner frame; weights exposed for
+    * the fn-shy/fp-shy deployments). Everything else is minhashPairs
+    * verbatim — at the defaults this provably selects bands = 32, the
+    * hand-picked production config (spec'd). */
+  def minhashPairsAuto(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 128,
+      fpWeight: Double = 1.0, fnWeight: Double = 1.0,
+      seed: Int = 42): DataFrame = {
+    val bands = minhashTuneBands(df.sparkSession, numHashes, threshold,
+        fpWeight, fnWeight)
+      .where(col("best")).select("bands").head().getInt(0)
+    minhashPairs(df, textCol, idCol, threshold, shingleSize, numHashes,
+      bands, seed)
+  }
+
   /**
    * Cross-corpus MinHash near-dup — pairs `(id_new, id_base)` where a
    * NEW document near-duplicates an EXISTING corpus document: the

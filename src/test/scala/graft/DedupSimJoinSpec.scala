@@ -849,6 +849,20 @@ class DedupSimJoinSpec extends AnyFunSuite {
     val fpShy = rows(Dedup.minhashTuneBands(spark, 128, 0.5, fpWeight = 100.0))
       .find(_._7).get._1
     assert(fnShy > 32 && fpShy < 32, s"weights must steer: fn-shy $fnShy, fp-shy $fpShy")
+    // the closed loop: at the defaults the auto variant provably picks
+    // the production bands = 32 and returns minhashPairs' exact output
+    val fixDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val auto = Dedup.minhashPairsAuto(fixDocs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Dedup.minhashPairs(fixDocs, "text", "doc_id", threshold = 0.5,
+        bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual && auto == Set((1L, 2L)),
+      s"auto banding must pick the argmin (32) and find the dup pair: $auto")
     // refusals
     intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 0))
     intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 128, 1.0))
