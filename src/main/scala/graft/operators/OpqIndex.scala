@@ -165,6 +165,23 @@ object OpqIndex {
       .drop("__opq_rot", embCol)
   }
 
+  /** Per-row codec quality under the rotation —
+    * [[PqIndex.selfSimilarity]] over the rotated column: cos(Rx,
+    * q(Rx)), exactly what ADC serving compares against. The number
+    * ScaleProbe `opq` reports corpus-wide (OPQ mean 0.97388 vs plain
+    * PQ 0.94910 at 1M correlated rows, equal m/k). */
+  def selfSimilarity(df: DataFrame, embCol: String, model: OpqModel,
+      simCol: String = "self_sim"): DataFrame = {
+    require(!df.columns.contains("__opq_rot"),
+      "input frame carries reserved staging column '__opq_rot' — rename it first")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rotated = df.withColumn("__opq_rot", ColumnBridge.column(
+      graft.expressions.RotateVector(
+        ColumnBridge.expression(col(embCol)), model.rotation, model.dim)))
+    PqIndex.selfSimilarity(rotated, "__opq_rot", model.pq, simCol)
+      .drop("__opq_rot")
+  }
+
   /** ADC top-k: rotate the query ONCE driver-side, then the plain
     * [[PqIndex.search]] plan over the rotated codes. */
   def search(encoded: DataFrame, queryVec: Array[Float], n: Int,

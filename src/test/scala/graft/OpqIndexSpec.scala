@@ -155,6 +155,16 @@ class OpqIndexSpec extends AnyFunSuite {
     }
     val (ro, rp) = (recall(opq = true), recall(opq = false))
     assert(ro > rp, s"OPQ recall $ro must beat plain PQ $rp at equal m/k")
+    // and the codec-quality face of the same claim: corpus-wide mean
+    // self-similarity (cos(Rx, q(Rx)) — what ADC serving compares)
+    // improves under the learned rotation
+    val om = OpqIndex.fit(df, "embedding", m = 8, k = 8, opqIters = 6)
+    val pm = PqIndex.fit(df, "embedding", m = 8, k = 8)
+    val so = OpqIndex.selfSimilarity(df, "embedding", om)
+      .agg(avg("self_sim")).head().getDouble(0)
+    val sp = PqIndex.selfSimilarity(df, "embedding", pm)
+      .agg(avg("self_sim")).head().getDouble(0)
+    assert(so > sp, s"OPQ mean self-sim $so must beat plain PQ $sp")
   }
 
   test("OPQ composes with IVFADC as a pretransform: rotated build + rotated query == brute force at the composed degenerates") {
