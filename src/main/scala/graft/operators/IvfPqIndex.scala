@@ -261,15 +261,31 @@ object IvfPqIndex {
     * ([[IvfPqIndex.addBatch]]): assignment and encoding are pure
     * functions of (vector, artifacts), so building from any partition
     * of the corpus and appending the rest yields the identical index. */
+  /** Reserved residual staging columns refused BY NAME at the top of
+    * every residual-coded entry point (r16 ADVICE): the encode-time
+    * guard alone fires only AFTER build's codebook fit has already
+    * staged `__rcent` — an input carrying one of these names would hit
+    * an ambiguous-reference AnalysisException inside the fit join
+    * instead of this message. */
+  private def requireNoResidualStaging(df: DataFrame): Unit =
+    require(!df.columns.contains("__resid") &&
+      !df.columns.contains("__rcent") &&
+      !df.columns.contains("__rnorm"),
+      "input frame carries a reserved residual staging column " +
+        "(__resid/__rcent/__rnorm) — rename it before building a " +
+        "residual-coded index")
+
   def withArtifacts(df: DataFrame, embCol: String,
       centroidVectors: Array[Array[Float]], model: PqModel,
       codesCol: String = "pq_codes", normCol: String = "emb_norm",
-      byResidual: Boolean = false): IvfPqIndex =
+      byResidual: Boolean = false): IvfPqIndex = {
+    if (byResidual) requireNoResidualStaging(df)
     new IvfPqIndex(centroidVectors, model,
       encodeAssigned(
         IvfIndex.assignWithCentroids(df, embCol, centroidVectors),
         embCol, centroidVectors, model, codesCol, normCol, byResidual),
       codesCol, normCol, byResidual)
+  }
 
   /** The residual column for an already-assigned frame: x − centroid
     * (float32, the FAISS convention) via a broadcast centroid join +
@@ -311,6 +327,7 @@ object IvfPqIndex {
       k: Int = 256, maxTrain: Int = 65536, seed: Long = 123L,
       codesCol: String = "pq_codes", normCol: String = "emb_norm",
       byResidual: Boolean = false): IvfPqIndex = {
+    if (byResidual) requireNoResidualStaging(df)
     val ivf = IvfIndex.build(df, embCol, nlist, seed)
     val model =
       if (!byResidual) PqIndex.fit(ivf.indexed, embCol, m, k, maxTrain)

@@ -187,8 +187,20 @@ object SimJoin {
       idCol: String, labelCol: String, k: Int,
       simCol: String = "similarity"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Collapse to ONE row per directed (anchor, neg) pair after
+    // symmetrizing: a caller's frame that already carries both (a, b)
+    // and (b, a) — or duplicate pairs — would otherwise enter the same
+    // negative into the per-anchor heap twice and silently shrink the
+    // effective k (r16 ADVICE). max(sim) keeps the better score should
+    // a directed generator's two scores ever disagree; on the
+    // undirected id1 < id2 frames approxCosineSelfJoin emits, the
+    // groupBy is a no-op on values. Cost: one exchange over the
+    // candidate pair frame — which the generator already made
+    // near-linear, and whose map-side combine collapses the duplicates
+    // before they ship.
     val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("neg_id"), col(simCol))
       .unionByName(pairs.select(col("id2").as("anchor_id"), col("id1").as("neg_id"), col(simCol)))
+      .groupBy(col("anchor_id"), col("neg_id")).agg(max(col(simCol)).as(simCol))
     val lab = labels.select(col(idCol), col(labelCol)).where(col(labelCol).isNotNull)
     val scored = sym
       .join(broadcast(lab.select(col(idCol).as("anchor_id"), col(labelCol).as("__l1"))), "anchor_id")

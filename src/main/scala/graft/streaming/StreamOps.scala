@@ -249,7 +249,15 @@ object StreamOps {
     * ADVICE): a checkpoint-replayed micro-batch (failure between sink
     * and commit) rolls the base back to its pre-batch value, so the
     * re-pack ships the SAME ids — unlike a bare running counter,
-    * whose replay would shift every subsequent pack id. */
+    * whose replay would shift every subsequent pack id.
+    *
+    * RESTART limitation (r16 ADVICE, named honestly): the base lives
+    * in driver memory only, so pack ids are unique within ONE driver
+    * run — a checkpoint-RESUMED query after a process restart starts
+    * at base 0 and can reissue ids already shipped. The carried
+    * variant closes this with caller-owned state
+    * ([[packHistPerBatchCarriedFrom]]); this plain per-batch form
+    * keeps the zero-state contract and documents the boundary. */
   def packHistPerBatch(
       docs: DataFrame, // streaming
       lenCol: String, idCol: String,
@@ -288,15 +296,49 @@ object StreamOps {
     * batch operator on the concatenation — not just shifted (spec'd,
     * with the padding-accounting identity across the seam). Same
     * replay-idempotence as [[packHistPerBatch]]: a replayed batch
-    * re-packs from its pre-batch carried state. */
+    * re-packs from its pre-batch carried state — and the same RESTART
+    * limitation (r16 ADVICE): state lives in driver memory only, so a
+    * checkpoint-resumed query after a process RESTART starts at
+    * frontier 0 and can reissue pack ids already shipped. For
+    * restart-safe id sequences use [[packHistPerBatchCarriedFrom]],
+    * which seeds from and hands back caller-owned state. */
   def packHistPerBatchCarried(
       docs: DataFrame, // streaming
       lenCol: String, idCol: String,
       maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    packHistPerBatchCarriedFrom(docs, lenCol, idCol, maxLen, maxPerPack,
+      maxStates)(sink)
+
+  /** [[packHistPerBatchCarried]] against CALLER-OWNED state — the
+    * restart path (the [[semanticDedupPerBatchBoundedFrom]] contract
+    * for the packing tier, closing r16's named restart gap):
+    * `initialCarried`/`initialFrontier` seed the first batch's fit
+    * from what a previous driver run's `onState` callback persisted —
+    * the open (composition, count, base) groups plus the id frontier,
+    * plain case-class data a caller serializes however the sink's
+    * checkpoint cadence demands. `onState` receives the post-batch
+    * (carried, frontier, batchId) AFTER the sink; persisting it on the
+    * sink's commit cadence makes a restarted query continue the exact
+    * id sequence. A crash BETWEEN sink and state-save is forgiven by
+    * the replay-idempotence above: the replayed batch re-packs from
+    * the older state and ships the SAME ids the sink already saw —
+    * only losing committed batches' state falls back to the documented
+    * ids-unique-per-run boundary. */
+  def packHistPerBatchCarriedFrom(
+      docs: DataFrame, // streaming
+      lenCol: String, idCol: String,
+      maxLen: Int, maxPerPack: Int = 3, maxStates: Int = 100000,
+      initialCarried: Seq[graft.operators.TextAnalysis.PackType] = Nil,
+      initialFrontier: Long = 0L,
+      onState: (Seq[graft.operators.TextAnalysis.PackType], Long, Long) => Unit =
+        (_, _, _) => ())(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.TextAnalysis
-    var carried: Seq[TextAnalysis.PackType] = Nil
-    var frontier = 0L
+    require(initialFrontier >= 0L,
+      s"initialFrontier must be >= 0, got $initialFrontier")
+    var carried: Seq[TextAnalysis.PackType] = initialCarried
+    var frontier = initialFrontier
     var last: Option[(Long, Seq[TextAnalysis.PackType], Long)] = None
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       last match {
@@ -313,6 +355,7 @@ object StreamOps {
       // sit below ids already issued — a bare assignment would hand a
       // later batch's fresh packs a closed pack's id
       frontier = math.max(frontier, st.nextPackId)
+      onState(carried, frontier, batchId)
     }.start()
   }
 

@@ -810,6 +810,41 @@ class DedupSimJoinSpec extends AnyFunSuite {
       SimJoin.hardNegativesFromPairs(allPairs, emb, "vec_id", "label", k = 0))
   }
 
+  test("hardNegativesFromPairs: directed/duplicated pair frames never shrink the effective k (r16 ADVICE)") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(0)),
+      (2L, Seq(0.9f, 0.1f), Some(0)),
+      (3L, Seq(0.6f, 0.4f), Some(1)),
+      (4L, Seq(0.1f, 0.9f), Some(1)),
+      (5L, Seq(0.95f, 0.05f), None)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val undirected = SimJoin.thresholdSelfJoin(emb, "vec_id", "embedding",
+      threshold = -1.0)
+    // a frame already carrying BOTH directions of every pair, plus an
+    // exact duplicate of the undirected half — each negative would
+    // enter the per-anchor heap three times without the dedupe
+    val messy = undirected
+      .unionByName(undirected.select(col("id2").as("id1"),
+        col("id1").as("id2"), col("similarity")))
+      .unionByName(undirected)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("anchor_id"), col("neg_id"),
+          round(col("similarity"), 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = rows(SimJoin.hardNegativesFromPairs(undirected, emb, "vec_id",
+      "label", k = 2))
+    val got = rows(SimJoin.hardNegativesFromPairs(messy, emb, "vec_id",
+      "label", k = 2))
+    assert(got == want, s"messy input must mine the same negatives:\n$got\n$want")
+    // k DISTINCT negatives per anchor — no anchor's list collapses to
+    // duplicates of its single best negative
+    got.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.map(_._2).size == ns.size, s"anchor $a mined duplicate neg_ids: $ns")
+      assert(ns.size == 2, s"anchor $a lost effective k: $ns")
+    }
+  }
+
   test("minhashTuneBands: closed forms at the extremes, monotone trade, argmin matches brute force, weights steer it") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(col("bands")).collect().map(r => (r.getInt(0), r.getInt(1),

@@ -236,6 +236,26 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(many == single, s"residual searchMany != per-query:\n$many\n$single")
   }
 
+  test("residual paths refuse reserved staging columns BY NAME at the top of build/withArtifacts (r16 ADVICE)") {
+    // pre-hoist, an input carrying __rcent hit an ambiguous-reference
+    // AnalysisException INSIDE the codebook fit's centroid join — the
+    // guard must fire before any staging column exists
+    val tainted = fixture.withColumn("__rcent", lit(1))
+    val e1 = intercept[IllegalArgumentException](
+      IvfPqIndex.build(tainted, "embedding", nlist = 2, m = 4, k = 8,
+        byResidual = true))
+    assert(e1.getMessage.contains("reserved residual staging"), e1.getMessage)
+    val clean = IvfPqIndex.build(fixture, "embedding", nlist = 2, m = 4, k = 8,
+      byResidual = true)
+    val e2 = intercept[IllegalArgumentException](
+      IvfPqIndex.withArtifacts(tainted, "embedding", clean.centroidVectors,
+        clean.model, byResidual = true))
+    assert(e2.getMessage.contains("reserved residual staging"), e2.getMessage)
+    // the raw-coded path has no residual staging — same input builds fine
+    assert(IvfPqIndex.build(tainted, "embedding", nlist = 2, m = 4, k = 8)
+      .encoded.columns.contains("__rcent"))
+  }
+
   test("residual coding: recall beats raw at equal m/k on the clustered fixture (the published lever)") {
     // top-10-vs-exact-10 is the HARD metric here: every cluster member
     // sits at sim ≈ 0.99 to the query, so fine ranking is decided by

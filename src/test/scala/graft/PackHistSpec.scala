@@ -287,6 +287,44 @@ class PackHistSpec extends AnyFunSuite {
     }.getMessage.contains("carried"))
   }
 
+  test("carriedFrom: caller-owned state resumes the id sequence across a driver restart (r16 ADVICE)") {
+    // two QUERIES over two directories — a simulated process restart:
+    // query 1 drains b1 and hands its (carried, frontier) to the caller
+    // via onState; query 2 is a FRESH stream seeded from that persisted
+    // state. The union must equal the single carried query over both
+    // batches (which itself equals the batch operator on the concat).
+    val b1 = Seq((1L, 30), (2L, 30), (3L, 20)).toDF("doc_id", "len")
+    val b2 = Seq((10L, 19), (11L, 9), (12L, 4)).toDF("doc_id", "len")
+    val dir = java.nio.file.Files.createTempDirectory("graft_packhist_restart")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    var savedCarried: Seq[TextAnalysis.PackType] = Nil
+    var savedFrontier = -1L
+    val q1 = graft.streaming.StreamOps.packHistPerBatchCarriedFrom(
+      spark.readStream.schema(b1.schema).parquet(dir.resolve("b1").toString),
+      "len", "doc_id", maxLen = 64, maxPerPack = 3,
+      onState = (c, f, _) => { savedCarried = c; savedFrontier = f }) {
+      (packed, _) => got.synchronized { got ++= packsOf(packed) }
+    }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(savedFrontier >= 0L && savedCarried.nonEmpty,
+      s"onState must hand back the post-batch state: $savedCarried / $savedFrontier")
+    val q2 = graft.streaming.StreamOps.packHistPerBatchCarriedFrom(
+      spark.readStream.schema(b2.schema).parquet(dir.resolve("b2").toString),
+      "len", "doc_id", maxLen = 64, maxPerPack = 3,
+      initialCarried = savedCarried, initialFrontier = savedFrontier) {
+      (packed, _) => got.synchronized { got ++= packsOf(packed) }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    val want = packsOf(TextAnalysis.packSequencesHist(b1.union(b2), "len",
+      "doc_id", maxLen = 64, maxPerPack = 3))
+    assert(got.toMap == want, s"restarted chain $got vs concat batch $want")
+    // the pack genuinely crossed the RESTART seam, not just the batch
+    // seam: doc 3 (before the restart) shares its pack with 10 and 11
+    assert(got(3L) == got(10L) && got(10L) == got(11L), s"$got")
+  }
+
   test("padding accounting: strategy paddingTokens == packs × maxLen − Σ lengths") {
     val docs = Seq((1L, 30), (2L, 30), (3L, 20), (4L, 9)).toDF("doc_id", "len")
     val st = TextAnalysis.fitPackStrategy(docs, "len", maxLen = 64, maxPerPack = 3)
