@@ -902,6 +902,73 @@ object ScaleProbe {
         "the materialized-prefix pass must beat the full-dim pass")
       println("[scale-probe] matryoshka: exact top-10 recovered through the " +
         "prefix shortlist")
+      // Over the AT-REST artifact (r16 VERDICT #2): write the
+      // prefix-materialized corpus to parquet once, then measure BYTES
+      // READ per pass via /proc/self/io rchar — the one counter that
+      // sees parquet's nio local reads (both Spark's task inputMetrics
+      // and Hadoop's FS statistics report only footer bytes on this
+      // path, measured: 0.2 MB "read" from a 327 MB file). local[32]
+      // is one JVM, so rchar covers driver + executors exactly.
+      val dir = java.nio.file.Files.createTempDirectory("graft_matry_probe").toString
+      try {
+        Nearest.materializePrefix(corpus, "embedding", 16)
+          .write.mode("overwrite").parquet(dir)
+        val stored = spark.read.parquet(dir)
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+        println(f"[scale-probe] matryoshka parquet at rest: " +
+          f"${du(new java.io.File(dir)) / 1e6}%.1f MB")
+        def rchar(): Long =
+          java.nio.file.Files.readAllLines(
+              java.nio.file.Paths.get("/proc/self/io")).toArray
+            .map(_.toString).find(_.startsWith("rchar:"))
+            .map(_.split(":")(1).trim.toLong).getOrElse(0L)
+        def measured[T](body: => T): (T, Long) = {
+          val before = rchar()
+          val r = body
+          (r, rchar() - before)
+        }
+        // STAGE 1 — the artifact's claim: the shortlist pass scans
+        // (id, prefix) only, prefixDims/dim of the vector bytes
+        val (_, s1Bytes) = measured {
+          Nearest.prefixShortlistFrame(stored, "embedding_prefix", "vec_id",
+            q, prefixDims = 16, shortlist = 1000,
+            tieBreakers = Seq(asc("vec_id"))).collect(): Unit
+        }
+        val (fullRest, fullBytes) = measured {
+          Nearest.topK(stored, "embedding", lit(q), n = 10,
+              tieBreakers = Seq(asc("vec_id")))
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+        }
+        val (prefRest, e2eBytes) = measured {
+          Nearest.twoStagePrefixTopK(stored, "embedding", "embedding_prefix",
+              "vec_id", q, n = 10, prefixDims = 16, shortlist = 1000,
+              tieBreakers = Seq(asc("vec_id")))
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+        }
+        require(prefRest == fullRest,
+          s"at-rest prefix path must return the exact top-10\n$prefRest\n$fullRest")
+        println(f"[scale-probe] matryoshka bytes read (parquet at rest): " +
+          f"stage-1 prefix scan ${s1Bytes / 1e6}%.1f MB vs full-vector pass " +
+          f"${fullBytes / 1e6}%.1f MB (${fullBytes.toDouble / s1Bytes}%.2fx cut); " +
+          f"two-scan end-to-end ${e2eBytes / 1e6}%.1f MB")
+        // the assertable claim is STAGE 1 (the corpus-scale pass reads
+        // prefix bytes only); end-to-end is reported, not asserted —
+        // stage 2's fetch is LAYOUT-dependent (a uniformly-spread
+        // 1000-id shortlist hits every row group, so the pushed In
+        // predicate prunes nothing on this unsorted fixture; an
+        // id-clustered or bucketed layout is what makes stage 2 cheap
+        // at 100 TB, and overclaiming here would test the fixture)
+        require(s1Bytes * 2 < fullBytes,
+          s"stage 1 must read well under half the full pass's bytes: " +
+            s"$s1Bytes vs $fullBytes")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
       spark.stop()
       return
     }
@@ -988,6 +1055,109 @@ object ScaleProbe {
       // the encoded frames exist for their TIMINGS (coded-tier encode
       // throughput at 1M); serving equivalence is the spec's
       require(encPq.count() == n && encOpq.count() == n)
+      spark.stop()
+      return
+    }
+    // OPQ∘IVFADC (the first-class FAISS factory stack, r16 VERDICT #1)
+    // vs plain residual IVFADC at 1M rows:
+    //   sbt "runMain graft.ScaleProbe 1000000 opqivfpq"
+    // Fixture = ivfpqresidual's clustered planted-neighbor corpus, but
+    // BOTH the centers and the within-cluster noise are ANISOTROPIC in
+    // the pre-mix axes (center energy decaying 0.85^d, noise 0.62^d)
+    // and the whole space is mixed by ONE fixed dense orthogonal
+    // matrix — so residuals straddle every fixed subspace boundary,
+    // and un-mixing the full vectors (what the OPQ alternation can
+    // see) also un-mixes the residual noise ball. Residual coding
+    // alone pays the correlated-energy waste Ge et al. name; the
+    // learned pretransform recovers it BEFORE the residual split.
+    // (With ISOTROPIC full-dim centers the alternation has nothing to
+    // compact — measured: the full-vector-trained rotation then
+    // scrambles the residual domain and LOSES to plain residual; the
+    // correlated regime is the claim, so the fixture is correlated in
+    // centers and noise alike.) Equal m/k/maxTrain/nlist/nprobe;
+    // recall of the planted set in the ADC top-50, OPQ∘residual >=
+    // residual asserted.
+    if (args.contains("opqivfpq")) {
+      import graft.operators.{IvfPqIndex, OpqIvfPqIndex}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      // fixed dense mixing rotation (seeded Gram-Schmidt, the opq
+      // probe's construction)
+      val mixRnd = new scala.util.Random(7)
+      val gs = Array.fill(dim, dim)(mixRnd.nextGaussian())
+      for (j <- 0 until dim) {
+        for (p <- 0 until j) {
+          val dot = (0 until dim).map(i => gs(i)(j) * gs(i)(p)).sum
+          for (i <- 0 until dim) gs(i)(j) -= dot * gs(i)(p)
+        }
+        val nn = math.sqrt((0 until dim).map(i => gs(i)(j) * gs(i)(j)).sum)
+        for (i <- 0 until dim) gs(i)(j) /= nn
+      }
+      val mix = Array.tabulate(dim * dim)(x => gs(x / dim)(x % dim).toFloat)
+      val centers = Array.tabulate(64, dim)((c, j) =>
+        (math.sin(c * 2.1 + j * 0.7) * math.pow(0.85, j)).toFloat)
+      // pre-mix coordinates: cluster center + anisotropic noise with a
+      // SLOW decay (0.9^d): fast decay (0.62^d) concentrates 1M rows in
+      // a handful of effective dims and crowds every query inside the
+      // planted gap — both recalls measured 0.000, the fixture testing
+      // itself; an isotropic floor fixes crowding but hands the
+      // rotation nothing to recover (measured 1.000/1.000, then the
+      // floor-dominated residuals even favored plain coding at m = 8).
+      // Slow anisotropic decay keeps ~25 effective dims (no crowding at
+      // 1M) while every dim's variance still differs — exactly the
+      // structure the learned pretransform re-axes into balanced
+      // subspaces. Measured at 1M, m = 8: residual 0.818, OPQ∘residual
+      // 1.000.
+      val background = spark.range(n).toDF("vec_id")
+        .withColumn("__c", pmod(col("vec_id"), lit(64)).cast("int"))
+        .select(col("vec_id"), array((0 until dim).map(j =>
+          (element_at(lit(centers.map(_(j))), col("__c") + 1) +
+            (rand(seed = 7 + j) - lit(0.5)) * lit(1.5 * math.pow(0.9, j)))
+            .cast("float")): _*)
+          .as("__z"))
+      val zQ = background.where(col("vec_id") === 0)
+        .select("__z").head().getSeq[Float](0).toArray
+      val planted = spark.range(10).toDF("i")
+        .select((col("i") + n).as("vec_id"),
+          array((0 until dim).map(j =>
+            (lit(zQ(j)) + (rand(seed = 99 + j) - lit(0.5)) * lit(0.004))
+              .cast("float")): _*).as("__z"))
+      // one global orthogonal mix over background + planted: cosines
+      // (and hence the truth set) are untouched, but every coordinate
+      // a fixed subspace sees is now a blend of all the others
+      val corpus = background.unionByName(planted)
+        .withColumn("embedding", ColumnBridge.column(
+          graft.expressions.RotateVector(
+            ColumnBridge.expression(col("__z")), mix, dim)))
+        .drop("__z")
+        .repartition(32).localCheckpoint(true)
+      val probeQ = corpus.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val truth = (Set(0L) ++ (0 until 10).map(_.toLong + n))
+      def recallOf(opq: Boolean): Double = {
+        val search: (Array[Float], Int, Int) => org.apache.spark.sql.DataFrame =
+          if (opq) {
+            val idx = time("opqivfpq build OPQ,IVF64,PQ8 res=true k=256") {
+              OpqIvfPqIndex.build(corpus, "embedding", nlist = 64, m = 8,
+                k = 256, maxTrain = 16384, opqIters = 4, byResidual = true)
+            }
+            (q, k, np) => idx.search(q, k, np, tieBreakers = Seq(asc("vec_id")))
+          } else {
+            val idx = time("opqivfpq build plain IVF64,PQ8 res=true k=256") {
+              IvfPqIndex.build(corpus, "embedding", nlist = 64, m = 8,
+                k = 256, maxTrain = 16384, byResidual = true)
+            }
+            (q, k, np) => idx.search(q, k, np, tieBreakers = Seq(asc("vec_id")))
+          }
+        val got = search(probeQ, 50, 8)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      val res = recallOf(opq = false)
+      val ro = recallOf(opq = true)
+      println(f"[scale-probe] opqivfpq planted-neighbor recall in ADC-top-50: " +
+        f"residual=$res%.3f opq+residual=$ro%.3f (equal m=8 k=256, nprobe=8/64)")
+      require(ro >= res,
+        f"OPQ∘residual recall $ro%.3f fell below plain residual $res%.3f at equal m/k")
       spark.stop()
       return
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{vectors, AvgVector}
-import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, OpqIndex, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
+import graft.operators.{AsofJoin, Classifier, ClassifierSql, Dedup, Fusion, IvfIndex, IvfPqIndex, Multimodal, Nearest, OpqIndex, OpqIvfPqIndex, PqIndex, Project, RangeJoin, SimJoin, Skew, TextAnalysis, TextAnalysisSql, TextSearch}
 import graft.sources.DocIO
 import graft.streaming.StreamOps
 
@@ -284,6 +284,28 @@ object SparkEntry {
       _ => IvfPqIndex.build(Tables(s, d, "embeddings"), "embedding",
         nlist = nlist, m = m, k = k, byResidual = true))
 
+  /** Memoized FULL-STACK `OPQ,IVF,PQ` build (r16 VERDICT #1): learned
+    * rotation pretransform + residual-coded IVFADC, the FAISS factory
+    * composition in its deployed shape. Same purge semantics as
+    * [[ivfPqFor]]; bench times the probe path, not the one-time
+    * alternating fit + build. */
+  private val opqIvfPqCache =
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, OpqIvfPqIndex]]()
+  private def opqIvfPqFor(s: SparkSession, d: String, nlist: Int = 16,
+      m: Int = 8, k: Int = 16): OpqIvfPqIndex =
+    opqIvfPqCache.synchronized {
+      opqIvfPqCache.keySet.removeIf(x => x.sparkContext.isStopped)
+      var mm = opqIvfPqCache.get(s)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, OpqIvfPqIndex]()
+        opqIvfPqCache.put(s, mm)
+      }
+      mm
+    }.computeIfAbsent(s"$d#$nlist#$m#$k",
+      _ => OpqIvfPqIndex.build(Tables(s, d, "embeddings"), "embedding",
+        nlist = nlist, m = m, k = k, byResidual = true))
+
   /** The ONE image-feature frame the image-as-query pair ranks over:
     * synth PNGs → real decode → 16-dim (grid=2, bins=4) descriptors.
     * Shared by `multimodal_image_query` and `imageIvfFor` so the
@@ -363,6 +385,27 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       Nearest.twoStageTopK(e.select(col("vec_id"), col("embedding")),
           "embedding", q, n = 5, prefixDims = 16, shortlist = 50,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 J ORACLED (round 17, r16 VERDICT #2): the same two-stage
+    // retrieval over the MATERIALIZED prefix artifact — stage 1 scans
+    // ONLY (vec_id, embedding_prefix), collects shortlist IDS, and
+    // stage 2 re-scores through a PUSHED isin predicate. prefixCol
+    // stores slice(embedding, 1, 16) definitionally — the same floats
+    // the in-plan row slices — so the result is provably identical and
+    // the row shares nearest_matryoshka's oracle. The bytes-read cut
+    // at rest is ScaleProbe `matryoshka`'s; the stage-1 pruned-scan
+    // shape is PlanShapeSpec-pinned.
+    "nearest_matryoshka_prefix" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val withPref = Nearest.materializePrefix(
+        e.select(col("vec_id"), col("embedding")), "embedding", 16)
+      Nearest.twoStagePrefixTopK(withPref, "embedding", "embedding_prefix",
+          "vec_id", q, n = 5, prefixDims = 16, shortlist = 50,
           tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
@@ -485,6 +528,49 @@ object SparkEntry {
     // above, its recall-vs-raw story IvfPqIndexSpec + ScaleProbe.
     "ann_ivfpq_residual" -> ((s, d) => {
       val idx = ivfPqResidualFor(s, d)
+      val q = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED (round 17, r16 VERDICT #1): the FULL FAISS
+    // factory stack `OPQ,IVF,PQ` as ONE first-class index
+    // (OpqIvfPqIndex — rotation persisted in the layout, corpus
+    // rotated in-plan at build, queries rotated inside search), at the
+    // composition of ALL THREE tiers' exactness degenerates: identity
+    // rotation (RotateVector's double-accumulated identity product is
+    // a bit-for-bit pass-through) ∘ one cell AT THE ORIGIN (residual =
+    // raw vector bit-for-bit, q·centroid addend 0.0) ∘ the lossless
+    // codebook (ADC cosine = exact cosine) — provably brute force,
+    // sharing nearest_cosine's oracle through every piece of rotation
+    // + residual + ADC plumbing. The learned-rotation recall claim is
+    // OpqIvfPqIndexSpec's (OPQ∘residual ≥ residual at equal m/k on the
+    // correlated fixture).
+    "ann_opq_ivfpq_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_ivfpq_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx = OpqIvfPqIndex.withArtifacts(e, "embedding",
+        OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+        byResidual = true)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN rows-only twin: the DEPLOYED `OPQ16,IVF16,PQ8`-shaped
+    // stack — learned rotation (alternating Procrustes fit), real
+    // 16-cell quantizer in ROTATED space, Lloyd codebooks on rotated
+    // residuals, nprobe = 4. Its exactness anchor is the row above;
+    // recall-vs-residual is spec'd + probed.
+    "ann_opq_ivfpq" -> ((s, d) => {
+      val idx = opqIvfPqFor(s, d)
       val q = Tables(s, d, "embeddings").where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       idx.search(q, k = 5, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
@@ -1162,6 +1248,23 @@ object SparkEntry {
         shingleSize = 1, bands = 1)
       Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 D ORACLED (round 17, r16 VERDICT #5): the TUNE → PAIRS auto
+    // composition end to end — minhashPairsAuto lets the banding
+    // optimizer drive the bands knob. At threshold = 1.0 the
+    // composition is provably dedup_minhash_exact: (a) the tuner's
+    // argmin is bands = 1 by closed form (fn mass is 0 at t = 1 since
+    // P(1) = 1 for every banding; fp area is monotone in b, so the
+    // cheapest generator wins — spec'd), the exact row's own config;
+    // (b) stronger, ANY tuned banding gives the same survivors at
+    // t = 1, because identical sets have identical signatures (recall
+    // 1 under every banding) and the exact-Jaccard verify admits only
+    // J = 1 pairs. Same shingleSize = 1 word sets — shares the oracle.
+    "dedup_minhash_auto" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.minhashPairsAuto(docs, "text", "doc_id",
+        threshold = 1.0, shingleSize = 1)
+      Dedup.survivors(docs, "doc_id", pairs).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 D: INCREMENTAL dedup — the production ingest shape: dedup a
     // new batch (odd doc ids) against the existing corpus (even ids)
     // AND within itself, without re-pairing the corpus against itself
@@ -1486,6 +1589,39 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("mmr_rank"))
     }),
+    // §2.3 J ORACLED (round 17, r16 VERDICT #3): BATCH MMR — the
+    // diversity rung's searchMany: ONE bounded-heap corpus pass builds
+    // every query's shortlist (map-side partials, the knnJoinAgg
+    // plan), the greedy runs per query over the grouped collect
+    // (maxCollect-refused). λ = 1 is the per-query exactness
+    // degenerate: selection is relevance order, so the row replays as
+    // simjoin_knn's scoring plus a per-query row_number — queries,
+    // corpus, and k (3 of a 10-shortlist) chosen so the oracle IS that
+    // derivation, selection rank included.
+    "mmr_many_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKMany(q, e, "query_id", "qe", "vec_id", "embedding",
+          n = 3, lambda = 1.0, shortlist = 10)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+    // §2.3 J rows-only twin: batch MMR at the DEPLOYED diversity trade
+    // (λ = 0.5) — the sequential per-query redundancy term has no
+    // tractable SQL analog; the λ = 1 row above anchors the machinery
+    // and NearestTwoStageSpec pins the per-query diversity behavior.
+    "nearest_mmr_many" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKMany(q, e, "query_id", "qe", "vec_id", "embedding",
+          n = 3, lambda = 0.5, shortlist = 10)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
     // §2.3 J ORACLED (round 16): HARD-NEGATIVE MINING — the
     // contrastive-training-data step (DPR/SBERT/E5 all mine the
     // most-similar DIFFERENT-LABEL rows per anchor; random negatives
@@ -1513,6 +1649,31 @@ object SparkEntry {
       val pairs = SimJoin.approxCosineSelfJoin(e, "vec_id", "embedding",
         threshold = 0.35, bucketLength = 8.0, numHashTables = 1)
       SimJoin.hardNegativesFromPairs(pairs, e, "vec_id", "label", k = 3)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
+    }),
+    // §2.3 J ORACLED (round 17, r16 VERDICT #6): hard negatives mined
+    // FROM THE ANN INDEX — DPR's actual recipe (retrieve each anchor's
+    // top candidates from the serving index, keep the best different-
+    // label rows), the third candidate generator beside exact
+    // all-pairs and banded LSH. Exactness anchor: nprobe = nlist ∘
+    // lossless codebook ∘ candidatesPerAnchor = corpus makes the
+    // candidate set EVERY scored row, so the mining provably equals
+    // the exact operator on the same anchors — the oracle is
+    // hard_negatives' derivation restricted to anchors vec_id < 50.
+    "hard_negatives_index" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "hard_negatives_index requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val nCorpus = e.count().toInt
+      SimJoin.hardNegativesFromIndex(idx,
+          anchors = e.where(col("vec_id") < 50), labels = e,
+          idCol = "vec_id", embCol = "embedding", labelCol = "label",
+          k = 3, candidatesPerAnchor = nCorpus,
+          nprobe = idx.centroidVectors.length)
         .select(col("anchor_id"), col("neg_id"),
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
@@ -3262,6 +3423,42 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED (round 17): the OPQ∘IVFADC stack SAVE → LOAD →
+    // SEARCH — the persisted layout (sidecar + rotation parquet +
+    // nested cell-partitioned codes) must serve the identical exact
+    // result at the composed degenerates (identity rotation ∘ origin
+    // cell ∘ lossless codebook), proving the rotation round-trips and
+    // reopened queries rotate through the same matrix. Shares
+    // nearest_cosine's oracle like every persistence anchor.
+    "ann_opq_ivfpq_persisted" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_ivfpq_persisted requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_opq_ivfpq_persisted fingerprints $src (driver fixtures are single " +
+          "parquet files); for other layouts use OpqIvfPqIndex.save/load directly")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base = s"graft_opqivfpq_persist_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
+      if (!new java.io.File(s"$path/_opqivfpq.json").exists())
+        OpqIvfPqIndex.withArtifacts(e, "embedding",
+          OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+          byResidual = true).save(path)
+      val idx = OpqIvfPqIndex.load(s, path)
+      require(idx.model.lossless,
+        "ann_opq_ivfpq_persisted requires the lossless codebook degenerate")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN ORACLED batch anchor (round 12): IVFADC for a whole
     // TABLE of queries — the plan is ann_ivf_batch_exact's (broadcast
     // probes → cell join → bounded-heap top-k) but the corpus side of
@@ -3680,7 +3877,8 @@ object SparkEntry {
   /** Hard-negative mining replay: directed different-label pairs,
     * cosine over the 64 dims, per-anchor top-3 — optionally over only
     * the ≥ 0.35 candidates (the banded composition's degenerate). */
-  private def hardNegativesSql(withThreshold: Boolean): String = {
+  private def hardNegativesSql(withThreshold: Boolean,
+      anchorWhere: String = ""): String = {
     val cand = if (withThreshold) "WHERE cos >= 0.35" else ""
     s"""WITH p AS (
        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
@@ -3689,7 +3887,7 @@ object SparkEntry {
        |         sum(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS nb
        |  FROM embeddings a JOIN embeddings b
        |    ON a.vec_id <> b.vec_id AND a.label IS NOT NULL
-       |   AND b.label IS NOT NULL AND a.label <> b.label
+       |   AND b.label IS NOT NULL AND a.label <> b.label $anchorWhere
        |  CROSS JOIN range(1, 65) AS r(i)
        |  GROUP BY a.vec_id, b.vec_id),
        |scored AS (SELECT anchor_id, neg_id,
@@ -4262,6 +4460,27 @@ object SparkEntry {
            |  SELECT s.vec_id, $cosine AS raw FROM s JOIN mshort USING (vec_id)
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the MATERIALIZED-prefix path stores slice(embedding, 1, 16) as
+      // its own column — the same floats the in-plan row slices, so
+      // the identical two-stage derivation replays: stage-1 membership
+      // over the first 16 dims, full-dim re-rank over that shortlist
+      "nearest_matryoshka_prefix" ->
+        s"""$scoredCte,
+           |mp AS (
+           |  SELECT e.vec_id AS vec_id,
+           |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+           |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+           |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+           |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 17) AS r(i)
+           |  GROUP BY e.vec_id),
+           |mshort AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, $cosine AS praw FROM mp
+           |    ORDER BY praw DESC, vec_id LIMIT 50))
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT s.vec_id, $cosine AS raw FROM s JOIN mshort USING (vec_id)
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       // save→load→search at nprobe = nlist: the persisted
       // cell-partitioned layout must serve the exact result too
       "ann_ivf_persisted" ->
@@ -4312,6 +4531,22 @@ object SparkEntry {
            |  SELECT vec_id, $cosine AS raw FROM s
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the full OPQ∘IVFADC stack at ALL THREE composed degenerates
+      // (identity rotation ∘ origin cell ∘ lossless codebook) is
+      // provably brute force — shared oracle; same for the
+      // save→load→search twin, which must serve the identical result
+      "ann_opq_ivfpq_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      "ann_opq_ivfpq_persisted" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       // IVF at nprobe = nlist scans every cell — provably the exact
       // brute-force result, so it shares the nearest_cosine oracle
       "ann_ivf_exact" ->
@@ -4356,6 +4591,28 @@ object SparkEntry {
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
+      // batch MMR at λ = 1: every query's selection is relevance order
+      // over its shortlist, so top-3 per query == the exact k-NN join
+      // PLUS the selection rank as a per-query row_number over the
+      // same (cos DESC, vec_id) total order
+      "mmr_many_exact" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          |p AS (
+          |  SELECT q.query_id, e.vec_id,
+          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+          |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+          |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
+          |  GROUP BY q.query_id, e.vec_id),
+          |scored AS (SELECT query_id, vec_id,
+          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+          |  FROM p),
+          |ranked AS (SELECT query_id, vec_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+          |SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+          |       round(cos, 6) AS similarity
+          |FROM ranked WHERE rn <= 3
+          |ORDER BY query_id, mmr_rank""".stripMargin,
       // streaming drain of the heap k-NN join against the static
       // corpus — per-batch == batch, so the oracle is shared
       "simjoin_knn_stream" -> oracleSqlKnn,
@@ -4442,6 +4699,12 @@ object SparkEntry {
       // EXACTLY the pairs ≥ 0.35 (the ann_cosine_lsh_exact property),
       // symmetrized, then the identical mining rule
       "hard_negatives_banded" -> hardNegativesSql(withThreshold = true),
+      // the index-mined composition at its exact degenerate (full
+      // probe ∘ lossless ∘ candidates = corpus): the same derivation,
+      // restricted to the query's anchor subset
+      "hard_negatives_index" ->
+        hardNegativesSql(withThreshold = false,
+          anchorWhere = "AND a.vec_id < 50"),
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -5527,6 +5790,22 @@ object SparkEntry {
       // comment): survivors keep the min-id representative of every
       // identical-word-set group.
       "dedup_minhash_exact" ->
+        s"""WITH d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '$Ws'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_sort(list_distinct(toks)) AS grams FROM d)
+          |SELECT g.doc_id FROM g
+          |WHERE NOT EXISTS (SELECT 1 FROM g g2
+          |                  WHERE g2.doc_id < g.doc_id
+          |                    AND len(g.grams) > 0 AND g2.grams = g.grams)
+          |ORDER BY g.doc_id""".stripMargin,
+      // the tune → pairs auto composition at threshold = 1.0 provably
+      // selects bands = 1 (the exact row's config) AND any banding
+      // yields these survivors at t = 1 (see the query comment) —
+      // shared oracle
+      "dedup_minhash_auto" ->
         s"""WITH d AS (
           |  SELECT doc_id,
           |         list_filter(string_split_regex(lower(text), '$Ws'),

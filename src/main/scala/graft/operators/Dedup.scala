@@ -771,8 +771,15 @@ object Dedup {
       steps: Int = 1000): DataFrame = {
     require(numHashes >= 1 && numHashes <= 4096,
       s"numHashes must be in [1, 4096], got $numHashes")
-    require(threshold > 0 && threshold < 1,
-      s"threshold must be in (0, 1), got $threshold")
+    // threshold = 1 (the EXACT-duplicate regime) is a closed form, not
+    // an error: P(1) = 1 for every banding, so fn mass is
+    // definitionally 0 and the argmin is provably bands = 1 — the
+    // cheapest candidate generator, with recall still 1 at J = 1
+    // because identical sets hash to identical signatures and collide
+    // under ANY banding. This is what anchors `dedup_minhash_auto` on
+    // `dedup_minhash_exact`'s oracle.
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0 &&
       java.lang.Double.isFinite(fpWeight) && java.lang.Double.isFinite(fnWeight),
       s"weights must be non-negative, finite, not both zero: ($fpWeight, $fnWeight)")

@@ -139,6 +139,90 @@ object Nearest {
       .drop("__pre_sim")
   }
 
+  /** The at-rest Matryoshka artifact (r16 VERDICT #2): the first
+    * `prefixDims` dimensions stored as their OWN column beside the
+    * full vector — write THIS frame to parquet and stage 1 of
+    * [[twoStagePrefixTopK]] reads prefixDims/dim of the bytes (column
+    * pruning keeps the full vector out of the shortlist scan
+    * entirely). The column is definitionally `slice(embCol, 1,
+    * prefixDims)` — the same floats [[twoStageTopK]] slices in-plan,
+    * which is what lets the prefix path share its oracle. */
+  def materializePrefix(df: DataFrame, embCol: String, prefixDims: Int,
+      prefixCol: String = "embedding_prefix"): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(!df.columns.contains(prefixCol),
+      s"output column '$prefixCol' already exists on the input frame")
+    df.withColumn(prefixCol, slice(col(embCol), 1, prefixDims))
+  }
+
+  /**
+   * [[twoStageTopK]] over a MATERIALIZED prefix column — the 100 TB
+   * serving shape (r16 VERDICT #2): ScaleProbe measured that slicing
+   * in-plan does NOT cut stage-1 cost (the full vector's bytes still
+   * stream through the scan); the bytes win needs the prefix AT REST
+   * as its own column ([[materializePrefix]]). Two-scan shape:
+   *
+   * - stage 1 scans ONLY `(idCol, prefixCol)` — column pruning keeps
+   *   the full-vector column out of the shortlist pass entirely
+   *   (plan-pinned: the stage-1 ReadSchema names prefixCol and not
+   *   embCol) — and collects the shortlist IDS, bounded by
+   *   `maxShortlist` with an explicit refusal (the MMR bounded-collect
+   *   convention; ids are small, vectors never collect);
+   * - stage 2 re-scores at full dimension ONLY rows whose id passes an
+   *   `isin` predicate built from those ids — a PUSHED scan filter, so
+   *   an id-sorted/zone-mapped layout skips whole row groups of
+   *   full-vector bytes at rest.
+   *
+   * Provably identical to [[twoStageTopK]] when `prefixCol` stores
+   * `slice(embCol, 1, prefixDims)` and `idCol` is a key: same floats →
+   * same stage-1 scores → the same shortlist under the same
+   * (score desc, tieBreakers) total order → the same full-dim re-rank
+   * (the `nearest_matryoshka_prefix` gate row shares
+   * `nearest_matryoshka`'s oracle on exactly this identity). The cost
+   * of the second scan is what the pushed id predicate makes of it;
+   * the FLOPs and heap shapes are unchanged.
+   */
+  def twoStagePrefixTopK(df: DataFrame, embCol: String, prefixCol: String,
+      idCol: String, queryVec: Array[Float], n: Int, prefixDims: Int,
+      shortlist: Int, simCol: String = "similarity",
+      tieBreakers: Seq[Column] = Nil, maxShortlist: Int = 4096): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — stage 2's id " +
+        "predicate is built from a driver-collected id list; raise maxShortlist " +
+        "deliberately or shrink the shortlist")
+    val shortIds = prefixShortlistFrame(df, prefixCol, idCol, queryVec,
+      prefixDims, shortlist, tieBreakers)
+      .collect().map(_.get(0))
+    val full = coalesce(vectors.similarity(col(embCol), lit(queryVec),
+      "cosine"), lit(0.0))
+    df.where(col(idCol).isin(shortIds.toIndexedSeq: _*))
+      .withColumn(simCol, full)
+      .orderBy(desc(simCol) +: tieBreakers: _*)
+      .limit(n)
+  }
+
+  /** [[twoStagePrefixTopK]]'s stage 1 as a lazy frame of shortlist ids
+    * — factored out so PlanShapeSpec can pin the PRUNED scan shape (a
+    * ReadSchema naming the prefix column and NOT the full vector is
+    * the whole point of the at-rest artifact). */
+  private[graft] def prefixShortlistFrame(df: DataFrame, prefixCol: String,
+      idCol: String, queryVec: Array[Float], prefixDims: Int,
+      shortlist: Int, tieBreakers: Seq[Column]): DataFrame = {
+    val prefixQ = queryVec.take(prefixDims)
+    val pre = coalesce(vectors.similarity(col(prefixCol), lit(prefixQ),
+      "cosine"), lit(0.0))
+    // the PRUNED scan: project (id, prefix) BEFORE scoring so nothing
+    // else (least of all the full vector) rides the shortlist
+    df.select(col(idCol), col(prefixCol))
+      .withColumn("__pre_sim", pre)
+      .orderBy(desc("__pre_sim") +: tieBreakers: _*)
+      .limit(shortlist)
+      .select(col(idCol))
+  }
+
   /**
    * Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
    * diversity-aware top-k every retrieval-augmented serving stack
@@ -185,6 +269,27 @@ object Nearest {
       if (s == null) null
       else s.asInstanceOf[scala.collection.Seq[Float]].toArray
     }
+    val picked = mmrGreedySelect(sims, vecs, n, lambda)
+    import scala.jdk.CollectionConverters._
+    val outRows = picked.zipWithIndex.map { case (c, rank) =>
+      org.apache.spark.sql.Row(ids(c), rank + 1, sims(c))
+    }
+    spark.createDataFrame(outRows.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(idCol),
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(simCol,
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** The MMR greedy both entry points share. Candidates MUST arrive in
+    * (relevance desc, id asc) order — strict > with an in-order scan
+    * then breaks MMR-score ties by candidate position, i.e. by exactly
+    * the total order the shortlist stage used. Deterministic. Returns
+    * picked candidate INDICES in selection order. */
+  private def mmrGreedySelect(sims: Array[Double], vecs: Array[Array[Float]],
+      n: Int, lambda: Double): Seq[Int] = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       if (a == null || b == null) return 0.0
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -195,16 +300,13 @@ object Nearest {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    // greedy: strict > with candidates scanned in shortlist order, so
-    // MMR-score ties break by shortlist position — (relevance desc,
-    // id asc), the same total order stage 1 used. Deterministic.
     val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val isPicked = new Array[Boolean](short.length)
-    val maxRed = Array.fill(short.length)(0.0) // max sim to any picked row
-    while (picked.length < math.min(n, short.length)) {
+    val isPicked = new Array[Boolean](sims.length)
+    val maxRed = Array.fill(sims.length)(0.0) // max sim to any picked row
+    while (picked.length < math.min(n, sims.length)) {
       var best = -1; var bestScore = Double.NegativeInfinity
       var c = 0
-      while (c < short.length) {
+      while (c < sims.length) {
         if (!isPicked(c)) {
           val score =
             if (picked.isEmpty) sims(c) // first pick is pure relevance at any λ
@@ -216,19 +318,94 @@ object Nearest {
       picked += best
       isPicked(best) = true
       var c2 = 0
-      while (c2 < short.length) {
+      while (c2 < sims.length) {
         val r = cos(vecs(c2), vecs(best))
         if (r > maxRed(c2)) maxRed(c2) = r
         c2 += 1
       }
     }
+    picked.toSeq
+  }
+
+  /**
+   * Batch MMR — [[mmrTopK]] for a whole TABLE of queries (r16 VERDICT
+   * #3: every ANN rung has a `searchMany`; the diversity rung now does
+   * too, instead of serializing one driver greedy per query with a
+   * corpus-scale shortlist pass EACH). Shape:
+   *
+   * - ONE distributed pass builds every query's shortlist —
+   *   [[SimJoin.knnJoinAgg]]'s bounded-heap plan (map-side partials
+   *   keep ≤ `shortlist` candidates per (partition, query); the
+   *   corpus is scanned once for ALL queries, and its heap order
+   *   (sim desc, id asc) is exactly [[mmrTopK]]'s stage-1 order);
+   * - the shortlists join their VECTORS back from the corpus by id
+   *   (the heap buffers (score, id) only — shortlist-sized join, the
+   *   only rows that survive the corpus side) and collect GROUPED,
+   *   bounded by `maxCollect` rows with an explicit refusal (the MMR
+   *   bounded-collect convention: the greedy is inherently sequential
+   *   per query, so the driver loop is honest, and it is capped);
+   * - the shared greedy ([[mmrGreedySelect]]) runs per query over its
+   *   ≤ `shortlist` candidates.
+   *
+   * `lambda = 1` is the exactness degenerate PER QUERY: no redundancy
+   * term, every query's selection is relevance order — provably
+   * [[SimJoin.knnJoinAgg]]'s result with a rank column (the
+   * `mmr_many_exact` gate row shares `simjoin_knn`'s oracle plus a
+   * row_number). Output: (queryIdCol, corpusIdCol, mmr_rank, simCol),
+   * `mmr_rank` the per-query selection order.
+   *
+   * Integral corpus ids required (knnJoinAgg's heap contract — its
+   * refusal names the alternative).
+   */
+  def mmrTopKMany(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
+      queryEmbCol: String, corpusIdCol: String, corpusEmbCol: String,
+      n: Int, lambda: Double, shortlist: Int,
+      simCol: String = "similarity", maxCollect: Int = 1 << 20): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    require(n >= 1 && shortlist >= n, s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(maxCollect >= shortlist,
+      s"maxCollect ($maxCollect) must be >= shortlist ($shortlist)")
+    val spark = corpus.sparkSession
+    val shortlists = SimJoin.knnJoinAgg(queries, corpus, queryIdCol,
+      queryEmbCol, corpusIdCol, corpusEmbCol, k = shortlist, simCol = simCol)
+    val withVecs = shortlists
+      .join(corpus.select(col(corpusIdCol).cast("long").as(corpusIdCol),
+        col(corpusEmbCol).as("__mmr_vec")), Seq(corpusIdCol))
+      .select(col(queryIdCol), col(corpusIdCol), col(simCol), col("__mmr_vec"))
+      // limit is the refusal probe: collecting maxCollect + 1 rows
+      // proves the bound broke without materializing the overage
+      .limit(maxCollect + 1)
+      .collect()
+    require(withVecs.length <= maxCollect,
+      s"queries × shortlist exceeded maxCollect $maxCollect rows — the greedy " +
+        "is a driver loop over grouped shortlists; raise maxCollect " +
+        "deliberately if your driver has the memory, or batch the queries")
     import scala.jdk.CollectionConverters._
-    val outRows = picked.zipWithIndex.map { case (c, rank) =>
-      org.apache.spark.sql.Row(ids(c), rank + 1, sims(c))
-    }
+    val outRows = withVecs
+      .groupBy(_.get(0))
+      .toSeq
+      // deterministic query order in the output frame (callers sort
+      // anyway; determinism is the repo's default posture)
+      .sortBy(_._1.toString)
+      .flatMap { case (qid, rows) =>
+        val cand = rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        val sims = cand.map(_.getDouble(2))
+        val vecs = cand.map { r =>
+          val s = r.get(3)
+          if (s == null) null
+          else s.asInstanceOf[scala.collection.Seq[Float]].toArray
+        }
+        mmrGreedySelect(sims, vecs, n, lambda).zipWithIndex.map {
+          case (c, rank) =>
+            org.apache.spark.sql.Row(qid, cand(c).getLong(1), rank + 1,
+              sims(c))
+        }
+      }
     spark.createDataFrame(outRows.toList.asJava,
       org.apache.spark.sql.types.StructType(Seq(
-        df.schema(idCol),
+        queries.schema(queryIdCol),
+        org.apache.spark.sql.types.StructField(corpusIdCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("mmr_rank",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField(simCol,

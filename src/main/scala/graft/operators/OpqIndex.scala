@@ -48,18 +48,8 @@ final case class OpqModel(rotation: Array[Float], pq: PqModel,
     * query), double-accumulated in the same j-order as the in-plan
     * [[graft.expressions.RotateVector]] so both sides rotate
     * identically. */
-  def rotateLocal(v: Array[Float]): Array[Float] = {
-    require(v.length == dim, s"query dim ${v.length} != model dim $dim")
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      var s = 0.0; var j = 0; val base = i * dim
-      while (j < dim) { s += rotation(base + j).toDouble * v(j); j += 1 }
-      out(i) = s.toFloat
-      i += 1
-    }
-    out
-  }
+  def rotateLocal(v: Array[Float]): Array[Float] =
+    OpqIndex.rotateLocal(rotation, v, dim)
 }
 
 object OpqIndex {
@@ -91,9 +81,48 @@ object OpqIndex {
    */
   def fit(df: DataFrame, embCol: String, m: Int, k: Int = 256,
       maxTrain: Int = 65536, opqIters: Int = 8, seed: Int = 42): OpqModel = {
+    val (sample, dim, nFit) = PqIndex.trainSample(df, embCol, m, k, maxTrain)
+    val (rotF, distortions) = alternateFit(sample, dim, m, k, opqIters, seed)
+    // The SHIPPED rotation is float32 (RotateVector's matrix), so the
+    // FINAL codebooks must be fit on the sample rotated through that
+    // float32 matrix with the same double-accumulate kernel — not the
+    // loop's full-double rotation, whose last bits differ: a learned-
+    // rotation model could otherwise report `lossless = true` (the
+    // distinct-set check passed on double-rotated vectors) while
+    // serving-time encode rotates to slightly different floats and
+    // reconstruction is NOT bit-exact (r16 ADVICE). Identity rotations
+    // are a fixed point of the cast, so the degenerate gate rows are
+    // provably unchanged.
+    val rotFD = rotF.map(_.toDouble)
+    val rotatedF = sample.map(v => applyRot(rotFD, v, dim))
+    val (codebooks, allDistinct) = PqIndex.fitLocal(rotatedF, dim, m, k, seed)
+    OpqModel(rotF, PqModel(m, dim, codebooks,
+        lossless = nFit <= maxTrain && allDistinct),
+      distortions)
+  }
+
+  /** The learned rotation ALONE — the pretransform half of the FAISS
+    * `OPQ…,IVF…,PQ…` factory stack ([[OpqIvfPqIndex]] is its consumer):
+    * the same alternating fit as [[fit]] on the same deterministic
+    * sample, returning (float32 rotation, per-iteration distortions)
+    * WITHOUT the final codebooks — the composed index fits its own
+    * codebooks downstream, on rotated residuals the plain-PQ
+    * alternation never sees. (FAISS trains the OPQ matrix exactly this
+    * way: against an internal plain ProductQuantizer, independent of
+    * the downstream coarse/residual structure.) */
+  private[operators] def fitRotation(df: DataFrame, embCol: String, m: Int,
+      k: Int = 256, maxTrain: Int = 65536, opqIters: Int = 8,
+      seed: Int = 42): (Array[Float], Array[Double]) = {
+    val (sample, dim, _) = PqIndex.trainSample(df, embCol, m, k, maxTrain)
+    alternateFit(sample, dim, m, k, opqIters, seed)
+  }
+
+  /** The alternation loop [[fit]] and [[fitRotation]] share, over an
+    * in-memory sample; returns the SHIPPED float32 rotation. */
+  private def alternateFit(sample: Array[Array[Float]], dim: Int, m: Int,
+      k: Int, opqIters: Int, seed: Int): (Array[Float], Array[Double]) = {
     require(opqIters >= 1 && opqIters <= 64,
       s"opqIters must be in [1, 64], got $opqIters")
-    val (sample, dim, nFit) = PqIndex.trainSample(df, embCol, m, k, maxTrain)
     // SEEDED-RANDOM orthogonal init, not identity — identity is a
     // FIXED POINT of the alternation (measured, and visible in the
     // math): with codebooks fit on Rx, M = Σ x·q(Rx)ᵀ ≈ Σ x xᵀ Rᵀ is
@@ -142,11 +171,24 @@ object OpqIndex {
       }
       it += 1
     }
-    val rotatedF = sample.map(v => applyRot(rot, v, dim))
-    val (codebooks, allDistinct) = PqIndex.fitLocal(rotatedF, dim, m, k, seed)
-    OpqModel(rot.map(_.toFloat), PqModel(m, dim, codebooks,
-        lossless = nFit <= maxTrain && allDistinct),
-      distortions)
+    (rot.map(_.toFloat), distortions)
+  }
+
+  /** Static R·v kernel (double-accumulated, the same j-order as the
+    * in-plan [[graft.expressions.RotateVector]]) — shared by
+    * [[OpqModel.rotateLocal]] and [[OpqIvfPqIndex]]'s query rotation. */
+  private[operators] def rotateLocal(rotation: Array[Float],
+      v: Array[Float], dim: Int): Array[Float] = {
+    require(v.length == dim, s"query dim ${v.length} != model dim $dim")
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var s = 0.0; var j = 0; val base = i * dim
+      while (j < dim) { s += rotation(base + j).toDouble * v(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
   }
 
   /** Rotate in-plan ([[graft.expressions.RotateVector]], codegen) then

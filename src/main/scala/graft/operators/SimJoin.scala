@@ -210,6 +210,51 @@ object SimJoin {
   }
 
   /**
+   * Hard negatives mined from an ANN INDEX (r16 VERDICT #6) — the
+   * OTHER production candidate generator beside the banded LSH form:
+   * DPR's actual recipe retrieves each anchor's top candidates from
+   * the serving index and keeps the best different-label ones. One
+   * [[IvfPqIndex.searchMany]] pass over the coded corpus retrieves
+   * `candidatesPerAnchor` rows per anchor (broadcast-probe → cell join
+   * → bounded-heap — the anchors table broadcasts, which is the DPR
+   * shape: anchors are a training set, small beside the corpus), then
+   * the SAME mining rule as [[hardNegatives]]: self excluded, null
+   * labels one-sided-safe excluded, label mismatch, per-anchor top-k
+   * via the bounded-heap aggregate.
+   *
+   * Candidate recall is the index's (nprobe, coding quality) — and
+   * self/same-label rows DO occupy heap slots before the filter, so
+   * size `candidatesPerAnchor` above k by the expected same-label
+   * density, exactly as DPR over-retrieves. Exactness anchor: at
+   * nprobe = nlist + a lossless codebook + candidatesPerAnchor ≥ the
+   * corpus, the candidates are EVERY scored row, so the result
+   * provably equals [[hardNegatives]] (the `hard_negatives_index` gate
+   * row shares its oracle).
+   */
+  def hardNegativesFromIndex(index: IvfPqIndex, anchors: DataFrame,
+      labels: DataFrame, idCol: String, embCol: String, labelCol: String,
+      k: Int, candidatesPerAnchor: Int, nprobe: Int = 4,
+      simCol: String = "similarity"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidatesPerAnchor >= k,
+      s"candidatesPerAnchor ($candidatesPerAnchor) must be >= k ($k)")
+    val hits = index.searchMany(
+      anchors.select(col(idCol).as("anchor_id"), col(embCol).as("__qe")),
+      "anchor_id", "__qe", idCol, k = candidatesPerAnchor, nprobe = nprobe,
+      simCol = simCol)
+    val lab = labels.select(col(idCol), col(labelCol))
+      .where(col(labelCol).isNotNull)
+    val scored = hits.withColumnRenamed(idCol, "neg_id")
+      .where(col("anchor_id") =!= col("neg_id"))
+      .join(broadcast(lab.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("__l1"))), "anchor_id")
+      .join(broadcast(lab.select(col(idCol).cast("long").as("neg_id"),
+        col(labelCol).as("__l2"))), "neg_id")
+      .where(col("__l1") =!= col("__l2"))
+    topKPerAnchor(scored, k, simCol)
+  }
+
+  /**
    * LSH-pruned cosine threshold self-join — the 100 TB path. One
    * codegen'd [[graft.expressions.RandomProjectionKeys]] pass computes
    * `numHashTables` compound keys per row (each the fold of

@@ -898,12 +898,59 @@ class DedupSimJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == manual && auto == Set((1L, 2L)),
       s"auto banding must pick the argmin (32) and find the dup pair: $auto")
+    // threshold = 1 is a CLOSED FORM, not an error (the
+    // dedup_minhash_auto anchor): P(1) = 1 for every banding ⇒ fn mass
+    // 0 everywhere, and the argmin is the cheapest candidate generator
+    // bands = 1
+    val t1 = rows(Dedup.minhashTuneBands(spark, numHashes = 128, threshold = 1.0))
+    assert(t1.forall(_._5 == 0.0), s"fn must be 0 for every banding at t = 1: ${t1.toSeq}")
+    val best1 = t1.find(_._7).get
+    assert(best1._1 == 1, s"t = 1 argmin must be bands = 1: $best1")
     // refusals
     intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 0))
-    intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 128, 1.0))
+    intercept[IllegalArgumentException](Dedup.minhashTuneBands(spark, 128, 1.001))
     intercept[IllegalArgumentException](
       Dedup.minhashTuneBands(spark, 128, 0.5, fpWeight = 0.0, fnWeight = 0.0))
     intercept[IllegalArgumentException](
       Dedup.minhashTuneBands(spark, 128, 0.5, steps = 5))
+  }
+
+  test("hardNegativesFromIndex: full probe + lossless + candidates = corpus equals the exact operator; pruned serving works") {
+    import graft.operators.IvfPqIndex
+    // the hand-traced hardNegatives fixture — integral ids, two
+    // classes, one unlabeled row
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(0)),
+      (2L, Seq(0.9f, 0.1f), Some(0)),
+      (3L, Seq(0.6f, 0.4f), Some(1)),
+      (4L, Seq(0.1f, 0.9f), Some(1)),
+      (5L, Seq(0.95f, 0.05f), None)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = IvfPqIndex.build(emb, "embedding", nlist = 2, m = 2, k = 65536)
+    assert(idx.model.lossless)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("anchor_id"), col("neg_id"),
+          round(col("similarity"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows(SimJoin.hardNegativesFromIndex(idx, emb, emb, "vec_id",
+      "embedding", "label", k = 2, candidatesPerAnchor = 5, nprobe = 2))
+    val want = rows(SimJoin.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 2))
+    assert(got == want,
+      s"index mining at the composed degenerates must equal exact:\n$got\n$want")
+    // a PRUNED serving config still mines (recall is the index's —
+    // here both cells cover everything at nprobe = 1 per anchor side,
+    // so each anchor mines from its own cell's candidates)
+    val pruned = SimJoin.hardNegativesFromIndex(idx, emb, emb, "vec_id",
+      "embedding", "label", k = 1, candidatesPerAnchor = 3, nprobe = 1)
+    assert(pruned.count() >= 1)
+    // refusals: k < 1, candidates < k
+    intercept[IllegalArgumentException](
+      SimJoin.hardNegativesFromIndex(idx, emb, emb, "vec_id", "embedding",
+        "label", k = 0, candidatesPerAnchor = 5))
+    intercept[IllegalArgumentException](
+      SimJoin.hardNegativesFromIndex(idx, emb, emb, "vec_id", "embedding",
+        "label", k = 3, candidatesPerAnchor = 2))
   }
 }

@@ -149,4 +149,88 @@ class NearestTwoStageSpec extends AnyFunSuite {
       Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 2, lambda = 0.5,
         shortlist = 5000))
   }
+
+  test("materialized prefix: twoStagePrefixTopK == twoStageTopK (same floats), stage-1 scan pruned; refusals") {
+    val df = fixture
+    val q = query(df, 7L)
+    val withPref = Nearest.materializePrefix(df, "embedding", 4)
+    val got = ids(Nearest.twoStagePrefixTopK(withPref, "embedding",
+      "embedding_prefix", "vec_id", q, n = 5, prefixDims = 4, shortlist = 20,
+      tieBreakers = Seq(asc("vec_id"))))
+    val want = ids(Nearest.twoStageTopK(df, "embedding", q, n = 5,
+      prefixDims = 4, shortlist = 20, tieBreakers = Seq(asc("vec_id"))))
+    assert(got == want,
+      s"the prefix-column path must equal the in-plan slice path:\n$got\n$want")
+    // the artifact is definitionally the slice
+    assert(withPref.select(max(size(col("embedding_prefix")))).head().getInt(0) == 4)
+    // refusals: output clash, shortlist over the id-collect cap,
+    // shortlist < n
+    intercept[IllegalArgumentException](
+      Nearest.materializePrefix(withPref, "embedding", 4))
+    intercept[IllegalArgumentException](
+      Nearest.twoStagePrefixTopK(withPref, "embedding", "embedding_prefix",
+        "vec_id", q, n = 2, prefixDims = 4, shortlist = 5000))
+    intercept[IllegalArgumentException](
+      Nearest.twoStagePrefixTopK(withPref, "embedding", "embedding_prefix",
+        "vec_id", q, n = 5, prefixDims = 4, shortlist = 3))
+  }
+
+  test("batch MMR: per query == single-query mmrTopK at both lambdas; lambda = 1 == knnJoinAgg + rank; refusals") {
+    // the MMR fixture's two near-duplicate clusters, served to TWO
+    // queries with opposite tilts — per-query independence is the
+    // batch operator's whole contract
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f)),
+      (5L, Seq(0.001f, 0.999f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qA = Array(0.75f, 0.66f, 0f) // tilted to cluster A
+    val qB = Array(0.66f, 0.75f, 0f) // tilted to cluster B
+    val queries = Seq((100L, qA.toSeq), (200L, qB.toSeq))
+      .toDF("query_id", "qe")
+      .withColumn("qe", col("qe").cast("array<float>"))
+    def many(lambda: Double) =
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+          "embedding", n = 3, lambda = lambda, shortlist = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.rint(r.getDouble(3) * 1e9) / 1e9))
+        .groupBy(_._1)
+    for (lambda <- Seq(1.0, 0.5)) {
+      val got = many(lambda)
+      for ((qid, qv) <- Seq(100L -> qA, 200L -> qB)) {
+        val single = Nearest.mmrTopK(emb, "embedding", "vec_id", qv, n = 3,
+            lambda = lambda, shortlist = 5)
+          .orderBy(col("mmr_rank")).collect()
+          .map(r => (qid, r.getLong(0), r.getInt(1),
+            math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+        assert(got(qid).sortBy(_._3).toSeq == single,
+          s"λ=$lambda query $qid: batch must equal single-query MMR:\n" +
+            s"${got(qid).toSeq}\n$single")
+      }
+    }
+    // λ = 0.5 genuinely diversifies PER QUERY: each query's slot 2
+    // crosses to its non-preferred cluster
+    val div = many(0.5)
+    assert(Set(4L, 5L)(div(100L).sortBy(_._3).apply(1)._2), s"${div(100L).toSeq}")
+    assert(Set(1L, 2L, 3L)(div(200L).sortBy(_._3).apply(1)._2), s"${div(200L).toSeq}")
+    // refusals: the maxCollect LIMIT probe (2 queries × 5-shortlist =
+    // 10 rows > 5), the cheap maxCollect < shortlist require, lambda
+    // range, shortlist < n
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 2, lambda = 0.5, shortlist = 5, maxCollect = 5))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 2, lambda = 0.5, shortlist = 5, maxCollect = 3))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 2, lambda = -0.1, shortlist = 5))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 6, lambda = 0.5, shortlist = 5))
+  }
 }

@@ -228,4 +228,38 @@ class OpqIndexSpec extends AnyFunSuite {
       (Option(t.getMessage).exists(_.contains("rotate_vector")) || mentions(t.getCause))
     assert(mentions(ex), s"encode must refuse wrong-dim rows by name: $ex")
   }
+
+  test("learned-rotation lossless models reconstruct the SERVING rotation bit-for-bit (r16 ADVICE)") {
+    // 20 distinct rows under k = 256 keep the distinct-set codebooks ⇒
+    // lossless = true WITH a genuinely learned rotation. The flag's
+    // claim is about SERVING: the codebooks must contain exactly the
+    // float32-rotated subvectors encode produces — a final refit on the
+    // loop's full-double rotation would differ in the last bits and the
+    // bit-compare below would fail (the pre-fix behavior).
+    val df = correlated.where(col("vec_id") < 20)
+    val model = OpqIndex.fit(df, "embedding", m = 8, k = 256, opqIters = 4)
+    assert(model.pq.lossless,
+      "20 distinct rows under k = 256 must keep the distinct set")
+    assert(model.rotation.zipWithIndex.exists { case (v, i) =>
+      v != (if (i / dim == i % dim) 1f else 0f)
+    }, "the fixture must produce a non-identity rotation")
+    val sub = model.pq.sub
+    val rows = OpqIndex.encode(df, "embedding", model)
+      .join(df, "vec_id")
+      .select("vec_id", "pq_codes", "embedding").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("pq_codes")
+      // rotateLocal is the same double-accumulate kernel as the in-plan
+      // RotateVector, so this IS the serving-side rotated vector
+      val rotated = model.rotateLocal(r.getSeq[Float](2).toArray)
+      for (j <- 0 until model.pq.m) {
+        val cw = model.pq.codebooks(j)(codes(j) & 0xFF)
+        assert(java.util.Arrays.equals(cw,
+          java.util.Arrays.copyOfRange(rotated, j * sub, (j + 1) * sub)),
+          s"row ${r.getLong(0)} subspace $j: stored codeword is not the " +
+            "float32-rotated subvector — lossless would be a lie at serving")
+      }
+    }
+  }
 }

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPqIndex, Nearest, OpqIndex, OpqIvfPqIndex, PqIndex}
+
+/** [[OpqIvfPqIndex]] — the FAISS `OPQ,IVF,PQ` factory stack as a
+  * first-class index (r16 VERDICT #1): rotation persisted in the
+  * layout, corpus rotated in-plan at build, queries rotated inside
+  * search/searchMany, composed with residual coding. Exact when all
+  * three tiers' degenerates compose; the learned rotation's recall
+  * lever over plain residual coding is measured on correlated data. */
+class OpqIvfPqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** Anisotropic axis-aligned energy MIXED by a fixed dense rotation
+    * (the OpqIndexSpec regime OPQ exists for), but CLUSTERED so the
+    * coarse quantizer has real cells: 4 cluster centers plus the
+    * mixed anisotropic noise. */
+  private def correlated = {
+    val rnd = new scala.util.Random(5)
+    val q = randomRotation(dim, new scala.util.Random(7))
+    (0L until 300L).map { i =>
+      val c = (i % 4).toInt
+      val z = Array.tabulate(dim)(d =>
+        math.sin(c * 2.1 + d * 0.7) * 0.8 + rnd.nextGaussian() * math.pow(0.62, d))
+      val x = Array.tabulate(dim) { r =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += q(r)(j) * z(j); j += 1 }
+        s.toFloat
+      }
+      (i, x.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def randomRotation(d: Int, rnd: scala.util.Random): Array[Array[Double]] = {
+    val a = Array.fill(d, d)(rnd.nextGaussian())
+    for (j <- 0 until d) {
+      for (p <- 0 until j) {
+        val dot = (0 until d).map(i => a(i)(j) * a(i)(p)).sum
+        for (i <- 0 until d) a(i)(j) -= dot * a(i)(p)
+      }
+      val n = math.sqrt((0 until d).map(i => a(i)(j) * a(i)(j)).sum)
+      for (i <- 0 until d) a(i)(j) /= n
+    }
+    a
+  }
+
+  private def exactTopK(df: org.apache.spark.sql.DataFrame, qid: Long, n: Int) =
+    Nearest.topK(df.crossJoin(broadcast(
+        df.where(col("vec_id") === qid).select(col("embedding").as("qe")))),
+        "embedding", col("qe"), n = n, tieBreakers = Seq(asc("vec_id")))
+
+  private def queryVec(df: org.apache.spark.sql.DataFrame, qid: Long) =
+    df.where(col("vec_id") === qid).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  test("composed degenerates == brute force: identity rotation ∘ origin cell ∘ lossless codebook, raw AND residual") {
+    val df = correlated
+    val model = PqIndex.fit(df, "embedding", m = 8, k = 65536)
+    assert(model.lossless)
+    for (byResidual <- Seq(false, true)) {
+      val idx = OpqIvfPqIndex.withArtifacts(df, "embedding",
+        OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+        byResidual = byResidual)
+      val got = idx.search(queryVec(df, 0L), k = 10, nprobe = 1,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = exactTopK(df, 0L, 10)
+        .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want,
+        s"byResidual=$byResidual composed degenerates must equal brute force:\n$got\n$want")
+    }
+  }
+
+  test("learned rotation ∘ residual coding: recall >= plain residual at equal m/k (the factory stack's lever)") {
+    val df = correlated
+    // nprobe = nlist on both sides isolates CODEC quality — no cell-
+    // pruning noise; the only difference is rotated-residual codebooks
+    // vs raw-residual codebooks at the same budget
+    val nlist = 4
+    val opq = OpqIvfPqIndex.build(df, "embedding", nlist = nlist, m = 8,
+      k = 8, opqIters = 6, byResidual = true)
+    val res = IvfPqIndex.build(df, "embedding", nlist = nlist, m = 8,
+      k = 8, byResidual = true)
+    def recall(search: Long => Set[Long]): Double =
+      (0L until 8L).map { qid =>
+        val want = exactTopK(df, qid, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+        (search(qid) & want).size.toDouble / want.size
+      }.sum / 8
+    val ro = recall(qid => opq.search(queryVec(df, qid), 10, nprobe = nlist,
+        tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val rr = recall(qid => res.search(queryVec(df, qid), 10, nprobe = nlist,
+        tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(ro >= rr,
+      s"OPQ∘residual recall $ro must be >= plain residual $rr at equal m/k")
+    assert(ro > 0.5, s"the composed stack must actually retrieve: $ro")
+  }
+
+  test("save → load round-trips the rotation and serves identical results; wrong-class loads refuse by name") {
+    val df = correlated
+    val idx = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqivfpq").toString
+    try {
+      idx.save(dir)
+      val re = OpqIvfPqIndex.load(spark, dir)
+      assert(re.rotation.toSeq == idx.rotation.toSeq)
+      assert(re.byResidual && re.dim == dim)
+      def run(i: OpqIvfPqIndex) =
+        i.search(queryVec(df, 2L), 5, nprobe = 2, tieBreakers = Seq(asc("vec_id")))
+          .select(col("vec_id"), col("similarity"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(run(re) == run(idx),
+        "the reopened stack must serve the in-memory stack's results")
+      // a plain IvfPqIndex.load at the stack root must REFUSE (no
+      // _ivfpq.json there) — rotated codes can never silently serve
+      // un-rotated queries
+      intercept[Exception](IvfPqIndex.load(spark, dir))
+      // and the OPQ loader refuses a plain IVFADC layout by name
+      val plainDir = java.nio.file.Files.createTempDirectory("graft_plain_ivfpq").toString
+      try {
+        IvfPqIndex.build(df, "embedding", nlist = 2, m = 4, k = 8).save(plainDir)
+        val e = intercept[IllegalArgumentException](
+          OpqIvfPqIndex.load(spark, plainDir))
+        assert(e.getMessage.contains("not an OPQ∘IVFADC layout"), e.getMessage)
+      } finally rm(new java.io.File(plainDir))
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("addBatch under frozen artifacts == building from the union; searchMany == per-query search") {
+    val df = correlated
+    val a = df.where(col("vec_id") < 150)
+    val b = df.where(col("vec_id") >= 150)
+    val full = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val grown = OpqIvfPqIndex.withArtifacts(a, "embedding", full.rotation,
+        full.inner.centroidVectors, full.model, byResidual = true)
+      .addBatch(b, "embedding")
+    val fromUnion = OpqIvfPqIndex.withArtifacts(df, "embedding", full.rotation,
+      full.inner.centroidVectors, full.model, byResidual = true)
+    def codedRows(i: OpqIvfPqIndex) = i.inner.encoded
+      .select(col("vec_id"), col("cell"), hex(col("pq_codes")).as("codes"),
+        col("emb_norm"))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(codedRows(grown) == codedRows(fromUnion),
+      "append must code row-for-row like the union build")
+    // searchMany through the in-plan query rotation == per-query search
+    val queries = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val many = full.searchMany(queries, "query_id", "qe", "vec_id", k = 5,
+        nprobe = 4)
+      .select(col("query_id"), col("vec_id"), round(col("similarity"), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = (0L until 6L).flatMap { qid =>
+      full.search(queryVec(df, qid), 5, nprobe = 4,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 9).as("s"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(many == single, s"searchMany vs per-query:\n$many\n$single")
+  }
+
+  test("refusals: mismatched rotation size, wrong-dim query") {
+    val df = correlated
+    val model = PqIndex.fit(df, "embedding", m = 8, k = 8)
+    intercept[IllegalArgumentException](
+      OpqIvfPqIndex.withArtifacts(df, "embedding", new Array[Float](9),
+        Array(Array.fill(dim)(0f)), model))
+    val idx = OpqIvfPqIndex.withArtifacts(df, "embedding",
+      OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model)
+    intercept[IllegalArgumentException](idx.search(new Array[Float](3), 5))
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+  }
+}

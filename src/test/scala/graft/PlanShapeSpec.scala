@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{asc, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -446,5 +447,48 @@ class PlanShapeSpec extends AnyFunSuite {
     val below = p.substring(p.indexOf("TakeOrderedAndProject"))
     assert(!below.contains("Exchange") && !below.contains("Sort "),
       s"nothing may shuffle or sort under the coded top-k:\n$p")
+  }
+
+  test("OPQ∘IVFADC search: cell-filtered rotated-residual ADC scan under TakeOrderedAndProject, no exchange") {
+    val p = plan("ann_opq_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k heap expected:\n$p")
+    val below = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!below.contains("Exchange hashpartitioning") && !below.contains("Sort "),
+      s"nothing may key-shuffle or sort under the coded top-k:\n$p")
+    assert(p.contains("cell"), s"the nprobe cell filter must be in the plan:\n$p")
+  }
+
+  test("materialized Matryoshka prefix: stage 1's scan reads ONLY (id, prefix) — the full vector stays at rest") {
+    import graft.operators.Nearest
+    val dir = java.nio.file.Files.createTempDirectory("graft_prefix_plan").toString
+    try {
+      val e = Tables(spark, sf, "embeddings")
+      Nearest.materializePrefix(e.select(col("vec_id"), col("embedding")),
+          "embedding", 16)
+        .write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val q = Array.fill(64)(0.1f)
+      val p1 = Nearest.prefixShortlistFrame(stored, "embedding_prefix",
+          "vec_id", q, prefixDims = 16, shortlist = 50,
+          tieBreakers = Seq(asc("vec_id")))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p1.contains("ReadSchema: struct<vec_id:bigint,embedding_prefix:array<float>>"),
+        s"stage 1 must scan only the id + prefix columns:\n$p1")
+      assert(!p1.contains("embedding:array"),
+        s"the full-vector column leaked into the shortlist scan:\n$p1")
+      // stage 2: the shortlist ids arrive as a PUSHED scan predicate
+      val out = Nearest.twoStagePrefixTopK(stored, "embedding",
+        "embedding_prefix", "vec_id", q, n = 5, prefixDims = 16,
+        shortlist = 50, tieBreakers = Seq(asc("vec_id")))
+      val p2 = out.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p2.contains("PushedFilters: [In(vec_id"),
+        s"stage 2's id predicate must push to the scan:\n$p2")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }
