@@ -436,6 +436,66 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED (round 17): ADC-shortlist + EXACT re-rank —
+    // FAISS's refine stage (IndexRefineFlat; DiskANN's re-rank tier):
+    // the coded scan shortlists 20 by ADC, the raw vectors of JUST
+    // those rows re-rank at exact cosine, top 5 ship. With the
+    // lossless codebook the ADC order IS the exact order, so the
+    // shortlist provably holds the true top-5 and the refined result
+    // equals brute force — shares nearest_cosine's oracle. The lossy
+    // deployed shape (where refine buys its keep: codeword-granularity
+    // fine-ordering noise is cured by the re-rank) is the rows-only
+    // twin below + PqIndexSpec's measured claim.
+    "ann_pq_refine_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_pq_refine_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      PqIndex.searchRefine(
+          PqIndex.encode(e, "embedding", model).drop("embedding"),
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          q, n = 5, shortlist = 20, model, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN rows-only twin: refine at the DEPLOYED lossy config —
+    // Lloyd k=16 codes shortlist 50, exact re-rank to 5. The recall
+    // lever (refined ≥ bare ADC at equal m/k) is PqIndexSpec's.
+    "ann_pq_refine" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val model = pqFor(s, d, m = 8, k = 16, maxTrain = 65536)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      PqIndex.searchRefine(
+          PqIndex.encode(e, "embedding", model).drop("embedding"),
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          q, n = 5, shortlist = 50, model, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 ANN ORACLED (round 17): refine composed with CELL PRUNING —
+    // the coded pass scans nprobe/nlist of the codes, the re-rank
+    // touches only the shortlist's raw rows through a pushed id
+    // predicate. nprobe = nlist ∘ lossless ⇒ provably brute force,
+    // shared oracle.
+    "ann_ivfpq_refine_exact" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_ivfpq_refine_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.searchRefine(e.select(col("vec_id"), col("embedding")), "vec_id",
+          "embedding", q, n = 5, shortlist = 20,
+          nprobe = idx.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN ORACLED (round 16): OPQ — Optimized Product
     // Quantization (Ge et al. 2013), the learned-rotation rung: code
     // R·x instead of x, with R orthogonal so cosine is untouched
@@ -1676,6 +1736,38 @@ object SparkEntry {
           nprobe = idx.centroidVectors.length)
         .select(col("anchor_id"), col("neg_id"),
           round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
+    }),
+    // §2.3 S × J EXECUTED AS A STREAM (round 17): hard-negative mining
+    // on anchor ARRIVAL — anchors stream in micro-batches, each batch
+    // mined against the static frozen index + label table
+    // (StreamOps.hardNegativesPerBatch). Per-anchor decisions are
+    // independent, so the drain equals the batch operator; at the same
+    // composed degenerates as hard_negatives_index (full probe ∘
+    // lossless ∘ candidates = corpus) the row shares its oracle.
+    "hard_negatives_stream" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "hard_negatives_stream requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val nCorpus = e.count().toInt
+      val anchors = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+        .where(col("vec_id") < 50)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = StreamOps.hardNegativesPerBatch(anchors, idx, e,
+        "vec_id", "embedding", "label", k = 3,
+        candidatesPerAnchor = nCorpus,
+        nprobe = idx.centroidVectors.length) { (res, _) =>
+        buf.synchronized {
+          buf ++= res.select(col("anchor_id"), col("neg_id"),
+              round(col("similarity"), 6)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("anchor_id", "neg_id", "similarity")
         .orderBy(col("anchor_id"), desc("similarity"), col("neg_id"))
     }),
     // §2.3 T: token counting + length stats
@@ -4531,6 +4623,22 @@ object SparkEntry {
            |  SELECT vec_id, $cosine AS raw FROM s
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // refine at the lossless degenerate: ADC order == exact order, so
+      // the shortlist holds the true top-5 and the exact re-rank IS the
+      // brute-force result — shared oracle (both the flat and the
+      // cell-pruned compositions)
+      "ann_pq_refine_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      "ann_ivfpq_refine_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       // the full OPQ∘IVFADC stack at ALL THREE composed degenerates
       // (identity rotation ∘ origin cell ∘ lossless codebook) is
       // provably brute force — shared oracle; same for the
@@ -4703,6 +4811,11 @@ object SparkEntry {
       // probe ∘ lossless ∘ candidates = corpus): the same derivation,
       // restricted to the query's anchor subset
       "hard_negatives_index" ->
+        hardNegativesSql(withThreshold = false,
+          anchorWhere = "AND a.vec_id < 50"),
+      // the streamed drain of the same mining at the same degenerates —
+      // per-anchor independence makes per-batch == batch, shared oracle
+      "hard_negatives_stream" ->
         hardNegativesSql(withThreshold = false,
           anchorWhere = "AND a.vec_id < 50"),
       "dedup_exact" ->

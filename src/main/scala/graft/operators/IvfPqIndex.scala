@@ -107,6 +107,33 @@ class IvfPqIndex private (
     }
   }
 
+  /** [[search]] + EXACT re-rank over the raw vectors — the refine
+    * stage ([[PqIndex.searchRefine]]'s contract) composed with cell
+    * pruning: the coded pass scans nprobe/nlist of the codes, the
+    * re-rank touches only `shortlist` raw rows through a pushed id
+    * predicate. Composed exactness: nprobe = nlist ∘ lossless ⇒ the
+    * shortlist holds the true top-n ⇒ provably brute force (shares
+    * `nearest_cosine`'s oracle); at the deployed lossy config the
+    * shortlist recall is the probe's and the re-rank restores exact
+    * ORDER and exact SCORES on it (spec-measured ≥ the bare ADC
+    * ranking). `raw` must be the same corpus keyed by `idCol`. */
+  def searchRefine(raw: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int = 4,
+      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil,
+      maxShortlist: Int = 4096): DataFrame = {
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the re-rank's " +
+        "id predicate is built from a driver-collected id list; raise " +
+        "maxShortlist deliberately or shrink the shortlist")
+    val shortIds = search(queryVec, shortlist, nprobe, simCol, tieBreakers)
+      .select(col(idCol))
+      .collect().map(_.get(0))
+    PqIndex.refineByIds(raw, idCol, embCol, queryVec, n, shortIds, simCol,
+      tieBreakers)
+  }
+
   /**
    * Batch ANN over the coded corpus: top-k for a whole TABLE of
    * queries, fully distributed — [[IvfIndex.searchMany]]'s plan shape

@@ -257,6 +257,65 @@ object PqIndex {
       .limit(n)
   }
 
+  /**
+   * ADC-shortlist + EXACT re-rank — FAISS's refine stage
+   * (`IndexRefineFlat`, and DiskANN's re-rank tier): the coded scan
+   * shortlists `shortlist` candidates by ADC (the cheap corpus-scale
+   * pass — codes only, no vectors), then the RAW vectors of just those
+   * candidates re-rank at exact cosine and the top `n` ship. The
+   * published cure for PQ's fine-ordering noise: codeword-granularity
+   * scores can swap close neighbors, but the true top-n survives in
+   * any reasonable shortlist, and the re-rank restores exact order —
+   * recall becomes the SHORTLIST's (≥ the code's, spec-measured), and
+   * the reported similarity becomes the exact one.
+   *
+   * Two-scan shape (the [[Nearest.twoStagePrefixTopK]] convention):
+   * the coded pass collects shortlist IDS (bounded by `maxShortlist`,
+   * explicit refusal — ids only, never vectors), then the raw frame
+   * re-scores through a PUSHED `isin` predicate — at rest the vectors
+   * live in their own (possibly id-clustered) layout and only
+   * shortlist rows' bytes matter. Requires `raw` to hold the SAME
+   * corpus keyed by `idCol` (a key — multiplicity would duplicate
+   * candidates).
+   *
+   * Exactness anchor: with a LOSSLESS codebook the ADC order IS the
+   * exact order, so the shortlist contains the true top-n for any
+   * shortlist ≥ n and the refined result provably equals [[Nearest.topK]]
+   * — the `ann_pq_refine_exact` gate row shares `nearest_cosine`'s
+   * oracle. The deployed claim (lossy codes + refine beat lossy codes
+   * alone) is spec-measured.
+   */
+  def searchRefine(encoded: DataFrame, raw: DataFrame, idCol: String,
+      embCol: String, queryVec: Array[Float], n: Int, shortlist: Int,
+      model: PqModel, codesCol: String = "pq_codes",
+      normCol: String = "emb_norm", simCol: String = "similarity",
+      tieBreakers: Seq[Column] = Nil, maxShortlist: Int = 4096): DataFrame = {
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the re-rank's " +
+        "id predicate is built from a driver-collected id list; raise " +
+        "maxShortlist deliberately or shrink the shortlist")
+    val shortIds = search(encoded, queryVec, shortlist, model, codesCol,
+        normCol, simCol, tieBreakers)
+      .select(col(idCol))
+      .collect().map(_.get(0))
+    refineByIds(raw, idCol, embCol, queryVec, n, shortIds, simCol, tieBreakers)
+  }
+
+  /** The shared exact re-rank tail: score `raw` rows whose id is in
+    * the shortlist (a pushed predicate) at exact cosine, top n. */
+  private[operators] def refineByIds(raw: DataFrame, idCol: String,
+      embCol: String, queryVec: Array[Float], n: Int, shortIds: Array[Any],
+      simCol: String, tieBreakers: Seq[Column]): DataFrame = {
+    val exact = coalesce(graft.functions.vectors.similarity(col(embCol),
+      lit(queryVec), "cosine"), lit(0.0))
+    raw.where(col(idCol).isin(shortIds.toIndexedSeq: _*))
+      .withColumn(simCol, exact)
+      .orderBy(desc(simCol) +: tieBreakers: _*)
+      .limit(n)
+  }
+
   /** Each row's ADC similarity against its OWN codes —
     * cos(reconstruction, row), the codec's measured reconstruction
     * quality as a frame `(input columns…, simCol)`. Operational rule:

@@ -177,6 +177,27 @@ object StreamOps {
         batch, corpus, queryIdCol, queryEmbCol, corpusIdCol, corpusEmbCol, k), batchId)
     }.start()
 
+  /** Streaming hard-negative mining (§2.3 S × J): ANCHORS arrive as
+    * micro-batches (the training-set-ingest shape — new labeled
+    * examples mine their contrastive negatives on arrival), each batch
+    * mined against the STATIC corpus index + label table via
+    * [[graft.operators.SimJoin.hardNegativesFromIndex]]. Per-anchor
+    * decisions are independent of other anchors, so the drained output
+    * equals the batch operator restricted to the arrived anchors — the
+    * [[nearestPerBatch]] per-batch == batch argument; the frozen index
+    * is reused across batches (never refit mid-stream). */
+  def hardNegativesPerBatch(
+      anchors: DataFrame, // streaming, with idCol + embCol
+      index: graft.operators.IvfPqIndex, // static, frozen
+      labels: DataFrame, // static (idCol, labelCol) for the corpus
+      idCol: String, embCol: String, labelCol: String,
+      k: Int, candidatesPerAnchor: Int, nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    anchors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.SimJoin.hardNegativesFromIndex(index, batch,
+        labels, idCol, embCol, labelCol, k, candidatesPerAnchor, nprobe), batchId)
+    }.start()
+
   /** Streaming eval-set decontamination (SURVEY §2.3 S × D): each
     * arriving micro-batch of documents is decontaminated against a
     * STATIC benchmark set — the ingest-time form of the leak-hygiene

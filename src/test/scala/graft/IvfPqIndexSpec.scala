@@ -174,6 +174,46 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchRefine: composed degenerates == brute force; pruned lossy refine stays exact-ordered on its shortlist") {
+    val df = fixture
+    val raw = df.select(col("vec_id"), col("embedding"))
+    val q = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    // full probe + lossless: refined == brute force (the gate row)
+    val exactIdx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4,
+      k = 65536, maxTrain = 65536)
+    assert(exactIdx.model.lossless)
+    val got = exactIdx.searchRefine(raw, "vec_id", "embedding", q, n = 10,
+        shortlist = 20, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = exactTopK(df, 0L, 10)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"composed refine must equal brute force:\n$got\n$want")
+    // lossy + pruned: every refined score is the exact cosine (the
+    // re-rank's whole point), and the result is the exact ranking OF
+    // the shortlist
+    val lossyIdx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 16)
+    val refined = lossyIdx.searchRefine(raw, "vec_id", "embedding", q, n = 5,
+        shortlist = 30, nprobe = 2, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactAll = exactTopK(df, 0L, 200)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    refined.foreach { case (id, sc) =>
+      assert(exactAll(id) == sc, s"refined score for $id must be exact: $sc")
+    }
+    assert(refined.map(_._2) == refined.map(_._2).sorted.reverse,
+      "refined output must be exact-score ordered")
+    intercept[IllegalArgumentException](
+      lossyIdx.searchRefine(raw, "vec_id", "embedding", q, n = 10,
+        shortlist = 5))
+    intercept[IllegalArgumentException](
+      lossyIdx.searchRefine(raw, "vec_id", "embedding", q, n = 2,
+        shortlist = 9999))
+  }
+
   test("residual coding: zero-centroid degenerate is bit-identical to the raw path") {
     // one cell at the origin ⇒ residual = x − 0 = x exactly (float sub
     // by zero is the identity) and the q·centroid addend is 0.0, so

@@ -71,6 +71,57 @@ class PqIndexSpec extends AnyFunSuite {
       s"every code value must be exactly m*codeBytes bytes, got widths $widths")
   }
 
+  test("refine: lossless shortlist + exact re-rank == brute force; lossy refine beats bare ADC and reports EXACT scores; refusals") {
+    val df = fixture
+    def exact(qid: Long, n: Int) =
+      Nearest.topK(df.crossJoin(broadcast(
+          df.where(col("vec_id") === qid).select(col("embedding").as("qe")))),
+          "embedding", col("qe"), n = n, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val raw = df.select(col("vec_id"), col("embedding"))
+    // lossless: refined == brute force (the gate row's claim)
+    val lossless = PqIndex.fit(df, "embedding", m = 4, k = 65536, maxTrain = 65536)
+    assert(lossless.lossless)
+    val encL = PqIndex.encode(df, "embedding", lossless).drop("embedding")
+    val q0 = df.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val gotL = PqIndex.searchRefine(encL, raw, "vec_id", "embedding", q0,
+        n = 10, shortlist = 20, lossless, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotL == exact(0L, 10), s"lossless refine must equal brute force: $gotL")
+    // lossy: the refined top-k's ID RECALL is >= the bare ADC top-k's
+    // (the published refine lever), and its SCORES are the exact
+    // cosines by construction
+    val lossy = PqIndex.fit(df, "embedding", m = 4, k = 16)
+    val encY = PqIndex.encode(df, "embedding", lossy).drop("embedding")
+    val q1 = df.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    val want = exact(1L, 10)
+    val refined = PqIndex.searchRefine(encY, raw, "vec_id", "embedding", q1,
+        n = 10, shortlist = 50, lossy, tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bare = PqIndex.search(encY, q1, n = 10, lossy, tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantIds = want.map(_._1).toSet
+    val recRefined = (refined.map(_._1).toSet & wantIds).size
+    val recBare = (bare & wantIds).size
+    assert(recRefined >= recBare,
+      s"refined recall $recRefined must be >= bare ADC $recBare")
+    // every refined score is the exact cosine of that id
+    val exactById = exact(1L, 200).toMap
+    refined.foreach { case (id, sc) =>
+      assert(exactById(id) == sc, s"refined score for $id must be exact: $sc")
+    }
+    // refusals
+    intercept[IllegalArgumentException](
+      PqIndex.searchRefine(encY, raw, "vec_id", "embedding", q1, n = 10,
+        shortlist = 5, lossy))
+    intercept[IllegalArgumentException](
+      PqIndex.searchRefine(encY, raw, "vec_id", "embedding", q1, n = 2,
+        shortlist = 5000, lossy))
+  }
+
   test("a sample truncated by maxTrain reports lossless = false even on the distinct path") {
     // 200 rows, maxTrain = 150: every SAMPLED vector reconstructs
     // exactly (distinct-set codebooks), but a quarter of the corpus
