@@ -496,6 +496,27 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED (round 17): BATCH refine — a whole TABLE of
+    // queries through the ADC shortlist + exact re-rank, FULLY
+    // distributed (no driver id-collect: the shortlist frame joins the
+    // raw vectors by id, the per-query top-k is the bounded-heap
+    // aggregate). nprobe = nlist ∘ lossless ∘ shortlist ≥ k ⇒ every
+    // query's shortlist holds its true top-k ⇒ provably the exact
+    // k-NN join — same queries and k as simjoin_knn, shared oracle.
+    "ann_ivfpq_refine_batch_exact" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_ivfpq_refine_batch_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      idx.searchManyRefine(q, "query_id", "qe",
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          n = 3, shortlist = 10, nprobe = idx.centroidVectors.length)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
     // §2.3 ANN ORACLED (round 16): OPQ — Optimized Product
     // Quantization (Ge et al. 2013), the learned-rotation rung: code
     // R·x instead of x, with R orthogonal so cosine is untouched
@@ -4728,6 +4749,10 @@ object SparkEntry {
       // every cell joined, codes reconstruct exactly — provably the
       // exact k-NN join, same queries and k, same oracle
       "ann_ivfpq_batch_exact" -> oracleSqlKnn,
+      // batch refine at the same degenerates: every query's lossless
+      // full-probe shortlist holds its true top-k, the exact re-rank
+      // restores exact scores — the same k-NN join, same oracle
+      "ann_ivfpq_refine_batch_exact" -> oracleSqlKnn,
       "ann_ivf_batch_exact" -> oracleSqlKnn,
       "neardup_embedding" -> neardupEmbeddingSql(""),
       // the SemDeDup exact degenerate: the SAME pair arithmetic as

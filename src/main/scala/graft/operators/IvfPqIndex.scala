@@ -200,6 +200,46 @@ class IvfPqIndex private (
       .select(col(queryIdCol), col("__e.id").as(corpusIdCol), col("__e.score").as(simCol))
   }
 
+  /** BATCH refine — [[searchRefine]] for a whole TABLE of queries,
+    * FULLY distributed (unlike the single-query form there is no
+    * driver id-collect at all): [[searchMany]]'s ADC pass shortlists
+    * `shortlist` coded candidates per query (bounded heaps, cell
+    * pruning, code-width shuffle bytes), the shortlist frame — the
+    * only thing that leaves the coded tier, n_queries·shortlist rows
+    * of (query id, corpus id) — joins the RAW vectors by id (only
+    * matching raw rows survive the corpus side), queries broadcast
+    * back for the exact cosine, and the per-query top-n is the same
+    * bounded-heap aggregate. Scores ship EXACT; recall is the
+    * shortlist's. At nprobe = nlist ∘ lossless ∘ shortlist ≥ n the
+    * shortlist provably holds every true top-n, so the result equals
+    * the exact k-NN join (the `ann_ivfpq_refine_batch_exact` gate row
+    * shares `simjoin_knn`'s oracle). */
+  def searchManyRefine(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
+      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
+      simCol: String = "similarity"): DataFrame = {
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    import graft.functions.TopKScored
+    import graft.functions.vectors
+    val shortlists = searchMany(queries, queryIdCol, queryEmbCol,
+      corpusIdCol, k = shortlist, nprobe = nprobe, simCol = simCol)
+    shortlists
+      .select(col(queryIdCol), col(corpusIdCol))
+      .join(raw.select(col(corpusIdCol).cast("long").as(corpusIdCol),
+        col(corpusEmbCol).as("__refine_vec")), Seq(corpusIdCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(queryEmbCol).as("__refine_q"))), Seq(queryIdCol))
+      .select(col(queryIdCol), col(corpusIdCol),
+        coalesce(vectors.cosine_similarity(col("__refine_vec"),
+          col("__refine_q")), lit(0.0)).as(simCol))
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(n)(col(simCol), col(corpusIdCol)).as("__topk"))
+      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(corpusIdCol),
+        col("__e.score").as(simCol))
+  }
+
   /**
    * Incremental maintenance: assign a NEW batch to the FROZEN coarse
    * quantizer, encode it with the FROZEN PQ codebooks, and fold the

@@ -214,6 +214,42 @@ class IvfPqIndexSpec extends AnyFunSuite {
         shortlist = 9999))
   }
 
+  test("searchManyRefine: composed degenerates == exact k-NN join; lossy batch == per-query refine") {
+    val df = fixture
+    val raw = df.select(col("vec_id"), col("embedding"))
+    val queries = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id"), col("vec_id"), round(col("similarity"), 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full probe + lossless + shortlist >= k: provably the exact join
+    val exactIdx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4,
+      k = 65536, maxTrain = 65536)
+    assert(exactIdx.model.lossless)
+    val got = rows(exactIdx.searchManyRefine(queries, "query_id", "qe", raw,
+      "vec_id", "embedding", n = 3, shortlist = 10, nprobe = 4))
+    val want = rows(graft.operators.SimJoin.knnJoinAgg(queries, df,
+      "query_id", "qe", "vec_id", "embedding", k = 3))
+    assert(got == want, s"batch refine at the degenerates must equal the exact join:\n$got\n$want")
+    // lossy + pruned: the distributed batch equals the per-query
+    // driver-collect form query for query
+    val lossyIdx = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 16)
+    val batch = rows(lossyIdx.searchManyRefine(queries, "query_id", "qe", raw,
+      "vec_id", "embedding", n = 3, shortlist = 20, nprobe = 2))
+    val single = (0L until 6L).flatMap { qid =>
+      val qv = df.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      lossyIdx.searchRefine(raw, "vec_id", "embedding", qv, n = 3,
+          shortlist = 20, nprobe = 2, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 9).as("s"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == single, s"batch refine must equal per-query refine:\n$batch\n$single")
+    intercept[IllegalArgumentException](
+      lossyIdx.searchManyRefine(queries, "query_id", "qe", raw, "vec_id",
+        "embedding", n = 5, shortlist = 3))
+  }
+
   test("residual coding: zero-centroid degenerate is bit-identical to the raw path") {
     // one cell at the origin ⇒ residual = x − 0 = x exactly (float sub
     // by zero is the identity) and the q·centroid addend is 0.0, so
