@@ -1670,6 +1670,28 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("mmr_rank"))
     }),
+    // §2.3 J ORACLED (round 17): MMR FROM THE CODED INDEX — the
+    // RAG-over-a-coded-corpus serving composition: the shortlist pass
+    // is the IVFADC scan (cell-pruned, code bytes), the shortlist's
+    // raw vectors fetch through a pushed id predicate, the greedy runs
+    // over exact scores. nprobe = nlist ∘ lossless makes the ADC
+    // shortlist the exact shortlist, and λ = 1 makes selection
+    // relevance order — shares nearest_mmr_exact's oracle.
+    "nearest_mmr_index_exact" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "nearest_mmr_index_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Nearest.mmrTopKFromIndex(idx, e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", q, n = 5, lambda = 1.0, shortlist = 50,
+          nprobe = idx.centroidVectors.length)
+        .select(col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("mmr_rank"))
+    }),
     // §2.3 J ORACLED (round 17, r16 VERDICT #3): BATCH MMR — the
     // diversity rung's searchMany: ONE bounded-heap corpus pass builds
     // every query's shortlist (map-side partials, the knnJoinAgg
@@ -4818,6 +4840,17 @@ object SparkEntry {
       // MMR at λ = 1 is relevance-greedy: top-5 by raw score with the
       // SELECTION RANK replayed as a row_number over the same order
       "nearest_mmr_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+           |       round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw,
+           |         row_number() OVER (ORDER BY $cosine DESC, vec_id) AS rn
+           |  FROM s ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY mmr_rank""".stripMargin,
+      // MMR from the coded index at the composed degenerates: the ADC
+      // shortlist IS the exact shortlist and λ = 1 is relevance order
+      // — the identical derivation
+      "nearest_mmr_index_exact" ->
         s"""$scoredCte
            |SELECT vec_id, CAST(rn AS INTEGER) AS mmr_rank,
            |       round(raw, 6) AS similarity FROM (

@@ -283,6 +283,69 @@ object Nearest {
           org.apache.spark.sql.types.DoubleType))))
   }
 
+  /**
+   * MMR served FROM THE CODED INDEX — the RAG-over-a-coded-corpus
+   * composition (round 17): at 100 TB the corpus at rest is IVFADC
+   * codes, so the shortlist pass is the index's ADC scan (cell-pruned,
+   * code-width bytes) instead of a full-vector topK; the shortlist's
+   * RAW vectors — which the greedy's redundancy term needs — fetch
+   * through a PUSHED id predicate (the refine-stage convention: only
+   * shortlist rows' vector bytes move), score exact cosine, and the
+   * shared greedy runs over them. Recall is the index's (nprobe,
+   * coding); the emitted similarities and the diversity arithmetic are
+   * EXACT — quantization can only cost shortlist membership, never
+   * skew the trade-off term.
+   *
+   * Exactness anchor: nprobe = nlist ∘ lossless makes the ADC
+   * shortlist the exact shortlist, so the whole composition equals
+   * [[mmrTopK]] at the same knobs — at λ = 1 that is relevance order
+   * (the `nearest_mmr_index_exact` gate row shares
+   * `nearest_mmr_exact`'s oracle).
+   */
+  def mmrTopKFromIndex(index: IvfPqIndex, raw: DataFrame, idCol: String,
+      embCol: String, queryVec: Array[Float], n: Int, lambda: Double,
+      shortlist: Int, nprobe: Int = 4, simCol: String = "similarity",
+      maxShortlist: Int = 4096): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    require(n >= 1 && shortlist >= n, s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the greedy is a " +
+        "driver loop over the collected shortlist; raise maxShortlist deliberately " +
+        "if your driver has the memory, or shrink the shortlist")
+    val spark = raw.sparkSession
+    val shortIds = index.search(queryVec, shortlist, nprobe, simCol,
+        Seq(asc(idCol)))
+      .select(col(idCol)).collect().map(_.get(0))
+    // the raw fetch re-scores EXACT and re-sorts by it — the greedy's
+    // candidate order must be the exact-relevance total order, not the
+    // ADC one (at the lossless degenerate they coincide)
+    val short = raw.where(col(idCol).isin(shortIds.toIndexedSeq: _*))
+      .select(col(idCol), col(embCol),
+        coalesce(vectors.similarity(col(embCol), lit(queryVec), "cosine"),
+          lit(0.0)).as(simCol))
+      .orderBy(desc(simCol), asc(idCol))
+      .collect()
+    val ids = short.map(_.get(0))
+    val sims = short.map(_.getDouble(2))
+    val vecs = short.map { r =>
+      val s = r.get(1)
+      if (s == null) null
+      else s.asInstanceOf[scala.collection.Seq[Float]].toArray
+    }
+    val picked = mmrGreedySelect(sims, vecs, n, lambda)
+    import scala.jdk.CollectionConverters._
+    val outRows = picked.zipWithIndex.map { case (c, rank) =>
+      org.apache.spark.sql.Row(ids(c), rank + 1, sims(c))
+    }
+    spark.createDataFrame(outRows.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        raw.schema(idCol),
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(simCol,
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** The MMR greedy both entry points share. Candidates MUST arrive in
     * (relevance desc, id asc) order — strict > with an in-order scan
     * then breaks MMR-score ties by candidate position, i.e. by exactly

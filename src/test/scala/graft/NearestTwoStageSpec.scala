@@ -150,6 +150,46 @@ class NearestTwoStageSpec extends AnyFunSuite {
         shortlist = 5000))
   }
 
+  test("MMR from the coded index: lossless full probe == flat mmrTopK at BOTH lambdas; refusals") {
+    import graft.operators.IvfPqIndex
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f, 0.0f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f, 0.0f)),
+      (5L, Seq(0.001f, 0.999f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = IvfPqIndex.build(emb, "embedding", nlist = 2, m = 2, k = 65536)
+    assert(idx.model.lossless)
+    val q = Array(0.75f, 0.66f, 0f, 0f)
+    def viaIndex(lambda: Double) =
+      Nearest.mmrTopKFromIndex(idx, emb, "vec_id", "embedding", q, n = 3,
+          lambda = lambda, shortlist = 5, nprobe = 2)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    def flat(lambda: Double) =
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 3, lambda = lambda,
+          shortlist = 5)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    for (lambda <- Seq(1.0, 0.5))
+      assert(viaIndex(lambda) == flat(lambda),
+        s"λ=$lambda index-served MMR must equal the flat operator:\n" +
+          s"${viaIndex(lambda)}\n${flat(lambda)}")
+    // the diversity behavior survives the coded shortlist: slot 2
+    // crosses clusters at λ = 0.5
+    assert(Set(4L, 5L)(viaIndex(0.5).apply(1)._1), s"${viaIndex(0.5)}")
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKFromIndex(idx, emb, "vec_id", "embedding", q, n = 3,
+        lambda = 1.5, shortlist = 5))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKFromIndex(idx, emb, "vec_id", "embedding", q, n = 3,
+        lambda = 0.5, shortlist = 9999))
+  }
+
   test("materialized prefix: twoStagePrefixTopK == twoStageTopK (same floats), stage-1 scan pruned; refusals") {
     val df = fixture
     val q = query(df, 7L)
