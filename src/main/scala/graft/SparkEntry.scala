@@ -645,6 +645,31 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED (round 17): refine through the ROTATION seam —
+    // the OPQ stack's coded shortlist (rotated space) re-ranked on the
+    // RAW vectors with the RAW query (cosine is rotation-invariant, so
+    // re-rotating fetched rows would spend d² FLOPs per row for the
+    // identical score). At the three-way composed degenerates the
+    // shortlist is exact, so refined == brute force — shared oracle.
+    "ann_opq_ivfpq_refine_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_ivfpq_refine_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx = OpqIvfPqIndex.withArtifacts(e, "embedding",
+        OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+        byResidual = true)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.searchRefine(e.select(col("vec_id"), col("embedding")), "vec_id",
+          "embedding", q, n = 5, shortlist = 20, nprobe = 1,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN rows-only twin: the DEPLOYED `OPQ16,IVF16,PQ8`-shaped
     // stack — learned rotation (alternating Procrustes fit), real
     // 16-cell quantizer in ROTATED space, Lloyd codebooks on rotated
@@ -4677,6 +4702,12 @@ object SparkEntry {
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "ann_ivfpq_refine_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      "ann_opq_ivfpq_refine_exact" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

@@ -220,24 +220,11 @@ class IvfPqIndex private (
       simCol: String = "similarity"): DataFrame = {
     require(n >= 1 && shortlist >= n,
       s"need shortlist ($shortlist) >= n ($n) >= 1")
-    import graft.functions.TopKScored
-    import graft.functions.vectors
-    val shortlists = searchMany(queries, queryIdCol, queryEmbCol,
-      corpusIdCol, k = shortlist, nprobe = nprobe, simCol = simCol)
-    shortlists
-      .select(col(queryIdCol), col(corpusIdCol))
-      .join(raw.select(col(corpusIdCol).cast("long").as(corpusIdCol),
-        col(corpusEmbCol).as("__refine_vec")), Seq(corpusIdCol))
-      .join(broadcast(queries.select(col(queryIdCol),
-        col(queryEmbCol).as("__refine_q"))), Seq(queryIdCol))
-      .select(col(queryIdCol), col(corpusIdCol),
-        coalesce(vectors.cosine_similarity(col("__refine_vec"),
-          col("__refine_q")), lit(0.0)).as(simCol))
-      .groupBy(col(queryIdCol))
-      .agg(TopKScored.column(n)(col(simCol), col(corpusIdCol)).as("__topk"))
-      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
-      .select(col(queryIdCol), col("__e.id").as(corpusIdCol),
-        col("__e.score").as(simCol))
+    IvfPqIndex.refineManyFromShortlists(
+      searchMany(queries, queryIdCol, queryEmbCol, corpusIdCol,
+        k = shortlist, nprobe = nprobe, simCol = simCol),
+      queries, queryIdCol, queryEmbCol, raw, corpusIdCol, corpusEmbCol,
+      n, simCol)
   }
 
   /**
@@ -315,6 +302,32 @@ class IvfPqIndex private (
 }
 
 object IvfPqIndex {
+
+  /** The exact re-rank tail [[IvfPqIndex.searchManyRefine]] and
+    * [[OpqIvfPqIndex.searchManyRefine]] share: join the shortlist
+    * frame's raw vectors by id, broadcast the queries back, exact
+    * cosine, per-query bounded-heap top-n. */
+  private[operators] def refineManyFromShortlists(shortlists: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+      raw: DataFrame, corpusIdCol: String, corpusEmbCol: String,
+      n: Int, simCol: String): DataFrame = {
+    import graft.functions.TopKScored
+    import graft.functions.vectors
+    shortlists
+      .select(col(queryIdCol), col(corpusIdCol))
+      .join(raw.select(col(corpusIdCol).cast("long").as(corpusIdCol),
+        col(corpusEmbCol).as("__refine_vec")), Seq(corpusIdCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(queryEmbCol).as("__refine_q"))), Seq(queryIdCol))
+      .select(col(queryIdCol), col(corpusIdCol),
+        coalesce(vectors.cosine_similarity(col("__refine_vec"),
+          col("__refine_q")), lit(0.0)).as(simCol))
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(n)(col(simCol), col(corpusIdCol)).as("__topk"))
+      .select(col(queryIdCol), explode(col("__topk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(corpusIdCol),
+        col("__e.score").as(simCol))
+  }
 
   /**
    * Build both tiers in sequence: IVF cell assignment (seed-pinned

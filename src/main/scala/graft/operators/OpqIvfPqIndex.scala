@@ -84,6 +84,46 @@ final class OpqIvfPqIndex private[operators] (
       OpqIvfPqIndex.rotated(queries, queryEmbCol, rotation, dim),
       queryIdCol, queryEmbCol, corpusIdCol, k, nprobe, simCol)
 
+  /** Refine through the rotation seam: the coded pass shortlists in
+    * ROTATED space (query rotated driver-side), the exact re-rank runs
+    * on the RAW vectors with the RAW query — legitimate because R is
+    * orthogonal, so exact cosine is the same number in either space;
+    * rotating the raw corpus for the re-rank would spend d² FLOPs per
+    * fetched row to compute the identical score. Same contract as
+    * [[IvfPqIndex.searchRefine]]. */
+  def searchRefine(raw: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int = 4,
+      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil,
+      maxShortlist: Int = 4096): DataFrame = {
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(shortlist <= maxShortlist,
+      s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the re-rank's " +
+        "id predicate is built from a driver-collected id list; raise " +
+        "maxShortlist deliberately or shrink the shortlist")
+    val shortIds = search(queryVec, shortlist, nprobe, simCol, tieBreakers)
+      .select(col(idCol)).collect().map(_.get(0))
+    PqIndex.refineByIds(raw, idCol, embCol, queryVec, n, shortIds, simCol,
+      tieBreakers)
+  }
+
+  /** [[IvfPqIndex.searchManyRefine]] through the rotation seam: the
+    * ADC batch shortlists on in-plan-rotated queries; the exact
+    * re-rank joins RAW vectors against the RAW query column (cosine is
+    * rotation-invariant — see [[searchRefine]]). Fully distributed. */
+  def searchManyRefine(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
+      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
+      simCol: String = "similarity"): DataFrame = {
+    require(n >= 1 && shortlist >= n,
+      s"need shortlist ($shortlist) >= n ($n) >= 1")
+    IvfPqIndex.refineManyFromShortlists(
+      searchMany(queries, queryIdCol, queryEmbCol, corpusIdCol,
+        k = shortlist, nprobe = nprobe, simCol = simCol),
+      queries, queryIdCol, queryEmbCol, raw, corpusIdCol, corpusEmbCol,
+      n, simCol)
+  }
+
   /** Incremental maintenance under ALL frozen artifacts (rotation,
     * quantizer, codebooks): rotate the batch in-plan, then
     * [[IvfPqIndex.addBatch]] — so

@@ -173,6 +173,59 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
     assert(many == single, s"searchMany vs per-query:\n$many\n$single")
   }
 
+  test("refine through the rotation seam: exact scores on raw vectors, batch == per-query, degenerates == brute force") {
+    val df = correlated
+    val raw = df.select(col("vec_id"), col("embedding"))
+    // degenerates: identity rotation + origin cell + lossless ⇒
+    // refined == brute force
+    val model = PqIndex.fit(df, "embedding", m = 8, k = 65536)
+    assert(model.lossless)
+    val exactIdx = OpqIvfPqIndex.withArtifacts(df, "embedding",
+      OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+      byResidual = true)
+    val got = exactIdx.searchRefine(raw, "vec_id", "embedding",
+        queryVec(df, 0L), n = 10, shortlist = 20, nprobe = 1,
+        tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = exactTopK(df, 0L, 10)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"degenerate refine must equal brute force:\n$got\n$want")
+    // learned lossy stack: refined scores are the exact cosines
+    // (rotation-invariance is the whole claim — shortlists in rotated
+    // space, scores from raw vectors), and batch == per-query
+    val lossy = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8,
+      k = 8, opqIters = 4, byResidual = true)
+    val refined = lossy.searchRefine(raw, "vec_id", "embedding",
+        queryVec(df, 1L), n = 5, shortlist = 30, nprobe = 4,
+        tieBreakers = Seq(asc("vec_id")))
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactAll = exactTopK(df, 1L, 300)
+      .select(col("vec_id"), round(col("similarity"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    refined.foreach { case (id, sc) =>
+      assert(exactAll(id) == sc, s"refined score for $id must be exact: $sc")
+    }
+    val queries = df.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val batch = lossy.searchManyRefine(queries, "query_id", "qe", raw,
+        "vec_id", "embedding", n = 5, shortlist = 30, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), round(col("similarity"), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = (0L until 4L).flatMap { qid =>
+      lossy.searchRefine(raw, "vec_id", "embedding", queryVec(df, qid),
+          n = 5, shortlist = 30, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 9).as("s"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == single, s"batch refine must equal per-query:\n$batch\n$single")
+    intercept[IllegalArgumentException](
+      lossy.searchRefine(raw, "vec_id", "embedding", queryVec(df, 1L),
+        n = 5, shortlist = 3))
+  }
+
   test("refusals: mismatched rotation size, wrong-dim query") {
     val df = correlated
     val model = PqIndex.fit(df, "embedding", m = 8, k = 8)
