@@ -3667,6 +3667,22 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
     }),
+    // §2.3 T ORACLED (round 17): BUDGETED selection — fill a TOKEN
+    // budget with the best-scoring docs, the step a pretraining run
+    // ends with ("the best N tokens", complementing dsir_select_topk's
+    // top-k DOCS). Semantics = maximal (score desc, id) prefix with
+    // cumulative tokens ≤ budget; the implementation is the two-level
+    // threshold-find (bucket sums → driver prefix → ONE bounded
+    // boundary window), provably equal to the naive global window —
+    // which is exactly what the DuckDB oracle runs.
+    "select_token_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("__score", length(col("text")).cast("double"))
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+      TextAnalysis.selectTokenBudget(docs, "__score", "doc_id", "__toks",
+          budget = 12000L, numBuckets = 64)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // §2.3 T: deterministic stratified hash sampling (stable across
     // runs/partitionings; fractions per stratum)
     "sample_by_lang" -> ((s, d) => {
@@ -5545,6 +5561,20 @@ object SparkEntry {
           |           WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
           |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
           |ORDER BY doc_id""".stripMargin,
+      // budgeted selection replayed as the NAIVE rule the two-level
+      // implementation provably equals: the global (score desc, id)
+      // cumulative token window, kept while <= 12000
+      "select_token_budget" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS toks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         sum(toks) OVER (ORDER BY score DESC, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,

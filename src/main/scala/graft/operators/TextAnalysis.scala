@@ -277,6 +277,98 @@ object TextAnalysis {
   }
 
   /**
+   * BUDGETED selection (round 17) — fill a TOKEN budget with the
+   * best-scoring documents: the step every pretraining data run ends
+   * with ("take the highest-quality ~N billion tokens"), complementing
+   * [[dsirSelectTopK]]'s top-k-DOCS rule with the token-denominated
+   * budget a training run actually plans in. Semantics are a pure
+   * total-order rule: order documents by (score desc, id asc) and keep
+   * the maximal prefix whose cumulative `tokensCol` stays ≤ `budget`
+   * (inclusive — a doc that lands exactly on the budget keeps).
+   *
+   * Scale shape — the naive formulation is a GLOBAL ordered cumulative
+   * sum, i.e. an unpartitioned window: every row through ONE task.
+   * Instead, the classic two-level threshold-find: (1) one pass
+   * buckets scores into `numBuckets` uniform value ranges and
+   * aggregates per-bucket token sums (map-side combined; ≤ numBuckets
+   * rows collect); (2) the driver prefix-scans the bucket sums to find
+   * the ONE boundary bucket where the budget crosses — every better
+   * bucket keeps wholesale, every worse bucket drops wholesale, by a
+   * broadcast-free column predicate; (3) only the boundary bucket
+   * (expected corpus/numBuckets rows) pays the ordered cumulative
+   * window, guarded by an explicit `maxBoundaryRows` count + refusal
+   * (a corpus whose scores barely discriminate — or a single-valued
+   * score column — concentrates in one bucket; the refusal names the
+   * remedy instead of silently funneling the corpus through one task).
+   * Bucket index is a pure function of the score VALUE, so equal
+   * scores share a bucket and the bucket order provably refines the
+   * (score desc) order — the composition equals the naive rule exactly
+   * (spec'd, and the gate row's DuckDB oracle IS the naive window).
+   *
+   * Refusals: NULL scores (an unscored doc has no rank — filter or
+   * score first), negative token counts (cumulative semantics break),
+   * negative budget.
+   */
+  def selectTokenBudget(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      idCol: String, tokensCol: String, budget: Long, numBuckets: Int = 1024,
+      maxBoundaryRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0 tokens, got $budget")
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val stats = df.agg(
+      count(lit(1)).as("n"), count(col(scoreCol)).as("nScore"),
+      min(col(scoreCol)).cast("double").as("mn"),
+      max(col(scoreCol)).cast("double").as("mx"),
+      min(col(tokensCol)).cast("long").as("minTok")).head()
+    val n = stats.getAs[Long]("n")
+    if (n == 0L) return df
+    require(stats.getAs[Long]("nScore") == n,
+      s"selectTokenBudget found NULL values in '$scoreCol' — an unscored " +
+        "document has no rank; filter or score first")
+    require(stats.getAs[Long]("minTok") >= 0L,
+      s"negative token counts in '$tokensCol' break cumulative-budget semantics")
+    val (mn, mx) = (stats.getAs[Double]("mn"), stats.getAs[Double]("mx"))
+    // bucket 0 = best scores; a single-valued score column puts
+    // everything in bucket 0 (the boundary refusal then governs)
+    val bucket: Column =
+      if (mn == mx) lit(0)
+      else least(floor((lit(mx) - col(scoreCol).cast("double")) /
+        lit(mx - mn) * numBuckets).cast("int"), lit(numBuckets - 1))
+    val perBucket = df.groupBy(bucket.as("__tb"))
+      .agg(sum(col(tokensCol).cast("long")).as("__toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    var boundary = -1
+    var base = 0L
+    perBucket.foreach { case (b, t) =>
+      if (boundary < 0) {
+        if (running + t > budget) { boundary = b; base = running }
+        else running += t
+      }
+    }
+    if (boundary < 0) return df // the whole corpus fits the budget
+    val keptWhole = df.where(bucket < lit(boundary))
+    val boundaryDf = df.where(bucket === lit(boundary))
+    val nBoundary = boundaryDf.count()
+    require(nBoundary <= maxBoundaryRows,
+      s"budget boundary bucket holds $nBoundary rows (> maxBoundaryRows " +
+        s"$maxBoundaryRows) — the scores barely discriminate at this " +
+        "granularity, so the ordered boundary scan would funnel through one " +
+        "task; raise numBuckets (finer value ranges), raise maxBoundaryRows " +
+        "deliberately, or use a more discriminating score")
+    // the ONE ordered window, over the boundary bucket only — its
+    // single-partition cost is exactly what the count above bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val keptBoundary = boundaryDf
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w) + lit(base))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+    keptWhole.unionByName(keptBoundary)
+  }
+
+  /**
    * Unigram-LM surprisal scoring — the CCNet-style data-quality signal
    * (Wenzek et al. 2020 rank documents by LM perplexity; the unigram
    * variant is its engine-portable core). Each document gets the mean

@@ -454,4 +454,65 @@ class TextMlSpec extends AnyFunSuite {
     val r = out.select("x", "y").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
   }
+
+  test("selectTokenBudget: hand-traced prefix incl. the exact-boundary keep; bucket-count invariance == the naive rule; refusals") {
+    // order by (score desc, id): 5(100), 4(200), 3(300), 1(400), 2(400)
+    // tokens:                      30       50      40      25      25
+    // cum:                         30       80     120     145     170
+    val docs = Seq(
+      (1L, 400.0, 25L), (2L, 400.0, 25L), (3L, 300.0, 40L),
+      (4L, 200.0, 50L), (5L, 100.0, 30L)
+    ).toDF("doc_id", "score", "toks")
+      .select(col("doc_id"), (lit(500.0) - col("score")).as("score"), col("toks"))
+    // score remap makes doc 5 best; budget 120 ends EXACTLY on doc 3 —
+    // the inclusive boundary keep
+    def ids(budget: Long, buckets: Int) =
+      TextAnalysis.selectTokenBudget(docs, "score", "doc_id", "toks",
+          budget, numBuckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(120L, 8) == Set(5L, 4L, 3L), "exact-boundary doc must keep")
+    assert(ids(119L, 8) == Set(5L, 4L), "one token short drops the boundary doc")
+    assert(ids(1000L, 8) == Set(1L, 2L, 3L, 4L, 5L), "everything fits")
+    assert(ids(0L, 8) == Set.empty, "zero budget keeps nothing with positive tokens")
+    // the id tie-break: budget 145 reaches into the (1, 2) score tie —
+    // the lower id enters the prefix first
+    assert(ids(145L, 8) == Set(5L, 4L, 3L, 1L))
+    // bucket-count INVARIANCE: the two-level threshold-find equals the
+    // naive global-window rule at every granularity, on a wider
+    // random fixture
+    val rnd = new scala.util.Random(13)
+    val wide = (0L until 400L).map(i =>
+        (i, rnd.nextInt(50).toDouble, rnd.nextInt(30).toLong))
+      .toDF("doc_id", "score", "toks")
+    val naive = wide.select(col("doc_id"), col("score"), col("toks"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .scanLeft((0L, 0L)) { case ((_, cum), r) => (r.getLong(0), cum + r.getLong(2)) }
+      .drop(1).takeWhile(_._2 <= 2000L).map(_._1).toSet
+    for (buckets <- Seq(1, 7, 64, 1024))
+      assert(TextAnalysis.selectTokenBudget(wide, "score", "doc_id", "toks",
+          2000L, numBuckets = buckets, maxBoundaryRows = 1000000L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet == naive,
+        s"two-level at $buckets buckets must equal the naive rule")
+    // refusals: NULL score, negative tokens, negative budget, the
+    // boundary-funnel cap (single-valued scores put everything in one
+    // bucket)
+    val nullScore = Seq((1L, Some(1.0), 5L), (2L, None, 5L))
+      .toDF("doc_id", "score", "toks")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(nullScore, "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("NULL"))
+    val negTok = Seq((1L, 1.0, -5L)).toDF("doc_id", "score", "toks")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(negTok, "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("negative token"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(docs, "score", "doc_id", "toks", -1L))
+    val flat = Seq((1L, 1.0, 5L), (2L, 1.0, 5L), (3L, 1.0, 5L))
+      .toDF("doc_id", "score", "toks")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(flat, "score", "doc_id", "toks", 7L,
+        maxBoundaryRows = 2L)
+    ).getMessage.contains("boundary bucket"))
+  }
 }
