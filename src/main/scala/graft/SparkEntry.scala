@@ -1899,6 +1899,25 @@ object SparkEntry {
         .select(col("chunk_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("chunk_id"))
     }),
+    // Composition ORACLED (round 17): the BUDGETED curation tail —
+    // quality filter → exact dedup → selectTokenBudget over the
+    // survivors (score = quality, the rank a real run buys tokens by).
+    // Each stage is individually oracled; this row proves the budget
+    // rule composes on a FILTERED, DEDUPED frame (the two-level
+    // threshold-find runs on whatever frame it is handed), and the
+    // oracle replays filter + dedup + the naive cumulative window end
+    // to end — a drift in any stage fails the row.
+    "pipeline_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val quality = docs.withColumn("__q",
+        TextAnalysis.qualityScore(col("text")))
+      val deduped = Dedup.exact(quality.where(col("__q") >= 0.6),
+          Seq("text"), "doc_id")
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+      TextAnalysis.selectTokenBudget(deduped, "__q", "doc_id", "__toks",
+          budget = 6000L, numBuckets = 64)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // North-star COMPOSITION #2 (round 9), fully oracled: the
     // Dolma/CCNet-shaped PRETRAINING curation chain — paragraph-level
     // dedup (shared units stripped, docs reassembled) → eval-set
@@ -5053,6 +5072,24 @@ object SparkEntry {
            |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
            |${chunkCteSql("ded")}, ${bm25.stripPrefix("WITH ")}""".stripMargin
       },
+      // the budgeted curation tail: filter + min-id dedup + the naive
+      // cumulative token window (quality is a pure function of text,
+      // so it is constant within a dedup group — computed post-dedup)
+      "pipeline_budget" ->
+        s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE ${TextAnalysisSql.qualityScoreSql("text")} >= 0.6),
+           |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+           |t AS (
+           |  SELECT doc_id, ${TextAnalysisSql.qualityScoreSql("text")} AS q,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS toks
+           |  FROM ded),
+           |c AS (
+           |  SELECT doc_id,
+           |         sum(toks) OVER (ORDER BY q DESC, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id FROM c WHERE cum <= 6000 ORDER BY doc_id""".stripMargin,
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
           case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"

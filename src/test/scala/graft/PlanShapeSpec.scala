@@ -458,6 +458,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cell"), s"the nprobe cell filter must be in the plan:\n$p")
   }
 
+  test("batch refine: per-query top-k via partial aggregation, queries broadcast — no window, no query-key shuffle of the corpus") {
+    val p = plan("ann_ivfpq_refine_batch_exact")
+    assert(!p.contains("Window"),
+      s"the per-query top-k must be the bounded heap, not a ranking window:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"map-side partial aggregation expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query table must broadcast into the re-rank join:\n$p")
+  }
+
   test("materialized Matryoshka prefix: stage 1's scan reads ONLY (id, prefix) — the full vector stays at rest") {
     import graft.operators.Nearest
     val dir = java.nio.file.Files.createTempDirectory("graft_prefix_plan").toString
