@@ -315,8 +315,14 @@ object TextAnalysis {
     require(budget >= 0L, s"budget must be >= 0 tokens, got $budget")
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
+    // the staging column is REPLACED on the boundary frame — an input
+    // column of the same name would be silently destroyed (the repo's
+    // reserved-name refusal convention)
+    require(!df.columns.contains("__cum"),
+      "input frame carries reserved staging column '__cum' — rename it first")
     val stats = df.agg(
       count(lit(1)).as("n"), count(col(scoreCol)).as("nScore"),
+      sum(when(isnan(col(scoreCol).cast("double")), 1L).otherwise(0L)).as("nNan"),
       min(col(scoreCol)).cast("double").as("mn"),
       max(col(scoreCol)).cast("double").as("mx"),
       min(col(tokensCol)).cast("long").as("minTok")).head()
@@ -325,6 +331,11 @@ object TextAnalysis {
     require(stats.getAs[Long]("nScore") == n,
       s"selectTokenBudget found NULL values in '$scoreCol' — an unscored " +
         "document has no rank; filter or score first")
+    // NaN would bucket to NULL and crash the driver prefix read with a
+    // bare NPE — and a NaN has no place in a total order anyway
+    require(stats.getAs[Long]("nNan") == 0L,
+      s"selectTokenBudget found NaN values in '$scoreCol' — NaN has no rank; " +
+        "filter or score first")
     require(stats.getAs[Long]("minTok") >= 0L,
       s"negative token counts in '$tokensCol' break cumulative-budget semantics")
     val (mn, mx) = (stats.getAs[Double]("mn"), stats.getAs[Double]("mx"))

@@ -514,5 +514,17 @@ class TextMlSpec extends AnyFunSuite {
       TextAnalysis.selectTokenBudget(flat, "score", "doc_id", "toks", 7L,
         maxBoundaryRows = 2L)
     ).getMessage.contains("boundary bucket"))
+    // NaN scores refuse BY NAME (they would bucket to NULL and crash
+    // the driver prefix read with a bare NPE)
+    val nanScore = Seq((1L, 1.0, 5L), (2L, Double.NaN, 5L))
+      .toDF("doc_id", "score", "toks")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(nanScore, "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("NaN"))
+    // reserved staging column refuses instead of silently destroying it
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(docs.withColumn("__cum", lit(1)),
+        "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("__cum"))
   }
 }
