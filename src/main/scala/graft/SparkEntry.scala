@@ -3702,6 +3702,28 @@ object SparkEntry {
           budget = 12000L, numBuckets = 64)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // §2.3 S × T EXECUTED AS A STREAM (round 17): the token budget
+    // consumed across arriving batches — StreamOps.selectTokenBudgetPerBatch
+    // carries ONE long of state (the remaining budget). The one-file
+    // fixture is one micro-batch, so the drain equals the batch
+    // operator and the row shares select_token_budget's oracle; the
+    // two-batch carried semantics and replay idempotence are
+    // TextMlSpec's.
+    "select_budget_stream" -> ((s, d) => {
+      val docs = StreamOps.readParquetStream(s, d, "documents.parquet")
+        .withColumn("__score", length(col("text")).cast("double"))
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.selectTokenBudgetPerBatch(docs, "__score", "doc_id",
+        "__toks", budget = 12000L, numBuckets = 64) { (sel, _) =>
+        buf.synchronized {
+          buf ++= sel.select("doc_id").collect().map(_.getLong(0))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("doc_id").orderBy(col("doc_id"))
+    }),
     // §2.3 T: deterministic stratified hash sampling (stable across
     // runs/partitionings; fractions per stratum)
     "sample_by_lang" -> ((s, d) => {
@@ -5602,6 +5624,19 @@ object SparkEntry {
       // implementation provably equals: the global (score desc, id)
       // cumulative token window, kept while <= 12000
       "select_token_budget" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS toks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         sum(toks) OVER (ORDER BY score DESC, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+      // the streamed drain: a one-file fixture is one micro-batch, so
+      // per-batch selection against the full budget == the batch rule
+      "select_budget_stream" ->
         s"""WITH t AS (
            |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
            |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS toks

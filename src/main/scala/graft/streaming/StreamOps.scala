@@ -380,6 +380,55 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming BUDGETED selection (§2.3 S × T, round 17) — the token
+    * budget consumed ACROSS batches: each arriving micro-batch selects
+    * its own best-scoring prefix against the budget REMAINING after
+    * every previous batch ([[graft.operators.TextAnalysis.selectTokenBudget]]
+    * per batch), and the carried state is ONE long. Batch boundaries
+    * are selection boundaries — a later batch's high scorer cannot
+    * evict an earlier batch's shipped doc (the honest streaming trade,
+    * the [[packHistPerBatch]] convention); when batches arrive with
+    * every score in batch N ≥ every score in batch N+1 (the order
+    * SPFHP-style drains honor), the drained selection EQUALS the batch
+    * operator on the concatenation (spec'd). Replay-idempotent: a
+    * checkpoint-replayed batch rolls `remaining` back to its pre-batch
+    * value, so the re-selection ships the SAME rows. Same restart
+    * boundary as the pack streams: the carried long lives in driver
+    * memory — `initialRemaining`/`onState` are the caller-owned
+    * restart path (the [[packHistPerBatchCarriedFrom]] contract). */
+  def selectTokenBudgetPerBatch(
+      docs: DataFrame, // streaming
+      scoreCol: String, idCol: String, tokensCol: String,
+      budget: Long, numBuckets: Int = 1024,
+      maxBoundaryRows: Long = 2000000L,
+      initialRemaining: Option[Long] = None,
+      onState: (Long, Long) => Unit = (_, _) => ())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextAnalysis
+    require(budget >= 0L, s"budget must be >= 0 tokens, got $budget")
+    initialRemaining.foreach(r => require(r >= 0L && r <= budget,
+      s"initialRemaining $r must be in [0, budget $budget]"))
+    var remaining = initialRemaining.getOrElse(budget)
+    var last: Option[(Long, Long)] = None // (batchId, remaining BEFORE it)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      last match {
+        case Some((id, r0)) if id == batchId => remaining = r0
+        case _ => ()
+      }
+      last = Some((batchId, remaining))
+      // materialize once: the selection feeds both the sink and the
+      // consumed-token census (the family's localCheckpoint convention)
+      val sel = TextAnalysis.selectTokenBudget(batch, scoreCol, idCol,
+        tokensCol, remaining, numBuckets, maxBoundaryRows)
+        .localCheckpoint(true)
+      sink(sel, batchId)
+      val used = sel.agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
+        .head().getLong(0)
+      remaining = math.max(0L, remaining - used)
+      onState(remaining, batchId)
+    }.start()
+  }
+
   /** Streaming paragraph dedup — Dolma's ingest-time paragraph filter
     * made exact and deterministic: each micro-batch is deduped against
     * the paragraphs shipped by ALL previous batches

@@ -527,4 +527,39 @@ class TextMlSpec extends AnyFunSuite {
         "score", "doc_id", "toks", 5L)
     ).getMessage.contains("__cum"))
   }
+
+  test("streaming budget: two score-ordered batches drain to the batch operator on the concatenation; the remaining-budget state carries") {
+    // every batch-1 score > every batch-2 score — the arrival order
+    // under which the carried per-batch rule provably equals one
+    // global selection (the packHist longest-first convention)
+    val b1 = Seq((1L, 90.0, 40L), (2L, 80.0, 30L), (3L, 70.0, 50L))
+      .toDF("doc_id", "score", "toks")
+    val b2 = Seq((10L, 30.0, 20L), (11L, 20.0, 25L), (12L, 10.0, 60L))
+      .toDF("doc_id", "score", "toks")
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget_stream")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    for ((sub, ts) <- Seq("b1" -> 1000000L, "b2" -> 2000000L);
+         f <- dir.resolve(sub).toFile.listFiles if f.getName.endsWith(".parquet"))
+      f.setLastModified(ts)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastRemaining = -1L
+    val q = graft.streaming.StreamOps.selectTokenBudgetPerBatch(stream,
+      "score", "doc_id", "toks", budget = 145L, numBuckets = 8,
+      onState = (r, _) => lastRemaining = r) { (sel, _) =>
+      got.synchronized { got ++= sel.select("doc_id").collect().map(_.getLong(0)) }
+    }
+    try q.processAllAvailable() finally q.stop()
+    // global order: 1(40) 2(30) 3(50) | 10(20) 11(25) 12(60); cum 40,
+    // 70, 120, 140, 165 — the budget 145 crosses INSIDE batch 2
+    val want = TextAnalysis.selectTokenBudget(b1.union(b2), "score",
+        "doc_id", "toks", 145L, numBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet == want && got.toSet == Set(1L, 2L, 3L, 10L),
+      s"score-ordered drain must equal the batch operator: ${got.toSet} vs $want")
+    assert(lastRemaining == 145L - 140L,
+      s"carried remaining must be budget minus shipped tokens: $lastRemaining")
+  }
 }
