@@ -57,9 +57,9 @@ final class OpqIvfPqIndex private[operators] (
     /** The IVFADC index over the ROTATED corpus. Its centroids and
       * codes live in rotated space — meaningful only through this
       * wrapper. */
-    val inner: IvfPqIndex) extends Serializable {
+    val inner: IvfPqIndex) extends AnnIndex {
 
-  def dim: Int = inner.model.dim
+  override def dim: Int = inner.model.dim
   def byResidual: Boolean = inner.byResidual
   def model: PqModel = inner.model
   require(rotation.length == dim * dim,
@@ -68,8 +68,8 @@ final class OpqIvfPqIndex private[operators] (
   /** ANN top-k with the raw-vector contract: the query rotates ONCE
     * driver-side (d² FLOPs), then the plan IS [[IvfPqIndex.search]] —
     * pushable cell filter, one ADC table, TakeOrderedAndProject. */
-  def search(queryVec: Array[Float], k: Int, nprobe: Int = 4,
-      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame =
+  override def search(queryVec: Array[Float], k: Int, nprobe: Int,
+      simCol: String, tieBreakers: Seq[Column]): DataFrame =
     inner.search(OpqIndex.rotateLocal(rotation, queryVec, dim), k, nprobe,
       simCol, tieBreakers)
 
@@ -77,9 +77,9 @@ final class OpqIvfPqIndex private[operators] (
     * (one codegen projection over the query table — small by
     * construction), then [[IvfPqIndex.searchMany]]'s broadcast-probe /
     * cell-join / bounded-heap plan runs unchanged. */
-  def searchMany(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
-      corpusIdCol: String, k: Int, nprobe: Int = 4,
-      simCol: String = "similarity"): DataFrame =
+  override def searchMany(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, corpusIdCol: String, k: Int, nprobe: Int,
+      simCol: String): DataFrame =
     inner.searchMany(
       OpqIvfPqIndex.rotated(queries, queryEmbCol, rotation, dim),
       queryIdCol, queryEmbCol, corpusIdCol, k, nprobe, simCol)
@@ -91,10 +91,10 @@ final class OpqIvfPqIndex private[operators] (
     * rotating the raw corpus for the re-rank would spend d² FLOPs per
     * fetched row to compute the identical score. Same contract as
     * [[IvfPqIndex.searchRefine]]. */
-  def searchRefine(raw: DataFrame, idCol: String, embCol: String,
-      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int = 4,
-      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil,
-      maxShortlist: Int = 4096): DataFrame = {
+  override def searchRefine(raw: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int,
+      simCol: String, tieBreakers: Seq[Column],
+      maxShortlist: Int): DataFrame = {
     require(n >= 1 && shortlist >= n,
       s"need shortlist ($shortlist) >= n ($n) >= 1")
     require(shortlist <= maxShortlist,
@@ -111,10 +111,10 @@ final class OpqIvfPqIndex private[operators] (
     * ADC batch shortlists on in-plan-rotated queries; the exact
     * re-rank joins RAW vectors against the RAW query column (cosine is
     * rotation-invariant — see [[searchRefine]]). Fully distributed. */
-  def searchManyRefine(queries: DataFrame, queryIdCol: String,
+  override def searchManyRefine(queries: DataFrame, queryIdCol: String,
       queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
-      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
-      simCol: String = "similarity"): DataFrame = {
+      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int,
+      simCol: String): DataFrame = {
     require(n >= 1 && shortlist >= n,
       s"need shortlist ($shortlist) >= n ($n) >= 1")
     IvfPqIndex.refineManyFromShortlists(
@@ -136,10 +136,22 @@ final class OpqIvfPqIndex private[operators] (
 
   /** [[addBatch]] straight into a SAVED layout (rotate, then append
     * coded rows under their `cell=` partitions of the nested inner
-    * layout). */
-  def appendToSaved(path: String, newDf: DataFrame, embCol: String): Unit =
+    * layout). Verifies FIRST that `$path` is an OPQ∘IVFADC layout and
+    * that its PERSISTED rotation equals this index's — appending rows
+    * rotated with a different R would silently mix spaces, exactly the
+    * footgun the nested-layout [[save]] guards against at load time;
+    * the guard must hold at APPEND time too (float32 round-trips
+    * parquet exactly, so the compare is bit-for-bit, not tolerance). */
+  def appendToSaved(path: String, newDf: DataFrame, embCol: String): Unit = {
+    val saved = OpqIvfPqIndex.readRotation(newDf.sparkSession, path)
+    require(saved.sameElements(rotation),
+      s"$path was saved under a DIFFERENT rotation than this index holds — " +
+        "appending would mix rotated spaces and silently degrade every " +
+        "subsequent search; reopen the layout with OpqIvfPqIndex.load and " +
+        "append through THAT instance, or re-save this index first")
     inner.appendToSaved(s"$path/ivfpq",
       OpqIvfPqIndex.rotated(newDf, embCol, rotation, dim), embCol)
+  }
 
   def cellSizeStats: DataFrame = inner.cellSizeStats
   def driftGuard(maxFactor: Double = 8.0): Double = inner.driftGuard(maxFactor)
@@ -213,10 +225,13 @@ object OpqIvfPqIndex {
         embCol, centroidVectors, model, codesCol, normCol, byResidual))
   }
 
-  /** Reopen a saved stack. Refuses by name when `$path` is not an
-    * OPQ∘IVFADC layout (no `_opqivfpq.json`) — pointing this loader at
-    * a plain IVFADC directory would otherwise fabricate a rotation. */
-  def load(spark: SparkSession, path: String): OpqIvfPqIndex = {
+  /** Read the persisted rotation of a saved stack — the shared seam of
+    * [[load]] and the [[OpqIvfPqIndex.appendToSaved]] mismatch guard.
+    * Refuses by name when `$path` is not an OPQ∘IVFADC layout (no
+    * `_opqivfpq.json`) — pointing either caller at a plain IVFADC
+    * directory would otherwise fabricate a rotation. */
+  private[operators] def readRotation(spark: SparkSession,
+      path: String): Array[Float] = {
     val json =
       try IvfIndex.readSidecar(spark, path, "_opqivfpq.json")
       catch {
@@ -237,6 +252,12 @@ object OpqIvfPqIndex {
       .sortBy(_._1)
     require(rows.length == dim && rows.forall(_._2.length == dim),
       s"$path/rotation is not a $dim×$dim matrix")
-    new OpqIvfPqIndex(rows.flatMap(_._2), IvfPqIndex.load(spark, s"$path/ivfpq"))
+    rows.flatMap(_._2)
   }
+
+  /** Reopen a saved stack (see [[readRotation]] for the layout
+    * refusal). */
+  def load(spark: SparkSession, path: String): OpqIvfPqIndex =
+    new OpqIvfPqIndex(readRotation(spark, path),
+      IvfPqIndex.load(spark, s"$path/ivfpq"))
 }

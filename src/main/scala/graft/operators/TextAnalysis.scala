@@ -306,8 +306,22 @@ object TextAnalysis {
    * (spec'd, and the gate row's DuckDB oracle IS the naive window).
    *
    * Refusals: NULL scores (an unscored doc has no rank — filter or
-   * score first), negative token counts (cumulative semantics break),
-   * negative budget.
+   * score first), NULL token counts (an uncounted doc would silently
+   * contribute 0 to the budget — count or filter first), negative
+   * token counts (cumulative semantics break), negative budget.
+   *
+   * DETERMINISM CONTRACT: `scoreCol` and `tokensCol` must be
+   * deterministic under re-evaluation — this operator runs several
+   * independent actions over `df` (stats, bucket sums, boundary count,
+   * the keep/boundary filters), and a column whose lineage contains
+   * `rand()` or any other nondeterministic expression can change
+   * bucket membership BETWEEN passes, yielding a silently inconsistent
+   * selection. Callers with nondeterministic lineage must materialize
+   * first (`df.localCheckpoint()` — the cheap single-job pin — or
+   * persist to parquet); this operator deliberately does NOT cache the
+   * corpus itself, because at the target scale the input does not fit
+   * a cache tier and a forced checkpoint would double the I/O for the
+   * overwhelmingly common deterministic case.
    */
   def selectTokenBudget(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       idCol: String, tokensCol: String, budget: Long, numBuckets: Int = 1024,
@@ -322,6 +336,7 @@ object TextAnalysis {
       "input frame carries reserved staging column '__cum' — rename it first")
     val stats = df.agg(
       count(lit(1)).as("n"), count(col(scoreCol)).as("nScore"),
+      count(col(tokensCol)).as("nTok"),
       sum(when(isnan(col(scoreCol).cast("double")), 1L).otherwise(0L)).as("nNan"),
       min(col(scoreCol)).cast("double").as("mn"),
       max(col(scoreCol)).cast("double").as("mx"),
@@ -331,6 +346,15 @@ object TextAnalysis {
     require(stats.getAs[Long]("nScore") == n,
       s"selectTokenBudget found NULL values in '$scoreCol' — an unscored " +
         "document has no rank; filter or score first")
+    // a NULL token count would silently sum as 0 (SQL sum skips NULLs),
+    // charging the doc nothing against the budget — refuse by name, the
+    // same posture as the NULL-score refusal (and this check runs before
+    // any read of minTok, so an all-NULL tokensCol refuses here instead
+    // of NPE-ing on the null aggregate below)
+    require(stats.getAs[Long]("nTok") == n,
+      s"selectTokenBudget found NULL values in '$tokensCol' — an uncounted " +
+        "document would silently contribute 0 tokens to the budget; count " +
+        "or filter first")
     // NaN would bucket to NULL and crash the driver prefix read with a
     // bare NPE — and a NaN has no place in a total order anyway
     require(stats.getAs[Long]("nNan") == 0L,

@@ -138,6 +138,48 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
     } finally rm(new java.io.File(dir))
   }
 
+  test("appendToSaved: matching rotation appends row-for-row like addBatch; a DIFFERENT rotation refuses by name; a plain IVFADC layout refuses") {
+    val df = correlated
+    val a = df.where(col("vec_id") < 150)
+    val b = df.where(col("vec_id") >= 150)
+    val full = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val half = OpqIvfPqIndex.withArtifacts(a, "embedding", full.rotation,
+      full.inner.centroidVectors, full.model, byResidual = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_append").toString
+    try {
+      half.save(dir)
+      half.appendToSaved(dir, b, "embedding")
+      val re = OpqIvfPqIndex.load(spark, dir)
+      def codedRows(i: OpqIvfPqIndex) = i.inner.encoded
+        .select(col("vec_id"), col("cell"), hex(col("pq_codes")).as("codes"))
+        .orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(codedRows(re) == codedRows(half.addBatch(b, "embedding")),
+        "persisted append must code row-for-row like the in-memory addBatch")
+      // an index holding a DIFFERENT rotation must refuse to append into
+      // this layout — appending would mix rotated spaces (the footgun
+      // the nested-layout load refusal guards; the guard must hold at
+      // APPEND time too)
+      val otherRot = full.rotation.clone()
+      otherRot(0) = otherRot(0) + 0.5f
+      val other = OpqIvfPqIndex.withArtifacts(a, "embedding", otherRot,
+        full.inner.centroidVectors, full.model, byResidual = true)
+      val e = intercept[IllegalArgumentException](
+        other.appendToSaved(dir, b, "embedding"))
+      assert(e.getMessage.contains("DIFFERENT rotation"), e.getMessage)
+      // pointing append at a plain IVFADC layout refuses by name (no
+      // _opqivfpq.json — nothing to verify the rotation against)
+      val plainDir = java.nio.file.Files.createTempDirectory("graft_plain_append").toString
+      try {
+        IvfPqIndex.build(df, "embedding", nlist = 2, m = 4, k = 8).save(plainDir)
+        val e2 = intercept[IllegalArgumentException](
+          half.appendToSaved(plainDir, b, "embedding"))
+        assert(e2.getMessage.contains("not an OPQ∘IVFADC layout"), e2.getMessage)
+      } finally rm(new java.io.File(plainDir))
+    } finally rm(new java.io.File(dir))
+  }
+
   test("addBatch under frozen artifacts == building from the union; searchMany == per-query search") {
     val df = correlated
     val a = df.where(col("vec_id") < 150)

@@ -526,6 +526,20 @@ class TextMlSpec extends AnyFunSuite {
       TextAnalysis.selectTokenBudget(docs.withColumn("__cum", lit(1)),
         "score", "doc_id", "toks", 5L)
     ).getMessage.contains("__cum"))
+    // NULL token counts refuse BY NAME (SQL sum would silently skip
+    // them, charging the doc 0 against the budget) — both the mixed
+    // case and the all-NULL case (which formerly NPE'd at the minTok
+    // aggregate read instead of refusing)
+    val nullTok = Seq((1L, 1.0, Some(5L)), (2L, 2.0, None))
+      .toDF("doc_id", "score", "toks")
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(nullTok, "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("toks"))
+    val allNullTok = Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "score")
+      .withColumn("toks", lit(null).cast("long"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.selectTokenBudget(allNullTok, "score", "doc_id", "toks", 5L)
+    ).getMessage.contains("NULL"))
   }
 
   test("streaming budget: two score-ordered batches drain to the batch operator on the concatenation; the remaining-budget state carries") {
