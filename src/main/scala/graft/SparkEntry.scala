@@ -1717,6 +1717,35 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("mmr_rank"))
     }),
+    // §2.3 J ORACLED (round 18, r17 VERDICT #1): MMR served by the
+    // OPQ∘IVFADC stack THROUGH THE AnnIndex TRAIT — the rotation is
+    // applied inside index.search, never hand-wired (the pre-trait
+    // workaround reached into .inner with an un-rotated query and
+    // silently degraded shortlists). At the three-way composed
+    // degenerates (identity rotation ∘ origin cell ∘ lossless) the
+    // shortlist is exact and λ = 1 is relevance order — shares
+    // nearest_mmr_exact's oracle through every piece of rotation
+    // plumbing.
+    "nearest_mmr_opq_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "nearest_mmr_opq_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx: graft.operators.AnnIndex = OpqIvfPqIndex.withArtifacts(e,
+        "embedding", OpqIndex.identityRotation(dim),
+        Array(Array.fill(dim)(0f)), model, byResidual = true)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Nearest.mmrTopKFromIndex(idx, e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", q, n = 5, lambda = 1.0, shortlist = 50,
+          nprobe = 1)
+        .select(col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("mmr_rank"))
+    }),
     // §2.3 J ORACLED (round 17, r16 VERDICT #3): BATCH MMR — the
     // diversity rung's searchMany: ONE bounded-heap corpus pass builds
     // every query's shortlist (map-side partials, the knnJoinAgg
@@ -1746,6 +1775,57 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       Nearest.mmrTopKMany(q, e, "query_id", "qe", "vec_id", "embedding",
           n = 3, lambda = 0.5, shortlist = 10)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+    // §2.3 J ORACLED (round 18, r17 VERDICT #2): BATCH MMR FROM THE
+    // CODED INDEX — mmrTopKMany's shortlist stage swapped from the
+    // raw-vector knnJoinAgg scan to IvfPqIndex.searchMany (cell-pruned
+    // code bytes through the join), raw vectors fetched by id join,
+    // exact re-score, shared grouped greedy. At nprobe = nlist ∘
+    // lossless the shortlists are exact and λ = 1 is per-query
+    // relevance order — shares mmr_many_exact's oracle (same queries,
+    // same n/shortlist).
+    "mmr_many_index_exact" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "mmr_many_index_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKManyFromIndex(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", n = 3, lambda = 1.0, shortlist = 10,
+          nprobe = idx.centroidVectors.length)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+    // §2.3 J ORACLED (round 18): the SAME batch composition served by
+    // the OPQ∘IVFADC stack through the AnnIndex trait — searchMany
+    // rotates the query table in-plan, the exact re-score runs raw
+    // (cosine is rotation-invariant). Three-way composed degenerates ∘
+    // λ = 1 — shares mmr_many_exact's oracle; proves the trait hands
+    // the rotated stack the batch rung for free.
+    "mmr_many_opq_exact" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "mmr_many_opq_exact requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx: graft.operators.AnnIndex = OpqIvfPqIndex.withArtifacts(e,
+        "embedding", OpqIndex.identityRotation(dim),
+        Array(Array.fill(dim)(0f)), model, byResidual = true)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKManyFromIndex(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", n = 3, lambda = 1.0, shortlist = 10,
+          nprobe = 1)
         .select(col("query_id"), col("vec_id"), col("mmr_rank"),
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), col("mmr_rank"))
@@ -3638,6 +3718,57 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 ANN ORACLED (round 18, r17 VERDICT #7): the OPQ∘IVFADC
+    // stack's PERSISTED APPEND — build on the even-id half at the
+    // composed degenerates, save, appendToSaved the odd-id half
+    // (rotation-verified against the sidecar — the appendToSaved
+    // mismatch guard), reopen, and the served search must equal brute
+    // force over the WHOLE corpus: shares nearest_cosine's oracle.
+    // The save → append sequence is crash-guarded by a marker file —
+    // a partial layout (saved but not appended) would serve HALF the
+    // corpus and silently fail the oracle forever; no marker ⇒ rebuild
+    // from scratch.
+    "ann_opq_ivfpq_append_persisted" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_ivfpq_append_persisted requires the lossless codebook " +
+          "degenerate — corpus outgrew maxTrain")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_opq_ivfpq_append_persisted fingerprints $src (driver fixtures " +
+          "are single parquet files); for other layouts use " +
+          "OpqIvfPqIndex.save/appendToSaved directly")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base = s"graft_opqivfpq_append_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
+      val marker = new java.io.File(s"$path/_append_complete")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        val half = OpqIvfPqIndex.withArtifacts(
+          e.where(col("vec_id") % 2 === 0), "embedding",
+          OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+          byResidual = true)
+        half.save(path)
+        half.appendToSaved(path, e.where(col("vec_id") % 2 === 1), "embedding")
+        marker.createNewFile(): Unit
+      }
+      val idx = OpqIvfPqIndex.load(s, path)
+      require(idx.model.lossless,
+        "ann_opq_ivfpq_append_persisted requires the lossless codebook degenerate")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN ORACLED batch anchor (round 12): IVFADC for a whole
     // TABLE of queries — the plan is ann_ivf_batch_exact's (broadcast
     // probes → cell join → bounded-heap top-k) but the corpus side of
@@ -4647,6 +4778,29 @@ object SparkEntry {
         |  GROUP BY e.vec_id
         |)""".stripMargin
     val cosine = "CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END"
+    // batch MMR at λ = 1: every query's selection is relevance order
+    // over its shortlist, so top-3 per query == the exact k-NN join
+    // PLUS the selection rank as a per-query row_number over the same
+    // (cos DESC, vec_id) total order. Shared by the raw-scan operator
+    // and both coded-index compositions at their exact degenerates.
+    val mmrManySql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+        |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
+        |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
+        |  GROUP BY q.query_id, e.vec_id),
+        |scored AS (SELECT query_id, vec_id,
+        |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM p),
+        |ranked AS (SELECT query_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+        |       round(cos, 6) AS similarity
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, mmr_rank""".stripMargin
     Map(
       // membership by RAW score (inner LIMIT), final order by the
       // rounded output value — mirrors the Spark side exactly
@@ -4786,6 +4940,15 @@ object SparkEntry {
            |  SELECT vec_id, $cosine AS raw FROM s
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // save half → rotation-verified appendToSaved → load: the
+      // reopened layout holds the WHOLE corpus, so it shares the
+      // brute-force oracle too
+      "ann_opq_ivfpq_append_persisted" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       // IVF at nprobe = nlist scans every cell — provably the exact
       // brute-force result, so it shares the nearest_cosine oracle
       "ann_ivf_exact" ->
@@ -4830,28 +4993,14 @@ object SparkEntry {
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
-      // batch MMR at λ = 1: every query's selection is relevance order
-      // over its shortlist, so top-3 per query == the exact k-NN join
-      // PLUS the selection rank as a per-query row_number over the
-      // same (cos DESC, vec_id) total order
-      "mmr_many_exact" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-          |p AS (
-          |  SELECT q.query_id, e.vec_id,
-          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
-          |         sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)) AS na,
-          |         sum(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS nb
-          |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) AS r(i)
-          |  GROUP BY q.query_id, e.vec_id),
-          |scored AS (SELECT query_id, vec_id,
-          |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
-          |  FROM p),
-          |ranked AS (SELECT query_id, vec_id, cos,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
-          |SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
-          |       round(cos, 6) AS similarity
-          |FROM ranked WHERE rn <= 3
-          |ORDER BY query_id, mmr_rank""".stripMargin,
+      "mmr_many_exact" -> mmrManySql,
+      // batch MMR from the coded index at nprobe = nlist ∘ lossless ∘
+      // λ = 1: exact shortlists, exact re-score, relevance order — the
+      // identical derivation
+      "mmr_many_index_exact" -> mmrManySql,
+      // the same composition through the AnnIndex trait on the
+      // OPQ∘IVFADC stack at its three-way composed degenerates
+      "mmr_many_opq_exact" -> mmrManySql,
       // streaming drain of the heap k-NN join against the static
       // corpus — per-batch == batch, so the oracle is shared
       "simjoin_knn_stream" -> oracleSqlKnn,
@@ -4928,6 +5077,17 @@ object SparkEntry {
       // MMR at λ = 1 is relevance-greedy: top-5 by raw score with the
       // SELECTION RANK replayed as a row_number over the same order
       "nearest_mmr_exact" ->
+        s"""$scoredCte
+           |SELECT vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+           |       round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw,
+           |         row_number() OVER (ORDER BY $cosine DESC, vec_id) AS rn
+           |  FROM s ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY mmr_rank""".stripMargin,
+      // MMR through the AnnIndex trait on the OPQ∘IVFADC stack at its
+      // three-way composed degenerates: exact shortlist, λ = 1 ⇒
+      // relevance order — the identical derivation
+      "nearest_mmr_opq_exact" ->
         s"""$scoredCte
            |SELECT vec_id, CAST(rn AS INTEGER) AS mmr_rank,
            |       round(raw, 6) AS similarity FROM (

@@ -53,7 +53,9 @@ class IvfPqIndex private (
     val encoded: DataFrame,
     val codesCol: String,
     val normCol: String,
-    val byResidual: Boolean = false) extends Serializable {
+    val byResidual: Boolean = false) extends AnnIndex {
+
+  override def dim: Int = model.dim
 
   /** nlist × dim centroid frame: (cell: int, centroid: array<float>). */
   lazy val centroids: DataFrame = {
@@ -75,8 +77,8 @@ class IvfPqIndex private (
     * byte-indexed lookups per surviving row, no decompression.
     * At nprobe = nlist AND a lossless codebook this is provably the
     * exact brute-force result (both tiers' degenerates compose). */
-  def search(queryVec: Array[Float], k: Int, nprobe: Int = 4,
-      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame = {
+  override def search(queryVec: Array[Float], k: Int, nprobe: Int,
+      simCol: String, tieBreakers: Seq[Column]): DataFrame = {
     val cells = probeCells(queryVec, nprobe)
     val subset = encoded.where(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
     if (!byResidual)
@@ -117,10 +119,10 @@ class IvfPqIndex private (
     * shortlist recall is the probe's and the re-rank restores exact
     * ORDER and exact SCORES on it (spec-measured ≥ the bare ADC
     * ranking). `raw` must be the same corpus keyed by `idCol`. */
-  def searchRefine(raw: DataFrame, idCol: String, embCol: String,
-      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int = 4,
-      simCol: String = "similarity", tieBreakers: Seq[Column] = Nil,
-      maxShortlist: Int = 4096): DataFrame = {
+  override def searchRefine(raw: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Float], n: Int, shortlist: Int, nprobe: Int,
+      simCol: String, tieBreakers: Seq[Column],
+      maxShortlist: Int): DataFrame = {
     require(n >= 1 && shortlist >= n,
       s"need shortlist ($shortlist) >= n ($n) >= 1")
     require(shortlist <= maxShortlist,
@@ -148,9 +150,9 @@ class IvfPqIndex private (
    * [[PqIndex.search]]; at nprobe = nlist with a lossless codebook
    * this provably equals the exact k-NN join.
    */
-  def searchMany(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
-      corpusIdCol: String, k: Int, nprobe: Int = 4,
-      simCol: String = "similarity"): DataFrame = {
+  override def searchMany(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, corpusIdCol: String, k: Int, nprobe: Int,
+      simCol: String): DataFrame = {
     import graft.functions.TopKScored
     import graft.functions.vectors
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -214,10 +216,10 @@ class IvfPqIndex private (
     * shortlist provably holds every true top-n, so the result equals
     * the exact k-NN join (the `ann_ivfpq_refine_batch_exact` gate row
     * shares `simjoin_knn`'s oracle). */
-  def searchManyRefine(queries: DataFrame, queryIdCol: String,
+  override def searchManyRefine(queries: DataFrame, queryIdCol: String,
       queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
-      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
-      simCol: String = "similarity"): DataFrame = {
+      corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int,
+      simCol: String): DataFrame = {
     require(n >= 1 && shortlist >= n,
       s"need shortlist ($shortlist) >= n ($n) >= 1")
     IvfPqIndex.refineManyFromShortlists(

@@ -301,8 +301,15 @@ object Nearest {
    * [[mmrTopK]] at the same knobs — at λ = 1 that is relevance order
    * (the `nearest_mmr_index_exact` gate row shares
    * `nearest_mmr_exact`'s oracle).
+   *
+   * Takes ANY [[AnnIndex]] (r17 VERDICT #1): the OPQ∘IVFADC stack
+   * serves MMR through the same door, with its rotation applied
+   * INSIDE `index.search` — reaching into `.inner` with an un-rotated
+   * query (the pre-trait workaround) silently degraded shortlists
+   * (the `nearest_mmr_opq_exact` gate row anchors the rotated path at
+   * the three-way composed degenerates).
    */
-  def mmrTopKFromIndex(index: IvfPqIndex, raw: DataFrame, idCol: String,
+  def mmrTopKFromIndex(index: AnnIndex, raw: DataFrame, idCol: String,
       embCol: String, queryVec: Array[Float], n: Int, lambda: Double,
       shortlist: Int, nprobe: Int = 4, simCol: String = "similarity",
       maxShortlist: Int = 4096): DataFrame = {
@@ -404,9 +411,12 @@ object Nearest {
    * - the shortlists join their VECTORS back from the corpus by id
    *   (the heap buffers (score, id) only — shortlist-sized join, the
    *   only rows that survive the corpus side) and collect GROUPED,
-   *   bounded by `maxCollect` rows with an explicit refusal (the MMR
-   *   bounded-collect convention: the greedy is inherently sequential
-   *   per query, so the driver loop is honest, and it is capped);
+   *   bounded by min(`maxCollect` rows, `maxCollectBytes` of payload)
+   *   with an explicit refusal — BYTES too because, unlike the rest of
+   *   the family (ids only), every collected row here carries a full
+   *   embedding vector (the MMR bounded-collect convention: the greedy
+   *   is inherently sequential per query, so the driver loop is
+   *   honest, and it is capped);
    * - the shared greedy ([[mmrGreedySelect]]) runs per query over its
    *   ≤ `shortlist` candidates.
    *
@@ -423,26 +433,111 @@ object Nearest {
   def mmrTopKMany(queries: DataFrame, corpus: DataFrame, queryIdCol: String,
       queryEmbCol: String, corpusIdCol: String, corpusEmbCol: String,
       n: Int, lambda: Double, shortlist: Int,
-      simCol: String = "similarity", maxCollect: Int = 1 << 20): DataFrame = {
+      simCol: String = "similarity", maxCollect: Int = 1 << 20,
+      maxCollectBytes: Long = 256L << 20): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
     require(n >= 1 && shortlist >= n, s"need shortlist ($shortlist) >= n ($n) >= 1")
     require(maxCollect >= shortlist,
       s"maxCollect ($maxCollect) must be >= shortlist ($shortlist)")
+    require(maxCollectBytes >= 1L, s"maxCollectBytes must be >= 1, got $maxCollectBytes")
     val spark = corpus.sparkSession
+    // unlike the rest of the family (ids only), every collected row here
+    // carries a FULL embedding vector — so the driver bound is
+    // denominated in BYTES, not just rows: probe the dimension from one
+    // query row (the query table is small by construction) and cap rows
+    // at maxCollectBytes / bytes-per-row
+    val dim = queries.select(size(col(queryEmbCol)).as("d")).head().getAs[Int]("d")
+    require(dim >= 1, s"'$queryEmbCol' has no elements in the first query row")
+    val bytesPerRow = 4L * dim + 64L // float32 payload + Row/boxing overhead
+    val rowCap = math.min(maxCollect.toLong,
+      math.max(shortlist.toLong, maxCollectBytes / bytesPerRow)).toInt
     val shortlists = SimJoin.knnJoinAgg(queries, corpus, queryIdCol,
       queryEmbCol, corpusIdCol, corpusEmbCol, k = shortlist, simCol = simCol)
-    val withVecs = shortlists
+    val scored = shortlists
       .join(corpus.select(col(corpusIdCol).cast("long").as(corpusIdCol),
         col(corpusEmbCol).as("__mmr_vec")), Seq(corpusIdCol))
       .select(col(queryIdCol), col(corpusIdCol), col(simCol), col("__mmr_vec"))
-      // limit is the refusal probe: collecting maxCollect + 1 rows
+    mmrManyCollectGreedy(queries, scored, queryIdCol, corpusIdCol, simCol,
+      n, lambda, rowCap, maxCollect, maxCollectBytes, bytesPerRow, dim)
+  }
+
+  /**
+   * Batch MMR served FROM THE CODED INDEX (r17 VERDICT #2) —
+   * [[mmrTopKMany]] with the shortlist stage swapped from a raw-vector
+   * corpus scan to ANY [[AnnIndex]]'s `searchMany` (cell-pruned,
+   * code-width bytes through the join): at 100 TB the corpus at rest
+   * is codes, so the full-vector `knnJoinAgg` pass is the one piece of
+   * [[mmrTopKMany]] that doesn't survive the scale-up. Composition is
+   * the refine-stage convention ([[IvfPqIndex.refineManyFromShortlists]]):
+   * the ADC shortlist joins its RAW vectors by id — only shortlist
+   * rows survive the raw side — queries broadcast back, EXACT cosine
+   * re-scores, and the shared grouped greedy runs per query. Recall is
+   * the index's (nprobe, coding); similarities and the diversity
+   * arithmetic are exact. Through the [[AnnIndex]] seam the OPQ stack
+   * serves this with its rotation applied inside `searchMany`.
+   *
+   * Exactness anchor: nprobe = nlist ∘ lossless ⇒ exact shortlists ⇒
+   * the whole composition equals [[mmrTopKMany]]; at λ = 1 that is
+   * per-query relevance order (the `mmr_many_index_exact` gate row
+   * shares `mmr_many_exact`'s oracle). Same driver-collect bound as
+   * [[mmrTopKMany]]: min(`maxCollect` rows, `maxCollectBytes` of
+   * vector payload).
+   */
+  def mmrTopKManyFromIndex(index: AnnIndex, queries: DataFrame,
+      raw: DataFrame, queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, corpusEmbCol: String, n: Int, lambda: Double,
+      shortlist: Int, nprobe: Int = 4, simCol: String = "similarity",
+      maxCollect: Int = 1 << 20, maxCollectBytes: Long = 256L << 20): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    require(n >= 1 && shortlist >= n, s"need shortlist ($shortlist) >= n ($n) >= 1")
+    require(maxCollect >= shortlist,
+      s"maxCollect ($maxCollect) must be >= shortlist ($shortlist)")
+    require(maxCollectBytes >= 1L, s"maxCollectBytes must be >= 1, got $maxCollectBytes")
+    val dim = queries.select(size(col(queryEmbCol)).as("d")).head().getAs[Int]("d")
+    require(dim >= 1, s"'$queryEmbCol' has no elements in the first query row")
+    val bytesPerRow = 4L * dim + 64L
+    val rowCap = math.min(maxCollect.toLong,
+      math.max(shortlist.toLong, maxCollectBytes / bytesPerRow)).toInt
+    val shortlists = index.searchMany(queries, queryIdCol, queryEmbCol,
+      corpusIdCol, k = shortlist, nprobe = nprobe, simCol = simCol)
+    // exact re-score: the greedy's candidate order must be the EXACT
+    // relevance total order, not the ADC one (at the lossless
+    // degenerate they coincide) — raw vectors fetch by id join, the
+    // query table broadcasts back (small by construction)
+    val scored = shortlists
+      .select(col(queryIdCol), col(corpusIdCol).cast("long").as(corpusIdCol))
+      .join(raw.select(col(corpusIdCol).cast("long").as(corpusIdCol),
+        col(corpusEmbCol).as("__mmr_vec")), Seq(corpusIdCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(queryEmbCol).as("__mmr_q"))), Seq(queryIdCol))
+      .select(col(queryIdCol), col(corpusIdCol),
+        coalesce(vectors.similarity(col("__mmr_vec"), col("__mmr_q"), "cosine"),
+          lit(0.0)).as(simCol),
+        col("__mmr_vec"))
+    mmrManyCollectGreedy(queries, scored, queryIdCol, corpusIdCol, simCol,
+      n, lambda, rowCap, maxCollect, maxCollectBytes, bytesPerRow, dim)
+  }
+
+  /** The bounded collect + grouped greedy tail [[mmrTopKMany]] and
+    * [[mmrTopKManyFromIndex]] share. `scored` must carry exactly
+    * (queryIdCol, corpusIdCol: long, simCol: double, __mmr_vec). */
+  private def mmrManyCollectGreedy(queries: DataFrame, scored: DataFrame,
+      queryIdCol: String, corpusIdCol: String, simCol: String,
+      n: Int, lambda: Double, rowCap: Int, maxCollect: Int,
+      maxCollectBytes: Long, bytesPerRow: Long, dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val withVecs = scored
+      // limit is the refusal probe: collecting rowCap + 1 rows
       // proves the bound broke without materializing the overage
-      .limit(maxCollect + 1)
+      .limit(rowCap + 1)
       .collect()
-    require(withVecs.length <= maxCollect,
-      s"queries × shortlist exceeded maxCollect $maxCollect rows — the greedy " +
-        "is a driver loop over grouped shortlists; raise maxCollect " +
-        "deliberately if your driver has the memory, or batch the queries")
+    require(withVecs.length <= rowCap,
+      s"queries × shortlist exceeded the driver-collect bound ($rowCap rows = " +
+        s"min(maxCollect $maxCollect, maxCollectBytes $maxCollectBytes / " +
+        s"~$bytesPerRow B/row at dim $dim)) — each collected shortlist row " +
+        "carries a FULL embedding vector, so this collect is byte-bounded; " +
+        "raise maxCollectBytes deliberately if your driver has the memory, " +
+        "or batch the queries")
     import scala.jdk.CollectionConverters._
     val outRows = withVecs
       .groupBy(_.get(0))

@@ -190,6 +190,107 @@ class NearestTwoStageSpec extends AnyFunSuite {
         lambda = 0.5, shortlist = 9999))
   }
 
+  test("AnnIndex trait: the OPQ stack serves MMR through the same door (rotation applied inside); trait call == concrete call, same plan") {
+    import graft.operators.{AnnIndex, OpqIvfPqIndex}
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f, 0.0f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f, 0.0f)),
+      (5L, Seq(0.001f, 0.999f, 0.0f, 0.0f)),
+      (6L, Seq(0.500f, 0.500f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // a LEARNED rotation with a lossless codebook IN ROTATED SPACE:
+    // at full probe the ADC shortlist is exact, so index-served MMR
+    // must equal the flat operator — which can only happen if the
+    // query rotates inside the index (shortlist = 3 < corpus, so a
+    // wrong-space query would change membership, not just scores)
+    val opq = OpqIvfPqIndex.build(emb, "embedding", nlist = 2, m = 2,
+      k = 65536, opqIters = 4)
+    assert(opq.model.lossless)
+    val q = Array(0.75f, 0.66f, 0f, 0f)
+    def viaOpq(lambda: Double) =
+      Nearest.mmrTopKFromIndex(opq, emb, "vec_id", "embedding", q, n = 3,
+          lambda = lambda, shortlist = 3, nprobe = 2)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    def flat(lambda: Double) =
+      Nearest.mmrTopK(emb, "embedding", "vec_id", q, n = 3, lambda = lambda,
+          shortlist = 3)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    for (lambda <- Seq(1.0, 0.5))
+      assert(viaOpq(lambda) == flat(lambda),
+        s"λ=$lambda OPQ-served MMR must equal the flat operator:\n" +
+          s"${viaOpq(lambda)}\n${flat(lambda)}")
+    // the trait path IS the concrete path — same virtual dispatch,
+    // byte-identical plan
+    val asTrait: AnnIndex = opq
+    assert(asTrait.search(q, 3, nprobe = 2).queryExecution.optimizedPlan
+        .canonicalized.toString ==
+      opq.search(q, 3, nprobe = 2).queryExecution.optimizedPlan
+        .canonicalized.toString,
+      "trait-typed and concrete-typed calls must produce the same plan")
+  }
+
+  test("batch MMR from the coded index: lossless full probe == mmrTopKMany at both lambdas, for the plain AND the OPQ stack; refusals") {
+    import graft.operators.{IvfPqIndex, OpqIvfPqIndex}
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f, 0.0f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f, 0.0f)),
+      (5L, Seq(0.001f, 0.999f, 0.0f, 0.0f)),
+      (6L, Seq(0.500f, 0.500f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = Seq(
+      (100L, Seq(0.75f, 0.66f, 0f, 0f)),
+      (200L, Seq(0.66f, 0.75f, 0f, 0f))
+    ).toDF("query_id", "qe").withColumn("qe", col("qe").cast("array<float>"))
+    val ivfpq = IvfPqIndex.build(emb, "embedding", nlist = 2, m = 2, k = 65536)
+    val opq = OpqIvfPqIndex.build(emb, "embedding", nlist = 2, m = 2,
+      k = 65536, opqIters = 4)
+    assert(ivfpq.model.lossless && opq.model.lossless)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.rint(r.getDouble(3) * 1e9) / 1e9))
+        .sortBy(t => (t._1, t._3)).toSeq
+    for (lambda <- Seq(1.0, 0.5)) {
+      val raw = canon(Nearest.mmrTopKMany(queries, emb, "query_id", "qe",
+        "vec_id", "embedding", n = 3, lambda = lambda, shortlist = 4))
+      // shortlist = 4 < corpus (6): a wrong-space batch query would
+      // change shortlist MEMBERSHIP, so equality proves the in-plan
+      // rotation fires inside searchMany
+      for ((name, idx) <- Seq("ivfpq" -> (ivfpq: graft.operators.AnnIndex),
+          "opq" -> (opq: graft.operators.AnnIndex))) {
+        val got = canon(Nearest.mmrTopKManyFromIndex(idx, queries, emb,
+          "query_id", "qe", "vec_id", "embedding", n = 3, lambda = lambda,
+          shortlist = 4, nprobe = 2))
+        assert(got == raw,
+          s"λ=$lambda $name-served batch MMR must equal the raw-scan " +
+            s"operator:\n$got\n$raw")
+      }
+    }
+    // refusals: byte bound (each collected row carries a vector),
+    // lambda range, shortlist < n
+    val e1 = intercept[IllegalArgumentException](
+      Nearest.mmrTopKManyFromIndex(ivfpq, queries, emb, "query_id", "qe",
+        "vec_id", "embedding", n = 2, lambda = 0.5, shortlist = 4,
+        nprobe = 2, maxCollectBytes = 1L))
+    assert(e1.getMessage.contains("maxCollectBytes"))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKManyFromIndex(ivfpq, queries, emb, "query_id", "qe",
+        "vec_id", "embedding", n = 2, lambda = 1.5, shortlist = 4))
+    intercept[IllegalArgumentException](
+      Nearest.mmrTopKManyFromIndex(ivfpq, queries, emb, "query_id", "qe",
+        "vec_id", "embedding", n = 5, lambda = 0.5, shortlist = 4))
+  }
+
   test("materialized prefix: twoStagePrefixTopK == twoStageTopK (same floats), stage-1 scan pruned; refusals") {
     val df = fixture
     val q = query(df, 7L)
@@ -272,5 +373,22 @@ class NearestTwoStageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
         "embedding", n = 6, lambda = 0.5, shortlist = 5))
+    // the BYTE-denominated bound: every collected row carries a full
+    // embedding vector, so a tiny maxCollectBytes caps rows below the
+    // 10-row shortlist result even at the default maxCollect — and the
+    // refusal says vectors collect, naming the right remedy
+    val byteRefusal = intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 2, lambda = 0.5, shortlist = 5,
+        maxCollectBytes = 1L))
+    assert(byteRefusal.getMessage.contains("embedding vector") &&
+      byteRefusal.getMessage.contains("maxCollectBytes"))
+    // a generous byte budget changes nothing — results identical to the
+    // row-bounded default path
+    val loose = Nearest.mmrTopKMany(queries, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 3, lambda = 0.5, shortlist = 5,
+        maxCollectBytes = 1L << 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(loose == many(0.5).values.flatten.map(t => (t._1, t._2, t._3)).toSet)
   }
 }
