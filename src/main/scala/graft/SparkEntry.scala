@@ -1998,6 +1998,37 @@ object SparkEntry {
           budget = 6000L, numBuckets = 64)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Composition ORACLED (round 18, r17 VERDICT #3): the budgeted
+    // chain CLOSED — filter → dedup → selectTokenBudget → SPFHP
+    // packing at the uniform degenerate. The deliverable of a budgeted
+    // run is the packed training layout, not a doc list; this row
+    // proves the budget survivors flow into the packer (every selected
+    // doc with ≥ 10 tokens packs its first-10-token slice; uniform ⇒
+    // pack = rank ÷ 4), and the oracle splices the budget replay (the
+    // naive cumulative window) into the packing replay (the rank
+    // arithmetic) — drift in EITHER stage or the seam fails the row.
+    // The budget output is lazily localCheckpoint'ed at the seam: the
+    // packer scans its input three times (range, histogram, rank) and
+    // the budget plan re-runs filter + dedup + the boundary window per
+    // scan un-cut — the same seam a production run materializes (the
+    // selected corpus is written before layout anyway).
+    "pipeline_budget_packed" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val quality = docs.withColumn("__q",
+        TextAnalysis.qualityScore(col("text")))
+      val deduped = Dedup.exact(quality.where(col("__q") >= 0.6),
+          Seq("text"), "doc_id")
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+      val selected = TextAnalysis.selectTokenBudget(deduped, "__q",
+          "doc_id", "__toks", budget = 6000L, numBuckets = 64)
+        .localCheckpoint(false)
+      val lens = selected.where(col("__toks") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      TextAnalysis.packSequencesHist(lens, "len", "doc_id",
+          maxLen = 64, maxPerPack = 4)
+        .select(col("doc_id"), col("len"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
     // North-star COMPOSITION #2 (round 9), fully oracled: the
     // Dolma/CCNet-shaped PRETRAINING curation chain — paragraph-level
     // dedup (shared units stripped, docs reassembled) → eval-set
@@ -2535,6 +2566,24 @@ object SparkEntry {
       val scored = TextAnalysis.dsirScoreAgainst(
         docs.where(col("doc_id") % 7 =!= 0), model, "text", "doc_id")
       TextAnalysis.dsirResample(scored, k = 200, seed = 7L)
+        .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // §2.3 T ORACLED (round 18, r17 VERDICT #4): the Gumbel draw's
+    // TEMPERATURE → 0 degenerate — the noise term is temperature-
+    // scaled, so at τ = 0 it vanishes EXACTLY (0·g = 0 in IEEE) and
+    // the draw provably equals dsirSelectTopK's deterministic greedy
+    // over the same exact-degenerate scores (numBuckets = 0, same
+    // split, same k) — dsir_resample's machinery (hash-folded noise
+    // key, global top-k, id tie-break) anchored to dsir_select_topk's
+    // oracle end to end; the τ-separation is DsirSpec's.
+    "dsir_resample_topk_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = TextAnalysis.fitDsir(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0), "text", numBuckets = 0)
+      val scored = TextAnalysis.dsirScoreAgainst(
+        docs.where(col("doc_id") % 7 =!= 0), model, "text", "doc_id")
+      TextAnalysis.dsirResample(scored, k = 200, seed = 7L, temperature = 0.0)
         .select(col("doc_id"), col("n_feats"), col("dsir_logw"))
         .orderBy(col("doc_id"))
     }),
@@ -5272,6 +5321,28 @@ object SparkEntry {
            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM t)
            |SELECT doc_id FROM c WHERE cum <= 6000 ORDER BY doc_id""".stripMargin,
+      // the closed chain: the budget replay above spliced into the
+      // uniform-degenerate packing replay (pack_hist_exact's rank
+      // arithmetic over the SELECTED docs with >= 10 tokens)
+      "pipeline_budget_packed" ->
+        s"""WITH kept AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE ${TextAnalysisSql.qualityScoreSql("text")} >= 0.6),
+           |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+           |t AS (
+           |  SELECT doc_id, ${TextAnalysisSql.qualityScoreSql("text")} AS q,
+           |         CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) AS toks
+           |  FROM ded),
+           |c AS (
+           |  SELECT doc_id, toks,
+           |         sum(toks) OVER (ORDER BY q DESC, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t),
+           |sel AS (SELECT doc_id, toks FROM c WHERE cum <= 6000),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+           |      FROM sel WHERE toks >= 10)
+           |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+           |FROM r ORDER BY doc_id""".stripMargin,
       "redact" -> {
         val chain = TextAnalysis.RedactionPatterns.foldLeft("text") {
           case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
@@ -5339,6 +5410,14 @@ object SparkEntry {
       // greedy top-k selection over the exact scores: the score CTE +
       // the same (weight DESC, id) order both engines sort by
       "dsir_select_topk" ->
+        ("SELECT doc_id, n_feats, dsir_logw FROM (\n" +
+          TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
+            "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +
+          "\nORDER BY dsir_logw DESC, doc_id LIMIT 200\n) ORDER BY doc_id"),
+      // the Gumbel draw at temperature = 0: the noise term vanishes
+      // exactly, so the draw IS the deterministic greedy — identical
+      // derivation
+      "dsir_resample_topk_exact" ->
         ("SELECT doc_id, n_feats, dsir_logw FROM (\n" +
           TextAnalysisSql.dsirScoreSql("documents", "doc_id", "text",
             "doc_id % 7 = 0", "doc_id % 7 <> 0", "doc_id % 7 <> 0") +

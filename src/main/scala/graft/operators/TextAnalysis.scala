@@ -1065,25 +1065,38 @@ object TextAnalysis {
   }
 
   /** DSIR's resampling step: draw `k` documents WITHOUT replacement
-    * with probability ∝ exp(scoreCol) — the Gumbel-top-k identity
-    * (add independent Gumbel(0,1) noise to each log-weight, keep the
-    * k largest: exactly softmax sampling without replacement), which
-    * distributes as a map-side key + one global top-k instead of any
-    * sequential draw. Noise is the [[splitAssign]] kind of
-    * determinism — seeded `xxhash64(seed, id)` folded to (0,1), never
-    * `rand()` — so a fixed (corpus, seed) resamples identically
-    * across runs, partitionings, and engines. Ties (impossible in
-    * practice) break by id. */
+    * with probability ∝ exp(scoreCol / temperature) — the Gumbel-top-k
+    * identity (add independent Gumbel(0,1) noise to each log-weight,
+    * keep the k largest: exactly softmax sampling without
+    * replacement), which distributes as a map-side key + one global
+    * top-k instead of any sequential draw. Noise is the
+    * [[splitAssign]] kind of determinism — seeded `xxhash64(seed, id)`
+    * folded to (0,1), never `rand()` — so a fixed (corpus, seed,
+    * temperature) resamples identically across runs, partitionings,
+    * and engines. Ties (impossible in practice) break by id.
+    *
+    * `temperature` scales the softmax: the key is
+    * scoreCol − temperature·ln(−ln u), order-equivalent to
+    * scoreCol/τ + Gumbel for τ > 0 (positive scaling preserves order)
+    * and CONTINUOUS at τ = 0, where the noise term vanishes and the
+    * draw provably equals [[dsirSelectTopK]]'s deterministic greedy
+    * (score desc, id) — the degenerate the `dsir_resample_topk_exact`
+    * gate row anchors on (r17 VERDICT #4); τ = 1 (default) is DSIR's
+    * published draw. */
   def dsirResample(scored: org.apache.spark.sql.DataFrame, k: Int,
       scoreCol: String = "dsir_logw", idCol: String = "doc_id",
-      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+      seed: Long = 42L, temperature: Double = 1.0): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(temperature >= 0.0 && !temperature.isNaN,
+      s"temperature must be >= 0 (0 = the deterministic top-k degenerate), " +
+        s"got $temperature")
     // 52 mantissa bits of the hash → u ∈ (0,1) exclusive (the +0.5
     // half-step keeps u away from both endpoints, where ln explodes)
     val u = (pmod(xxhash64(lit(seed), col(idCol)), lit(1L << 52)).cast("double")
       + lit(0.5)) / lit((1L << 52).toDouble)
     scored
-      .withColumn("__gumbel_key", col(scoreCol) - log(-log(u)))
+      .withColumn("__gumbel_key",
+        col(scoreCol) - lit(temperature) * log(-log(u)))
       .orderBy(desc("__gumbel_key"), col(idCol))
       .limit(k)
       .drop("__gumbel_key")

@@ -141,6 +141,40 @@ class DsirSpec extends AnyFunSuite {
     assert(TextAnalysis.dsirResample(scored, k = 1000).count() == 100)
   }
 
+  test("resample temperature: τ = 0 equals the deterministic top-k greedy; τ = 1 is the published draw; τ separates the orders; refusals") {
+    // near-uniform weights with a tiny deterministic tilt: at τ = 0
+    // the draw is the greedy (score desc, id); at τ = 1 the Gumbel
+    // noise (±several units) dominates the 1e-3 score spread, so the
+    // draw provably differs from the greedy — the two-temperature
+    // ordering difference, pinned
+    val scored = (0L until 100L).map(i => (i, 10L, -i.toDouble * 1e-3))
+      .toDF("doc_id", "n_feats", "dsir_logw")
+    val greedy = scored.orderBy(desc("dsir_logw"), col("doc_id")).limit(10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val cold = TextAnalysis.dsirResample(scored, k = 10, seed = 1L,
+        temperature = 0.0)
+      .orderBy(desc("dsir_logw"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(cold == greedy,
+      s"τ = 0 must equal the deterministic greedy:\n$cold\n$greedy")
+    val warm = TextAnalysis.dsirResample(scored, k = 10, seed = 1L,
+        temperature = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(warm != greedy.toSet,
+      "τ = 1 noise must dominate a 1e-3 score spread and change the draw")
+    // the default temperature IS 1.0 — the published draw, unchanged
+    val default = TextAnalysis.dsirResample(scored, k = 10, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(default == warm)
+    // refusals: negative and NaN temperatures have no sampling meaning
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirResample(scored, k = 5, temperature = -0.5)
+    }.getMessage.contains("temperature"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dsirResample(scored, k = 5, temperature = Double.NaN)
+    }.getMessage.contains("temperature"))
+  }
+
   test("refusals: empty target, empty raw, negative buckets, reserved columns") {
     val some = Seq((1L, "aa bb")).toDF("doc_id", "text")
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
