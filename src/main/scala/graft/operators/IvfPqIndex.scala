@@ -371,8 +371,10 @@ object IvfPqIndex {
 
   /** The residual column for an already-assigned frame: x − centroid
     * (float32, the FAISS convention) via a broadcast centroid join +
-    * one codegen'd `zip_with`. */
-  private def withResidual(assigned: DataFrame, embCol: String,
+    * one codegen'd `zip_with`. (`private[operators]`: the OPQ stack's
+    * [[OpqIvfPqIndex.codecSelfSimilarity]] stages the same residual
+    * for its drift telemetry.) */
+  private[operators] def withResidual(assigned: DataFrame, embCol: String,
       centroidVectors: Array[Array[Float]], out: String): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._

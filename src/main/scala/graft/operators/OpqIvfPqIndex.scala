@@ -156,6 +156,82 @@ final class OpqIvfPqIndex private[operators] (
   def cellSizeStats: DataFrame = inner.cellSizeStats
   def driftGuard(maxFactor: Double = 8.0): Double = inner.driftGuard(maxFactor)
 
+  /** Mean CODEC self-similarity of `df` under this stack's frozen
+    * artifacts — the rotation-staleness gauge (r17 VERDICT #5):
+    * cos(v, q(v)) over a deterministic hash-ordered sample (the
+    * [[PqIndex.fit]] sampling convention, bounded by `maxSample`),
+    * where v is the quantity the codebooks actually code — the
+    * ROTATED vector, or the rotated RESIDUAL under `byResidual` (same
+    * assignment + subtraction staging as encode, so the number
+    * measures exactly the code the batch would be stored as).
+    * Measure it once on the BUILD corpus for the baseline, then on
+    * each appended batch via [[codecGuard]]: cell-size `driftGuard`
+    * sees only OCCUPANCY drift, while a batch whose distribution has
+    * rotated away from the frozen R keeps cells balanced and loses
+    * recall silently — this is the number that moves. */
+  def codecSelfSimilarity(df: DataFrame, embCol: String,
+      maxSample: Int = 65536): Double = {
+    require(maxSample >= 1, s"maxSample must be >= 1, got $maxSample")
+    require(embCol != "__resid" && embCol != "__codec_sim",
+      s"'$embCol' collides with a reserved codec staging column — rename it")
+    val rotated = OpqIvfPqIndex.rotated(
+      df.select(col(embCol)).where(col(embCol).isNotNull)
+        .orderBy(xxhash64(col(embCol))).limit(maxSample),
+      embCol, rotation, dim)
+    val perRow =
+      if (!byResidual)
+        PqIndex.selfSimilarity(rotated, embCol, model, "__codec_sim")
+      else
+        PqIndex.selfSimilarity(
+          IvfPqIndex.withResidual(
+            IvfIndex.assignWithCentroids(rotated, embCol, inner.centroidVectors),
+            embCol, inner.centroidVectors, "__resid"),
+          "__resid", model, "__codec_sim")
+    val r = perRow.agg(avg(col("__codec_sim")).as("m"),
+      count(lit(1)).as("n")).head()
+    require(r.getAs[Long]("n") > 0L,
+      s"codecSelfSimilarity found no non-NULL '$embCol' rows to measure")
+    r.getAs[Double]("m")
+  }
+
+  /** Rotation/codebook STALENESS guard for appends — the
+    * [[ParaBloom.saturationGuard]] convention (quiet / warn / refuse
+    * with a named remedy): measures [[codecSelfSimilarity]] on the
+    * batch and compares to `baselineSelfSim`, the same number measured
+    * on the build corpus at build time (one bounded pass — record it
+    * next to the layout). A drop past `refuseDrop` means the frozen
+    * rotation no longer aligns the batch's principal subspaces with
+    * the codebook split: appended codes would serve with silently
+    * degraded recall, so REFUSE and name the remedy (re-fit with
+    * [[OpqIvfPqIndex.build]] — the same trade the residual layout
+    * documents for cell drift). Between `warnDrop` and `refuseDrop`,
+    * returns the warning for the caller's telemetry. A batch that
+    * codes BETTER than baseline is quiet — only degradation is
+    * drift. */
+  def codecGuard(batch: DataFrame, embCol: String, baselineSelfSim: Double,
+      warnDrop: Double = 0.02, refuseDrop: Double = 0.05,
+      maxSample: Int = 65536): Option[String] = {
+    require(baselineSelfSim >= -1.0 && baselineSelfSim <= 1.0,
+      s"baselineSelfSim must be a cosine in [-1, 1], got $baselineSelfSim")
+    require(warnDrop > 0 && warnDrop <= refuseDrop,
+      s"need 0 < warnDrop <= refuseDrop, got ($warnDrop, $refuseDrop)")
+    val got = codecSelfSimilarity(batch, embCol, maxSample)
+    val drop = baselineSelfSim - got
+    if (drop > refuseDrop) throw new IllegalStateException(
+      f"OPQ codec self-similarity $got%.4f on this batch is $drop%.4f below " +
+        f"the build-time baseline $baselineSelfSim%.4f (refuse threshold " +
+        f"$refuseDrop%.3f): the batch's distribution has drifted from the " +
+        "FROZEN rotation/codebooks, so its codes would serve with silently " +
+        "degraded recall. Re-fit the stack (OpqIvfPqIndex.build) on the " +
+        "grown corpus — refusing to append under a stale rotation")
+    else if (drop > warnDrop) Some(
+      f"WARNING: OPQ codec self-similarity $got%.4f is $drop%.4f below the " +
+        f"build-time baseline $baselineSelfSim%.4f (warn threshold " +
+        f"$warnDrop%.3f) — the rotation is going stale for incoming data; " +
+        f"plan a re-fit before the refuse threshold ($refuseDrop%.3f)")
+    else None
+  }
+
   /** Persist the whole stack: `_opqivfpq.json` sidecar + the rotation
     * as a plain (row, vector) parquet frame + the inner IVFADC layout
     * NESTED under `$path/ivfpq`. The nesting is load-safety, not

@@ -268,6 +268,52 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
         n = 5, shortlist = 3))
   }
 
+  test("codecGuard: quiet at design load, warns in the band, refuses on planted rotation drift with the re-fit remedy") {
+    val df = correlated
+    // a LOSSY stack (k = 8 codewords per subspace) — drift must show
+    // up as codec quality, which a lossless codebook would mask
+    val idx = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val baseline = idx.codecSelfSimilarity(df, "embedding")
+    assert(baseline > 0.5 && baseline <= 1.0, s"implausible baseline $baseline")
+    // design load: the build distribution itself measures AT the
+    // baseline — quiet
+    assert(idx.codecGuard(df, "embedding", baseline).isEmpty)
+    // planted drift: structureless ±-pattern vectors share nothing
+    // with the correlated fixture's subspaces — the frozen rotation
+    // and codebooks code them badly, and the guard must REFUSE with
+    // the re-fit remedy
+    val rnd = new scala.util.Random(11)
+    val drifted = (1000L until 1200L).map { i =>
+      (i, Array.tabulate(dim)(_ => (if (rnd.nextBoolean()) 1f else -1f) *
+        (1f + rnd.nextFloat())).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val driftSim = idx.codecSelfSimilarity(drifted, "embedding")
+    assert(baseline - driftSim > 0.05,
+      s"fixture must plant a real drop: baseline $baseline vs drift $driftSim")
+    val e = intercept[IllegalStateException](
+      idx.codecGuard(drifted, "embedding", baseline))
+    assert(e.getMessage.contains("stale rotation") &&
+      e.getMessage.contains("OpqIvfPqIndex.build"), e.getMessage)
+    // the warn band returns the warning instead of throwing
+    val warned = idx.codecGuard(drifted, "embedding", baseline,
+      warnDrop = 0.001, refuseDrop = 2.0)
+    assert(warned.exists(_.contains("WARNING")), s"$warned")
+    // a batch that codes BETTER than baseline is quiet (only
+    // degradation is drift)
+    assert(idx.codecGuard(df, "embedding", baseline - 0.2,
+      warnDrop = 0.001, refuseDrop = 0.002).isEmpty)
+    // refusals: out-of-range baseline, inverted bands, empty batch
+    intercept[IllegalArgumentException](
+      idx.codecGuard(df, "embedding", baselineSelfSim = 1.5))
+    intercept[IllegalArgumentException](
+      idx.codecGuard(df, "embedding", baseline, warnDrop = 0.1,
+        refuseDrop = 0.05))
+    intercept[IllegalArgumentException](
+      idx.codecSelfSimilarity(df.where(col("vec_id") < 0), "embedding"))
+  }
+
   test("refusals: mismatched rotation size, wrong-dim query") {
     val df = correlated
     val model = PqIndex.fit(df, "embedding", m = 8, k = 8)
