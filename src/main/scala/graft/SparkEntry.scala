@@ -1803,6 +1803,26 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
+    // §2.3 J rows-only twin: batch MMR from the index at the DEPLOYED
+    // shape — the full OPQ,IVF,PQ stack (learned rotation, real
+    // quantizer, lossy residual codebooks) at nprobe = 4, λ = 0.5:
+    // the 100 TB serving config, where the shortlist pass scans
+    // code-width bytes of a quarter of the cells. Its exactness
+    // anchors are mmr_many_index_exact / mmr_many_opq_exact above;
+    // NearestTwoStageSpec pins the per-query diversity behavior.
+    "nearest_mmr_many_index" -> ((s, d) => {
+      val idx = opqIvfPqFor(s, d)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKManyFromIndex(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", n = 3, lambda = 0.5, shortlist = 10,
+          nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
     // §2.3 J ORACLED (round 18): the SAME batch composition served by
     // the OPQ∘IVFADC stack through the AnnIndex trait — searchMany
     // rotates the query table in-plan, the exact re-score runs raw

@@ -543,8 +543,12 @@ object Nearest {
       .groupBy(_.get(0))
       .toSeq
       // deterministic query order in the output frame (callers sort
-      // anyway; determinism is the repo's default posture)
-      .sortBy(_._1.toString)
+      // anyway; determinism is the repo's default posture) — numeric
+      // ids sort numerically, everything else lexicographically
+      .sortBy(_._1 match {
+        case n: java.lang.Number => (0, n.longValue, "")
+        case other => (1, 0L, String.valueOf(other))
+      })
       .flatMap { case (qid, rows) =>
         val cand = rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
         val sims = cand.map(_.getDouble(2))
