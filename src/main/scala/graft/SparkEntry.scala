@@ -1803,6 +1803,39 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
+    // §2.3 S × J ORACLED (round 18): batch MMR from the index as a
+    // REAL StreamingQuery — queries ARRIVE as micro-batches (the
+    // RAG/serving-ingest shape) and each batch is served its
+    // diversified top-n against the frozen coded index. Per-query
+    // selections are independent, so the drained output equals the
+    // batch operator on the arrived queries; at the composed
+    // degenerates (nprobe = nlist ∘ lossless ∘ λ = 1) that is
+    // mmr_many_exact — shared oracle.
+    "mmr_many_index_stream" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "mmr_many_index_stream requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val queries = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+        .where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      val q = StreamOps.mmrManyFromIndexPerBatch(queries, idx,
+        e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+        "vec_id", "embedding", n = 3, lambda = 1.0, shortlist = 10,
+        nprobe = idx.centroidVectors.length) { (res, _) =>
+        buf.synchronized {
+          buf ++= res.select(col("query_id"), col("vec_id"), col("mmr_rank"),
+              round(col("similarity"), 6)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      buf.toSeq.toDF("query_id", "vec_id", "mmr_rank", "similarity")
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
     // §2.3 J rows-only twin: batch MMR from the index at the DEPLOYED
     // shape — the full OPQ,IVF,PQ stack (learned rotation, real
     // quantizer, lossy residual codebooks) at nprobe = 4, λ = 0.5:
@@ -5070,6 +5103,10 @@ object SparkEntry {
       // the same composition through the AnnIndex trait on the
       // OPQ∘IVFADC stack at its three-way composed degenerates
       "mmr_many_opq_exact" -> mmrManySql,
+      // the streamed drain: per-query independence makes per-batch ==
+      // batch, and the one-file fixture is one micro-batch — the
+      // identical derivation at the same degenerates
+      "mmr_many_index_stream" -> mmrManySql,
       // streaming drain of the heap k-NN join against the static
       // corpus — per-batch == batch, so the oracle is shared
       "simjoin_knn_stream" -> oracleSqlKnn,

@@ -213,8 +213,10 @@ object SimJoin {
    * Hard negatives mined from an ANN INDEX (r16 VERDICT #6) — the
    * OTHER production candidate generator beside the banded LSH form:
    * DPR's actual recipe retrieves each anchor's top candidates from
-   * the serving index and keeps the best different-label ones. One
-   * [[IvfPqIndex.searchMany]] pass over the coded corpus retrieves
+   * the serving index and keeps the best different-label ones. Takes
+   * ANY [[AnnIndex]] (r17 VERDICT #1) — the OPQ stack mines through
+   * the same door with its rotation applied inside `searchMany`. One
+   * [[AnnIndex.searchMany]] pass over the coded corpus retrieves
    * `candidatesPerAnchor` rows per anchor (broadcast-probe → cell join
    * → bounded-heap — the anchors table broadcasts, which is the DPR
    * shape: anchors are a training set, small beside the corpus), then
@@ -231,7 +233,7 @@ object SimJoin {
    * provably equals [[hardNegatives]] (the `hard_negatives_index` gate
    * row shares its oracle).
    */
-  def hardNegativesFromIndex(index: IvfPqIndex, anchors: DataFrame,
+  def hardNegativesFromIndex(index: AnnIndex, anchors: DataFrame,
       labels: DataFrame, idCol: String, embCol: String, labelCol: String,
       k: Int, candidatesPerAnchor: Int, nprobe: Int = 4,
       simCol: String = "similarity"): DataFrame = {

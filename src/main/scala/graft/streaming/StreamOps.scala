@@ -188,7 +188,7 @@ object StreamOps {
     * is reused across batches (never refit mid-stream). */
   def hardNegativesPerBatch(
       anchors: DataFrame, // streaming, with idCol + embCol
-      index: graft.operators.IvfPqIndex, // static, frozen
+      index: graft.operators.AnnIndex, // static, frozen
       labels: DataFrame, // static (idCol, labelCol) for the corpus
       idCol: String, embCol: String, labelCol: String,
       k: Int, candidatesPerAnchor: Int, nprobe: Int = 4)(
@@ -196,6 +196,31 @@ object StreamOps {
     anchors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.operators.SimJoin.hardNegativesFromIndex(index, batch,
         labels, idCol, embCol, labelCol, k, candidatesPerAnchor, nprobe), batchId)
+    }.start()
+
+  /** Streaming batch MMR from the coded index (§2.3 S × J, round 18):
+    * QUERIES arrive as micro-batches (the RAG/serving-ingest shape —
+    * each arriving request set gets its diversified top-n), each batch
+    * served against the STATIC frozen index + raw table via
+    * [[graft.operators.Nearest.mmrTopKManyFromIndex]]. Per-QUERY
+    * selections are independent of other queries, so the drained
+    * output equals the batch operator restricted to the arrived
+    * queries — the [[hardNegativesPerBatch]] per-batch == batch
+    * argument; the frozen index (any [[graft.operators.AnnIndex]],
+    * so the OPQ stack serves through the same door) is reused across
+    * batches, never refit mid-stream. */
+  def mmrManyFromIndexPerBatch(
+      queries: DataFrame, // streaming, with queryIdCol + queryEmbCol
+      index: graft.operators.AnnIndex, // static, frozen
+      raw: DataFrame, // static (corpusIdCol, corpusEmbCol)
+      queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, corpusEmbCol: String,
+      n: Int, lambda: Double, shortlist: Int, nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Nearest.mmrTopKManyFromIndex(index, batch, raw,
+        queryIdCol, queryEmbCol, corpusIdCol, corpusEmbCol, n, lambda,
+        shortlist, nprobe), batchId)
     }.start()
 
   /** Streaming eval-set decontamination (SURVEY §2.3 S × D): each

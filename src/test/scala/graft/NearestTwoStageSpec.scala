@@ -291,6 +291,51 @@ class NearestTwoStageSpec extends AnyFunSuite {
         "vec_id", "embedding", n = 5, lambda = 0.5, shortlist = 4))
   }
 
+  test("streaming batch MMR from the index: two-batch drain == batch operator on the union (per-query independence); frozen index reused") {
+    import graft.operators.IvfPqIndex
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.000f, 0.001f, 0.0f)),
+      (4L, Seq(0.000f, 1.000f, 0.0f, 0.0f)),
+      (5L, Seq(0.001f, 0.999f, 0.0f, 0.0f)),
+      (6L, Seq(0.500f, 0.500f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = IvfPqIndex.build(emb, "embedding", nlist = 2, m = 2, k = 65536)
+    assert(idx.model.lossless)
+    val q1 = Seq((100L, Seq(0.75f, 0.66f, 0f, 0f)))
+      .toDF("query_id", "qe").withColumn("qe", col("qe").cast("array<float>"))
+    val q2 = Seq((200L, Seq(0.66f, 0.75f, 0f, 0f)))
+      .toDF("query_id", "qe").withColumn("qe", col("qe").cast("array<float>"))
+    def canon(rows: Seq[(Long, Long, Int, Double)]) = rows.sortBy(t => (t._1, t._3))
+    val want = canon(Nearest.mmrTopKManyFromIndex(idx, q1.union(q2), emb,
+        "query_id", "qe", "vec_id", "embedding", n = 3, lambda = 0.5,
+        shortlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.rint(r.getDouble(3) * 1e9) / 1e9)).toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_stream")
+    q1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    q2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    val stream = spark.readStream.schema(q1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    var batches = 0
+    val q = graft.streaming.StreamOps.mmrManyFromIndexPerBatch(stream, idx,
+      emb, "query_id", "qe", "vec_id", "embedding", n = 3, lambda = 0.5,
+      shortlist = 4, nprobe = 2) { (res, _) =>
+      buf.synchronized {
+        buf ++= res.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), math.rint(r.getDouble(3) * 1e9) / 1e9))
+        batches += 1
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(canon(buf.toSeq) == want,
+      s"stream drain must equal the batch operator:\n${canon(buf.toSeq)}\n$want")
+  }
+
   test("materialized prefix: twoStagePrefixTopK == twoStageTopK (same floats), stage-1 scan pruned; refusals") {
     val df = fixture
     val q = query(df, 7L)
