@@ -1198,6 +1198,138 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Batch MMR from the coded index vs the raw-vector scan at 1M:
+    //   sbt "runMain graft.ScaleProbe 1000000 mmrindex"
+    // The r17 VERDICT #2 shape, measured: mmrTopKMany's shortlist
+    // stage scans 1M × 4d-byte raw vectors per query batch
+    // (knnJoinAgg), while mmrTopKManyFromIndex scans nprobe/nlist of
+    // m-byte CODES and fetches raw vectors only for shortlist rows —
+    // the AT-REST bytes story; at 1M fully page-cached the raw
+    // single-codegen-pass scan is CPU-cheap, so wall-clock favors it
+    // locally and the coded path's win is I/O-bound at corpus scale
+    // (both times printed, neither asserted). Fixture = opqivfpq's
+    // clustered corpus with PLANTED neighbors: each of 32 queries has
+    // 10 planted rows at noise 0.004 (vs cluster noise 1.5), so the
+    // true top-10 is the planted set — a fixture whose fine order the
+    // codec CAN see (the raw within-cluster top-50 of a 15625-row
+    // near-tie ball is exactly what PQ cannot and should not
+    // fine-rank). Assertions: (a) every coded-path similarity is the
+    // EXACT cosine of its (query, id) pair — the re-score contract at
+    // ANY coding quality, asserted pair-by-pair; (b) at λ = 1 (pure
+    // relevance — selection IS the top-10, i.e. the planted set) the
+    // per-query selection overlap with the raw path above a measured
+    // floor: codes cost shortlist membership only, and λ = 1 is the
+    // config where membership is all that matters (at λ = 0.5 the
+    // greedy DIVERSIFIES away from the planted near-dup ball after one
+    // pick — by design — and the diverse picks land in the cluster's
+    // near-tie lottery, measured overlap 0.19: asserting there would
+    // test tie-breaking, not the codec). Measured at 1M over 32
+    // queries: OPQ∘residual overlap 0.847 (floor 0.6 with margin);
+    // plain residual coding measured 0.459 on the same fixture — the
+    // learned rotation buys the shortlist membership, the r16/r17
+    // OPQ claim reproduced on the batch-MMR path.
+    if (args.contains("mmrindex")) {
+      import graft.operators.{Nearest, OpqIvfPqIndex, SimJoin}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val centers = Array.tabulate(64, dim)((c, j) =>
+        (math.sin(c * 2.1 + j * 0.7) * math.pow(0.85, j)).toFloat)
+      val background = spark.range(n).toDF("vec_id")
+        .withColumn("__c", pmod(col("vec_id"), lit(64)).cast("int"))
+        .select(col("vec_id"), array((0 until dim).map(j =>
+          (element_at(lit(centers.map(_(j))), col("__c") + 1) +
+            (rand(seed = 7 + j) - lit(0.5)) * lit(1.5 * math.pow(0.9, j)))
+            .cast("float")): _*)
+          .as("__z"))
+      // 10 planted near-duplicates per query row (ids n + q*10 + i):
+      // tiny jitter around the query vector — the retrievable truth set
+      val qVecs = background.where(col("vec_id") < 32)
+        .orderBy("vec_id").collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val planted = spark.range(320).toDF("i")
+        .withColumn("__q", (col("i") / 10).cast("int"))
+        .select((col("i") + n).as("vec_id"),
+          array((0 until dim).map(j =>
+            (element_at(lit(qVecs.map(_(j))), col("__q") + 1) +
+              (rand(seed = 99 + j) - lit(0.5)) * lit(0.004))
+              .cast("float")): _*).as("__z"),
+          col("__q"))
+      // one global orthogonal mix (the opqivfpq probe's construction):
+      // cosines untouched, but noise energy spreads across every PQ
+      // subspace — UNMIXED, the axis-aligned anisotropic noise piles
+      // into the first subvectors and even full-probe ADC top-50
+      // becomes a reconstruction-noise lottery (measured: planted
+      // recall 0.25 unmixed at nprobe = 64 vs ~0.9 mixed — the Ge et
+      // al. subspace-balance effect, reproduced accidentally)
+      val mixRnd = new scala.util.Random(7)
+      val gs = Array.fill(dim, dim)(mixRnd.nextGaussian())
+      for (j <- 0 until dim) {
+        for (p <- 0 until j) {
+          val dot = (0 until dim).map(i => gs(i)(j) * gs(i)(p)).sum
+          for (i <- 0 until dim) gs(i)(j) -= dot * gs(i)(p)
+        }
+        val nn = math.sqrt((0 until dim).map(i => gs(i)(j) * gs(i)(j)).sum)
+        for (i <- 0 until dim) gs(i)(j) /= nn
+      }
+      val mix = Array.tabulate(dim * dim)(x => gs(x / dim)(x % dim).toFloat)
+      val corpus = background.unionByName(planted.drop("__q"))
+        .withColumn("embedding", ColumnBridge.column(
+          graft.expressions.RotateVector(
+            ColumnBridge.expression(col("__z")), mix, dim)))
+        .drop("__z")
+        .repartition(32).localCheckpoint(true)
+      val queries = corpus.where(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .localCheckpoint(true)
+      val raw = time(f"mmrindex: RAW batch MMR 32q over ${n / 1000000}M") {
+        Nearest.mmrTopKMany(queries, corpus, "query_id", "qe", "vec_id",
+            "embedding", n = 10, lambda = 1.0, shortlist = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      // the OPQ,IVF,PQ stack through the AnnIndex trait — the config
+      // the opqivfpq probe measured at planted recall 1.000 (plain
+      // residual coding measured 0.459 here over 32 queries: the
+      // learned rotation is what buys the shortlist membership)
+      val idx = time("mmrindex: build OPQ,IVF64,PQ8 res=true k=256") {
+        OpqIvfPqIndex.build(corpus, "embedding", nlist = 64, m = 8, k = 256,
+          maxTrain = 16384, opqIters = 4, byResidual = true)
+      }
+      val codedRows = time("mmrindex: CODED batch MMR 32q nprobe=8") {
+        Nearest.mmrTopKManyFromIndex(idx, queries, corpus, "query_id", "qe",
+            "vec_id", "embedding", n = 10, lambda = 1.0, shortlist = 50,
+            nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      }
+      // (a) emitted similarities are EXACT cosines — the re-score
+      // contract, independent of coding quality
+      val vecs = corpus.where(col("vec_id") < 32 ||
+          col("vec_id").isin(codedRows.map(t => Long.box(t._2)).distinct.toIndexedSeq: _*))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray).toMap
+      def cosD(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      codedRows.foreach { case (q, id, sim) =>
+        val exact = cosD(vecs(q), vecs(id))
+        require(math.abs(exact - sim) < 1e-9,
+          f"coded-path sim $sim%.12f != exact cosine $exact%.12f for ($q, $id)")
+      }
+      // (b) selection overlap with the raw path — at λ = 1 the planted
+      // sets ARE both paths' top-10, so overlap measures shortlist
+      // recall of the codec, not near-tie lottery
+      val coded = codedRows.map(t => (t._1, t._2)).toSet
+      val overlap = (coded & raw).size.toDouble / raw.size
+      println(f"[scale-probe] mmrindex: selection overlap coded-vs-raw " +
+        f"$overlap%.3f over ${raw.size} picks (n=10 x 32q, lambda=1)")
+      require(overlap >= 0.6,
+        f"coded-path selection overlap $overlap%.3f fell below the 0.6 floor")
+      spark.stop()
+      return
+    }
     // IVF probe cost under ZIPF cell skew at 1M:
     //   sbt "runMain graft.ScaleProbe 1000000 ivfskew"
     // The recall/latency story assumes probe cost ≈ nprobe/nlist of the
