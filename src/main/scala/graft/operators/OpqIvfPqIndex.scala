@@ -57,7 +57,14 @@ final class OpqIvfPqIndex private[operators] (
     /** The IVFADC index over the ROTATED corpus. Its centroids and
       * codes live in rotated space — meaningful only through this
       * wrapper. */
-    val inner: IvfPqIndex) extends AnnIndex {
+    val inner: IvfPqIndex,
+    /** Build-time mean codec self-similarity ([[codecSelfSimilarity]]
+      * over the build corpus) — the [[codecGuard]] baseline. Measured
+      * by [[OpqIvfPqIndex.build]], persisted in the sidecar, restored
+      * by [[OpqIvfPqIndex.load]]; `None` on [[withArtifacts]] indexes
+      * (degenerate-anchor constructor — measure explicitly if you
+      * intend to guard) and pre-round-18 layouts. */
+    val codecBaseline: Option[Double] = None) extends AnnIndex {
 
   override def dim: Int = inner.model.dim
   def byResidual: Boolean = inner.byResidual
@@ -132,7 +139,8 @@ final class OpqIvfPqIndex private[operators] (
     * rotation seam (spec'd). */
   def addBatch(newDf: DataFrame, embCol: String): OpqIvfPqIndex =
     new OpqIvfPqIndex(rotation,
-      inner.addBatch(OpqIvfPqIndex.rotated(newDf, embCol, rotation, dim), embCol))
+      inner.addBatch(OpqIvfPqIndex.rotated(newDf, embCol, rotation, dim), embCol),
+      codecBaseline)
 
   /** [[addBatch]] straight into a SAVED layout (rotate, then append
     * coded rows under their `cell=` partitions of the nested inner
@@ -197,9 +205,11 @@ final class OpqIvfPqIndex private[operators] (
   /** Rotation/codebook STALENESS guard for appends — the
     * [[ParaBloom.saturationGuard]] convention (quiet / warn / refuse
     * with a named remedy): measures [[codecSelfSimilarity]] on the
-    * batch and compares to `baselineSelfSim`, the same number measured
-    * on the build corpus at build time (one bounded pass — record it
-    * next to the layout). A drop past `refuseDrop` means the frozen
+    * batch and compares to `baselineSelfSim` — by default the
+    * [[codecBaseline]] the BUILD measured and the layout persists
+    * (build → save → load keeps the guard armed for free; a
+    * [[withArtifacts]] index or a pre-baseline layout REFUSES by name
+    * until one is passed explicitly). A drop past `refuseDrop` means the frozen
     * rotation no longer aligns the batch's principal subspaces with
     * the codebook split: appended codes would serve with silently
     * degraded recall, so REFUSE and name the remedy (re-fit with
@@ -208,7 +218,13 @@ final class OpqIvfPqIndex private[operators] (
     * returns the warning for the caller's telemetry. A batch that
     * codes BETTER than baseline is quiet — only degradation is
     * drift. */
-  def codecGuard(batch: DataFrame, embCol: String, baselineSelfSim: Double,
+  def codecGuard(batch: DataFrame, embCol: String,
+      baselineSelfSim: Double = codecBaseline.getOrElse(
+        throw new IllegalArgumentException(
+          "this index carries no build-time codec baseline (a withArtifacts " +
+            "construction, or a layout saved before baselines persisted) — " +
+            "pass baselineSelfSim explicitly, measured by codecSelfSimilarity " +
+            "on the build corpus")),
       warnDrop: Double = 0.02, refuseDrop: Double = 0.05,
       maxSample: Int = 65536): Option[String] = {
     require(baselineSelfSim >= -1.0 && baselineSelfSim <= 1.0,
@@ -242,7 +258,11 @@ final class OpqIvfPqIndex private[operators] (
   def save(path: String): Unit = {
     val spark = inner.encoded.sparkSession
     import spark.implicits._
-    IvfIndex.writeSidecar(spark, path, "_opqivfpq.json", s"""{"dim": $dim}""")
+    IvfIndex.writeSidecar(spark, path, "_opqivfpq.json",
+      codecBaseline match {
+        case Some(b) => s"""{"dim": $dim, "codec_baseline": $b}"""
+        case None => s"""{"dim": $dim}"""
+      })
     (0 until dim).map(i => (i, rotation.slice(i * dim, (i + 1) * dim).toSeq))
       .toDF("row", "vector")
       .write.mode("overwrite").parquet(s"$path/rotation")
@@ -279,9 +299,15 @@ object OpqIvfPqIndex {
       normCol: String = "emb_norm", byResidual: Boolean = false): OpqIvfPqIndex = {
     val (rot, _) = OpqIndex.fitRotation(df, embCol, m, k, maxTrain, opqIters, seed)
     val dim = math.sqrt(rot.length.toDouble).toInt
-    new OpqIvfPqIndex(rot,
+    val idx = new OpqIvfPqIndex(rot,
       IvfPqIndex.build(rotated(df, embCol, rot, dim), embCol, nlist, m, k,
         maxTrain, seed.toLong, codesCol, normCol, byResidual))
+    // the codecGuard baseline: one bounded deterministic pass over the
+    // build corpus (<= maxTrain sampled rows), while the raw vectors
+    // still exist — after this the corpus at rest is codes and the
+    // number can never be measured again
+    new OpqIvfPqIndex(rot, idx.inner,
+      Some(idx.codecSelfSimilarity(df, embCol, maxSample = maxTrain)))
   }
 
   /** An index from FROZEN artifacts — rotation + ROTATED-SPACE
@@ -332,8 +358,15 @@ object OpqIvfPqIndex {
   }
 
   /** Reopen a saved stack (see [[readRotation]] for the layout
-    * refusal). */
-  def load(spark: SparkSession, path: String): OpqIvfPqIndex =
-    new OpqIvfPqIndex(readRotation(spark, path),
-      IvfPqIndex.load(spark, s"$path/ivfpq"))
+    * refusal). The codec baseline is restored when the sidecar
+    * carries one (layouts saved before baselines persisted reopen
+    * with `None` — [[OpqIvfPqIndex.codecGuard]] then refuses by name
+    * until a baseline is passed explicitly). */
+  def load(spark: SparkSession, path: String): OpqIvfPqIndex = {
+    val rot = readRotation(spark, path)
+    val json = IvfIndex.readSidecar(spark, path, "_opqivfpq.json")
+    val baseline = """"codec_baseline"\s*:\s*([-+0-9.eE]+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+    new OpqIvfPqIndex(rot, IvfPqIndex.load(spark, s"$path/ivfpq"), baseline)
+  }
 }

@@ -274,11 +274,33 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
     // up as codec quality, which a lossless codebook would mask
     val idx = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
       opqIters = 4, byResidual = true)
+    // the build MEASURED the baseline (one bounded pass while raw
+    // vectors still existed) and it equals an explicit re-measure
     val baseline = idx.codecSelfSimilarity(df, "embedding")
+    assert(idx.codecBaseline.contains(baseline),
+      s"build must store the measured baseline: ${idx.codecBaseline} vs $baseline")
     assert(baseline > 0.5 && baseline <= 1.0, s"implausible baseline $baseline")
     // design load: the build distribution itself measures AT the
-    // baseline — quiet
+    // baseline — quiet, with the STORED default (no explicit arg)
+    assert(idx.codecGuard(df, "embedding").isEmpty)
     assert(idx.codecGuard(df, "embedding", baseline).isEmpty)
+    // save → load round-trips the baseline, so a reopened layout
+    // guards for free; a withArtifacts index carries none and the
+    // no-arg guard refuses by name
+    val bdir = java.nio.file.Files.createTempDirectory("graft_opq_baseline").toString
+    try {
+      idx.save(bdir)
+      val re = OpqIvfPqIndex.load(spark, bdir)
+      assert(re.codecBaseline.contains(baseline),
+        s"persisted baseline must round-trip: ${re.codecBaseline} vs $baseline")
+    } finally rm(new java.io.File(bdir))
+    val bare = OpqIvfPqIndex.withArtifacts(df, "embedding", idx.rotation,
+      idx.inner.centroidVectors, idx.model, byResidual = true)
+    assert(bare.codecBaseline.isEmpty)
+    val noBase = intercept[IllegalArgumentException](
+      bare.codecGuard(df, "embedding"))
+    assert(noBase.getMessage.contains("no build-time codec baseline"),
+      noBase.getMessage)
     // planted drift: structureless ±-pattern vectors share nothing
     // with the correlated fixture's subspaces — the frozen rotation
     // and codebooks code them badly, and the guard must REFUSE with
