@@ -2452,6 +2452,26 @@ object SparkEntry {
       Tables(s, d, "documents").select(
         col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("split"))
         .orderBy(col("doc_id"))),
+    // §2.3 T ORACLED (round 18): LEAK-SAFE group-consistent splitting
+    // — every member of a duplicate component lands in the SAME split
+    // (decided by the representative's hash), so near-dup pairs can
+    // never straddle train/eval (the Lee et al. 2022 §6.2 leakage).
+    // Pairs come from the dedup ladder itself at ITS exact degenerate
+    // (minhashPairs at threshold 1 / shingle 1 / bands 1 — provably
+    // the identical-word-set pairs, the dedup_minhash_exact property,
+    // with 54 REAL groups at sf0.01), so the closure's representative
+    // is provably min(doc_id) per word-set group and the whole
+    // operator — pairs ∘ closure ∘ md5 bucket rule — replays in SQL;
+    // the transitive-CHAIN behavior (a~b ∘ b~c forces a~c together
+    // without an a~c pair) is TextMlSpec's.
+    "leak_safe_split" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 1.0,
+        shingleSize = 1, bands = 1)
+      TextAnalysis.leakSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T: stopword-profile language ID
     "lang_id" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -5413,6 +5433,26 @@ object SparkEntry {
           |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
           |            ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // leak-safe splitting with minhash-exact pairs: identical-word-
+      // set cliques close to min(doc_id) per group (empty-gram docs
+      // never pair — they are their own representative), then the
+      // identical md5 rule on the REPRESENTATIVE id
+      "leak_safe_split" ->
+        s"""WITH d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '$Ws'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_sort(list_distinct(toks)) AS grams FROM d),
+          |r AS (SELECT doc_id,
+          |             CASE WHEN len(grams) = 0 THEN doc_id
+          |                  ELSE min(doc_id) OVER (PARTITION BY grams) END AS rep
+          |      FROM g)
+          |SELECT doc_id,
+          |       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+          |            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM r ORDER BY doc_id""".stripMargin,
       "lang_id" ->
         s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,

@@ -251,6 +251,49 @@ object TextAnalysis {
   }
 
   /**
+   * LEAK-SAFE train/val/test split (round 18): group-consistent
+   * assignment — every member of a duplicate COMPONENT lands in the
+   * SAME split, decided by the component representative's hash. The
+   * failure mode this exists for is the standard eval-hygiene one
+   * (Lee et al. 2022 §6.2 measure it directly: near-duplicates of
+   * eval examples in the training split inflate eval scores): a plain
+   * per-row [[splitAssign]] scatters the members of a near-dup group
+   * independently, so ~2·trainFrac·(1−trainFrac) of every dup PAIR
+   * straddles train/eval. Feeding the SAME `pairs` frame the dedup
+   * ladder already produces (exact groups, MinHash bands, PPJoin,
+   * SimHash, embedding-cosine — any of them) makes the split
+   * leak-free BY CONSTRUCTION, and transitively: a~b and b~c force
+   * all three together even when a~c was never emitted as a pair
+   * ([[Dedup.duplicateComponents]]'s min-label closure, not a
+   * per-pair patch).
+   *
+   * Scale shape: the component table is PAIR-sized (near-dup pairs,
+   * not rows), built by the bounded closure (driver union-find under
+   * `maxDriverEdges`, spec'd-equal distributed propagation above it);
+   * the corpus side pays ONE left join on the id key plus the same
+   * md5-bucket arithmetic as [[splitAssign]] — no window over the
+   * corpus, nothing collects. Rows in no pair keep their own id as
+   * representative, i.e. degrade to exactly [[splitAssign]] (spec'd),
+   * so the operator composes as a drop-in replacement.
+   */
+  def leakSafeSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      pairs: org.apache.spark.sql.DataFrame, trainFrac: Double = 0.9,
+      valFrac: Double = 0.05, splitCol: String = "split",
+      maxDriverEdges: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(splitCol),
+      s"input frame already carries a '$splitCol' column — it would be " +
+        "silently replaced; rename it or pass a different splitCol")
+    require(!df.columns.contains("__lss_rep"),
+      "input frame carries reserved staging column '__lss_rep' — rename it first")
+    val comps = Dedup.duplicateComponents(pairs, maxDriverEdges = maxDriverEdges)
+      .select(col("id").as(idCol), col("rep").as("__lss_rep"))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn(splitCol,
+        splitAssign(coalesce(col("__lss_rep"), col(idCol)), trainFrac, valFrac))
+      .drop("__lss_rep")
+  }
+
+  /**
    * Deterministic hash-based sampling: keep a row iff its md5 bucket
    * (256ths, same scheme as [[splitAssign]]) falls under the stratum's
    * fraction. Unlike `rand()`-based sampling this is stable across

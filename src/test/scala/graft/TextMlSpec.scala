@@ -542,6 +542,49 @@ class TextMlSpec extends AnyFunSuite {
     ).getMessage.contains("NULL"))
   }
 
+  test("leakSafeSplit: chains land together transitively; non-dup rows degrade to splitAssign; refusals") {
+    // a 3-chain (1~2, 2~3 — NO 1~3 pair) plus isolated rows: the
+    // whole chain must share one split even though 1 and 3 were never
+    // paired directly — the transitivity a per-pair patch misses
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = TextAnalysis.leakSafeSplit(docs, "doc_id", pairs)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L),
+      s"the chain must share one split: ${got.filterKeys(_ <= 3L)}")
+    // the shared split is the REPRESENTATIVE'S (min id = 1)
+    val plain = docs.select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(3L) == plain(1L), "chain members take the representative's split")
+    // rows in no pair keep their plain splitAssign value exactly
+    (4L to 40L).foreach(i => assert(got(i) == plain(i),
+      s"non-dup row $i must degrade to splitAssign"))
+    // no pair straddles splits, by construction — assert anyway on a
+    // denser random pair set
+    val rnd = new scala.util.Random(3)
+    val dense = (0 until 30).map(_ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val g2 = TextAnalysis.leakSafeSplit(docs, "doc_id", dense)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    dense.collect().foreach { r =>
+      assert(g2(r.getLong(0)) == g2(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles splits")
+    }
+    // refusals: existing split column, reserved staging column
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.leakSafeSplit(docs.withColumn("split", lit("x")),
+        "doc_id", pairs)
+    ).getMessage.contains("split"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.leakSafeSplit(docs.withColumn("__lss_rep", lit(1L)),
+        "doc_id", pairs)
+    ).getMessage.contains("__lss_rep"))
+  }
+
   test("streaming budget: two score-ordered batches drain to the batch operator on the concatenation; the remaining-budget state carries") {
     // every batch-1 score > every batch-2 score — the arrival order
     // under which the carried per-batch rule provably equals one
