@@ -1836,6 +1836,41 @@ object SparkEntry {
       buf.toSeq.toDF("query_id", "vec_id", "mmr_rank", "similarity")
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
+    // North-star SERVING composition ORACLED (round 18): the RAG
+    // retrieval chain a serving app runs — a TABLE of queries →
+    // coded-index batch search → MMR diversification → join the DOC
+    // TEXT the prompt splices in — as one flow over the coded corpus
+    // (every curation composition ends at a training layout; this is
+    // the other end of the lifecycle, the SERVING composition over
+    // the same artifacts). At the composed degenerates (three-way OPQ
+    // ∘ nprobe = 1-of-1 ∘ λ = 1) the retrieval half IS mmr_many_exact
+    // and the text join replays as md5(text) on the id equality —
+    // drift in retrieval, diversification, OR the id seam fails the
+    // row.
+    "pipeline_rag_serve" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val docs = Tables(s, d, "documents")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "pipeline_rag_serve requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val idx: graft.operators.AnnIndex = OpqIvfPqIndex.withArtifacts(e,
+        "embedding", OpqIndex.identityRotation(dim),
+        Array(Array.fill(dim)(0f)), model, byResidual = true)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKManyFromIndex(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", n = 3, lambda = 1.0, shortlist = 10,
+          nprobe = 1)
+        .join(docs.select(col("doc_id").as("vec_id"), col("text")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
     // §2.3 J rows-only twin: batch MMR from the index at the DEPLOYED
     // shape — the full OPQ,IVF,PQ stack (learned rotation, real
     // quantizer, lossy residual codebooks) at nprobe = 4, λ = 0.5:
@@ -4905,7 +4940,7 @@ object SparkEntry {
     // PLUS the selection rank as a per-query row_number over the same
     // (cos DESC, vec_id) total order. Shared by the raw-scan operator
     // and both coded-index compositions at their exact degenerates.
-    val mmrManySql =
+    val mmrManyCtes =
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (
         |  SELECT q.query_id, e.vec_id,
@@ -4918,7 +4953,9 @@ object SparkEntry {
         |  CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
         |  FROM p),
         |ranked AS (SELECT query_id, vec_id, cos,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)""".stripMargin
+    val mmrManySql = mmrManyCtes +
+      """
         |SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
         |       round(cos, 6) AS similarity
         |FROM ranked WHERE rn <= 3
@@ -5127,6 +5164,18 @@ object SparkEntry {
       // batch, and the one-file fixture is one micro-batch — the
       // identical derivation at the same degenerates
       "mmr_many_index_stream" -> mmrManySql,
+      // the RAG serving chain: the mmr_many derivation + the doc-text
+      // join on the id seam (embeddings.vec_id = documents.doc_id in
+      // the fixture), text fingerprinted for the compare
+      "pipeline_rag_serve" -> (mmrManyCtes +
+        """,
+          |sel AS (SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+          |               round(cos, 6) AS similarity
+          |        FROM ranked WHERE rn <= 3)
+          |SELECT s.query_id, s.vec_id, s.mmr_rank, s.similarity,
+          |       md5(d.text) AS text_md5
+          |FROM sel s JOIN documents d ON d.doc_id = s.vec_id
+          |ORDER BY s.query_id, s.mmr_rank""".stripMargin),
       // streaming drain of the heap k-NN join against the static
       // corpus — per-batch == batch, so the oracle is shared
       "simjoin_knn_stream" -> oracleSqlKnn,

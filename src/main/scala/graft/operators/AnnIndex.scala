@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * The ANN SERVING surface every coded index tier presents (r17 VERDICT
@@ -60,4 +60,28 @@ trait AnnIndex extends Serializable {
       queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
       corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
       simCol: String = "similarity"): DataFrame
+}
+
+object AnnIndex {
+
+  /** Reopen WHATEVER coded-index layout lives at `path` — sniffs the
+    * sidecar and dispatches to the right loader ([[OpqIvfPqIndex]]'s
+    * nested layout first: its `$path/ivfpq` subtree IS a plain IVFADC
+    * layout, so probing in the other order would open a rotated stack
+    * as its inner half and silently serve un-rotated queries — the
+    * exact footgun the nesting exists to prevent). Refuses by name
+    * when neither sidecar is readable: guessing a layout class would
+    * trade a loud error for silently wrong similarity scores. */
+  def open(spark: SparkSession, path: String): AnnIndex = {
+    def has(sidecar: String): Boolean =
+      try { IvfIndex.readSidecar(spark, path, sidecar); true }
+      catch { case _: Exception => false }
+    if (has("_opqivfpq.json")) OpqIvfPqIndex.load(spark, path)
+    else if (has("_ivfpq.json")) IvfPqIndex.load(spark, path)
+    else throw new IllegalArgumentException(
+      s"$path is not a coded-index layout this engine can open (no readable " +
+        "_opqivfpq.json or _ivfpq.json sidecar) — plain vector-tier IVF " +
+        "layouts reopen with IvfIndex.load, which serves raw vectors and " +
+        "is deliberately outside the coded AnnIndex seam")
+  }
 }

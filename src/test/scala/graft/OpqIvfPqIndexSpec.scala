@@ -127,6 +127,13 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
       // _ivfpq.json there) — rotated codes can never silently serve
       // un-rotated queries
       intercept[Exception](IvfPqIndex.load(spark, dir))
+      // the dispatching opener returns the OPQ class for this layout
+      // (probing OPQ FIRST — $dir/ivfpq is itself a valid plain
+      // layout, and opening that half would serve un-rotated queries)
+      val opened = graft.operators.AnnIndex.open(spark, dir)
+      assert(opened.isInstanceOf[OpqIvfPqIndex], opened.getClass.getName)
+      assert(run(opened.asInstanceOf[OpqIvfPqIndex]) == run(idx),
+        "the dispatch-opened stack must serve the in-memory stack's results")
       // and the OPQ loader refuses a plain IVFADC layout by name
       val plainDir = java.nio.file.Files.createTempDirectory("graft_plain_ivfpq").toString
       try {
@@ -134,7 +141,17 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
         val e = intercept[IllegalArgumentException](
           OpqIvfPqIndex.load(spark, plainDir))
         assert(e.getMessage.contains("not an OPQ∘IVFADC layout"), e.getMessage)
+        // the dispatcher opens the plain layout as IvfPqIndex
+        assert(graft.operators.AnnIndex.open(spark, plainDir)
+          .isInstanceOf[IvfPqIndex])
       } finally rm(new java.io.File(plainDir))
+      // and a directory with neither sidecar refuses by name
+      val emptyDir = java.nio.file.Files.createTempDirectory("graft_not_an_index").toString
+      try {
+        val e2 = intercept[IllegalArgumentException](
+          graft.operators.AnnIndex.open(spark, emptyDir))
+        assert(e2.getMessage.contains("not a coded-index layout"), e2.getMessage)
+      } finally rm(new java.io.File(emptyDir))
     } finally rm(new java.io.File(dir))
   }
 
