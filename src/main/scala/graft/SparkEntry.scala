@@ -3915,6 +3915,11 @@ object SparkEntry {
           byResidual = true)
         half.save(path)
         half.appendToSaved(path, e.where(col("vec_id") % 2 === 1), "embedding")
+        // round 18: COMPACT the appended tree before serving — the
+        // small-file maintenance step a long-lived layout runs; rows
+        // are untouched (spec'd), so the oracle now covers save →
+        // append → compact → load → serve end to end
+        OpqIvfPqIndex.compactSaved(s, path)
         marker.createNewFile(): Unit
       }
       val idx = OpqIvfPqIndex.load(s, path)

@@ -531,4 +531,86 @@ object IvfPqIndex {
     new IvfPqIndex(cents, model, spark.read.parquet(s"$path/data"),
       codesCol, normCol, byResidual)
   }
+
+  /** Files-per-cell telemetry for a SAVED layout's data tree — the
+    * gauge that says when to [[compactSaved]]: every
+    * [[IvfPqIndex.appendToSaved]] (and every micro-batch of a
+    * streaming ingest) writes NEW files under each `cell=` partition,
+    * so a long-lived layout accretes thousands of small files per
+    * cell — the classic small-file tax (footer-read per file per
+    * probe, listing RPCs, tiny row groups defeating column-chunk
+    * IO). Returns (cell, n_files, bytes); driver-side FS listing, one
+    * RPC per cell directory — nlist RPCs, corpus-size-free. */
+  def layoutStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dataPath),
+      s"$path/data does not exist — not a saved IVFADC layout")
+    fs.listStatus(dataPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        (st.getPath.getName.stripPrefix("cell=").toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }
+      .toDF("cell", "n_files", "bytes")
+  }
+
+  /** COMPACT a saved layout's data tree: rewrite each `cell=`
+    * partition into ~`targetFileBytes` files (one writer task per
+    * cell via a cell-key repartition; oversize cells split by
+    * `maxRecordsPerFile` derived from the measured bytes/row), then
+    * swap the tree in. Contents are row-identical — a reopened index
+    * serves the same results (spec'd) — only the FILE layout changes;
+    * probe filters still prune whole `cell=` directories.
+    *
+    * Swap protocol (crash-safe by refusal, not by magic): the
+    * compacted tree is fully written and row-count-verified at
+    * `$path/data_compacting` BEFORE any rename; then
+    * data → data_precompact, data_compacting → data, delete
+    * data_precompact. A crash between the renames leaves
+    * `data_precompact` (the intact original) and possibly no `data` —
+    * this entry point REFUSES to start while either staging directory
+    * exists and names the manual recovery (rename data_precompact
+    * back), instead of guessing which tree is authoritative. */
+  def compactSaved(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    IvfIndex.readSidecar(spark, path, "_ivfpq.json") // layout refusal first
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/data_precompact")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dataPath), s"$path/data does not exist")
+    require(!fs.exists(tmpPath) && !fs.exists(oldPath),
+      s"$path carries a staging tree from an interrupted compaction " +
+        "(data_compacting and/or data_precompact) — recover first: if " +
+        "data/ is missing, rename data_precompact back to data; then " +
+        "delete the leftover staging directories and re-run")
+    val df = spark.read.parquet(s"$path/data")
+    val nRows = df.count()
+    val totalBytes = layoutStats(spark, path)
+      .agg(sum(col("bytes"))).head().getLong(0)
+    val maxRecords = math.max(1L,
+      if (totalBytes <= 0L || nRows == 0L) Long.MaxValue
+      else targetFileBytes / math.max(1L, totalBytes / nRows))
+    df.repartition(col("cell"))
+      .write.option("maxRecordsPerFile", maxRecords)
+      .partitionBy("cell").parquet(tmpPath.toString)
+    val nTmp = spark.read.parquet(tmpPath.toString).count()
+    if (nTmp != nRows) {
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"compacted tree holds $nTmp rows, source holds $nRows — aborted " +
+          "and deleted the staging tree; the original layout is untouched")
+    }
+    require(fs.rename(dataPath, oldPath), s"could not stage $dataPath aside")
+    require(fs.rename(tmpPath, dataPath),
+      s"could not move the compacted tree into place — the original is " +
+        s"intact at $oldPath (rename it back to data/ to recover)")
+    fs.delete(oldPath, true): Unit
+  }
 }

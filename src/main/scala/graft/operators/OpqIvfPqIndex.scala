@@ -357,6 +357,24 @@ object OpqIvfPqIndex {
     rows.flatMap(_._2)
   }
 
+  /** [[IvfPqIndex.layoutStats]] for the NESTED data tree of a saved
+    * stack — the small-file gauge for rotated layouts; refuses a
+    * non-OPQ path first (the wrong-layout-class convention). */
+  def layoutStats(spark: SparkSession, path: String): DataFrame = {
+    readRotation(spark, path): Unit // layout refusal
+    IvfPqIndex.layoutStats(spark, s"$path/ivfpq")
+  }
+
+  /** [[IvfPqIndex.compactSaved]] on the NESTED data tree — codes are
+    * opaque bytes to the compactor, so the rotation seam is
+    * untouched: the swap rewrites files, never values, and a
+    * reopened stack serves identical results (spec'd). */
+  def compactSaved(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    readRotation(spark, path): Unit // layout refusal
+    IvfPqIndex.compactSaved(spark, s"$path/ivfpq", targetFileBytes)
+  }
+
   /** Reopen a saved stack (see [[readRotation]] for the layout
     * refusal). The codec baseline is restored when the sidecar
     * carries one (layouts saved before baselines persisted reopen

@@ -166,6 +166,50 @@ class IvfPqIndexSpec extends AnyFunSuite {
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(got == exact)
       assert(re.driftGuard(maxFactor = 8.0) >= 1.0)
+
+      // ---- small-file telemetry + compaction over the appended tree
+      // a few more appends to pile up files per cell
+      half.appendToSaved(dir, b.limit(20), "embedding")
+      half.appendToSaved(dir, b.limit(20), "embedding")
+      val before = IvfPqIndex.layoutStats(spark, dir)
+        .agg(sum(col("n_files")), max(col("n_files"))).head()
+      assert(before.getLong(1) >= 3,
+        s"appends must accrete multiple files per cell: $before")
+      def codedRows(i: IvfPqIndex) = i.encoded
+        .select(col("vec_id"), col("cell"), hex(col("pq_codes")).as("c"),
+          col("emb_norm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+      val preCompact = codedRows(IvfPqIndex.load(spark, dir))
+      val preSearch = IvfPqIndex.load(spark, dir)
+        .search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      IvfPqIndex.compactSaved(spark, dir)
+      val after = IvfPqIndex.layoutStats(spark, dir)
+        .agg(sum(col("n_files")), max(col("n_files"))).head()
+      assert(after.getLong(1) == 1,
+        s"compaction at a generous target must leave one file per cell: $after")
+      assert(after.getLong(0) < before.getLong(0),
+        s"total files must drop: ${before.getLong(0)} -> ${after.getLong(0)}")
+      // contents row-identical: the reopened index serves the same
+      // coded rows and the same search results
+      val post = IvfPqIndex.load(spark, dir)
+      assert(codedRows(post) == preCompact,
+        "compaction must rewrite files, never rows")
+      assert(post.search(q, k = 10, nprobe = 4, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq == preSearch,
+        "compaction must not change what the layout serves")
+      // refusals: leftover staging tree, non-layout path, tiny target
+      val staging = new java.io.File(s"$dir/data_precompact")
+      staging.mkdir()
+      assert(intercept[IllegalArgumentException](
+        IvfPqIndex.compactSaved(spark, dir)
+      ).getMessage.contains("interrupted compaction"))
+      staging.delete()
+      intercept[Exception](
+        IvfPqIndex.compactSaved(spark, s"$dir/definitely_not_a_layout"))
+      intercept[IllegalArgumentException](
+        IvfPqIndex.compactSaved(spark, dir, targetFileBytes = 1024L))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit

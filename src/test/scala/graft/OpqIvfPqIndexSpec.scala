@@ -174,6 +174,19 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
       assert(codedRows(re) == codedRows(half.addBatch(b, "embedding")),
         "persisted append must code row-for-row like the in-memory addBatch")
+      // compaction through the rotation seam: files rewritten, rows
+      // and the served results untouched, total files reduced.
+      // (capture the pre-compaction rows FIRST — `re`'s file index was
+      // resolved at load time and goes stale once the tree swaps)
+      val preRows = codedRows(re)
+      val preFiles = OpqIvfPqIndex.layoutStats(spark, dir)
+        .agg(sum(col("n_files"))).head().getLong(0)
+      OpqIvfPqIndex.compactSaved(spark, dir)
+      val postFiles = OpqIvfPqIndex.layoutStats(spark, dir)
+        .agg(sum(col("n_files"))).head().getLong(0)
+      assert(postFiles <= preFiles, s"$preFiles -> $postFiles")
+      assert(codedRows(OpqIvfPqIndex.load(spark, dir)) == preRows,
+        "compaction must not change the rotated coded rows")
       // an index holding a DIFFERENT rotation must refuse to append into
       // this layout — appending would mix rotated spaces (the footgun
       // the nested-layout load refusal guards; the guard must hold at
