@@ -468,6 +468,104 @@ object IvfIndex {
     finally out.close()
   }
 
+  /** Files-per-cell stats for any cell-partitioned `$path/data` tree —
+    * the shared small-file gauge behind [[IvfIndex.layoutStats]] and
+    * [[IvfPqIndex.layoutStats]]: every append (and every micro-batch
+    * of a streaming ingest) writes NEW files under each `cell=`
+    * partition, so a long-lived layout accretes small files (footer
+    * reads per probe, listing RPCs, tiny row groups). Returns
+    * (cell, n_files, bytes); driver-side FS listing, one RPC per cell
+    * directory — nlist RPCs, corpus-size-free. */
+  private[operators] def dataTreeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dataPath),
+      s"$path/data does not exist — not a saved cell-partitioned layout")
+    fs.listStatus(dataPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        (st.getPath.getName.stripPrefix("cell=").toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }
+      .toDF("cell", "n_files", "bytes")
+  }
+
+  /** COMPACT a cell-partitioned `$path/data` tree in place — the
+    * shared rewrite behind [[IvfIndex.compactSaved]] and
+    * [[IvfPqIndex.compactSaved]]: one writer task per cell (cell-key
+    * repartition), oversize cells split by a `maxRecordsPerFile`
+    * derived from the measured bytes/row, then swap the tree in
+    * behind a row-count check. Contents are row-identical; only the
+    * FILE layout changes, and `cell=` directory pruning is untouched.
+    *
+    * Swap protocol (crash-safe by refusal, not by magic): the
+    * compacted tree is fully written and row-count-verified at
+    * `$path/data_compacting` BEFORE any rename; then
+    * data → data_precompact, data_compacting → data, delete
+    * data_precompact. A crash between the renames leaves
+    * `data_precompact` (the intact original) and possibly no `data` —
+    * this entry point REFUSES to start while either staging directory
+    * exists and names the manual recovery (rename data_precompact
+    * back), instead of guessing which tree is authoritative. */
+  private[operators] def compactDataTree(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long): Unit = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/data_precompact")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dataPath), s"$path/data does not exist")
+    require(!fs.exists(tmpPath) && !fs.exists(oldPath),
+      s"$path carries a staging tree from an interrupted compaction " +
+        "(data_compacting and/or data_precompact) — recover first: if " +
+        "data/ is missing, rename data_precompact back to data; then " +
+        "delete the leftover staging directories and re-run")
+    val df = spark.read.parquet(s"$path/data")
+    val nRows = df.count()
+    val totalBytes = dataTreeStats(spark, path)
+      .agg(sum(col("bytes"))).head().getLong(0)
+    val maxRecords = math.max(1L,
+      if (totalBytes <= 0L || nRows == 0L) Long.MaxValue
+      else targetFileBytes / math.max(1L, totalBytes / nRows))
+    df.repartition(col("cell"))
+      .write.option("maxRecordsPerFile", maxRecords)
+      .partitionBy("cell").parquet(tmpPath.toString)
+    val nTmp = spark.read.parquet(tmpPath.toString).count()
+    if (nTmp != nRows) {
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"compacted tree holds $nTmp rows, source holds $nRows — aborted " +
+          "and deleted the staging tree; the original layout is untouched")
+    }
+    require(fs.rename(dataPath, oldPath), s"could not stage $dataPath aside")
+    require(fs.rename(tmpPath, dataPath),
+      s"could not move the compacted tree into place — the original is " +
+        s"intact at $oldPath (rename it back to data/ to recover)")
+    fs.delete(oldPath, true): Unit
+  }
+
+  /** [[dataTreeStats]] for a saved VECTOR-tier layout. */
+  def layoutStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    readSidecar(spark, path, "_ivf.json") // layout refusal first
+    dataTreeStats(spark, path)
+  }
+
+  /** [[compactDataTree]] for a saved VECTOR-tier layout — the same
+    * small-file maintenance the coded tiers run; a reopened index
+    * serves identical results (spec'd on the coded tier, same shared
+    * rewrite). */
+  def compactSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    readSidecar(spark, path, "_ivf.json") // layout refusal first
+    compactDataTree(spark, path, targetFileBytes)
+  }
+
   /** [[writeSidecar]]'s read half — same FS-resolution rationale. */
   private[operators] def readSidecar(spark: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {

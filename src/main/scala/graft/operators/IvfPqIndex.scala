@@ -542,20 +542,8 @@ object IvfPqIndex {
     * IO). Returns (cell, n_files, bytes); driver-side FS listing, one
     * RPC per cell directory — nlist RPCs, corpus-size-free. */
   def layoutStats(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dataPath),
-      s"$path/data does not exist — not a saved IVFADC layout")
-    fs.listStatus(dataPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .map { st =>
-        val files = fs.listStatus(st.getPath).filter(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        (st.getPath.getName.stripPrefix("cell=").toInt,
-          files.length.toLong, files.map(_.getLen).sum)
-      }
-      .toDF("cell", "n_files", "bytes")
+    IvfIndex.readSidecar(spark, path, "_ivfpq.json") // layout refusal first
+    IvfIndex.dataTreeStats(spark, path)
   }
 
   /** COMPACT a saved layout's data tree: rewrite each `cell=`
@@ -577,40 +565,7 @@ object IvfPqIndex {
     * back), instead of guessing which tree is authoritative. */
   def compactSaved(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
-    require(targetFileBytes >= (1L << 20),
-      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
     IvfIndex.readSidecar(spark, path, "_ivfpq.json") // layout refusal first
-    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
-    val oldPath = new org.apache.hadoop.fs.Path(s"$path/data_precompact")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dataPath), s"$path/data does not exist")
-    require(!fs.exists(tmpPath) && !fs.exists(oldPath),
-      s"$path carries a staging tree from an interrupted compaction " +
-        "(data_compacting and/or data_precompact) — recover first: if " +
-        "data/ is missing, rename data_precompact back to data; then " +
-        "delete the leftover staging directories and re-run")
-    val df = spark.read.parquet(s"$path/data")
-    val nRows = df.count()
-    val totalBytes = layoutStats(spark, path)
-      .agg(sum(col("bytes"))).head().getLong(0)
-    val maxRecords = math.max(1L,
-      if (totalBytes <= 0L || nRows == 0L) Long.MaxValue
-      else targetFileBytes / math.max(1L, totalBytes / nRows))
-    df.repartition(col("cell"))
-      .write.option("maxRecordsPerFile", maxRecords)
-      .partitionBy("cell").parquet(tmpPath.toString)
-    val nTmp = spark.read.parquet(tmpPath.toString).count()
-    if (nTmp != nRows) {
-      fs.delete(tmpPath, true)
-      throw new IllegalStateException(
-        s"compacted tree holds $nTmp rows, source holds $nRows — aborted " +
-          "and deleted the staging tree; the original layout is untouched")
-    }
-    require(fs.rename(dataPath, oldPath), s"could not stage $dataPath aside")
-    require(fs.rename(tmpPath, dataPath),
-      s"could not move the compacted tree into place — the original is " +
-        s"intact at $oldPath (rename it back to data/ to recover)")
-    fs.delete(oldPath, true): Unit
+    IvfIndex.compactDataTree(spark, path, targetFileBytes)
   }
 }

@@ -141,6 +141,22 @@ class IvfIndexSpec extends AnyFunSuite {
     val got = back.search(query, k = 10, nprobe = 8, tieBreakers = Seq(asc("vec_id")))
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == exact)
+    // the vector tier shares the small-file maintenance: stats see the
+    // appended files, compaction collapses them, serving is unchanged
+    val before = IvfIndex.layoutStats(spark, s"$dir/idx")
+      .agg(sum(col("n_files")), max(col("n_files"))).head()
+    assert(before.getLong(1) >= 2, s"append must add files per cell: $before")
+    IvfIndex.compactSaved(spark, s"$dir/idx")
+    val after = IvfIndex.layoutStats(spark, s"$dir/idx")
+      .agg(sum(col("n_files")), max(col("n_files"))).head()
+    assert(after.getLong(1) == 1 && after.getLong(0) < before.getLong(0),
+      s"compaction must collapse files: $before -> $after")
+    val reopened = IvfIndex.load(spark, s"$dir/idx")
+    assert(reopened.indexed.count() == 500)
+    assert(reopened.search(query, k = 10, nprobe = 8,
+        tieBreakers = Seq(asc("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == exact,
+      "compaction must not change what the vector tier serves")
   }
 
   test("driftGuard: healthy index passes, a hot-cell pileup refuses with re-fit advice") {
