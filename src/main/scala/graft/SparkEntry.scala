@@ -1836,6 +1836,48 @@ object SparkEntry {
       buf.toSeq.toDF("query_id", "vec_id", "mmr_rank", "similarity")
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
+    // §2.3 J ORACLED telemetry (round 18): the recall-vs-nprobe CURVE
+    // — the serving knob sized by measurement (the minhash_tune_bands
+    // convention for the ANN tier): batch search per candidate nprobe
+    // vs the exact k-NN ground truth computed once. At nprobe = nlist
+    // ∘ lossless the batch search provably equals the exact join
+    // (the ann_ivfpq_batch_exact property), so the measured recall is
+    // EXACTLY 1.0 — the whole measurement machinery pinned to a
+    // derivation-known constant.
+    "ann_recall_curve" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_recall_curve requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.recallCurve(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", k = 3,
+          nprobes = Seq(idx.centroidVectors.length))
+        .select(col("nprobe"), col("k"), round(col("recall"), 6).as("recall"),
+          col("n_queries"))
+        .orderBy(col("nprobe"))
+    }),
+    // §2.3 J rows-only twin: the curve over the DEPLOYED lossy OPQ
+    // stack at nprobe ∈ {1, 2, 4, 8, 16} — the row an operator
+    // actually reads to size the knob; the 1.0 anchor above pins the
+    // machinery, the lossless-curve monotonicity (and the honest
+    // lossy-dip caveat) is spec'd, and ScaleProbe mmrindex measures
+    // the same codec's shortlist membership at 1M.
+    "ann_recall_curve_opq" -> ((s, d) => {
+      val idx = opqIvfPqFor(s, d)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.recallCurve(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", k = 5, nprobes = Seq(1, 2, 4, 8, 16))
+        .select(col("nprobe"), col("k"), round(col("recall"), 6).as("recall"),
+          col("n_queries"))
+        .orderBy(col("nprobe"))
+    }),
     // North-star SERVING composition ORACLED (round 18): the RAG
     // retrieval chain a serving app runs — a TABLE of queries →
     // coded-index batch search → MMR diversification → join the DOC
@@ -5169,6 +5211,14 @@ object SparkEntry {
       // batch, and the one-file fixture is one micro-batch — the
       // identical derivation at the same degenerates
       "mmr_many_index_stream" -> mmrManySql,
+      // the recall curve at its 1.0 anchor: full probe ∘ lossless ⇒
+      // hits == truth exactly, so every measured value is a
+      // derivation-known constant (n_queries derived from the table)
+      "ann_recall_curve" ->
+        """SELECT CAST(16 AS INTEGER) AS nprobe, CAST(3 AS INTEGER) AS k,
+          |       round(1.0, 6) AS recall,
+          |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries
+          |ORDER BY nprobe""".stripMargin,
       // the RAG serving chain: the mmr_many derivation + the doc-text
       // join on the id seam (embeddings.vec_id = documents.doc_id in
       // the fixture), text fingerprinted for the compare

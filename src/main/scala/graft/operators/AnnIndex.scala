@@ -64,6 +64,68 @@ trait AnnIndex extends Serializable {
 
 object AnnIndex {
 
+  /** Recall-vs-nprobe telemetry — the knob a serving deployment sizes
+    * by MEASUREMENT, not folklore (the [[Dedup.tuneMinhashBands]]
+    * convention for the ANN tier): for each candidate `nprobe`, run
+    * the index's fully-distributed `searchMany` over a QUERY SAMPLE
+    * and count overlap with the exact k-NN ground truth
+    * ([[SimJoin.knnJoinAgg]] over the raw vectors — computed ONCE and
+    * pinned, shared by every curve point). Returns one row per nprobe:
+    * (nprobe, k, recall, n_queries), recall = |hits ∩ truth| / (n·k).
+    *
+    * The driver loop is over the KNOB GRID (a handful of values), not
+    * the data — each iteration is one distributed batch search plus a
+    * semi-join count. Run it on a query sample, not the corpus: the
+    * ground-truth pass scans raw vectors, which is exactly what the
+    * index exists to avoid — the sample buys the curve, the curve
+    * sizes the knob for every query after (ScaleProbe measures the
+    * opqivfpq curve at 1M).
+    *
+    * Exactness anchor: at nprobe = nlist with a lossless codebook the
+    * batch search provably equals the exact join (the
+    * `ann_ivfpq_batch_exact` property), so recall is EXACTLY 1.0 —
+    * the `ann_recall_curve` gate row pins the whole measurement
+    * machinery to that derivation-known constant.
+    *
+    * Monotonicity caveat (measured, and the reason this telemetry
+    * exists): recall is monotone non-decreasing in nprobe ONLY when
+    * scores are exact — a lossless codebook (spec'd: each true-top-k
+    * row in the candidate set stays in the top-k because fewer than k
+    * rows anywhere outscore it), or the refine stage's exact re-rank.
+    * A LOSSY codec can DIP as nprobe grows: every added cell
+    * contributes ADC-noise impostors that can displace true hits from
+    * the top-k (measured on the spec fixture: 0.275 at nprobe = 1 →
+    * 0.25 at 2). The curve is telemetry, not a theorem — which is
+    * exactly why the knob is sized by measurement. */
+  def recallCurve(index: AnnIndex, queries: DataFrame, raw: DataFrame,
+      queryIdCol: String, queryEmbCol: String, corpusIdCol: String,
+      corpusEmbCol: String, k: Int, nprobes: Seq[Int],
+      simCol: String = "similarity"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be non-empty positive values, got $nprobes")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ground truth once, pinned — every curve point compares against
+    // the SAME exact top-k (recomputing per point would re-scan raw
+    // vectors |nprobes| times for identical results)
+    val truth = SimJoin.knnJoinAgg(queries, raw, queryIdCol, queryEmbCol,
+        corpusIdCol, corpusEmbCol, k = k, simCol = simCol)
+      .select(col(queryIdCol).as("__q"), col(corpusIdCol).cast("long").as("__t"))
+      .localCheckpoint(false)
+    val nQ = queries.count()
+    require(nQ > 0, "recallCurve needs at least one query row")
+    val denom = nQ.toDouble * k
+    nprobes.distinct.sorted.map { np =>
+      val hits = index.searchMany(queries, queryIdCol, queryEmbCol,
+          corpusIdCol, k = k, nprobe = np, simCol = simCol)
+        .select(col(queryIdCol).as("__q"), col(corpusIdCol).cast("long").as("__t"))
+      val inter = truth.join(hits, Seq("__q", "__t"), "left_semi").count()
+      (np, k, inter / denom, nQ)
+    }.toDF("nprobe", "k", "recall", "n_queries")
+  }
+
   /** Reopen WHATEVER coded-index layout lives at `path` — sniffs the
     * sidecar and dispatches to the right loader ([[OpqIvfPqIndex]]'s
     * nested layout first: its `$path/ivfpq` subtree IS a plain IVFADC

@@ -218,6 +218,61 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("recallCurve: 1.0 exactly at the lossless full-probe anchor; exact-score curve monotone, lossy dip pinned honestly; refusals") {
+    val df = fixture
+    val q = df.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val raw = df.select(col("vec_id"), col("embedding"))
+    val lossless = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4,
+      k = 65536, maxTrain = 65536)
+    assert(lossless.model.lossless)
+    val anchor = graft.operators.AnnIndex.recallCurve(lossless, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(4))
+      .collect()
+    assert(anchor.length == 1 && anchor(0).getDouble(2) == 1.0,
+      s"full probe ∘ lossless must measure recall exactly 1.0: ${anchor.toSeq}")
+    // EXACT-score curve (lossless at nlist > 1): recall is provably
+    // monotone non-decreasing in nprobe — each true-top-k row in the
+    // candidate set stays in the top-k because fewer than k rows
+    // anywhere outscore it — ending at exactly 1.0 at full probe
+    val losslessMulti = IvfPqIndex.build(df, "embedding", nlist = 8, m = 4,
+      k = 65536, maxTrain = 65536)
+    assert(losslessMulti.model.lossless)
+    val exactCurve = graft.operators.AnnIndex.recallCurve(losslessMulti, q,
+        raw, "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(8, 1, 2, 4)) // unsorted input: output sorts
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(exactCurve.map(_._1).toSeq == Seq(1, 2, 4, 8), s"${exactCurve.toSeq}")
+    assert(exactCurve.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"exact-score recall must be monotone in nprobe: ${exactCurve.toSeq}")
+    assert(exactCurve.last._2 == 1.0, s"${exactCurve.toSeq}")
+    // the LOSSY caveat, pinned honestly: a lossy codec's curve CAN dip
+    // as nprobe grows (added cells contribute ADC-noise impostors that
+    // displace true hits) — the curve still computes, ends > 0, and
+    // the full-probe point never beats the exact 1.0
+    val lossy = IvfPqIndex.build(df, "embedding", nlist = 8, m = 4, k = 8,
+      byResidual = true)
+    val lossyCurve = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1, 2, 4, 8))
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(lossyCurve.last._2 > 0.0 && lossyCurve.forall(_._2 <= 1.0),
+      s"${lossyCurve.toSeq}")
+    // refusals: empty grid, bad nprobe, k < 1, no queries
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Nil))
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(0)))
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 0, nprobes = Seq(1)))
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallCurve(lossy, q.where(lit(false)), raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(1)))
+  }
+
   test("searchRefine: composed degenerates == brute force; pruned lossy refine stays exact-ordered on its shortlist") {
     val df = fixture
     val raw = df.select(col("vec_id"), col("embedding"))
