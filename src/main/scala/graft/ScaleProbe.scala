@@ -1327,6 +1327,29 @@ object ScaleProbe {
         f"$overlap%.3f over ${raw.size} picks (n=10 x 32q, lambda=1)")
       require(overlap >= 0.6,
         f"coded-path selection overlap $overlap%.3f fell below the 0.6 floor")
+      // the recall-vs-nprobe CURVE at 1M — the telemetry a deployment
+      // reads to size the probe knob (AnnIndex.recallCurve's scaladoc
+      // points here); ground truth computed once over the raw vectors.
+      // Measured: bare ADC top-10 recall plateaus ~0.45 from nprobe=2
+      // on — the planted rows are near-TIES (0.004 jitter), and PQ
+      // fine-order noise at that margin displaces half of them from a
+      // bare top-10 — while the shortlist-50 ∘ exact-re-rank MMR path
+      // above reached 0.847 from the SAME codec. That contrast is the
+      // published refine-stage rationale made concrete: codes find the
+      // neighborhood, exact scores order it; flat from nprobe≥2 also
+      // says the probe is not the binding constraint here, the codec's
+      // fine order is. Floor 0.35 guards the codec, not the refine.
+      val curve = time("mmrindex: recallCurve nprobe 1..64") {
+        graft.operators.AnnIndex.recallCurve(idx, queries, corpus,
+            "query_id", "qe", "vec_id", "embedding", k = 10,
+            nprobes = Seq(1, 2, 4, 8, 16, 64))
+          .collect().map(r => (r.getInt(0), r.getDouble(2)))
+      }
+      println("[scale-probe] mmrindex recall@10 curve (OPQ,IVF64,PQ8): " +
+        curve.map { case (np, r) => f"np=$np%d:$r%.3f" }.mkString("  ") +
+        f"  (vs $overlap%.3f through shortlist-50 + exact re-rank — the refine story)")
+      require(curve.last._2 >= 0.35,
+        f"full-probe bare-ADC recall ${curve.last._2}%.3f fell below 0.35 — codec broke")
       spark.stop()
       return
     }
