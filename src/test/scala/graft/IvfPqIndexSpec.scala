@@ -258,6 +258,26 @@ class IvfPqIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getDouble(2)))
     assert(lossyCurve.last._2 > 0.0 && lossyCurve.forall(_._2 <= 1.0),
       s"${lossyCurve.toSeq}")
+    // the REFINED curve: refineShortlist = k provably degenerates to
+    // bare membership (re-ranking exactly k candidates permutes order
+    // only), and a real shortlist can only help at full probe here
+    val bareEqual = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1, 8), refineShortlist = Some(5))
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(bareEqual.toSeq == lossyCurve.toSeq.filter(t => Set(1, 8)(t._1)),
+      s"refineShortlist = k must equal the bare curve:\n${bareEqual.toSeq}\n${lossyCurve.toSeq}")
+    val refined = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(8), refineShortlist = Some(40))
+      .collect().map(_.getDouble(2))
+    assert(refined.head >= lossyCurve.last._2,
+      s"a 40-shortlist exact re-rank must not lose to bare ADC at full " +
+        s"probe: ${refined.head} vs ${lossyCurve.last._2}")
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(1),
+        refineShortlist = Some(3)))
     // refusals: empty grid, bad nprobe, k < 1, no queries
     intercept[IllegalArgumentException](
       graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
