@@ -39,6 +39,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("leakSafeSplit properties on random pair graphs: no pair ever straddles splits; isolated rows equal splitAssign; splits partition the corpus") {
+    import graft.operators.TextAnalysis
+    val n = 60L
+    val docs = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val plain = docs.select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val edgeGen = for {
+      m <- Gen.choose(0, 50)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n), Gen.choose(1L, n)))
+    } yield es.filter(e => e._1 != e._2)
+    samples(edgeGen, 12).foreach { edges =>
+      val pairs = edges.toDF("id1", "id2")
+      val got = TextAnalysis.leakSafeSplit(docs, "doc_id", pairs)
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      // total: every row gets exactly one split from the valid set
+      assert(got.size == n && got.values.forall(Set("train", "val", "test")))
+      // no pair straddles
+      edges.foreach { case (a, b) =>
+        assert(got(a) == got(b), s"pair ($a, $b) straddles: ${got(a)} vs ${got(b)}")
+      }
+      // rows in no pair keep their plain splitAssign value
+      val paired = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      (1L to n).filterNot(paired).foreach(i =>
+        assert(got(i) == plain(i), s"isolated row $i drifted"))
+    }
+  }
+
   test("euclidean similarity in (0,1]; dot symmetric; norm nonnegative") {
     samples(Gen.zip(vecGen, vecGen), 40).foreach { case (a, b0) =>
       val b = b0.padTo(a.length, 0f).take(a.length)
