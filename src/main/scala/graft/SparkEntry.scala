@@ -2549,6 +2549,21 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 T ORACLED (round 18): the sampling half of the leak-safe
+    // family — duplicate components keep or drop WHOLE (the
+    // representative's md5 bucket decides), so a sample never holds
+    // half a near-dup group and group-shaped statistics stay
+    // estimable from it. Same minhash-exact pair source and closure
+    // as leak_safe_split; the oracle replays pairs ∘ closure ∘ the
+    // hashSampleBy bucket rule on the representative.
+    "leak_safe_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 1.0,
+        shingleSize = 1, bands = 1)
+      TextAnalysis.leakSafeSample(docs, "doc_id", pairs, fraction = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 T: stopword-profile language ID
     "lang_id" -> ((s, d) =>
       Tables(s, d, "documents").select(
@@ -5557,6 +5572,22 @@ object SparkEntry {
           |            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
           |            ELSE 'test' END AS split
           |FROM r ORDER BY doc_id""".stripMargin,
+      // group-consistent sampling: the same rep derivation, the
+      // hashSampleBy keep rule at fraction 0.5 (end bucket 128 = '80')
+      "leak_safe_sample" ->
+        s"""WITH d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '$Ws'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_sort(list_distinct(toks)) AS grams FROM d),
+          |r AS (SELECT doc_id,
+          |             CASE WHEN len(grams) = 0 THEN doc_id
+          |                  ELSE min(doc_id) OVER (PARTITION BY grams) END AS rep
+          |      FROM g)
+          |SELECT doc_id FROM r
+          |WHERE substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '80'
+          |ORDER BY doc_id""".stripMargin,
       "lang_id" ->
         s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,

@@ -294,6 +294,47 @@ object TextAnalysis {
   }
 
   /**
+   * GROUP-CONSISTENT deterministic sampling — [[leakSafeSplit]]'s rule
+   * applied to the keep/drop decision: a duplicate COMPONENT is kept
+   * or dropped WHOLE, decided by its representative's md5 bucket, so a
+   * sample can never contain half a near-dup group. The failure mode
+   * is subtle and real: a per-row hash sample of a corpus with dup
+   * groups keeps each member independently, so any downstream
+   * PER-GROUP measurement on the sample (duplication-rate estimates,
+   * dedup-yield projections, contamination studies sampling their
+   * audit set) sees groups truncated at random — group sizes biased
+   * low by exactly the thinning rate. Keeping components atomic makes
+   * group-shaped statistics estimable from the sample (the groups
+   * that survive arrive INTACT). Rows in no pair degrade to the plain
+   * per-row rule (the [[hashSampleBy]] md5-bucket arithmetic on their
+   * own id), so the operator composes as a drop-in. Same scale shape
+   * as [[leakSafeSplit]]: pair-sized closure, one corpus id join, no
+   * window, nothing corpus-scale collects.
+   */
+  def leakSafeSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      pairs: org.apache.spark.sql.DataFrame, fraction: Double,
+      maxDriverEdges: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0 && !fraction.isNaN,
+      s"fraction must be in [0, 1], got $fraction")
+    require(!df.columns.contains("__lss_rep"),
+      "input frame carries reserved staging column '__lss_rep' — rename it first")
+    val comps = Dedup.duplicateComponents(pairs, maxDriverEdges = maxDriverEdges)
+      .select(col("id").as(idCol), col("rep").as("__lss_rep"))
+    val rep = coalesce(col("__lss_rep"), col(idCol))
+    // the hashSampleBy bucket rule on the REPRESENTATIVE id (2-char
+    // lowercase hex compare — the engine-portable md5 scheme; the
+    // >= 256 / <= 0 guards are hashSampleBy's wrap-around fix)
+    val end = math.min(256, math.round(fraction * 256)).toInt
+    val keep =
+      if (end >= 256) lit(true)
+      else if (end <= 0) lit(false)
+      else substring(md5(rep.cast("string")), 1, 2) < lit(f"$end%02x")
+    df.join(comps, Seq(idCol), "left")
+      .where(keep)
+      .drop("__lss_rep")
+  }
+
+  /**
    * Deterministic hash-based sampling: keep a row iff its md5 bucket
    * (256ths, same scheme as [[splitAssign]]) falls under the stratum's
    * fraction. Unlike `rand()`-based sampling this is stable across

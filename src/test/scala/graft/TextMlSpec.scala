@@ -585,6 +585,46 @@ class TextMlSpec extends AnyFunSuite {
     ).getMessage.contains("__lss_rep"))
   }
 
+  test("leakSafeSample: components keep or drop WHOLE (chains included); isolated rows equal the plain hash rule; fraction edges; refusals") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 3-chain again — atomicity must hold transitively
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = TextAnalysis.leakSafeSample(docs, "doc_id", pairs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(1L, 2L, 3L).forall(kept) || Seq(1L, 2L, 3L).forall(!kept(_)),
+      s"the chain must keep or drop whole: ${kept.filter(_ <= 3L)}")
+    // isolated rows follow the plain per-row md5 rule exactly (the
+    // hashSampleBy arithmetic on their own id)
+    val plainKeep = docs
+      .where(TextAnalysis.hashSampleBy(col("doc_id"), col("doc_id") * 0,
+        Map.empty, default = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (4L to 60L).foreach(i => assert(kept(i) == plainKeep(i),
+      s"isolated row $i must follow the plain rule"))
+    // random denser graphs: every pair stays atomic
+    val rnd = new scala.util.Random(9)
+    val dense = (0 until 40).map(_ =>
+      (rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val k2 = TextAnalysis.leakSafeSample(docs, "doc_id", dense, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    dense.collect().foreach(r => assert(
+      k2(r.getLong(0)) == k2(r.getLong(1)),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) split the sample decision"))
+    // fraction edges: 1.0 keeps everything, 0.0 keeps nothing
+    assert(TextAnalysis.leakSafeSample(docs, "doc_id", pairs, 1.0).count() == 60)
+    assert(TextAnalysis.leakSafeSample(docs, "doc_id", pairs, 0.0).count() == 0)
+    // refusals: fraction out of range / NaN, reserved staging column
+    intercept[IllegalArgumentException](
+      TextAnalysis.leakSafeSample(docs, "doc_id", pairs, 1.5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.leakSafeSample(docs, "doc_id", pairs, Double.NaN))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.leakSafeSample(docs.withColumn("__lss_rep", lit(1L)),
+        "doc_id", pairs, 0.5)
+    ).getMessage.contains("__lss_rep"))
+  }
+
   test("streaming budget: two score-ordered batches drain to the batch operator on the concatenation; the remaining-budget state carries") {
     // every batch-1 score > every batch-2 score — the arrival order
     // under which the carried per-batch rule provably equals one
