@@ -71,7 +71,9 @@ object AnnIndex {
     * and count overlap with the exact k-NN ground truth
     * ([[SimJoin.knnJoinAgg]] over the raw vectors — computed ONCE and
     * pinned, shared by every curve point). Returns one row per nprobe:
-    * (nprobe, k, recall, n_queries), recall = |hits ∩ truth| / (n·k).
+    * (nprobe, k, recall, n_queries), recall = |hits ∩ truth| / |truth|
+    * (the actual ground-truth row count, so a corpus smaller than k or
+    * NULL-embedding queries can still reach the 1.0 anchor).
     * Pass `refineShortlist = Some(sl)` to measure the REFINED serving
     * path (ADC shortlist of sl → exact re-rank to k) instead of the
     * bare ADC top-k — the (nprobe, shortlist) pair a deployment tunes
@@ -123,7 +125,17 @@ object AnnIndex {
       .localCheckpoint(false)
     val nQ = queries.count()
     require(nQ > 0, "recallCurve needs at least one query row")
-    val denom = nQ.toDouble * k
+    // denominate by the ACTUAL ground-truth row count, not nQ·k (r18
+    // ADVICE): a corpus with fewer than k rows (or NULL-embedding
+    // queries the exact join yields nothing for, or duplicate query
+    // ids inflating nQ) produces fewer than nQ·k truth rows, and
+    // against that denominator the documented full-probe ∘ lossless
+    // 1.0 anchor would silently depend on fixture size. The semi-join
+    // counts truth rows found among the hits, so recall stays in [0, 1].
+    val denom = truth.count().toDouble
+    require(denom > 0,
+      "recallCurve found no exact ground-truth rows — every query has a " +
+        "NULL/zero-norm embedding, or the corpus is empty; nothing to measure")
     nprobes.distinct.sorted.map { np =>
       // with a refine shortlist the measured path is the DEPLOYED one:
       // ADC shortlists, exact re-rank ships the top-k — the (nprobe,
@@ -155,9 +167,18 @@ object AnnIndex {
     * when neither sidecar is readable: guessing a layout class would
     * trade a loud error for silently wrong similarity scores. */
   def open(spark: SparkSession, path: String): AnnIndex = {
+    // only the two NOT-A-LAYOUT signals probe past (r18 ADVICE): a
+    // missing sidecar (FileNotFoundException) and readSidecar's own
+    // wrong-file refusal (IllegalArgumentException). A genuine IO
+    // failure propagates — swallowing it would misdiagnose a transient
+    // FS error as "not a coded-index layout", and with co-located
+    // sidecars could mask real errors behind the wrong loader.
     def has(sidecar: String): Boolean =
       try { IvfIndex.readSidecar(spark, path, sidecar); true }
-      catch { case _: Exception => false }
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case _: IllegalArgumentException => false
+      }
     if (has("_opqivfpq.json")) OpqIvfPqIndex.load(spark, path)
     else if (has("_ivfpq.json")) IvfPqIndex.load(spark, path)
     else throw new IllegalArgumentException(

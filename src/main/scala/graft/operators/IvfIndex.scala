@@ -496,11 +496,21 @@ object IvfIndex {
 
   /** COMPACT a cell-partitioned `$path/data` tree in place — the
     * shared rewrite behind [[IvfIndex.compactSaved]] and
-    * [[IvfPqIndex.compactSaved]]: one writer task per cell (cell-key
-    * repartition), oversize cells split by a `maxRecordsPerFile`
-    * derived from the measured bytes/row, then swap the tree in
-    * behind a row-count check. Contents are row-identical; only the
-    * FILE layout changes, and `cell=` directory pruning is untouched.
+    * [[IvfPqIndex.compactSaved]]: rewrite every cell's files at
+    * `targetFileBytes` granularity, then swap the tree in behind a
+    * row-count check. Contents are row-identical; only the FILE layout
+    * changes, and `cell=` directory pruning is untouched.
+    *
+    * Writer parallelism (r18 VERDICT #2): the rewrite repartitions on
+    * (cell, salt), where each cell's salt width is
+    * ceil(cellBytes / targetFileBytes) from the MEASURED per-cell
+    * bytes — a hot cell (the 8× occupancy [[IvfIndex.driftGuard]]
+    * tolerates) is written by ~bytes/target tasks in parallel instead
+    * of serially by one straggler, and each task lands ~one
+    * target-sized file (`maxRecordsPerFile` still caps the residue).
+    * The salt is a full-row hash: deterministic, roughly uniform, and
+    * it only steers TASK assignment — rows and file-level `cell=`
+    * pruning are untouched.
     *
     * Swap protocol (crash-safe by refusal, not by magic): the
     * compacted tree is fully written and row-count-verified at
@@ -510,7 +520,19 @@ object IvfIndex {
     * `data_precompact` (the intact original) and possibly no `data` —
     * this entry point REFUSES to start while either staging directory
     * exists and names the manual recovery (rename data_precompact
-    * back), instead of guessing which tree is authoritative. */
+    * back), instead of guessing which tree is authoritative.
+    *
+    * Concurrency contract (r18 ADVICE): compaction is an OFFLINE
+    * maintenance op — QUIESCE ALL WRITERS first (no `appendToSaved`,
+    * no streaming ingest; [[graft.streaming.StreamOps]]' ingest runs
+    * its compaction cadence inside the serial foreachBatch loop for
+    * exactly this reason). Rows appended between the verified staging
+    * write and the swap would be silently deleted with
+    * `data_precompact`, so the source file listing is re-checked
+    * immediately before the swap and ANY drift aborts — staging tree
+    * deleted, original untouched, the concurrent writer's rows kept.
+    * Concurrent READERS of `$path/data` can error transiently between
+    * the two renames. */
   private[operators] def compactDataTree(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFileBytes: Long): Unit = {
     require(targetFileBytes >= (1L << 20),
@@ -525,14 +547,38 @@ object IvfIndex {
         "(data_compacting and/or data_precompact) — recover first: if " +
         "data/ is missing, rename data_precompact back to data; then " +
         "delete the leftover staging directories and re-run")
+    // (relative file, length) listing of the source tree — captured
+    // now, re-checked right before the swap: drift means a concurrent
+    // writer, whose rows the swap would silently delete
+    def sourceListing(): Set[(String, Long)] =
+      fs.listStatus(dataPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(f => (d.getPath.getName + "/" + f.getPath.getName, f.getLen))
+        }.toSet
+    val sourceBefore = sourceListing()
     val df = spark.read.parquet(s"$path/data")
     val nRows = df.count()
-    val totalBytes = dataTreeStats(spark, path)
-      .agg(sum(col("bytes"))).head().getLong(0)
+    val cellStats = dataTreeStats(spark, path).select("cell", "bytes").collect()
+    val totalBytes = cellStats.map(_.getLong(1)).sum
     val maxRecords = math.max(1L,
       if (totalBytes <= 0L || nRows == 0L) Long.MaxValue
       else targetFileBytes / math.max(1L, totalBytes / nRows))
-    df.repartition(col("cell"))
+    // per-cell salt widths from the measured bytes (nlist-sized frame)
+    import spark.implicits._
+    val subCounts = cellStats.toSeq
+      .map(r => (r.getInt(0),
+        math.max(1L, (r.getLong(1) + targetFileBytes - 1) / targetFileBytes)))
+      .toDF("cell", "__n_sub")
+    val dataCols = df.columns
+    df.join(broadcast(subCounts), Seq("cell"), "left")
+      .withColumn("__salt", pmod(xxhash64(struct(dataCols.map(col): _*)),
+        coalesce(col("__n_sub"), lit(1L))))
+      .repartition(col("cell"), col("__salt"))
+      .drop("__salt", "__n_sub")
       .write.option("maxRecordsPerFile", maxRecords)
       .partitionBy("cell").parquet(tmpPath.toString)
     val nTmp = spark.read.parquet(tmpPath.toString).count()
@@ -541,6 +587,16 @@ object IvfIndex {
       throw new IllegalStateException(
         s"compacted tree holds $nTmp rows, source holds $nRows — aborted " +
           "and deleted the staging tree; the original layout is untouched")
+    }
+    val sourceAfter = sourceListing()
+    if (sourceAfter != sourceBefore) {
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"$path/data changed while the compacted tree was being staged — a " +
+          "concurrent appendToSaved or streaming ingest is running, and " +
+          "swapping now would silently delete its rows. Aborted and deleted " +
+          "the staging tree (the original, including the concurrent rows, " +
+          "is untouched); quiesce all writers and re-run compactSaved")
     }
     require(fs.rename(dataPath, oldPath), s"could not stage $dataPath aside")
     require(fs.rename(tmpPath, dataPath),

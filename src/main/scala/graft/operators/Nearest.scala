@@ -446,8 +446,12 @@ object Nearest {
     // denominated in BYTES, not just rows: probe the dimension from one
     // query row (the query table is small by construction) and cap rows
     // at maxCollectBytes / bytes-per-row
-    val dim = queries.select(size(col(queryEmbCol)).as("d")).head().getAs[Int]("d")
-    require(dim >= 1, s"'$queryEmbCol' has no elements in the first query row")
+    val dim = probeQueryDim(queries, queryEmbCol) match {
+      case Some(d) => d
+      case None => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        mmrManySchema(queries, queryIdCol, corpusIdCol, simCol))
+    }
     val bytesPerRow = 4L * dim + 64L // float32 payload + Row/boxing overhead
     val rowCap = math.min(maxCollect.toLong,
       math.max(shortlist.toLong, maxCollectBytes / bytesPerRow)).toInt
@@ -493,8 +497,13 @@ object Nearest {
     require(maxCollect >= shortlist,
       s"maxCollect ($maxCollect) must be >= shortlist ($shortlist)")
     require(maxCollectBytes >= 1L, s"maxCollectBytes must be >= 1, got $maxCollectBytes")
-    val dim = queries.select(size(col(queryEmbCol)).as("d")).head().getAs[Int]("d")
-    require(dim >= 1, s"'$queryEmbCol' has no elements in the first query row")
+    val spark = queries.sparkSession
+    val dim = probeQueryDim(queries, queryEmbCol) match {
+      case Some(d) => d
+      case None => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        mmrManySchema(queries, queryIdCol, corpusIdCol, simCol))
+    }
     val bytesPerRow = 4L * dim + 64L
     val rowCap = math.min(maxCollect.toLong,
       math.max(shortlist.toLong, maxCollectBytes / bytesPerRow)).toInt
@@ -517,6 +526,41 @@ object Nearest {
     mmrManyCollectGreedy(queries, scored, queryIdCol, corpusIdCol, simCol,
       n, lambda, rowCap, maxCollect, maxCollectBytes, bytesPerRow, dim)
   }
+
+  /** Output schema shared by the whole batch-MMR family: (queryIdCol
+    * as the query table declares it, corpusIdCol long, mmr_rank int,
+    * simCol double) — also the schema of the EMPTY frame a zero-query
+    * call returns. */
+  private def mmrManySchema(queries: DataFrame, queryIdCol: String,
+      corpusIdCol: String, simCol: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      queries.schema(queryIdCol),
+      org.apache.spark.sql.types.StructField(corpusIdCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(simCol,
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** Embedding dim probed from ONE query row; None when the query
+    * table is EMPTY — batch MMR over zero queries returns the empty
+    * output frame instead of throwing (r18 ADVICE: a micro-batch whose
+    * rows are all filtered out still fires foreachBatch, and
+    * [[graft.streaming.StreamOps.mmrManyFromIndexPerBatch]] must drain
+    * it empty, not crash the StreamingQuery). A PRESENT first row with
+    * a NULL/empty embedding refuses by name — that is a data bug, not
+    * an empty batch (`size(NULL)` is NULL, or -1 under the legacy
+    * flag; both land here). */
+  private def probeQueryDim(queries: DataFrame,
+      queryEmbCol: String): Option[Int] =
+    queries.select(size(col(queryEmbCol)).as("d")).take(1).headOption.map { r =>
+      val d = if (r.isNullAt(0)) -1 else r.getInt(0)
+      require(d >= 1,
+        s"'$queryEmbCol' is NULL or empty in the first query row — batch MMR " +
+          "sizes its driver-collect byte bound from the embedding dim; " +
+          "filter NULL/empty-embedding queries out before calling")
+      d
+    }
 
   /** The bounded collect + grouped greedy tail [[mmrTopKMany]] and
     * [[mmrTopKManyFromIndex]] share. `scored` must carry exactly
@@ -564,13 +608,6 @@ object Nearest {
         }
       }
     spark.createDataFrame(outRows.toList.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        queries.schema(queryIdCol),
-        org.apache.spark.sql.types.StructField(corpusIdCol,
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("mmr_rank",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField(simCol,
-          org.apache.spark.sql.types.DoubleType))))
+      mmrManySchema(queries, queryIdCol, corpusIdCol, simCol))
   }
 }

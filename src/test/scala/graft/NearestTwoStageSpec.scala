@@ -436,4 +436,62 @@ class NearestTwoStageSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(loose == many(0.5).values.flatten.map(t => (t._1, t._2, t._3)).toSet)
   }
+
+  test("batch MMR on an empty query table drains empty (documented schema); a fully-filtered micro-batch doesn't crash the stream; NULL first embedding refuses by name") {
+    import graft.operators.IvfPqIndex
+    val emb = Seq(
+      (1L, Seq(1.000f, 0.000f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f)),
+      (3L, Seq(0.000f, 1.000f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = Seq((100L, Seq(0.75f, 0.66f, 0f)))
+      .toDF("query_id", "qe").withColumn("qe", col("qe").cast("array<float>"))
+    val idx = IvfPqIndex.build(emb, "embedding", nlist = 2, m = 3, k = 65536)
+    val none = queries.where(col("query_id") < 0L)
+    // both batch forms: zero queries → zero rows, with the SAME schema
+    // a non-empty call produces (r18 ADVICE — was NoSuchElementException
+    // from the dim probe)
+    val viaRaw = Nearest.mmrTopKMany(none, emb, "query_id", "qe", "vec_id",
+      "embedding", n = 2, lambda = 0.5, shortlist = 3)
+    val viaIdx = Nearest.mmrTopKManyFromIndex(idx, none, emb, "query_id",
+      "qe", "vec_id", "embedding", n = 2, lambda = 0.5, shortlist = 3,
+      nprobe = 2)
+    val nonEmpty = Nearest.mmrTopKMany(queries, emb, "query_id", "qe",
+      "vec_id", "embedding", n = 2, lambda = 0.5, shortlist = 3)
+    for (got <- Seq(viaRaw, viaIdx)) {
+      assert(got.count() == 0L)
+      assert(got.schema == nonEmpty.schema,
+        s"empty-input schema must match the documented output schema:\n" +
+          s"${got.schema}\n${nonEmpty.schema}")
+    }
+    // the acute case: a micro-batch whose rows are ALL filtered out
+    // still fires foreachBatch — the StreamingQuery must drain it
+    // empty, not die
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_empty_batch")
+    queries.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val stream = spark.readStream.schema(queries.schema)
+      .parquet(s"$dir/*/").where(col("query_id") < 0L)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = graft.streaming.StreamOps.mmrManyFromIndexPerBatch(stream, idx,
+      emb, "query_id", "qe", "vec_id", "embedding", n = 2, lambda = 0.5,
+      shortlist = 3, nprobe = 2) { (res, _) =>
+      buf.synchronized { buf ++= res.collect().map(_.getLong(0)); batches += 1 }
+    }
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"fully-filtered micro-batch crashed the stream: ${q.exception}")
+    } finally q.stop()
+    assert(batches >= 1 && buf.isEmpty)
+    // a PRESENT first row with a NULL embedding is a data bug, not an
+    // empty batch — refuse by name
+    val nullQ = Seq((100L, Option.empty[Seq[Float]]))
+      .toDF("query_id", "qe").withColumn("qe", col("qe").cast("array<float>"))
+    val refusal = intercept[IllegalArgumentException](
+      Nearest.mmrTopKMany(nullQ, emb, "query_id", "qe", "vec_id",
+        "embedding", n = 2, lambda = 0.5, shortlist = 3))
+    assert(refusal.getMessage.contains("NULL or empty"))
+  }
 }
