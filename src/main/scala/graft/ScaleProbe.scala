@@ -1339,17 +1339,26 @@ object ScaleProbe {
       // neighborhood, exact scores order it; flat from nprobe≥2 also
       // says the probe is not the binding constraint here, the codec's
       // fine order is. Floor 0.35 guards the codec, not the refine.
+      // round 19: the curve now carries its COST column — recall AND
+      // mean rows scanned per query, so the knee (where added scan
+      // stops buying recall) is visible in one read; at np=64 (full
+      // probe) scanned is the whole 1M corpus by derivation
       val curve = time("mmrindex: recallCurve nprobe 1..64") {
         graft.operators.AnnIndex.recallCurve(idx, queries, corpus,
             "query_id", "qe", "vec_id", "embedding", k = 10,
             nprobes = Seq(1, 2, 4, 8, 16, 64))
-          .collect().map(r => (r.getInt(0), r.getDouble(2)))
+          .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(4)))
       }
-      println("[scale-probe] mmrindex recall@10 curve (OPQ,IVF64,PQ8): " +
-        curve.map { case (np, r) => f"np=$np%d:$r%.3f" }.mkString("  ") +
+      println("[scale-probe] mmrindex recall@10 + scan cost (OPQ,IVF64,PQ8): " +
+        curve.map { case (np, r, c) =>
+          f"np=$np%d:$r%.3f/${c / 1000}%.0fk-rows" }.mkString("  ") +
         f"  (vs $overlap%.3f through shortlist-50 + exact re-rank — the refine story)")
       require(curve.last._2 >= 0.35,
         f"full-probe bare-ADC recall ${curve.last._2}%.3f fell below 0.35 — codec broke")
+      require(curve.last._3 == (n + 320).toDouble, // background + planted
+        f"full-probe scan cost must price the whole corpus: ${curve.last._3}%.0f vs ${n + 320}%d")
+      require(curve.map(_._3).sliding(2).forall(w => w(0) <= w(1)),
+        "scan cost must be monotone in nprobe")
       spark.stop()
       return
     }

@@ -1852,13 +1852,62 @@ object SparkEntry {
       val e = Tables(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      // round 19 adds the COST column (r18 VERDICT #4): at full probe
+      // every query prices every cell, so scanned_rows is exactly the
+      // corpus row count — the anchor's second derivation-known
+      // constant, priced from probe × occupancy metadata alone
       graft.operators.AnnIndex.recallCurve(idx, q,
           e.select(col("vec_id"), col("embedding")), "query_id", "qe",
           "vec_id", "embedding", k = 3,
           nprobes = Seq(idx.centroidVectors.length))
         .select(col("nprobe"), col("k"), round(col("recall"), 6).as("recall"),
-          col("n_queries"))
+          col("n_queries"), round(col("scanned_rows"), 6).as("scanned_rows"))
         .orderBy(col("nprobe"))
+    }),
+    // §2.3 J ORACLED (round 19, r18 VERDICT #3): the VECTOR tier's
+    // recall curve through its cosine-pinned AnnIndex adapter — the
+    // tier that could not be measured before (recallCurve takes the
+    // trait; open refused its layout). Raw vectors serve EXACT scores,
+    // so the full-probe anchor is 1.0 with NO lossless-codebook
+    // proviso, and the curve is monotone unconditionally (spec'd);
+    // scanned_rows at full probe is the corpus size exactly.
+    "ann_recall_curve_vec" -> ((s, d) => {
+      val idx = ivfFor(s, d)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.recallCurve(idx.asAnnIndex, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", k = 3,
+          nprobes = Seq(idx.centroidVectors.length))
+        .select(col("nprobe"), col("k"), round(col("recall"), 6).as("recall"),
+          col("n_queries"), round(col("scanned_rows"), 6).as("scanned_rows"))
+        .orderBy(col("nprobe"))
+    }),
+    // §2.3 J ORACLED (round 19, r18 VERDICT #6): the (nprobe,
+    // shortlist) GRID a refined deployment walks — recallCurve took
+    // one shortlist per call; the grid returns one row per pair, cost
+    // computed once per nprobe. At the exact corner (full probe ∘
+    // lossless) EVERY shortlist ≥ k row is derivation-known: the
+    // shortlist provably holds the true top-k, the exact re-rank
+    // restores it, recall is 1.0, scanned_rows the corpus size. The
+    // sl = k == bare-curve identity is spec'd.
+    "ann_recall_grid" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "ann_recall_grid requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.recallGrid(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", k = 3,
+          nprobes = Seq(idx.centroidVectors.length), shortlists = Seq(3, 6))
+        .select(col("nprobe"), col("shortlist"), col("k"),
+          round(col("recall"), 6).as("recall"), col("n_queries"),
+          round(col("scanned_rows"), 6).as("scanned_rows"))
+        .orderBy(col("nprobe"), col("shortlist"))
     }),
     // §2.3 J rows-only twin: the curve over the DEPLOYED lossy OPQ
     // stack at nprobe ∈ {1, 2, 4, 8, 16} — the row an operator
@@ -1875,7 +1924,7 @@ object SparkEntry {
           e.select(col("vec_id"), col("embedding")), "query_id", "qe",
           "vec_id", "embedding", k = 5, nprobes = Seq(1, 2, 4, 8, 16))
         .select(col("nprobe"), col("k"), round(col("recall"), 6).as("recall"),
-          col("n_queries"))
+          col("n_queries"), round(col("scanned_rows"), 6).as("scanned_rows"))
         .orderBy(col("nprobe"))
     }),
     // North-star SERVING composition ORACLED (round 18): the RAG
@@ -2562,6 +2611,31 @@ object SparkEntry {
         shingleSize = 1, bands = 1)
       TextAnalysis.leakSafeSample(docs, "doc_id", pairs, fraction = 0.5)
         .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // North-star COMPOSITION ORACLED (round 19, r18 VERDICT #5): the
+    // curation chain ENDING AT THE SPLIT — quality filter → the dedup
+    // ladder's own pair graph (minhashPairs at its exact degenerate)
+    // → leakSafeSplit (near-dup components land in ONE split — the
+    // Lee et al. 2022 §6.2 leakage closed INSIDE the chain it
+    // protects, not as a detached operator) → the TRAIN split packs
+    // at the uniform-length degenerate. The oracle splices the
+    // leak_safe_split replay (grams ∘ min-id closure ∘ md5-rep rule)
+    // between the filter and pack_hist's rank arithmetic, so drift in
+    // ANY stage or in the composition order fails the row.
+    "pipeline_pretrain_leaksafe" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val kept = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.6)
+      val pairs = Dedup.minhashPairs(kept, "text", "doc_id", threshold = 1.0,
+        shingleSize = 1, bands = 1)
+      val split = TextAnalysis.leakSafeSplit(kept, "doc_id", pairs)
+      val lens = split.where(col("split") === "train")
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+        .where(col("__toks") >= 10)
+        .select(col("doc_id"), lit(10).as("len"))
+      TextAnalysis.packSequencesHist(lens, "len", "doc_id",
+          maxLen = 64, maxPerPack = 4)
+        .select(col("doc_id"), col("len"), col("pack_id"))
         .orderBy(col("doc_id"))
     }),
     // §2.3 T: stopword-profile language ID
@@ -3988,6 +4062,65 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 S × J ORACLED (round 19, r18 VERDICT #1): STREAMING
+    // ANN-INDEX INGEST — the last operator family whose streaming half
+    // was missing. Build the OPQ∘IVFADC stack on the even-id half at
+    // the composed degenerates, save, then the odd-id half ARRIVES as
+    // a real StreamingQuery and lands through the full maintenance
+    // loop: codecGuard (baseline 1.0 — the lossless codebook codes the
+    // corpus exactly) → rotation-verified appendToSaved → the
+    // layoutStats-thresholded compactSaved cadence (threshold 1, so
+    // the cadence provably FIRES on the appended files). The reopened
+    // layout must serve brute force over the WHOLE corpus — shares
+    // ann_opq_ivfpq_append_persisted's oracle, because a drained
+    // ingest stream IS that append (appends are order-insensitive
+    // unions into cell partitions; two-batch == two-append is spec'd).
+    // Same crash-marker convention as the append row.
+    "ann_opq_ivfpq_stream_ingest" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "ann_opq_ivfpq_stream_ingest requires the lossless codebook " +
+          "degenerate — corpus outgrew maxTrain")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_opq_ivfpq_stream_ingest fingerprints $src (driver fixtures " +
+          "are single parquet files); for other layouts use " +
+          "StreamOps.annIngestPerBatch directly")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base = s"graft_opqivfpq_ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
+      val marker = new java.io.File(s"$path/_ingest_complete")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        val half = OpqIvfPqIndex.withArtifacts(
+          e.where(col("vec_id") % 2 === 0), "embedding",
+          OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)), model,
+          byResidual = true)
+        half.save(path)
+        val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+          .where(col("vec_id") % 2 === 1)
+        val q = StreamOps.annIngestPerBatch(stream, half, path, "embedding",
+          baselineSelfSim = Some(1.0), compactFilesPerCell = 1)
+        try q.processAllAvailable() finally q.stop()
+        marker.createNewFile(): Unit
+      }
+      val idx = OpqIvfPqIndex.load(s, path)
+      require(idx.model.lossless,
+        "ann_opq_ivfpq_stream_ingest requires the lossless codebook degenerate")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = 1, tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN ORACLED batch anchor (round 12): IVFADC for a whole
     // TABLE of queries — the plan is ann_ivf_batch_exact's (broadcast
     // probes → cell join → bounded-heap top-k) but the corpus side of
@@ -5170,6 +5303,17 @@ object SparkEntry {
            |  SELECT vec_id, $cosine AS raw FROM s
            |  ORDER BY raw DESC, vec_id LIMIT 5)
            |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the STREAMED drain of that same append (build half → stream
+      // the rest through codecGuard → appendToSaved → compact cadence
+      // → load): a drained ingest stream leaves the layout the batch
+      // appends would, so the reopened stack serves the identical
+      // whole-corpus brute force
+      "ann_opq_ivfpq_stream_ingest" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
       // IVF at nprobe = nlist scans every cell — provably the exact
       // brute-force result, so it shares the nearest_cosine oracle
       "ann_ivf_exact" ->
@@ -5228,12 +5372,33 @@ object SparkEntry {
       "mmr_many_index_stream" -> mmrManySql,
       // the recall curve at its 1.0 anchor: full probe ∘ lossless ⇒
       // hits == truth exactly, so every measured value is a
-      // derivation-known constant (n_queries derived from the table)
+      // derivation-known constant (n_queries derived from the table;
+      // scanned_rows at full probe = every query prices every cell =
+      // the corpus row count)
       "ann_recall_curve" ->
         """SELECT CAST(16 AS INTEGER) AS nprobe, CAST(3 AS INTEGER) AS k,
           |       round(1.0, 6) AS recall,
-          |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries
+          |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+          |       round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE), 6) AS scanned_rows
           |ORDER BY nprobe""".stripMargin,
+      // the vector tier through its adapter: exact scores need no
+      // lossless proviso — the same full-probe derivation
+      "ann_recall_curve_vec" ->
+        """SELECT CAST(16 AS INTEGER) AS nprobe, CAST(3 AS INTEGER) AS k,
+          |       round(1.0, 6) AS recall,
+          |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+          |       round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE), 6) AS scanned_rows
+          |ORDER BY nprobe""".stripMargin,
+      // the grid's exact corner: at full probe ∘ lossless every
+      // shortlist >= k holds the true top-k and the exact re-rank
+      // restores it — recall 1.0 on BOTH rows, same corpus-size cost
+      "ann_recall_grid" ->
+        """SELECT CAST(16 AS INTEGER) AS nprobe, CAST(sl AS INTEGER) AS shortlist,
+          |       CAST(3 AS INTEGER) AS k, round(1.0, 6) AS recall,
+          |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+          |       round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE), 6) AS scanned_rows
+          |FROM (VALUES (3), (6)) AS t(sl)
+          |ORDER BY nprobe, shortlist""".stripMargin,
       // the RAG serving chain: the mmr_many derivation + the doc-text
       // join on the id seam (embeddings.vec_id = documents.doc_id in
       // the fixture), text fingerprinted for the compare
@@ -5588,6 +5753,34 @@ object SparkEntry {
           |SELECT doc_id FROM r
           |WHERE substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '80'
           |ORDER BY doc_id""".stripMargin,
+      // the curation chain ending at the split: the leak_safe_split
+      // replay (grams ∘ min-id closure ∘ md5-rep rule) runs over the
+      // QUALITY-KEPT corpus, the train rows with >= 10 tokens feed
+      // pack_hist's uniform-degenerate rank arithmetic
+      "pipeline_pretrain_leaksafe" ->
+        s"""WITH kept AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE ${TextAnalysisSql.qualityScoreSql("text")} >= 0.6),
+          |d AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(text), '$Ws'),
+          |                     t -> len(t) > 0) AS toks
+          |  FROM kept),
+          |g AS (SELECT doc_id, list_sort(list_distinct(toks)) AS grams FROM d),
+          |r AS (SELECT doc_id,
+          |             CASE WHEN len(grams) = 0 THEN doc_id
+          |                  ELSE min(doc_id) OVER (PARTITION BY grams) END AS rep
+          |      FROM g),
+          |tr AS (
+          |  SELECT k.doc_id, k.text FROM r JOIN kept k ON k.doc_id = r.doc_id
+          |  WHERE substr(md5(CAST(r.rep AS VARCHAR)), 1, 2) < 'e6'),
+          |p AS (
+          |  SELECT doc_id FROM tr
+          |  WHERE CAST(${TextAnalysisSql.tokenCountSql("text")} AS BIGINT) >= 10),
+          |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+          |       FROM p)
+          |SELECT doc_id, 10 AS len, rnk // 4 AS pack_id
+          |FROM rk ORDER BY doc_id""".stripMargin,
       "lang_id" ->
         s"""SELECT doc_id, ${TextAnalysisSql.langIdSql("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,

@@ -60,6 +60,20 @@ trait AnnIndex extends Serializable {
       queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
       corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
       simCol: String = "similarity"): DataFrame
+
+  /** Per-cell corpus occupancy, (cell: int, n: long) — the metadata
+    * half of the serving-cost seam: joined to [[probesMany]] it prices
+    * a (nprobe, k) knob setting in rows scanned WITHOUT scanning the
+    * corpus (r18 VERDICT #4). Also the append-drift gauge. */
+  def cellSizeStats: DataFrame
+
+  /** The (queryId, cell) pairs [[searchMany]] would probe at `nprobe`
+    * — by contract the IDENTICAL probe-assignment block the serving
+    * plan runs (any pretransform applied inside, like `searchMany`),
+    * so costs priced from this metadata are the costs paid at serve
+    * time. nQ·nprobe rows; never corpus-scale. */
+  def probesMany(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, nprobe: Int): DataFrame
 }
 
 object AnnIndex {
@@ -71,9 +85,14 @@ object AnnIndex {
     * and count overlap with the exact k-NN ground truth
     * ([[SimJoin.knnJoinAgg]] over the raw vectors — computed ONCE and
     * pinned, shared by every curve point). Returns one row per nprobe:
-    * (nprobe, k, recall, n_queries), recall = |hits ∩ truth| / |truth|
-    * (the actual ground-truth row count, so a corpus smaller than k or
-    * NULL-embedding queries can still reach the 1.0 anchor).
+    * (nprobe, k, recall, n_queries, scanned_rows), recall =
+    * |hits ∩ truth| / |truth| (the actual ground-truth row count, so a
+    * corpus smaller than k or NULL-embedding queries can still reach
+    * the 1.0 anchor) and scanned_rows the mean per-query rows the
+    * probed cells hold — the COST half of the trade (r18 VERDICT #4),
+    * priced from probe-assignment × cell-occupancy metadata without a
+    * corpus scan; at nprobe = nlist it is exactly the corpus size, the
+    * gate row's second derivation-known constant.
     * Pass `refineShortlist = Some(sl)` to measure the REFINED serving
     * path (ADC shortlist of sl → exact re-rank to k) instead of the
     * bare ADC top-k — the (nprobe, shortlist) pair a deployment tunes
@@ -108,64 +127,122 @@ object AnnIndex {
       corpusEmbCol: String, k: Int, nprobes: Seq[Int],
       simCol: String = "similarity",
       refineShortlist: Option[Int] = None): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"nprobes must be non-empty positive values, got $nprobes")
     refineShortlist.foreach(sl => require(sl >= k,
       s"refineShortlist ($sl) must be >= k ($k)"))
     val spark = queries.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // ground truth once, pinned — every curve point compares against
-    // the SAME exact top-k (recomputing per point would re-scan raw
-    // vectors |nprobes| times for identical results)
-    val truth = SimJoin.knnJoinAgg(queries, raw, queryIdCol, queryEmbCol,
-        corpusIdCol, corpusEmbCol, k = k, simCol = simCol)
+    val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
+      corpusIdCol, corpusEmbCol, k, simCol, "recallCurve")
+    nprobes.distinct.sorted.map { np =>
+      (np, k, m.recallAt(np, refineShortlist), m.nQ, m.scannedRowsAt(np))
+    }.toDF("nprobe", "k", "recall", "n_queries", "scanned_rows")
+  }
+
+  /** The (nprobe, shortlist) GRID a refined deployment actually walks
+    * (r18 VERDICT #6) — [[recallCurve]] was one shortlist per call;
+    * this returns one row per pair, with the same pinned ground truth
+    * shared by EVERY point and the scan cost computed once per nprobe
+    * (it does not depend on the shortlist: the shortlist sizes the
+    * re-rank fetch, the probe sizes the ADC scan). `shortlist = k`
+    * provably degenerates to the bare-ADC curve point (re-ranking
+    * exactly k candidates permutes order, never membership — spec'd
+    * equal), so the grid CONTAINS the bare curve as its first column.
+    * Exactness anchor: the (nprobe = nlist, any shortlist ≥ k) corner
+    * under a lossless codebook is EXACTLY 1.0 with scanned_rows = the
+    * corpus size — the `ann_recall_grid` gate row's derivation. */
+  def recallGrid(index: AnnIndex, queries: DataFrame, raw: DataFrame,
+      queryIdCol: String, queryEmbCol: String, corpusIdCol: String,
+      corpusEmbCol: String, k: Int, nprobes: Seq[Int],
+      shortlists: Seq[Int], simCol: String = "similarity"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be non-empty positive values, got $nprobes")
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k),
+      s"shortlists must be non-empty values >= k ($k), got $shortlists")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
+      corpusIdCol, corpusEmbCol, k, simCol, "recallGrid")
+    (for {
+      np <- nprobes.distinct.sorted
+      sl <- shortlists.distinct.sorted
+    } yield (np, sl, k, m.recallAt(np, Some(sl)), m.nQ, m.scannedRowsAt(np)))
+      .toDF("nprobe", "shortlist", "k", "recall", "n_queries", "scanned_rows")
+  }
+
+  /** The shared measurement state behind [[recallCurve]] and
+    * [[recallGrid]]: exact ground truth computed ONCE and pinned
+    * (recomputing per point would re-scan raw vectors once per point
+    * for identical results), the truth-count denominator (r18 ADVICE:
+    * a corpus with fewer than k rows, NULL-embedding queries, or
+    * duplicate query ids all yield fewer than nQ·k truth rows, and
+    * against nQ·k the documented full-probe ∘ lossless 1.0 anchor
+    * would silently depend on fixture size — the semi-join counts
+    * truth rows found among the hits, so recall stays in [0, 1]), and
+    * the per-nprobe scan cost memo (pure metadata: probe assignment
+    * joined to cell sizes — no corpus scan; at nprobe = nlist it is
+    * exactly the corpus row count). */
+  private final class Measurement(index: AnnIndex, queries: DataFrame,
+      raw: DataFrame, queryIdCol: String, queryEmbCol: String,
+      corpusIdCol: String, corpusEmbCol: String, k: Int, simCol: String,
+      caller: String) {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(k >= 1, s"k must be >= 1, got $k")
+    private val truth = SimJoin.knnJoinAgg(queries, raw, queryIdCol,
+        queryEmbCol, corpusIdCol, corpusEmbCol, k = k, simCol = simCol)
       .select(col(queryIdCol).as("__q"), col(corpusIdCol).cast("long").as("__t"))
       .localCheckpoint(false)
-    val nQ = queries.count()
-    require(nQ > 0, "recallCurve needs at least one query row")
-    // denominate by the ACTUAL ground-truth row count, not nQ·k (r18
-    // ADVICE): a corpus with fewer than k rows (or NULL-embedding
-    // queries the exact join yields nothing for, or duplicate query
-    // ids inflating nQ) produces fewer than nQ·k truth rows, and
-    // against that denominator the documented full-probe ∘ lossless
-    // 1.0 anchor would silently depend on fixture size. The semi-join
-    // counts truth rows found among the hits, so recall stays in [0, 1].
-    val denom = truth.count().toDouble
+    val nQ: Long = queries.count()
+    require(nQ > 0, s"$caller needs at least one query row")
+    private val denom = truth.count().toDouble
     require(denom > 0,
-      "recallCurve found no exact ground-truth rows — every query has a " +
+      s"$caller found no exact ground-truth rows — every query has a " +
         "NULL/zero-norm embedding, or the corpus is empty; nothing to measure")
-    nprobes.distinct.sorted.map { np =>
-      // with a refine shortlist the measured path is the DEPLOYED one:
-      // ADC shortlists, exact re-rank ships the top-k — the (nprobe,
-      // shortlist) pair a deployment actually tunes together (the 1M
-      // probe measures the gap: bare ADC ~0.45 vs 0.847 refined on
-      // the same codec). refineShortlist = k degenerates to bare
-      // membership (re-ranking exactly k candidates permutes order
-      // only — spec'd equal).
-      val served = refineShortlist match {
+
+    /** Measured recall at one knob point. With a shortlist the
+      * measured path is the DEPLOYED one: ADC shortlists, exact
+      * re-rank ships the top-k — the pair a deployment tunes together
+      * (the 1M probe measures the gap: bare ADC ~0.45 vs 0.847
+      * refined on the same codec). */
+    def recallAt(np: Int, shortlist: Option[Int]): Double = {
+      require(np >= 1, s"nprobe values must be >= 1, got $np")
+      val served = shortlist match {
         case Some(sl) => index.searchManyRefine(queries, queryIdCol,
           queryEmbCol, raw, corpusIdCol, corpusEmbCol, n = k,
           shortlist = sl, nprobe = np, simCol = simCol)
         case None => index.searchMany(queries, queryIdCol, queryEmbCol,
           corpusIdCol, k = k, nprobe = np, simCol = simCol)
       }
-      val hits = served
-        .select(col(queryIdCol).as("__q"), col(corpusIdCol).cast("long").as("__t"))
-      val inter = truth.join(hits, Seq("__q", "__t"), "left_semi").count()
-      (np, k, inter / denom, nQ)
-    }.toDF("nprobe", "k", "recall", "n_queries")
+      val hits = served.select(col(queryIdCol).as("__q"),
+        col(corpusIdCol).cast("long").as("__t"))
+      truth.join(hits, Seq("__q", "__t"), "left_semi").count() / denom
+    }
+
+    private val scannedMemo = scala.collection.mutable.Map.empty[Int, Double]
+
+    /** Mean rows the probed cells hold per query — the scan-cost half
+      * of the trade (r18 VERDICT #4), priced from probe assignment ×
+      * cell occupancy metadata alone. */
+    def scannedRowsAt(np: Int): Double = scannedMemo.getOrElseUpdate(np, {
+      val sized = index.cellSizeStats.select(col("cell"),
+        col("n").as("__cell_rows"))
+      val r = index.probesMany(queries, queryIdCol, queryEmbCol, np)
+        .join(sized, Seq("cell"))
+        .agg(sum(col("__cell_rows"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / nQ
+    })
   }
 
-  /** Reopen WHATEVER coded-index layout lives at `path` — sniffs the
-    * sidecar and dispatches to the right loader ([[OpqIvfPqIndex]]'s
-    * nested layout first: its `$path/ivfpq` subtree IS a plain IVFADC
-    * layout, so probing in the other order would open a rotated stack
-    * as its inner half and silently serve un-rotated queries — the
-    * exact footgun the nesting exists to prevent). Refuses by name
-    * when neither sidecar is readable: guessing a layout class would
-    * trade a loud error for silently wrong similarity scores. */
+  /** Reopen WHATEVER index layout lives at `path` — sniffs the sidecar
+    * and dispatches to the right loader ([[OpqIvfPqIndex]]'s nested
+    * layout first: its `$path/ivfpq` subtree IS a plain IVFADC layout,
+    * so probing in the other order would open a rotated stack as its
+    * inner half and silently serve un-rotated queries — the exact
+    * footgun the nesting exists to prevent; then plain IVFADC; then
+    * the vector tier through [[IvfIndex.asAnnIndex]]). Refuses by name
+    * when no sidecar is readable: guessing a layout class would trade
+    * a loud error for silently wrong similarity scores. */
   def open(spark: SparkSession, path: String): AnnIndex = {
     // only the two NOT-A-LAYOUT signals probe past (r18 ADVICE): a
     // missing sidecar (FileNotFoundException) and readSidecar's own
@@ -181,10 +258,12 @@ object AnnIndex {
       }
     if (has("_opqivfpq.json")) OpqIvfPqIndex.load(spark, path)
     else if (has("_ivfpq.json")) IvfPqIndex.load(spark, path)
+    // the vector tier serves through its cosine-pinned adapter (r18
+    // VERDICT #3) — open's refusal is no longer the only path to a
+    // saved vector-tier layout
+    else if (has("_ivf.json")) IvfIndex.load(spark, path).asAnnIndex
     else throw new IllegalArgumentException(
-      s"$path is not a coded-index layout this engine can open (no readable " +
-        "_opqivfpq.json or _ivfpq.json sidecar) — plain vector-tier IVF " +
-        "layouts reopen with IvfIndex.load, which serves raw vectors and " +
-        "is deliberately outside the coded AnnIndex seam")
+      s"$path is not an index layout this engine can open (no readable " +
+        "_opqivfpq.json, _ivfpq.json, or _ivf.json sidecar)")
   }
 }

@@ -85,14 +85,8 @@ class IvfIndex private (
     val idType = indexed.schema(corpusIdCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"searchMany buffers corpus ids as long, but '$corpusIdCol' is ${idType.simpleString}")
-    val cellScores = centroids.crossJoin(broadcast(queries))
-      .select(col(queryIdCol), col("cell").cast("long").as("cell"),
-        vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))
-    val probes = cellScores
-      .groupBy(col(queryIdCol))
-      .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
-      .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
-      .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+    val probes = IvfIndex.probesForQueries(centroids, queries, queryIdCol,
+      queryEmbCol, nprobe)
     // two separate broadcasts: the (queryId, cell) probe list is narrow,
     // and each query's embedding ships ONCE — pre-joining them would
     // replicate every embedding nprobe times through the broadcast
@@ -139,6 +133,75 @@ class IvfIndex private (
     * index (one map-combined count aggregation). */
   def cellSizeStats: DataFrame =
     indexed.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** This vector-tier index through the [[AnnIndex]] serving trait
+    * (r18 VERDICT #3): the measurement seam ([[AnnIndex.recallCurve]]/
+    * [[AnnIndex.recallGrid]]) and every trait consumer (batch MMR,
+    * [[AnnIndex.open]]) can now size THIS tier's nprobe the same
+    * measured way as the coded tiers. A thin adapter rather than
+    * extending the trait directly, and method-pinned to COSINE: the
+    * concrete class keeps its `method` knob (dot/euclidean), and the
+    * two `search` signatures would otherwise be overload-ambiguous —
+    * the documented reason this tier stayed off the trait until the
+    * adapter. The refine forms re-rank the shortlist on raw vectors
+    * exactly like the coded tiers; over this tier's already-exact
+    * scores they change membership never, order only through
+    * tie-breakers (spec'd `searchRefine == search` at n = k ≤
+    * shortlist) — they exist so trait consumers compose uniformly.
+    *
+    * Exactness anchor: nprobe = nlist probes every cell with EXACT
+    * scores, so every trait form equals brute force — and unlike the
+    * coded tiers the vector tier's recall is monotone in nprobe
+    * unconditionally (exact scores always; the lossless-codebook
+    * caveat is vacuous here — spec'd, and the `ann_recall_curve_vec`
+    * gate row pins the 1.0 / corpus-size corner). */
+  def asAnnIndex: AnnIndex = {
+    val self = this
+    require(centroidVectors.nonEmpty, "cannot adapt an index with no centroids")
+    new AnnIndex {
+      override def dim: Int = self.centroidVectors(0).length
+      override def search(queryVec: Array[Float], k: Int, nprobe: Int,
+          simCol: String, tieBreakers: Seq[Column]): DataFrame =
+        self.search(queryVec, k, nprobe, "cosine", simCol, tieBreakers)
+      override def searchMany(queries: DataFrame, queryIdCol: String,
+          queryEmbCol: String, corpusIdCol: String, k: Int, nprobe: Int,
+          simCol: String): DataFrame =
+        self.searchMany(queries, queryIdCol, queryEmbCol, corpusIdCol, k,
+          nprobe, simCol)
+      override def searchRefine(raw: DataFrame, idCol: String,
+          embCol: String, queryVec: Array[Float], n: Int, shortlist: Int,
+          nprobe: Int, simCol: String, tieBreakers: Seq[Column],
+          maxShortlist: Int): DataFrame = {
+        require(n >= 1 && shortlist >= n,
+          s"need shortlist ($shortlist) >= n ($n) >= 1")
+        require(shortlist <= maxShortlist,
+          s"shortlist $shortlist exceeds maxShortlist $maxShortlist — the " +
+            "re-rank's id predicate is built from a driver-collected id " +
+            "list; raise maxShortlist deliberately or shrink the shortlist")
+        val shortIds = search(queryVec, shortlist, nprobe, simCol, tieBreakers)
+          .select(col(idCol)).collect().map(_.get(0))
+        PqIndex.refineByIds(raw, idCol, embCol, queryVec, n, shortIds,
+          simCol, tieBreakers)
+      }
+      override def searchManyRefine(queries: DataFrame, queryIdCol: String,
+          queryEmbCol: String, raw: DataFrame, corpusIdCol: String,
+          corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int,
+          simCol: String): DataFrame = {
+        require(n >= 1 && shortlist >= n,
+          s"need shortlist ($shortlist) >= n ($n) >= 1")
+        IvfPqIndex.refineManyFromShortlists(
+          searchMany(queries, queryIdCol, queryEmbCol, corpusIdCol,
+            k = shortlist, nprobe = nprobe, simCol = simCol),
+          queries, queryIdCol, queryEmbCol, raw, corpusIdCol, corpusEmbCol,
+          n, simCol)
+      }
+      override def cellSizeStats: DataFrame = self.cellSizeStats
+      override def probesMany(queries: DataFrame, queryIdCol: String,
+          queryEmbCol: String, nprobe: Int): DataFrame =
+        IvfIndex.probesForQueries(self.centroids, queries, queryIdCol,
+          queryEmbCol, nprobe)
+    }
+  }
 
   /**
    * Refuse-don't-degrade guard for append drift: if the fullest cell
@@ -304,6 +367,27 @@ object IvfIndex {
 
   /** Double-accumulated plain dot product, driver-side — the per-cell
     * `q·centroid` addend of residual-coded ADC ([[IvfPqIndex.search]]). */
+  /** The (queryId, cell) probe assignment every `searchMany` in the
+    * family plans — broadcast-score queries × centroids, per-query
+    * top-`nprobe` cells by the bounded-heap aggregate, explode. Shared
+    * verbatim by [[IvfIndex.searchMany]], [[IvfPqIndex.searchMany]],
+    * and the [[AnnIndex.probesMany]] telemetry seam, so the cost a
+    * deployment prices from the metadata is BY CONSTRUCTION the cost
+    * the serving plan pays. nQ·nlist broadcast-side rows in, nQ·nprobe
+    * rows out — never corpus-scale. */
+  private[operators] def probesForQueries(centroids: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+      nprobe: Int): DataFrame = {
+    import graft.functions.TopKScored
+    centroids.crossJoin(broadcast(queries))
+      .select(col(queryIdCol), col("cell").cast("long").as("cell"),
+        vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))
+      .groupBy(col(queryIdCol))
+      .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
+      .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
+      .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+  }
+
   private[operators] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var d = 0.0; var i = 0

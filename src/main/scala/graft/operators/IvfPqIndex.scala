@@ -160,14 +160,8 @@ class IvfPqIndex private (
     val idType = encoded.schema(corpusIdCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"searchMany buffers corpus ids as long, but '$corpusIdCol' is ${idType.simpleString}")
-    val cellScores = centroids.crossJoin(broadcast(queries))
-      .select(col(queryIdCol), col("cell").cast("long").as("cell"),
-        vectors.cosine_similarity(col("centroid"), col(queryEmbCol)).as("__csim"))
-    val probes = cellScores
-      .groupBy(col(queryIdCol))
-      .agg(TopKScored.column(nprobe)(col("__csim"), col("cell")).as("__cells"))
-      .select(col(queryIdCol), explode(col("__cells.id")).as("cell"))
-      .select(col(queryIdCol), col("cell").cast("int").as("cell"))
+    val probes = IvfIndex.probesForQueries(centroids, queries, queryIdCol,
+      queryEmbCol, nprobe)
     // residual coding completes each candidate's dot with the per-
     // (query, cell) `q·centroid` scalar — computed ONCE on the tiny
     // probes frame (≤ n_queries·nprobe rows), never per candidate row
@@ -259,9 +253,18 @@ class IvfPqIndex private (
       IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors),
       embCol, centroidVectors, model, codesCol, normCol, byResidual)
 
-  /** Per-cell coded-row counts — the drift gauge for appends. */
-  def cellSizeStats: DataFrame =
+  /** Per-cell coded-row counts — the drift gauge for appends, and the
+    * metadata half of the [[AnnIndex]] serving-cost seam. */
+  override def cellSizeStats: DataFrame =
     encoded.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** The (queryId, cell) probe assignment [[searchMany]] plans at
+    * `nprobe` — the IDENTICAL [[IvfIndex.probesForQueries]] block, so
+    * costs priced from it are the costs the serving plan pays. */
+  override def probesMany(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, nprobe: Int): DataFrame =
+    IvfIndex.probesForQueries(centroids, queries, queryIdCol, queryEmbCol,
+      nprobe)
 
   /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus.
     *

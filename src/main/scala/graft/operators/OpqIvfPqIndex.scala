@@ -91,6 +91,16 @@ final class OpqIvfPqIndex private[operators] (
       OpqIvfPqIndex.rotated(queries, queryEmbCol, rotation, dim),
       queryIdCol, queryEmbCol, corpusIdCol, k, nprobe, simCol)
 
+  /** Probe assignment through the rotation seam: queries rotate
+    * in-plan (exactly as [[searchMany]] stages them), then the inner
+    * IVFADC probe block runs against the rotated-space centroids — so
+    * the priced cells ARE the served cells. */
+  override def probesMany(queries: DataFrame, queryIdCol: String,
+      queryEmbCol: String, nprobe: Int): DataFrame =
+    inner.probesMany(
+      OpqIvfPqIndex.rotated(queries, queryEmbCol, rotation, dim),
+      queryIdCol, queryEmbCol, nprobe)
+
   /** Refine through the rotation seam: the coded pass shortlists in
     * ROTATED space (query rotated driver-side), the exact re-rank runs
     * on the RAW vectors with the RAW query — legitimate because R is
@@ -161,7 +171,71 @@ final class OpqIvfPqIndex private[operators] (
       OpqIvfPqIndex.rotated(newDf, embCol, rotation, dim), embCol)
   }
 
-  def cellSizeStats: DataFrame = inner.cellSizeStats
+  /** Guarded per-batch INGEST into a saved layout — the body of the
+    * streaming maintenance loop
+    * ([[graft.streaming.StreamOps.annIngestPerBatch]]), factored out so
+    * each contract is spec-testable without a stream. Per batch:
+    *
+    * 1. REPLAY GUARD — `$path/_ingest/batch_<batchId>.json` marks a
+    *    batch that already landed; if present the call is a no-op
+    *    returning false. Structured Streaming re-delivers the last
+    *    uncommitted micro-batch on checkpoint recovery, and the marker
+    *    makes that replay APPEND-IDEMPOTENT. The marker is written
+    *    AFTER the append job commits, so the contract is exactly-once
+    *    for planned restarts and replays, at-least-once across a crash
+    *    in the commit→marker window (that one batch would append
+    *    twice) — documented rather than hidden, because exactly-once
+    *    would need a transactional sink a parquet cell tree doesn't
+    *    offer.
+    * 2. [[codecGuard]] on the batch — quiet / warn (via `warnSink`) /
+    *    REFUSE with the re-fit remedy; a refusal fails the
+    *    StreamingQuery by design (refuse-don't-degrade: better a dead
+    *    stream than a layout serving silently degraded recall).
+    * 3. Rotation-verified [[appendToSaved]] (the bit-for-bit sidecar
+    *    compare).
+    * 4. MAINTENANCE CADENCE — every micro-batch appends new files
+    *    under each `cell=` partition, so a long-lived streaming layout
+    *    accretes exactly the small files [[layoutStats]] gauges; when
+    *    any cell's file count exceeds `compactFilesPerCell`, run the
+    *    compaction. Safe inside the loop BECAUSE foreachBatch batches
+    *    are serial — no concurrent appender can race the swap (and
+    *    compactDataTree's pre-swap listing re-check would refuse one
+    *    anyway). Do NOT run an external compactSaved while the stream
+    *    is live.
+    *
+    * Empty batches are no-ops returning false, with no marker
+    * (replaying an empty batch is harmless) and no codecGuard (there
+    * is nothing to measure). Returns true iff rows were appended. */
+  def ingestBatch(path: String, batch: DataFrame, embCol: String,
+      batchId: Long, baselineSelfSim: Option[Double] = None,
+      warnSink: String => Unit = _ => (),
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): Boolean = {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    require(compactFilesPerCell >= 1,
+      s"compactFilesPerCell must be >= 1, got $compactFilesPerCell")
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s"$path/_ingest"), s"batch_$batchId.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker) || batch.isEmpty) return false
+    baselineSelfSim match {
+      case Some(b) => codecGuard(batch, embCol, b).foreach(warnSink)
+      case None => codecGuard(batch, embCol).foreach(warnSink)
+    }
+    appendToSaved(path, batch, embCol)
+    IvfIndex.writeSidecar(spark, s"$path/_ingest", s"batch_$batchId.json",
+      s"""{"batch_id": $batchId}""")
+    // appendToSaved above already rotation-verified $path, so the
+    // cadence gauge reads the nested tree directly
+    val maxFiles = IvfPqIndex.layoutStats(spark, s"$path/ivfpq")
+      .agg(max(col("n_files"))).head().getLong(0)
+    if (maxFiles > compactFilesPerCell)
+      OpqIvfPqIndex.compactSaved(spark, path, targetFileBytes)
+    true
+  }
+
+  override def cellSizeStats: DataFrame = inner.cellSizeStats
   def driftGuard(maxFactor: Double = 8.0): Double = inner.driftGuard(maxFactor)
 
   /** Mean CODEC self-similarity of `df` under this stack's frozen

@@ -223,6 +223,41 @@ object StreamOps {
         shortlist, nprobe), batchId)
     }.start()
 
+  /** Streaming ANN-INDEX INGEST (§2.3 S × J, r18 VERDICT #1 — the one
+    * operator family whose streaming half was missing): DOCUMENTS
+    * arrive as micro-batches and land in the SAVED serving layout at
+    * `path`, each batch through the full maintenance loop —
+    * [[graft.operators.OpqIvfPqIndex.codecGuard]] staleness bands
+    * (quiet / warn via `warnSink` / refuse-and-fail-the-stream) →
+    * rotation-verified `appendToSaved` → a `layoutStats`-thresholded
+    * `compactSaved` cadence (every micro-batch writes new files under
+    * each cell; the threshold keeps a long-lived streaming layout from
+    * accreting small files). The `index` holds the FROZEN artifacts
+    * (rotation, quantizer, codebooks — never refit mid-stream;
+    * codecGuard is what detects them going stale). Batch markers under
+    * `$path/_ingest` make checkpoint replays append-idempotent — see
+    * [[graft.operators.OpqIvfPqIndex.ingestBatch]] for the exact
+    * contract, including the at-least-once crash window and the
+    * no-external-compaction rule while the stream is live.
+    *
+    * Batch-equivalence argument (the [[nearestPerBatch]] convention):
+    * appends are order-insensitive unions into cell partitions, so a
+    * drained N-batch stream leaves the layout `appendToSaved` would
+    * after the same N batches — spec'd two-batch == two-append, and
+    * the `ann_opq_ivfpq_stream_ingest` gate row serves the drained
+    * layout against the brute-force oracle. */
+  def annIngestPerBatch(docs: DataFrame, // streaming, with embCol
+      index: graft.operators.OpqIvfPqIndex, // frozen artifacts
+      path: String, embCol: String,
+      baselineSelfSim: Option[Double] = None,
+      warnSink: String => Unit = _ => (),
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      index.ingestBatch(path, batch, embCol, batchId, baselineSelfSim,
+        warnSink, compactFilesPerCell, targetFileBytes): Unit
+    }.start()
+
   /** Streaming eval-set decontamination (SURVEY §2.3 S × D): each
     * arriving micro-batch of documents is decontaminated against a
     * STATIC benchmark set — the ingest-time form of the leak-hygiene

@@ -159,6 +159,58 @@ class IvfIndexSpec extends AnyFunSuite {
       "compaction must not change what the vector tier serves")
   }
 
+  test("asAnnIndex: vector tier through the trait — calls equal the concrete index, refine is membership-neutral, recallCurve pins 1.0/corpus-size and unconditional monotonicity, open dispatches _ivf.json") {
+    val idx = IvfIndex.build(e, "embedding", nlist = 8)
+    val ann = idx.asAnnIndex
+    assert(ann.dim == e.select(size(col("embedding"))).head().getInt(0))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    // the trait calls ARE the concrete cosine calls
+    assert(ids(ann.search(query, 10, nprobe = 4,
+        tieBreakers = Seq(asc("vec_id")))) ==
+      ids(idx.search(query, k = 10, nprobe = 4,
+        tieBreakers = Seq(asc("vec_id")))))
+    // refine over already-exact scores is membership-neutral:
+    // searchRefine at n = shortlist must serve the same ids as search
+    val raw = e.select(col("vec_id"), col("embedding"))
+    assert(ids(ann.searchRefine(raw, "vec_id", "embedding", query, n = 10,
+        shortlist = 10, nprobe = 8,
+        tieBreakers = Seq(asc("vec_id")))).sorted ==
+      ids(ann.search(query, 10, nprobe = 8,
+        tieBreakers = Seq(asc("vec_id")))).sorted)
+    // the measurement seam the adapter exists for (r18 VERDICT #3):
+    // the vector tier's curve is monotone UNCONDITIONALLY (scores are
+    // always exact — the coded tiers' lossless caveat is vacuous
+    // here), ends at exactly 1.0, and full probe prices the corpus
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val curve = graft.operators.AnnIndex.recallCurve(ann, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1, 2, 4, 8))
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(4)))
+    assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"vector-tier recall must be monotone in nprobe: ${curve.toSeq}")
+    assert(curve.last._2 == 1.0 && curve.last._3 == 500.0,
+      s"full probe must measure exactly (1.0, corpus size): ${curve.toSeq}")
+    // AnnIndex.open now dispatches a saved vector-tier layout through
+    // the adapter instead of refusing it by name
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_open").toString
+    try {
+      idx.save(s"$dir/idx")
+      val opened = graft.operators.AnnIndex.open(spark, s"$dir/idx")
+      assert(ids(opened.search(query, 10, nprobe = 8,
+          tieBreakers = Seq(asc("vec_id")))) ==
+        ids(idx.search(query, k = 10, nprobe = 8,
+          tieBreakers = Seq(asc("vec_id")))),
+        "an opened vector-tier layout must serve the concrete index's result")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("compactSaved parallelizes a hot cell: multiple writer tasks, rows identical, serving unchanged") {
     import spark.implicits._
     // a deliberately skewed layout: one ~5 MB hot cell (20k × 64-float

@@ -293,6 +293,60 @@ class IvfPqIndexSpec extends AnyFunSuite {
         "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(1)))
   }
 
+  test("recallGrid + scanned_rows: cost is corpus size at full probe and monotone in nprobe; the sl = k column IS the bare curve; cost independent of shortlist") {
+    val df = fixture
+    val q = df.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val raw = df.select(col("vec_id"), col("embedding"))
+    val lossy = IvfPqIndex.build(df, "embedding", nlist = 8, m = 4, k = 8,
+      byResidual = true)
+    // the cost column on the bare curve: priced purely from probe
+    // assignment × cell occupancy — exactly the corpus size at full
+    // probe, monotone in nprobe (probed cells are supersets), smaller
+    // on a partial probe
+    val curve = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1, 2, 8))
+      .collect().map(r => (r.getInt(0), r.getDouble(4)))
+    assert(curve.last == (8, 200.0),
+      s"full probe must price the whole corpus: ${curve.toSeq}")
+    assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"scan cost must be monotone in nprobe: ${curve.toSeq}")
+    assert(curve.head._2 < 200.0,
+      s"a 1-of-8 probe must price less than the corpus: ${curve.toSeq}")
+    // the grid: one row per (nprobe, shortlist) pair; its sl = k
+    // column equals the bare curve (re-ranking exactly k candidates
+    // permutes order, never membership); cost depends on nprobe only
+    val bare = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(1, 8))
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toMap
+    val grid = graft.operators.AnnIndex.recallGrid(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1, 8), shortlists = Seq(5, 40))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(3), r.getDouble(5))))
+      .toMap
+    assert(grid.size == 4, s"$grid")
+    assert(grid((1, 5))._1 == bare(1) && grid((8, 5))._1 == bare(8),
+      s"the sl = k column must equal the bare curve:\n$grid\n$bare")
+    assert(grid((1, 5))._2 == grid((1, 40))._2 &&
+      grid((8, 5))._2 == grid((8, 40))._2,
+      s"scan cost must not depend on the shortlist: $grid")
+    assert(grid((8, 40))._2 == 200.0)
+    assert(grid((8, 40))._1 >= grid((8, 5))._1,
+      s"a 40-shortlist exact re-rank must not lose to sl = k at full probe: $grid")
+    // refusals: shortlist < k, empty shortlists, empty nprobes
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(1), shortlists = Seq(3)))
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(1), shortlists = Nil))
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Nil, shortlists = Seq(5)))
+  }
+
   test("searchRefine: composed degenerates == brute force; pruned lossy refine stays exact-ordered on its shortlist") {
     val df = fixture
     val raw = df.select(col("vec_id"), col("embedding"))

@@ -145,12 +145,12 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
         assert(graft.operators.AnnIndex.open(spark, plainDir)
           .isInstanceOf[IvfPqIndex])
       } finally rm(new java.io.File(plainDir))
-      // and a directory with neither sidecar refuses by name
+      // and a directory with no sidecar at all refuses by name
       val emptyDir = java.nio.file.Files.createTempDirectory("graft_not_an_index").toString
       try {
         val e2 = intercept[IllegalArgumentException](
           graft.operators.AnnIndex.open(spark, emptyDir))
-        assert(e2.getMessage.contains("not a coded-index layout"), e2.getMessage)
+        assert(e2.getMessage.contains("not an index layout"), e2.getMessage)
       } finally rm(new java.io.File(emptyDir))
     } finally rm(new java.io.File(dir))
   }
@@ -208,6 +208,126 @@ class OpqIvfPqIndexSpec extends AnyFunSuite {
         assert(e2.getMessage.contains("not an OPQ∘IVFADC layout"), e2.getMessage)
       } finally rm(new java.io.File(plainDir))
     } finally rm(new java.io.File(dir))
+  }
+
+  private def codedRowsAt(dir: String) = OpqIvfPqIndex.load(spark, dir)
+    .inner.encoded
+    .select(col("vec_id"), col("cell"), hex(col("pq_codes")).as("codes"))
+    .orderBy("vec_id")
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+
+  test("ingestBatch: two-batch drain == two batch appends row-for-row; replay is append-idempotent; empty batch is a no-op; the compaction cadence fires") {
+    val df = correlated
+    val a = df.where(col("vec_id") < 100)
+    val b1 = df.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    val b2 = df.where(col("vec_id") >= 200)
+    val full = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val half = OpqIvfPqIndex.withArtifacts(a, "embedding", full.rotation,
+      full.inner.centroidVectors, full.model, byResidual = true)
+    val baseline = half.codecSelfSimilarity(a, "embedding")
+    val viaIngest = java.nio.file.Files.createTempDirectory("graft_opq_ing").toString
+    val viaAppend = java.nio.file.Files.createTempDirectory("graft_opq_app2").toString
+    try {
+      half.save(viaIngest); half.save(viaAppend)
+      // the ingest path IS a drained two-batch stream (foreachBatch
+      // calls this body serially with batchIds 0, 1) — with the
+      // cadence threshold at 1 so every append triggers compaction
+      assert(half.ingestBatch(viaIngest, b1, "embedding", 0L,
+        Some(baseline), compactFilesPerCell = 1))
+      assert(half.ingestBatch(viaIngest, b2, "embedding", 1L,
+        Some(baseline), compactFilesPerCell = 1))
+      half.appendToSaved(viaAppend, b1, "embedding")
+      half.appendToSaved(viaAppend, b2, "embedding")
+      assert(codedRowsAt(viaIngest) == codedRowsAt(viaAppend),
+        "a drained ingest must leave the layout two batch appends would")
+      // the cadence fired: every cell is back to one file on the
+      // ingest side, while the append-only side accreted files
+      val ingFiles = OpqIvfPqIndex.layoutStats(spark, viaIngest)
+        .agg(max(col("n_files"))).head().getLong(0)
+      val appFiles = OpqIvfPqIndex.layoutStats(spark, viaAppend)
+        .agg(max(col("n_files"))).head().getLong(0)
+      assert(ingFiles == 1L, s"cadence must compact to 1 file/cell, saw $ingFiles")
+      assert(appFiles >= 2L, s"append-only side should accrete, saw $appFiles")
+      // checkpoint-recovery replay: the SAME batchId is skipped —
+      // rows unchanged, return false
+      val before = codedRowsAt(viaIngest)
+      assert(!half.ingestBatch(viaIngest, b1, "embedding", 0L, Some(baseline)))
+      assert(codedRowsAt(viaIngest) == before,
+        "a replayed batch must not append twice")
+      // an empty batch is a no-op: false, no marker, no codecGuard
+      // measurement refusal
+      assert(!half.ingestBatch(viaIngest, df.where(lit(false)), "embedding",
+        7L, Some(baseline)))
+      assert(!new java.io.File(s"$viaIngest/_ingest/batch_7.json").exists(),
+        "empty batches leave no marker")
+      assert(codedRowsAt(viaIngest) == before)
+    } finally { rm(new java.io.File(viaIngest)); rm(new java.io.File(viaAppend)) }
+  }
+
+  test("annIngestPerBatch: a real StreamingQuery drains documents into the saved layout; a stale-codec batch fails the stream by refusal") {
+    val df = correlated
+    val a = df.where(col("vec_id") < 100)
+    val b1 = df.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    val b2 = df.where(col("vec_id") >= 200)
+    val full = OpqIvfPqIndex.build(df, "embedding", nlist = 4, m = 8, k = 8,
+      opqIters = 4, byResidual = true)
+    val half = OpqIvfPqIndex.withArtifacts(a, "embedding", full.rotation,
+      full.inner.centroidVectors, full.model, byResidual = true)
+    val baseline = half.codecSelfSimilarity(a, "embedding")
+    val streamed = java.nio.file.Files.createTempDirectory("graft_opq_sing").toString
+    val batched = java.nio.file.Files.createTempDirectory("graft_opq_sapp").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_opq_ssrc")
+    try {
+      half.save(streamed); half.save(batched)
+      b1.coalesce(1).write.parquet(src.resolve("b1").toString)
+      b2.coalesce(1).write.parquet(src.resolve("b2").toString)
+      val docs = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*/")
+      val q = graft.streaming.StreamOps.annIngestPerBatch(docs, half,
+        streamed, "embedding", baselineSelfSim = Some(baseline))
+      try {
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"ingest stream died: ${q.exception}")
+      } finally q.stop()
+      half.appendToSaved(batched, b1, "embedding")
+      half.appendToSaved(batched, b2, "embedding")
+      assert(codedRowsAt(streamed) == codedRowsAt(batched),
+        "the drained ingest stream must leave the layout batch appends would")
+      // refuse-don't-degrade: a batch whose distribution the frozen
+      // rotation/codebooks code badly (the codecGuard spec's planted
+      // ±-pattern drift — structureless vectors sharing nothing with
+      // the correlated fixture's subspaces) must FAIL the
+      // StreamingQuery, not land drifted codes
+      val rnd = new scala.util.Random(11)
+      val drifted = (1000L until 1100L).map { i =>
+        (i, Array.tabulate(dim)(_ => (if (rnd.nextBoolean()) 1f else -1f) *
+          (1f + rnd.nextFloat())).toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      assert(baseline - half.codecSelfSimilarity(drifted, "embedding") > 0.05,
+        "fixture must plant a drop past the refuse band")
+      drifted.coalesce(1).write.parquet(src.resolve("drift").toString)
+      val docs2 = spark.readStream.schema(b1.schema)
+        .parquet(src.resolve("drift").toString)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_opq_sref").toString
+      try {
+        half.save(dir2)
+        val q2 = graft.streaming.StreamOps.annIngestPerBatch(docs2, half,
+          dir2, "embedding", baselineSelfSim = Some(baseline))
+        val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          try q2.processAllAvailable() finally q2.stop()
+        }
+        val messages = Iterator.iterate(died: Throwable)(_.getCause)
+          .takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).toSeq
+        assert(messages.exists(_.contains("drifted")),
+          s"expected the codecGuard refusal in the cause chain, got: $messages")
+      } finally rm(new java.io.File(dir2))
+    } finally {
+      rm(new java.io.File(streamed)); rm(new java.io.File(batched))
+      rm(src.toFile)
+    }
   }
 
   test("addBatch under frozen artifacts == building from the union; searchMany == per-query search") {
