@@ -171,6 +171,40 @@ object AnnIndex {
       .toDF("nprobe", "shortlist", "k", "recall", "n_queries", "scanned_rows")
   }
 
+  /** Close the tuning loop: pick the CHEAPEST measured config meeting
+    * a recall floor from a [[recallGrid]] (or [[recallCurve]]) frame —
+    * minimum `scanned_rows`, ties broken by (nprobe asc, shortlist
+    * asc) so the pick is deterministic and the least-knobbed config
+    * wins a dead heat. Pure driver arithmetic over the knob-grid-sized
+    * frame (the grid is a handful of rows BY CONSTRUCTION — one per
+    * knob point, never data-scale). Refuses by name when NO measured
+    * point meets the floor: silently returning the best-available
+    * config would deploy a knob setting the measurement just proved
+    * inadequate — widen the grid or lower the floor, deliberately.
+    * Returns (nprobe, shortlist: Option — None for bare-curve rows,
+    * recall, scanned_rows). */
+  def cheapestAtRecall(grid: DataFrame,
+      minRecall: Double): (Int, Option[Int], Double, Double) = {
+    require(minRecall >= 0.0 && minRecall <= 1.0 && !minRecall.isNaN,
+      s"minRecall must be in [0, 1], got $minRecall")
+    val hasSl = grid.columns.contains("shortlist")
+    import org.apache.spark.sql.functions.col
+    val rows = grid.select(
+        Seq(col("nprobe"), col("recall"), col("scanned_rows")) ++
+          (if (hasSl) Seq(col("shortlist")) else Nil): _*)
+      .collect()
+      .map(r => (r.getInt(0), if (hasSl) Some(r.getInt(3)) else None,
+        r.getDouble(1), r.getDouble(2)))
+    require(rows.nonEmpty, "cheapestAtRecall needs a non-empty grid")
+    val meeting = rows.filter(_._3 >= minRecall)
+    if (meeting.isEmpty) throw new IllegalArgumentException(
+      f"no measured config reaches recall $minRecall%.3f (best measured: " +
+        f"${rows.map(_._3).max}%.3f) — deploying the best-available knob " +
+        "would serve below the floor the measurement just set; widen the " +
+        "(nprobe, shortlist) grid or lower the floor deliberately")
+    meeting.minBy(t => (t._4, t._1, t._2.getOrElse(0)))
+  }
+
   /** The shared measurement state behind [[recallCurve]] and
     * [[recallGrid]]: exact ground truth computed ONCE and pinned
     * (recomputing per point would re-scan raw vectors once per point

@@ -335,6 +335,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(grid((8, 40))._2 == 200.0)
     assert(grid((8, 40))._1 >= grid((8, 5))._1,
       s"a 40-shortlist exact re-rank must not lose to sl = k at full probe: $grid")
+    // cheapestAtRecall closes the loop: min scanned_rows among rows
+    // meeting the floor, deterministic tie-breaks, refusal when the
+    // floor is out of measured reach (hand-built frame — every value
+    // known)
+    val g = Seq(
+      (1, 5, 3, 0.4, 8L, 25.0), (2, 5, 3, 0.9, 8L, 50.0),
+      (2, 40, 3, 0.95, 8L, 50.0), (8, 5, 3, 1.0, 8L, 200.0)
+    ).toDF("nprobe", "shortlist", "k", "recall", "n_queries", "scanned_rows")
+    assert(graft.operators.AnnIndex.cheapestAtRecall(g, 0.9) ==
+      ((2, Some(5), 0.9, 50.0)), "cost tie must break to the smaller knobs")
+    assert(graft.operators.AnnIndex.cheapestAtRecall(g, 1.0) ==
+      ((8, Some(5), 1.0, 200.0)))
+    assert(graft.operators.AnnIndex.cheapestAtRecall(g, 0.0) ==
+      ((1, Some(5), 0.4, 25.0)))
+    val noReach = intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.cheapestAtRecall(
+        g.where(col("recall") < 0.99), 1.0))
+    assert(noReach.getMessage.contains("no measured config"), noReach.getMessage)
+    intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.cheapestAtRecall(g, 1.5))
+    // and it composes with the real measured grid (bare curves too —
+    // shortlist reported as None)
+    val realPick = graft.operators.AnnIndex.cheapestAtRecall(
+      graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(1, 8),
+        shortlists = Seq(5, 40)), 0.0)
+    assert(realPick._1 == 1 && realPick._2.contains(5),
+      s"floor 0 must pick the cheapest knobs: $realPick")
     // refusals: shortlist < k, empty shortlists, empty nprobes
     intercept[IllegalArgumentException](
       graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
