@@ -1962,6 +1962,58 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
+    // The SAME serving composition from a PERSISTED layout (round 19):
+    // the deployed lifecycle — the index was built and saved by some
+    // earlier job, the serving app knows only the PATH and reopens it
+    // through AnnIndex.open's sidecar dispatch (which must pick the
+    // OPQ loader, or rotated codes would serve un-rotated queries) —
+    // then the identical batch-MMR → doc-text chain. Shares
+    // pipeline_rag_serve's oracle: persistence and dispatch must be
+    // invisible to the served bytes. Same fingerprint-cache + crash
+    // marker convention as the other persisted rows.
+    "pipeline_rag_serve_persisted" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val docs = Tables(s, d, "documents")
+      val dim = e.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head().getInt(0)
+      val model = pqFor(s, d, m = 8, k = 65536, maxTrain = 65536)
+      require(model.lossless,
+        "pipeline_rag_serve_persisted requires the lossless codebook " +
+          "degenerate — corpus outgrew maxTrain")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"pipeline_rag_serve_persisted fingerprints $src (driver fixtures " +
+          "are single parquet files)")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base = s"graft_opqivfpq_rag_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base, s"${base}_$fp")
+      val marker = new java.io.File(s"$path/_save_complete")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        OpqIvfPqIndex.withArtifacts(e, "embedding",
+            OpqIndex.identityRotation(dim), Array(Array.fill(dim)(0f)),
+            model, byResidual = true)
+          .save(path)
+        marker.createNewFile(): Unit
+      }
+      val idx = graft.operators.AnnIndex.open(s, path)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Nearest.mmrTopKManyFromIndex(idx, q,
+          e.select(col("vec_id"), col("embedding")), "query_id", "qe",
+          "vec_id", "embedding", n = 3, lambda = 1.0, shortlist = 10,
+          nprobe = 1)
+        .join(docs.select(col("doc_id").as("vec_id"), col("text")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("mmr_rank"),
+          round(col("similarity"), 6).as("similarity"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
     // §2.3 J rows-only twin: batch MMR from the index at the DEPLOYED
     // shape — the full OPQ,IVF,PQ stack (learned rotation, real
     // quantizer, lossy residual codebooks) at nprobe = 4, λ = 0.5:
@@ -5403,6 +5455,18 @@ object SparkEntry {
       // join on the id seam (embeddings.vec_id = documents.doc_id in
       // the fixture), text fingerprinted for the compare
       "pipeline_rag_serve" -> (mmrManyCtes +
+        """,
+          |sel AS (SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
+          |               round(cos, 6) AS similarity
+          |        FROM ranked WHERE rn <= 3)
+          |SELECT s.query_id, s.vec_id, s.mmr_rank, s.similarity,
+          |       md5(d.text) AS text_md5
+          |FROM sel s JOIN documents d ON d.doc_id = s.vec_id
+          |ORDER BY s.query_id, s.mmr_rank""".stripMargin),
+      // the persisted twin: save → AnnIndex.open sidecar dispatch →
+      // the identical serving chain — persistence must be invisible
+      // to the served bytes, so the oracle is shared
+      "pipeline_rag_serve_persisted" -> (mmrManyCtes +
         """,
           |sel AS (SELECT query_id, vec_id, CAST(rn AS INTEGER) AS mmr_rank,
           |               round(cos, 6) AS similarity

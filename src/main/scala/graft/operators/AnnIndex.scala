@@ -61,10 +61,12 @@ trait AnnIndex extends Serializable {
       corpusEmbCol: String, n: Int, shortlist: Int, nprobe: Int = 4,
       simCol: String = "similarity"): DataFrame
 
-  /** Per-cell corpus occupancy, (cell: int, n: long) — the metadata
-    * half of the serving-cost seam: joined to [[probesMany]] it prices
-    * a (nprobe, k) knob setting in rows scanned WITHOUT scanning the
-    * corpus (r18 VERDICT #4). Also the append-drift gauge. */
+  /** Per-cell corpus occupancy, (cell: int, n: long) — the occupancy
+    * half of the serving-cost seam: priced against [[probesMany]] it
+    * costs a (nprobe, k) knob setting in rows scanned (r18 VERDICT
+    * #4). One map-combined count over the CODED corpus, nlist rows
+    * out — never raw vectors, never a search. Also the append-drift
+    * gauge. */
   def cellSizeStats: DataFrame
 
   /** The (queryId, cell) pairs [[searchMany]] would probe at `nprobe`
@@ -90,9 +92,10 @@ object AnnIndex {
     * corpus smaller than k or NULL-embedding queries can still reach
     * the 1.0 anchor) and scanned_rows the mean per-query rows the
     * probed cells hold — the COST half of the trade (r18 VERDICT #4),
-    * priced from probe-assignment × cell-occupancy metadata without a
-    * corpus scan; at nprobe = nlist it is exactly the corpus size, the
-    * gate row's second derivation-known constant.
+    * priced from probe assignment × cell occupancy (one count pass
+    * over the coded corpus, paid once for the whole curve; no
+    * raw-vector scan, no search); at nprobe = nlist it is exactly the
+    * corpus size, the gate row's second derivation-known constant.
     * Pass `refineShortlist = Some(sl)` to measure the REFINED serving
     * path (ADC shortlist of sl → exact re-rank to k) instead of the
     * bare ADC top-k — the (nprobe, shortlist) pair a deployment tunes
@@ -221,7 +224,7 @@ object AnnIndex {
       raw: DataFrame, queryIdCol: String, queryEmbCol: String,
       corpusIdCol: String, corpusEmbCol: String, k: Int, simCol: String,
       caller: String) {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.col
     require(k >= 1, s"k must be >= 1, got $k")
     private val truth = SimJoin.knnJoinAgg(queries, raw, queryIdCol,
         queryEmbCol, corpusIdCol, corpusEmbCol, k = k, simCol = simCol)
@@ -255,16 +258,23 @@ object AnnIndex {
 
     private val scannedMemo = scala.collection.mutable.Map.empty[Int, Double]
 
+    /** Per-cell occupancy, collected ONCE for the whole measurement —
+      * one map-combined count over the coded corpus (code-width bytes,
+      * nlist rows out; never raw vectors, never a search), shared by
+      * every (nprobe) cost point instead of re-aggregated per point. */
+    private lazy val cellRows: Map[Int, Long] = index.cellSizeStats
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
     /** Mean rows the probed cells hold per query — the scan-cost half
-      * of the trade (r18 VERDICT #4), priced from probe assignment ×
-      * cell occupancy metadata alone. */
+      * of the trade (r18 VERDICT #4): probe assignment (nQ·nprobe
+      * rows — the query SAMPLE times a knob, bounded by construction)
+      * priced against the resident occupancy map. No corpus scan, no
+      * search — the one corpus-touching pass is [[cellRows]]' count
+      * aggregation, paid once. */
     def scannedRowsAt(np: Int): Double = scannedMemo.getOrElseUpdate(np, {
-      val sized = index.cellSizeStats.select(col("cell"),
-        col("n").as("__cell_rows"))
-      val r = index.probesMany(queries, queryIdCol, queryEmbCol, np)
-        .join(sized, Seq("cell"))
-        .agg(sum(col("__cell_rows"))).head()
-      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / nQ
+      val probed = index.probesMany(queries, queryIdCol, queryEmbCol, np)
+        .select(col("cell")).collect()
+      probed.map(r => cellRows.getOrElse(r.getInt(0), 0L)).sum.toDouble / nQ
     })
   }
 
