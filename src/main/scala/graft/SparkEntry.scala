@@ -4173,6 +4173,95 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
     }),
+    // §2.3 S × J ORACLED (round 19): the SAME streaming ingest loop on
+    // the PLAIN coded tier — every tier with an appendToSaved now has
+    // a streaming driver. Real 16-cell quantizer + lossless codebooks
+    // (baseline 1.0: a lossless codec codes the batch exactly), odd
+    // half streamed through codecGuard → append → compaction cadence,
+    // reopened layout serves brute force at full probe.
+    "ann_ivfpq_stream_ingest" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val base = ivfPqFor(s, d)
+      require(base.model.lossless,
+        "ann_ivfpq_stream_ingest requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_ivfpq_stream_ingest fingerprints $src (driver fixtures are " +
+          "single parquet files)")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base2 = s"graft_ivfpq_ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base2}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base2, s"${base2}_$fp")
+      val marker = new java.io.File(s"$path/_ingest_complete")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        val half = IvfPqIndex.withArtifacts(
+          e.where(col("vec_id") % 2 === 0), "embedding",
+          base.centroidVectors, base.model)
+        half.save(path)
+        val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+          .where(col("vec_id") % 2 === 1)
+        val q = StreamOps.ivfPqIngestPerBatch(stream, half, path, "embedding",
+          baselineSelfSim = 1.0, compactFilesPerCell = 1)
+        try q.processAllAvailable() finally q.stop()
+        marker.createNewFile(): Unit
+      }
+      val idx = IvfPqIndex.load(s, path)
+      require(idx.model.lossless,
+        "ann_ivfpq_stream_ingest requires the lossless codebook degenerate")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = base.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
+    // §2.3 S × J ORACLED (round 19): the VECTOR tier's streaming
+    // ingest — marker/append/compact with NO codec guard, deliberately
+    // (raw vectors cannot go stale; drift degrades probe COST, which
+    // is layout-level driftGuard territory, not a per-batch refusal).
+    // Frozen centroids, odd half streamed, full probe == brute force.
+    "ann_ivf_stream_ingest" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val frozen = ivfFor(s, d).centroidVectors
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      require(src.isFile,
+        s"ann_ivf_stream_ingest fingerprints $src (driver fixtures are " +
+          "single parquet files)")
+      val fp = s"${src.lastModified}_${src.length}"
+      val base2 = s"graft_ivf_ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"/tmp/${base2}_$fp"
+      reapStaleIvfCaches(new java.io.File("/tmp"), base2, s"${base2}_$fp")
+      val marker = new java.io.File(s"$path/_ingest_complete")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        val half = IvfIndex.withCentroids(
+          e.where(col("vec_id") % 2 === 0), "embedding", frozen)
+        half.save(path)
+        val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+          .where(col("vec_id") % 2 === 1)
+        val q = StreamOps.ivfIngestPerBatch(stream, half, path,
+          compactFilesPerCell = 1)
+        try q.processAllAvailable() finally q.stop()
+        marker.createNewFile(): Unit
+      }
+      val idx = IvfIndex.load(s, path)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      idx.search(q, k = 5, nprobe = frozen.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+    }),
     // §2.3 ANN ORACLED batch anchor (round 12): IVFADC for a whole
     // TABLE of queries — the plan is ann_ivf_batch_exact's (broadcast
     // probes → cell join → bounded-heap top-k) but the corpus side of
@@ -5361,6 +5450,22 @@ object SparkEntry {
       // appends would, so the reopened stack serves the identical
       // whole-corpus brute force
       "ann_opq_ivfpq_stream_ingest" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      // the same drained-ingest derivation on the plain coded tier
+      // (lossless ∘ full probe) and the vector tier (exact scores ∘
+      // full probe) — both reopened layouts serve whole-corpus brute
+      // force
+      "ann_ivfpq_stream_ingest" ->
+        s"""$scoredCte
+           |SELECT vec_id, round(raw, 6) AS similarity FROM (
+           |  SELECT vec_id, $cosine AS raw FROM s
+           |  ORDER BY raw DESC, vec_id LIMIT 5)
+           |ORDER BY similarity DESC, vec_id""".stripMargin,
+      "ann_ivf_stream_ingest" ->
         s"""$scoredCte
            |SELECT vec_id, round(raw, 6) AS similarity FROM (
            |  SELECT vec_id, $cosine AS raw FROM s

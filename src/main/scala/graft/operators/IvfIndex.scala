@@ -129,6 +129,34 @@ class IvfIndex private (
     IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors)
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
 
+  /** Guarded per-batch INGEST into a saved vector-tier layout — the
+    * [[OpqIvfPqIndex.ingestBatch]] maintenance loop (replay markers
+    * under `$path/_ingest`, append, layoutStats-thresholded compaction
+    * cadence) WITHOUT a codec-staleness guard, deliberately: this tier
+    * stores RAW vectors, so there is no codec to go stale — scores
+    * stay exact under any distribution drift, and what drift degrades
+    * is probe COST (hot cells), not correctness. Cost drift is a
+    * layout-level property, monitored by [[cellSizeStats]] /
+    * [[driftGuard]] on the reopened index and repaired by
+    * [[IvfIndex.repairSaved]] — a per-batch refusal would be the wrong
+    * failure mode for a degradation that is gradual and serveable.
+    * Same replay contract as the coded tiers (exactly-once per batchId
+    * for planned restarts, at-least-once across the
+    * append-commit→marker crash window; no external compaction while
+    * the stream is live). Driven by
+    * [[graft.streaming.StreamOps.ivfIngestPerBatch]]. */
+  def ingestBatch(path: String, batch: DataFrame, batchId: Long,
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): Boolean = {
+    val spark = batch.sparkSession
+    IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
+      guard = () => (),
+      append = () => appendToSaved(path, batch),
+      dataTreeRoot = path,
+      compact = () => IvfIndex.compactSaved(spark, path, targetFileBytes),
+      compactFilesPerCell = compactFilesPerCell)
+  }
+
   /** Per-cell row counts — the drift gauge for an append-maintained
     * index (one map-combined count aggregation). */
   def cellSizeStats: DataFrame =
@@ -367,6 +395,38 @@ object IvfIndex {
 
   /** Double-accumulated plain dot product, driver-side — the per-cell
     * `q·centroid` addend of residual-coded ADC ([[IvfPqIndex.search]]). */
+  /** The tier-independent skeleton every streaming ingest shares
+    * (round 19): replay-marker probe under `$markerRoot/_ingest`,
+    * staleness guard, append, marker write (AFTER the append job
+    * commits — the at-least-once crash window each tier's
+    * `ingestBatch` documents), then the layoutStats-thresholded
+    * compaction cadence over `$dataTreeRoot/data`. Returns true iff
+    * rows were appended; replayed batchIds and empty batches are
+    * no-ops returning false (empty batches leave no marker —
+    * replaying one is harmless, and there is nothing to guard). */
+  private[operators] def ingestBatchSkeleton(
+      spark: org.apache.spark.sql.SparkSession, markerRoot: String,
+      batch: DataFrame, batchId: Long, guard: () => Unit,
+      append: () => Unit, dataTreeRoot: String, compact: () => Unit,
+      compactFilesPerCell: Int): Boolean = {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    require(compactFilesPerCell >= 1,
+      s"compactFilesPerCell must be >= 1, got $compactFilesPerCell")
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s"$markerRoot/_ingest"),
+      s"batch_$batchId.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker) || batch.isEmpty) return false
+    guard()
+    append()
+    writeSidecar(spark, s"$markerRoot/_ingest", s"batch_$batchId.json",
+      s"""{"batch_id": $batchId}""")
+    val maxFiles = dataTreeStats(spark, dataTreeRoot)
+      .agg(max(col("n_files"))).head().getLong(0)
+    if (maxFiles > compactFilesPerCell) compact()
+    true
+  }
+
   /** The (queryId, cell) probe assignment every `searchMany` in the
     * family plans — broadcast-score queries × centroids, per-query
     * top-`nprobe` cells by the bounded-heap aggregate, explode. Shared

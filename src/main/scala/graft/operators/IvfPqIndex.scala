@@ -266,6 +266,93 @@ class IvfPqIndex private (
     IvfIndex.probesForQueries(centroids, queries, queryIdCol, queryEmbCol,
       nprobe)
 
+  /** Mean CODEC self-similarity of `df` under THIS tier's frozen
+    * codebooks — cos(v, q(v)) over the deterministic hash-ordered
+    * sample (bounded by `maxSample`), residual-staged under
+    * `byResidual` so the number measures exactly the quantity the
+    * codes store. [[OpqIvfPqIndex.codecSelfSimilarity]] is this
+    * measurement behind the rotation; the PLAIN tier's codebooks go
+    * stale the same way under distribution drift (cell occupancy can
+    * stay balanced while reconstruction quality collapses — the drift
+    * [[driftGuard]] cannot see). Unlike the OPQ stack, this tier
+    * persists no build-time baseline: measure one on the build corpus
+    * while its raw vectors still exist, and keep it with the layout. */
+  def codecSelfSimilarity(df: DataFrame, embCol: String,
+      maxSample: Int = 65536): Double = {
+    require(maxSample >= 1, s"maxSample must be >= 1, got $maxSample")
+    require(embCol != "__resid" && embCol != "__codec_sim",
+      s"'$embCol' collides with a reserved codec staging column — rename it")
+    val sample = df.select(col(embCol)).where(col(embCol).isNotNull)
+      .orderBy(xxhash64(col(embCol))).limit(maxSample)
+    val perRow =
+      if (!byResidual)
+        PqIndex.selfSimilarity(sample, embCol, model, "__codec_sim")
+      else
+        PqIndex.selfSimilarity(
+          IvfPqIndex.withResidual(
+            IvfIndex.assignWithCentroids(sample, embCol, centroidVectors),
+            embCol, centroidVectors, "__resid"),
+          "__resid", model, "__codec_sim")
+    val r = perRow.agg(avg(col("__codec_sim")).as("m"),
+      count(lit(1)).as("n")).head()
+    require(r.getAs[Long]("n") > 0L,
+      s"codecSelfSimilarity found no non-NULL '$embCol' rows to measure")
+    r.getAs[Double]("m")
+  }
+
+  /** Codebook STALENESS guard for appends — the
+    * [[OpqIvfPqIndex.codecGuard]] bands (quiet / warn / refuse with
+    * the re-fit remedy) on the plain coded tier. `baselineSelfSim` is
+    * REQUIRED here (this tier persists none): measure it with
+    * [[codecSelfSimilarity]] on the build corpus. */
+  def codecGuard(batch: DataFrame, embCol: String, baselineSelfSim: Double,
+      warnDrop: Double = 0.02, refuseDrop: Double = 0.05,
+      maxSample: Int = 65536): Option[String] = {
+    require(baselineSelfSim >= -1.0 && baselineSelfSim <= 1.0,
+      s"baselineSelfSim must be a cosine in [-1, 1], got $baselineSelfSim")
+    require(warnDrop > 0 && warnDrop <= refuseDrop,
+      s"need 0 < warnDrop <= refuseDrop, got ($warnDrop, $refuseDrop)")
+    val got = codecSelfSimilarity(batch, embCol, maxSample)
+    val drop = baselineSelfSim - got
+    if (drop > refuseDrop) throw new IllegalStateException(
+      f"PQ codec self-similarity $got%.4f on this batch is $drop%.4f below " +
+        f"the baseline $baselineSelfSim%.4f (refuse threshold " +
+        f"$refuseDrop%.3f): the batch's distribution has drifted from the " +
+        "FROZEN codebooks, so its codes would serve with silently degraded " +
+        "recall. Re-fit (IvfPqIndex.build) on the grown corpus — refusing " +
+        "to append under stale codebooks")
+    else if (drop > warnDrop) Some(
+      f"WARNING: PQ codec self-similarity $got%.4f is $drop%.4f below the " +
+        f"baseline $baselineSelfSim%.4f (warn threshold $warnDrop%.3f) — " +
+        "the codebooks are going stale for incoming data; plan a re-fit " +
+        f"before the refuse threshold ($refuseDrop%.3f)")
+    else None
+  }
+
+  /** Guarded per-batch INGEST into a saved plain-IVFADC layout — the
+    * [[OpqIvfPqIndex.ingestBatch]] maintenance loop (replay markers
+    * under `$path/_ingest`, codec staleness bands, append, the
+    * layoutStats-thresholded compaction cadence) minus the rotation
+    * seam; driven as a stream by
+    * [[graft.streaming.StreamOps.ivfPqIngestPerBatch]]. Same contract:
+    * exactly-once per batchId for planned restarts/replays,
+    * at-least-once across a crash in the append-commit→marker window;
+    * no external compaction while the stream is live. `baselineSelfSim`
+    * required — this tier persists no build-time baseline. */
+  def ingestBatch(path: String, batch: DataFrame, embCol: String,
+      batchId: Long, baselineSelfSim: Double,
+      warnSink: String => Unit = _ => (),
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): Boolean = {
+    val spark = batch.sparkSession
+    IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
+      guard = () => codecGuard(batch, embCol, baselineSelfSim).foreach(warnSink),
+      append = () => appendToSaved(path, batch, embCol),
+      dataTreeRoot = path,
+      compact = () => IvfPqIndex.compactSaved(spark, path, targetFileBytes),
+      compactFilesPerCell = compactFilesPerCell)
+  }
+
   /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus.
     *
     * Note on repair: unlike [[IvfIndex.splitOversized]], the coded

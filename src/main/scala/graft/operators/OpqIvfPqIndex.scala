@@ -211,28 +211,18 @@ final class OpqIvfPqIndex private[operators] (
       warnSink: String => Unit = _ => (),
       compactFilesPerCell: Int = 64,
       targetFileBytes: Long = 128L << 20): Boolean = {
-    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
-    require(compactFilesPerCell >= 1,
-      s"compactFilesPerCell must be >= 1, got $compactFilesPerCell")
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(s"$path/_ingest"), s"batch_$batchId.json")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker) || batch.isEmpty) return false
-    baselineSelfSim match {
-      case Some(b) => codecGuard(batch, embCol, b).foreach(warnSink)
-      case None => codecGuard(batch, embCol).foreach(warnSink)
-    }
-    appendToSaved(path, batch, embCol)
-    IvfIndex.writeSidecar(spark, s"$path/_ingest", s"batch_$batchId.json",
-      s"""{"batch_id": $batchId}""")
-    // appendToSaved above already rotation-verified $path, so the
-    // cadence gauge reads the nested tree directly
-    val maxFiles = IvfPqIndex.layoutStats(spark, s"$path/ivfpq")
-      .agg(max(col("n_files"))).head().getLong(0)
-    if (maxFiles > compactFilesPerCell)
-      OpqIvfPqIndex.compactSaved(spark, path, targetFileBytes)
-    true
+    IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
+      guard = () => (baselineSelfSim match {
+        case Some(b) => codecGuard(batch, embCol, b)
+        case None => codecGuard(batch, embCol)
+      }).foreach(warnSink),
+      append = () => appendToSaved(path, batch, embCol),
+      // appendToSaved rotation-verified $path, so the cadence gauge
+      // reads the nested tree directly
+      dataTreeRoot = s"$path/ivfpq",
+      compact = () => OpqIvfPqIndex.compactSaved(spark, path, targetFileBytes),
+      compactFilesPerCell = compactFilesPerCell)
   }
 
   override def cellSizeStats: DataFrame = inner.cellSizeStats

@@ -258,6 +258,37 @@ object StreamOps {
         warnSink, compactFilesPerCell, targetFileBytes): Unit
     }.start()
 
+  /** [[annIngestPerBatch]] for the PLAIN coded tier (round 19 —
+    * every tier with an `appendToSaved` now has a streaming driver):
+    * the same marker/guard/append/compact loop via
+    * [[graft.operators.IvfPqIndex.ingestBatch]]. `baselineSelfSim` is
+    * REQUIRED (this tier persists no build-time baseline — measure
+    * with `codecSelfSimilarity` on the build corpus). */
+  def ivfPqIngestPerBatch(docs: DataFrame, // streaming, with embCol
+      index: graft.operators.IvfPqIndex, // frozen artifacts
+      path: String, embCol: String, baselineSelfSim: Double,
+      warnSink: String => Unit = _ => (),
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      index.ingestBatch(path, batch, embCol, batchId, baselineSelfSim,
+        warnSink, compactFilesPerCell, targetFileBytes): Unit
+    }.start()
+
+  /** [[annIngestPerBatch]] for the VECTOR tier: marker/append/compact
+    * with NO codec guard — raw vectors cannot go stale; drift degrades
+    * probe cost, not correctness, and is monitored layout-level
+    * (see [[graft.operators.IvfIndex.ingestBatch]]'s rationale). */
+  def ivfIngestPerBatch(docs: DataFrame, // streaming, with the index's embCol
+      index: graft.operators.IvfIndex, // frozen centroids
+      path: String,
+      compactFilesPerCell: Int = 64,
+      targetFileBytes: Long = 128L << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      index.ingestBatch(path, batch, batchId, compactFilesPerCell,
+        targetFileBytes): Unit
+    }.start()
+
   /** Streaming eval-set decontamination (SURVEY §2.3 S × D): each
     * arriving micro-batch of documents is decontaminated against a
     * STATIC benchmark set — the ingest-time form of the leak-hygiene

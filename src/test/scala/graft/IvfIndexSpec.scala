@@ -263,6 +263,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(stats(1 - hotCell) == 1L, s"cold cell files: ${stats(1 - hotCell)}")
   }
 
+  test("vector-tier ingestBatch: drain == appends row-for-row; replay skipped; empty no-op; cadence fires; serving stays exact") {
+    val frozen = IvfIndex.build(e, "embedding", nlist = 8).centroidVectors
+    val a = e.where(col("vec_id") % 3 === 0)
+    val b1 = e.where(col("vec_id") % 3 === 1)
+    val b2 = e.where(col("vec_id") % 3 === 2)
+    val half = IvfIndex.withCentroids(a, "embedding", frozen)
+    val viaIngest = java.nio.file.Files.createTempDirectory("graft_vec_ing").toString
+    val viaAppend = java.nio.file.Files.createTempDirectory("graft_vec_app").toString
+    def pairs(dir: String) = spark.read.parquet(s"$dir/data")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    try {
+      half.save(viaIngest); half.save(viaAppend)
+      assert(half.ingestBatch(viaIngest, b1, 0L, compactFilesPerCell = 1))
+      assert(half.ingestBatch(viaIngest, b2, 1L, compactFilesPerCell = 1))
+      half.appendToSaved(viaAppend, b1); half.appendToSaved(viaAppend, b2)
+      assert(pairs(viaIngest) == pairs(viaAppend),
+        "a drained ingest must leave the layout batch appends would")
+      assert(IvfIndex.layoutStats(spark, viaIngest)
+        .agg(max(col("n_files"))).head().getLong(0) == 1L,
+        "the compaction cadence must have fired")
+      // replay + empty batch are no-ops
+      val before = pairs(viaIngest)
+      assert(!half.ingestBatch(viaIngest, b1, 0L))
+      assert(!half.ingestBatch(viaIngest, e.where(lit(false)), 9L))
+      assert(!new java.io.File(s"$viaIngest/_ingest/batch_9.json").exists())
+      assert(pairs(viaIngest) == before)
+      // the reopened layout serves the exact whole-corpus result
+      val exact = Nearest.topK(e, "embedding", lit(query), n = 10,
+          tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(IvfIndex.load(spark, viaIngest)
+        .search(query, k = 10, nprobe = 8, tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(viaIngest)); rm(new java.io.File(viaAppend))
+    }
+  }
+
   test("driftGuard: healthy index passes, a hot-cell pileup refuses with re-fit advice") {
     val idx = IvfIndex.build(e, "embedding", nlist = 8)
     val healthy = idx.driftGuard(maxFactor = 8.0)

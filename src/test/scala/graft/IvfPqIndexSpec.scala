@@ -375,6 +375,72 @@ class IvfPqIndexSpec extends AnyFunSuite {
         "vec_id", "embedding", k = 5, nprobes = Nil, shortlists = Seq(5)))
   }
 
+  test("plain-tier ingestBatch: drain == appends row-for-row; replay skipped; cadence fires; codecGuard refuses planted drift with the re-fit remedy") {
+    val df = fixture
+    val a = df.where(col("vec_id") < 100)
+    val b1 = df.where(col("vec_id") >= 100 && col("vec_id") < 150)
+    val b2 = df.where(col("vec_id") >= 150)
+    val base = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 65536,
+      maxTrain = 65536)
+    assert(base.model.lossless)
+    val half = IvfPqIndex.withArtifacts(a, "embedding",
+      base.centroidVectors, base.model)
+    // lossless ⇒ the codec codes any corpus vector exactly
+    val baseline = half.codecSelfSimilarity(a, "embedding")
+    assert(baseline == 1.0, s"lossless self-similarity must be 1.0: $baseline")
+    val viaIngest = java.nio.file.Files.createTempDirectory("graft_pq_ing").toString
+    val viaAppend = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    def rows(dir: String) = IvfPqIndex.load(spark, dir).encoded
+      .select(col("vec_id"), col("cell"), hex(col("pq_codes")).as("c"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    try {
+      half.save(viaIngest); half.save(viaAppend)
+      assert(half.ingestBatch(viaIngest, b1, "embedding", 0L, baseline,
+        compactFilesPerCell = 1))
+      assert(half.ingestBatch(viaIngest, b2, "embedding", 1L, baseline,
+        compactFilesPerCell = 1))
+      half.appendToSaved(viaAppend, b1, "embedding")
+      half.appendToSaved(viaAppend, b2, "embedding")
+      assert(rows(viaIngest) == rows(viaAppend))
+      // cadence fired on the ingest side only
+      assert(IvfPqIndex.layoutStats(spark, viaIngest)
+        .agg(max(col("n_files"))).head().getLong(0) == 1L)
+      assert(IvfPqIndex.layoutStats(spark, viaAppend)
+        .agg(max(col("n_files"))).head().getLong(0) >= 2L)
+      // replay skipped, rows unchanged
+      val before = rows(viaIngest)
+      assert(!half.ingestBatch(viaIngest, b1, "embedding", 0L, baseline))
+      assert(rows(viaIngest) == before)
+      // planted drift (the OpqIvfPqIndexSpec ±-pattern) refuses with
+      // the plain tier's re-fit remedy — measured against a LOSSY
+      // codec (a lossless one codes anything exactly)
+      val lossy = IvfPqIndex.build(df, "embedding", nlist = 4, m = 4, k = 8,
+        byResidual = true)
+      val lossyBase = lossy.codecSelfSimilarity(df, "embedding")
+      val rnd = new scala.util.Random(11)
+      val drifted = (1000L until 1200L).map { i =>
+        (i, Array.tabulate(dim)(_ => (if (rnd.nextBoolean()) 1f else -1f) *
+          (1f + rnd.nextFloat())).toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      assert(lossyBase - lossy.codecSelfSimilarity(drifted, "embedding") > 0.05,
+        "fixture must plant a drop past the refuse band")
+      val e = intercept[IllegalStateException](
+        lossy.codecGuard(drifted, "embedding", lossyBase))
+      assert(e.getMessage.contains("IvfPqIndex.build") &&
+        e.getMessage.contains("stale codebooks"), e.getMessage)
+      // warn band surfaces instead of throwing
+      assert(lossy.codecGuard(drifted, "embedding", lossyBase,
+        warnDrop = 0.001, refuseDrop = 2.0).exists(_.contains("WARNING")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(viaIngest)); rm(new java.io.File(viaAppend))
+    }
+  }
+
   test("searchRefine: composed degenerates == brute force; pruned lossy refine stays exact-ordered on its shortlist") {
     val df = fixture
     val raw = df.select(col("vec_id"), col("embedding"))
