@@ -1114,6 +1114,77 @@ object ScaleProbe {
     // centers and noise alike.) Equal m/k/maxTrain/nlist/nprobe;
     // recall of the planted set in the ADC top-50, OPQ∘residual >=
     // residual asserted.
+    // Streaming-ingest maintenance loop at 1M (round 19):
+    //   sbt "runMain graft.ScaleProbe 1000000 ingest"
+    // Claims probed: (a) per-batch ingest cost is BATCH-proportional —
+    // assignment/encode are map-side against broadcast frozen
+    // artifacts and the existing layout is never re-read, so the cost
+    // stays FLAT while the layout grows (the last batch lands in a
+    // layout 1.3× the first's); (b) the codecGuard adds one
+    // bounded-sample measurement per batch; (c) a replayed batchId
+    // costs one FS probe; (d) compaction is the amortized maintenance
+    // step — timed separately, and it bounds files/cell back to 1.
+    if (args.contains("ingest")) {
+      import graft.operators.OpqIvfPqIndex
+      val batches = 5
+      val batchRows = 50000L
+      val baseRows = n - batches * batchRows
+      require(baseRows > 0, s"need n > ${batches * batchRows}")
+      val dir = s"/tmp/graft_scale_ingest_$n"
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(dir))
+      val idx = time(s"ingest: build OPQ,IVF64,PQ8 on ${baseRows / 1000}k") {
+        OpqIvfPqIndex.build(e.where(col("vec_id") < baseRows), "embedding",
+          nlist = 64, m = 8, k = 256, maxTrain = 16384, opqIters = 2,
+          byResidual = true)
+      }
+      time("ingest: save layout")(idx.save(dir))
+      val perBatch = (0 until batches).map { b =>
+        val lo = baseRows + b * batchRows
+        val batch = e.where(col("vec_id") >= lo && col("vec_id") < lo + batchRows)
+        val t0 = System.nanoTime()
+        val appended = idx.ingestBatch(dir, batch, "embedding", b.toLong,
+          compactFilesPerCell = 1 << 20) // cadence off: compaction timed below
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(appended, s"batch $b must append")
+        println(f"[scale-probe] ingest: batch $b (${batchRows / 1000}%dk rows into " +
+          f"${(lo) / 1000}%dk-row layout) $sec%8.2f s")
+        sec
+      }
+      time("ingest: replay batch 0 (one FS probe, skipped)") {
+        require(!idx.ingestBatch(dir,
+          e.where(col("vec_id") >= baseRows &&
+            col("vec_id") < baseRows + batchRows), "embedding", 0L))
+      }
+      val preFiles = OpqIvfPqIndex.layoutStats(spark, dir)
+        .agg(max(col("n_files"))).head().getLong(0)
+      time(s"ingest: compactSaved ($preFiles files in the fullest cell)") {
+        OpqIvfPqIndex.compactSaved(spark, dir)
+      }
+      val postFiles = OpqIvfPqIndex.layoutStats(spark, dir)
+        .agg(max(col("n_files"))).head().getLong(0)
+      val total = time("ingest: reopen + count") {
+        OpqIvfPqIndex.load(spark, dir).inner.encoded.count()
+      }
+      require(total == n, s"reopened layout must hold all $n rows, got $total")
+      require(postFiles < preFiles && postFiles <= 2,
+        s"compaction must collapse the accreted files: $preFiles -> $postFiles")
+      println(f"[scale-probe] ingest: per-batch seconds " +
+        perBatch.map(s => f"$s%.2f").mkString("  ") +
+        f"  files/cell $preFiles -> $postFiles")
+      // flatness: no O(layout) term in the append (generous bound rides
+      // box noise; the regression this guards is re-reading the layout
+      // per batch)
+      require(perBatch.last <= perBatch.head * 3 + 2.0,
+        f"per-batch ingest cost must stay flat as the layout grows: " +
+          f"${perBatch.head}%.2f -> ${perBatch.last}%.2f s")
+      rmTree(new java.io.File(dir))
+      spark.stop()
+      return
+    }
     if (args.contains("opqivfpq")) {
       import graft.operators.{IvfPqIndex, OpqIvfPqIndex}
       import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -501,4 +501,23 @@ class PlanShapeSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("probesMany prices serving cost without touching the coded corpus: no codes in the plan, queries broadcast, bounded-heap top-nprobe") {
+    import graft.operators.IvfPqIndex
+    val e = Tables(spark, sf, "embeddings")
+    val idx = IvfPqIndex.build(e, "embedding", nlist = 4, m = 4, k = 16)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val p = idx.probesMany(q, "query_id", "qe", 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the cost seam reads centroids (nlist local rows) and the query
+    // sample ONLY — if the coded corpus ever enters this plan, the
+    // "priced from metadata" claim is broken
+    assert(!p.contains("pq_codes"),
+      s"the probe-assignment plan must never touch the coded corpus:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"per-query top-nprobe must be the bounded-heap aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the query sample must broadcast against the centroid table:\n$p")
+  }
 }
