@@ -3,15 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
- * The ANN SERVING surface every coded index tier presents (r17 VERDICT
- * #1): [[IvfPqIndex]] (IVFADC, raw or residual coding) and
- * [[OpqIvfPqIndex]] (the full FAISS `OPQ,IVF,PQ` factory stack) are
- * signature-identical on all four serving shapes, and consumers that
- * COMPOSE over an index — MMR re-ranking, refine stages, future
- * rungs — must accept EITHER, or users of the rotated stack get
- * silently degraded results by reaching into `.inner` with an
- * un-rotated query (exactly the footgun the OPQ nested-layout load
- * refusal exists to prevent, reopened through every consumer door).
+ * The ANN SERVING surface every index tier presents (r17 VERDICT #1):
+ * [[IvfPqIndex]] (IVFADC, raw or residual coding), [[OpqIvfPqIndex]]
+ * (the full FAISS `OPQ,IVF,PQ` factory stack), and — since round 19,
+ * through the cosine-pinned [[IvfIndex.asAnnIndex]] adapter — the
+ * raw-vector tier, are signature-identical on all four serving shapes,
+ * and consumers that COMPOSE over an index — MMR re-ranking, refine
+ * stages, the recall/cost measurement seam — must accept ANY of them,
+ * or users of the rotated stack get silently degraded results by
+ * reaching into `.inner` with an un-rotated query (exactly the footgun
+ * the OPQ nested-layout load refusal exists to prevent, reopened
+ * through every consumer door).
  *
  * The contract every implementation keeps:
  * - the RAW-vector query contract — callers never see the internal
