@@ -1909,6 +1909,34 @@ object SparkEntry {
           round(col("scanned_rows"), 6).as("scanned_rows"))
         .orderBy(col("nprobe"), col("shortlist"))
     }),
+    // §2.3 J ORACLED composition (round 19): the measured tuning loop
+    // CLOSED end to end — recallGrid MEASURES, cheapestAtRecall PICKS
+    // the cheapest (nprobe, shortlist) meeting the floor, the batch
+    // SERVE runs at the picked knobs. On the lossless grid the only
+    // measured points meeting floor 1.0 are exact corners, so the pick
+    // is derivation-known (full probe, shortlist = k — the cost tie
+    // breaks to the smaller knob) and the served batch provably equals
+    // the exact k-NN join: shares simjoin_knn's oracle. Drift in the
+    // measurement, the pick rule, or the served path fails the row.
+    "pipeline_tune_serve" -> ((s, d) => {
+      val idx = ivfPqFor(s, d)
+      require(idx.model.lossless,
+        "pipeline_tune_serve requires the lossless codebook degenerate — " +
+          "corpus outgrew maxTrain")
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val raw = e.select(col("vec_id"), col("embedding"))
+      val grid = graft.operators.AnnIndex.recallGrid(idx, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 3,
+        nprobes = Seq(idx.centroidVectors.length), shortlists = Seq(3, 6))
+      val (np, sl, _, _) = graft.operators.AnnIndex.cheapestAtRecall(grid, 1.0)
+      idx.searchManyRefine(q, "query_id", "qe", raw, "vec_id", "embedding",
+          n = 3, shortlist = sl.getOrElse(3), nprobe = np)
+        .select(col("query_id"), col("vec_id"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
     // §2.3 J rows-only twin: the curve over the DEPLOYED lossy OPQ
     // stack at nprobe ∈ {1, 2, 4, 8, 16} — the row an operator
     // actually reads to size the knob; the 1.0 anchor above pins the
@@ -5515,6 +5543,10 @@ object SparkEntry {
            |ORDER BY similarity DESC, vec_id""".stripMargin,
       "simjoin_knn" -> oracleSqlKnn,
       "simjoin_knn_heap" -> oracleSqlKnn,
+      // the tuning loop closed: on the lossless grid the pick is
+      // derivation-known (full probe, sl = k) and the serve at the
+      // picked knobs provably equals the exact k-NN join
+      "pipeline_tune_serve" -> oracleSqlKnn,
       "mmr_many_exact" -> mmrManySql,
       // batch MMR from the coded index at nprobe = nlist ∘ lossless ∘
       // λ = 1: exact shortlists, exact re-score, relevance order — the
