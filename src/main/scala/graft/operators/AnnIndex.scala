@@ -263,9 +263,13 @@ object AnnIndex {
     /** Per-cell occupancy, collected ONCE for the whole measurement —
       * one map-combined count over the coded corpus (code-width bytes,
       * nlist rows out; never raw vectors, never a search), shared by
-      * every (nprobe) cost point instead of re-aggregated per point. */
+      * every (nprobe) cost point instead of re-aggregated per point.
+      * A NULL-cell group (rows whose embedding never assigned) is
+      * dropped: unassigned rows live in no cell, so no probe ever
+      * scans them. */
     private lazy val cellRows: Map[Int, Long] = index.cellSizeStats
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     /** Mean rows the probed cells hold per query — the scan-cost half
       * of the trade (r18 VERDICT #4): probe assignment (nQ·nprobe

@@ -149,6 +149,19 @@ class IvfIndex private (
       compactFilesPerCell: Int = 64,
       targetFileBytes: Long = 128L << 20): Boolean = {
     val spark = batch.sparkSession
+    // layout refusal FIRST (appendToSaved itself is deliberately
+    // unchecked — it is the primitive): ingesting into a path that was
+    // never save()d would grow a data tree no load() can ever open
+    try IvfIndex.readSidecar(spark, path, "_ivf.json")
+    catch {
+      // only the not-a-layout signals re-wrap (the AnnIndex.open
+      // convention); genuine IO errors propagate
+      case e @ (_: java.io.FileNotFoundException | _: IllegalArgumentException) =>
+        throw new IllegalArgumentException(
+        s"$path is not a saved vector-tier IVF layout (no readable " +
+          "_ivf.json sidecar) — save(path) first; ingestBatch appends " +
+          "into an existing layout", e)
+    }
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => (),
       append = () => appendToSaved(path, batch),

@@ -345,6 +345,20 @@ class IvfPqIndex private (
       compactFilesPerCell: Int = 64,
       targetFileBytes: Long = 128L << 20): Boolean = {
     val spark = batch.sparkSession
+    // layout refusal FIRST (the OPQ stack's ingest gets this from its
+    // rotation verification; the plain tier checks its own sidecar):
+    // ingesting into a never-saved path would grow an unloadable tree
+    try IvfIndex.readSidecar(spark, path, "_ivfpq.json")
+    catch {
+      // only the not-a-layout signals re-wrap (the AnnIndex.open
+      // convention); genuine IO errors propagate
+      case e @ (_: java.io.FileNotFoundException | _: IllegalArgumentException) =>
+        throw new IllegalArgumentException(
+        s"$path is not a saved IVFADC layout (no readable _ivfpq.json " +
+          "sidecar) — save(path) first; ingestBatch appends into an " +
+          "existing layout (an OPQ∘IVFADC stack ingests through " +
+          "OpqIvfPqIndex.ingestBatch)", e)
+    }
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => codecGuard(batch, embCol, baselineSelfSim).foreach(warnSink),
       append = () => appendToSaved(path, batch, embCol),

@@ -284,6 +284,12 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(IvfIndex.layoutStats(spark, viaIngest)
         .agg(max(col("n_files"))).head().getLong(0) == 1L,
         "the compaction cadence must have fired")
+      // a never-saved path refuses by name — ingest must not grow a
+      // data tree no load() can open
+      val bogus = intercept[IllegalArgumentException](
+        half.ingestBatch(s"$viaIngest/definitely_not_a_layout", b1, 0L))
+      assert(bogus.getMessage.contains("not a saved vector-tier IVF layout"),
+        bogus.getMessage)
       // replay + empty batch are no-ops
       val before = pairs(viaIngest)
       assert(!half.ingestBatch(viaIngest, b1, 0L))

@@ -408,6 +408,13 @@ class IvfPqIndexSpec extends AnyFunSuite {
         .agg(max(col("n_files"))).head().getLong(0) == 1L)
       assert(IvfPqIndex.layoutStats(spark, viaAppend)
         .agg(max(col("n_files"))).head().getLong(0) >= 2L)
+      // a never-saved path refuses by name — ingest must not grow a
+      // data tree no load() can open
+      val bogus = intercept[IllegalArgumentException](
+        half.ingestBatch(s"$viaIngest/definitely_not_a_layout", b1,
+          "embedding", 0L, baseline))
+      assert(bogus.getMessage.contains("not a saved IVFADC layout"),
+        bogus.getMessage)
       // replay skipped, rows unchanged
       val before = rows(viaIngest)
       assert(!half.ingestBatch(viaIngest, b1, "embedding", 0L, baseline))
