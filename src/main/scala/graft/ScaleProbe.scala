@@ -1430,6 +1430,31 @@ object ScaleProbe {
         f"full-probe scan cost must price the whole corpus: ${curve.last._3}%.0f vs ${n + 320}%d")
       require(curve.map(_._3).sliding(2).forall(w => w(0) <= w(1)),
         "scan cost must be monotone in nprobe")
+      // round 19: the GRID + the PICK at 1M — the deployed tuning flow
+      // end to end. The bare curve plateaus ~0.45 (fine-order noise on
+      // near-ties); the refined (nprobe, shortlist) grid recovers
+      // ~0.85 from the SAME codec, and cheapestAtRecall must choose
+      // the partial probe + refine over full probe: same recall band,
+      // ~8× less scan — the measured knee the telemetry exists to find.
+      val grid = time("mmrindex: recallGrid {8,64} x {10,50}") {
+        graft.operators.AnnIndex.recallGrid(idx, queries, corpus,
+          "query_id", "qe", "vec_id", "embedding", k = 10,
+          nprobes = Seq(8, 64), shortlists = Seq(10, 50))
+          .localCheckpoint(true)
+      }
+      val gRows = grid.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(3), r.getDouble(5))))
+        .toMap
+      println("[scale-probe] mmrindex grid (np, sl) -> recall/scanned: " +
+        gRows.toSeq.sortBy(_._1).map { case ((np, sl), (rc, sc)) =>
+          f"($np%d,$sl%d):$rc%.3f/${sc / 1000}%.0fk" }.mkString("  "))
+      val pick = graft.operators.AnnIndex.cheapestAtRecall(grid, 0.7)
+      println(f"[scale-probe] mmrindex: cheapest config at recall >= 0.7: " +
+        f"nprobe=${pick._1}%d shortlist=${pick._2.getOrElse(-1)}%d " +
+        f"recall=${pick._3}%.3f scanned=${pick._4 / 1000}%.0fk rows/query")
+      require(pick._3 >= 0.7 && pick._1 == 8 && pick._2.contains(50),
+        s"the picker must choose the partial-probe refined config over " +
+          s"full probe at the same recall band, got $pick over $gRows")
       spark.stop()
       return
     }
