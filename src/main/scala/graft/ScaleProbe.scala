@@ -1449,9 +1449,10 @@ object ScaleProbe {
         gRows.toSeq.sortBy(_._1).map { case ((np, sl), (rc, sc)) =>
           f"($np%d,$sl%d):$rc%.3f/${sc / 1000}%.0fk" }.mkString("  "))
       val pick = graft.operators.AnnIndex.cheapestAtRecall(grid, 0.7)
+      // round 20: pick._4 is the TOTAL cost (ADC scan + refine fetch)
       println(f"[scale-probe] mmrindex: cheapest config at recall >= 0.7: " +
         f"nprobe=${pick._1}%d shortlist=${pick._2.getOrElse(-1)}%d " +
-        f"recall=${pick._3}%.3f scanned=${pick._4 / 1000}%.0fk rows/query")
+        f"recall=${pick._3}%.3f cost=${pick._4 / 1000}%.1fk rows/query (scan+fetch)")
       require(pick._3 >= 0.7 && pick._1 == 8 && pick._2.contains(50),
         s"the picker must choose the partial-probe refined config over " +
           s"full probe at the same recall band, got $pick over $gRows")

@@ -42,6 +42,12 @@ trait AnnIndex extends Serializable {
   /** Vector dimensionality the index was built at. */
   def dim: Int
 
+  /** Coarse-quantizer cell count — the FULL-PROBE bound (`nprobe =
+    * nlist` is the exactness-anchor corner every gate row pins), and
+    * the knob-grid ceiling a tuner over OPENED artifacts needs when no
+    * build handle exists to read it from (r19 VERDICT #3). */
+  def nlist: Int
+
   /** ANN top-k for ONE query vector. */
   def search(queryVec: Array[Float], k: Int, nprobe: Int = 4,
       simCol: String = "similarity", tieBreakers: Seq[Column] = Nil): DataFrame
@@ -89,7 +95,14 @@ object AnnIndex {
     * and count overlap with the exact k-NN ground truth
     * ([[SimJoin.knnJoinAgg]] over the raw vectors — computed ONCE and
     * pinned, shared by every curve point). Returns one row per nprobe:
-    * (nprobe, k, recall, n_queries, scanned_rows), recall =
+    * (nprobe, k, recall, n_queries, scanned_rows, shortlist,
+    * fetched_rows) — `shortlist` is the refine knob the point was
+    * MEASURED with (NULL on bare-ADC rows; r19 ADVICE: a pick made
+    * from a refined curve must carry the knob its recall was measured
+    * at, or a caller deploys the bare path below the measured floor)
+    * and `fetched_rows` the refine stage's raw-vector id-join rows per
+    * query (= shortlist; 0 on bare rows, which fetch nothing) — the
+    * SECOND cost the tuner prices (r19 VERDICT #2). recall =
     * |hits ∩ truth| / |truth| (the actual ground-truth row count, so a
     * corpus smaller than k or NULL-embedding queries can still reach
     * the 1.0 anchor) and scanned_rows the mean per-query rows the
@@ -105,11 +118,16 @@ object AnnIndex {
     *
     * The driver loop is over the KNOB GRID (a handful of values), not
     * the data — each iteration is one distributed batch search plus a
-    * semi-join count. Run it on a query sample, not the corpus: the
-    * ground-truth pass scans raw vectors, which is exactly what the
-    * index exists to avoid — the sample buys the curve, the curve
-    * sizes the knob for every query after (ScaleProbe measures the
-    * opqivfpq curve at 1M).
+    * semi-join count. Run it on a query SAMPLE, not the corpus: the
+    * ground-truth pass is an exact k-NN join — O(nQ · corpus) score
+    * evaluations, exactly the scan the index exists to avoid — so the
+    * sample buys the curve and the curve sizes the knob for every
+    * query after (ScaleProbe measures the opqivfpq curve at 1M). That
+    * contract is ENFORCED, not advisory (r19 VERDICT #6): more than
+    * `maxQueries` query rows refuses by name — feeding the corpus as
+    * its own query set would silently turn tuning into the O(n²)
+    * self-join; raise `maxQueries` deliberately if a bigger sample is
+    * truly intended.
     *
     * Exactness anchor: at nprobe = nlist with a lossless codebook the
     * batch search provably equals the exact join (the
@@ -131,7 +149,8 @@ object AnnIndex {
       queryIdCol: String, queryEmbCol: String, corpusIdCol: String,
       corpusEmbCol: String, k: Int, nprobes: Seq[Int],
       simCol: String = "similarity",
-      refineShortlist: Option[Int] = None): DataFrame = {
+      refineShortlist: Option[Int] = None,
+      maxQueries: Int = 8192): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"nprobes must be non-empty positive values, got $nprobes")
     refineShortlist.foreach(sl => require(sl >= k,
@@ -139,10 +158,12 @@ object AnnIndex {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
-      corpusIdCol, corpusEmbCol, k, simCol, "recallCurve")
+      corpusIdCol, corpusEmbCol, k, simCol, "recallCurve", maxQueries)
     nprobes.distinct.sorted.map { np =>
-      (np, k, m.recallAt(np, refineShortlist), m.nQ, m.scannedRowsAt(np))
-    }.toDF("nprobe", "k", "recall", "n_queries", "scanned_rows")
+      (np, k, m.recallAt(np, refineShortlist), m.nQ, m.scannedRowsAt(np),
+        refineShortlist, refineShortlist.fold(0.0)(_.toDouble))
+    }.toDF("nprobe", "k", "recall", "n_queries", "scanned_rows",
+      "shortlist", "fetched_rows")
   }
 
   /** The (nprobe, shortlist) GRID a refined deployment actually walks
@@ -150,7 +171,9 @@ object AnnIndex {
     * this returns one row per pair, with the same pinned ground truth
     * shared by EVERY point and the scan cost computed once per nprobe
     * (it does not depend on the shortlist: the shortlist sizes the
-    * re-rank fetch, the probe sizes the ADC scan). `shortlist = k`
+    * re-rank fetch — priced separately as `fetched_rows` = shortlist,
+    * the raw-vector id-join rows per query (r19 VERDICT #2) — while
+    * the probe sizes the ADC scan). `shortlist = k`
     * provably degenerates to the bare-ADC curve point (re-ranking
     * exactly k candidates permutes order, never membership — spec'd
     * equal), so the grid CONTAINS the bare curve as its first column.
@@ -160,7 +183,8 @@ object AnnIndex {
   def recallGrid(index: AnnIndex, queries: DataFrame, raw: DataFrame,
       queryIdCol: String, queryEmbCol: String, corpusIdCol: String,
       corpusEmbCol: String, k: Int, nprobes: Seq[Int],
-      shortlists: Seq[Int], simCol: String = "similarity"): DataFrame = {
+      shortlists: Seq[Int], simCol: String = "similarity",
+      maxQueries: Int = 8192): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"nprobes must be non-empty positive values, got $nprobes")
     require(shortlists.nonEmpty && shortlists.forall(_ >= k),
@@ -168,38 +192,56 @@ object AnnIndex {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
-      corpusIdCol, corpusEmbCol, k, simCol, "recallGrid")
+      corpusIdCol, corpusEmbCol, k, simCol, "recallGrid", maxQueries)
     (for {
       np <- nprobes.distinct.sorted
       sl <- shortlists.distinct.sorted
-    } yield (np, sl, k, m.recallAt(np, Some(sl)), m.nQ, m.scannedRowsAt(np)))
-      .toDF("nprobe", "shortlist", "k", "recall", "n_queries", "scanned_rows")
+    } yield (np, sl, k, m.recallAt(np, Some(sl)), m.nQ, m.scannedRowsAt(np),
+      sl.toDouble))
+      .toDF("nprobe", "shortlist", "k", "recall", "n_queries",
+        "scanned_rows", "fetched_rows")
   }
 
   /** Close the tuning loop: pick the CHEAPEST measured config meeting
     * a recall floor from a [[recallGrid]] (or [[recallCurve]]) frame —
-    * minimum `scanned_rows`, ties broken by (nprobe asc, shortlist
-    * asc) so the pick is deterministic and the least-knobbed config
-    * wins a dead heat. Pure driver arithmetic over the knob-grid-sized
-    * frame (the grid is a handful of rows BY CONSTRUCTION — one per
-    * knob point, never data-scale). Refuses by name when NO measured
-    * point meets the floor: silently returning the best-available
-    * config would deploy a knob setting the measurement just proved
-    * inadequate — widen the grid or lower the floor, deliberately.
-    * Returns (nprobe, shortlist: Option — None for bare-curve rows,
-    * recall, scanned_rows). */
+    * minimum TOTAL per-query cost `scanned_rows + fetched_rows` (the
+    * ADC scan PLUS the refine stage's raw-vector fetch; r19 VERDICT
+    * #2 — pricing the scan alone let a hugely larger shortlist cost
+    * "nothing" at equal scanned_rows), ties broken by (nprobe asc,
+    * shortlist asc) so the pick is deterministic and the least-knobbed
+    * config wins a dead heat. `shortlist` is read as the knob the
+    * point was MEASURED with — NULL/absent means a bare-ADC row (r19
+    * ADVICE: [[recallCurve]] now stamps refined rows with their
+    * shortlist, so a pick from a refined curve carries the knob its
+    * recall was measured at). Frames without a `fetched_rows` column
+    * (pre-r20) price the fetch as the shortlist itself — the same
+    * number the column holds. Pure driver arithmetic over the
+    * knob-grid-sized frame (the grid is a handful of rows BY
+    * CONSTRUCTION — one per knob point, never data-scale). Refuses by
+    * name when NO measured point meets the floor: silently returning
+    * the best-available config would deploy a knob setting the
+    * measurement just proved inadequate — widen the grid or lower the
+    * floor, deliberately. Returns (nprobe, shortlist: Option — None
+    * for bare-ADC rows, recall, total cost in rows/query). */
   def cheapestAtRecall(grid: DataFrame,
       minRecall: Double): (Int, Option[Int], Double, Double) = {
     require(minRecall >= 0.0 && minRecall <= 1.0 && !minRecall.isNaN,
       s"minRecall must be in [0, 1], got $minRecall")
     val hasSl = grid.columns.contains("shortlist")
+    val hasFetch = grid.columns.contains("fetched_rows")
     import org.apache.spark.sql.functions.col
     val rows = grid.select(
         Seq(col("nprobe"), col("recall"), col("scanned_rows")) ++
-          (if (hasSl) Seq(col("shortlist")) else Nil): _*)
+          (if (hasSl) Seq(col("shortlist")) else Nil) ++
+          (if (hasFetch) Seq(col("fetched_rows")) else Nil): _*)
       .collect()
-      .map(r => (r.getInt(0), if (hasSl) Some(r.getInt(3)) else None,
-        r.getDouble(1), r.getDouble(2)))
+      .map { r =>
+        val sl = if (hasSl && !r.isNullAt(3)) Some(r.getInt(3)) else None
+        val fetched =
+          if (hasFetch) r.getDouble(if (hasSl) 4 else 3)
+          else sl.fold(0.0)(_.toDouble)
+        (r.getInt(0), sl, r.getDouble(1), r.getDouble(2) + fetched)
+      }
     require(rows.nonEmpty, "cheapestAtRecall needs a non-empty grid")
     val meeting = rows.filter(_._3 >= minRecall)
     if (meeting.isEmpty) throw new IllegalArgumentException(
@@ -225,15 +267,26 @@ object AnnIndex {
   private final class Measurement(index: AnnIndex, queries: DataFrame,
       raw: DataFrame, queryIdCol: String, queryEmbCol: String,
       corpusIdCol: String, corpusEmbCol: String, k: Int, simCol: String,
-      caller: String) {
+      caller: String, maxQueries: Int) {
     import org.apache.spark.sql.functions.col
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val nQ: Long = queries.count()
+    require(nQ > 0, s"$caller needs at least one query row")
+    // the query-SAMPLE-not-corpus contract, enforced (r19 VERDICT #6):
+    // the ground-truth pass below is an exact k-NN join, O(nQ · corpus)
+    // score evaluations — a caller accidentally feeding the corpus as
+    // its own query set would turn one tuning call into the O(n²)
+    // self-join the index exists to avoid
+    require(nQ <= maxQueries,
+      s"$caller got $nQ query rows (maxQueries $maxQueries) — the exact " +
+        "ground-truth pass costs nQ × corpus score evaluations, so tune on " +
+        "a query SAMPLE; raise maxQueries deliberately if a sample this " +
+        "big is intended")
     private val truth = SimJoin.knnJoinAgg(queries, raw, queryIdCol,
         queryEmbCol, corpusIdCol, corpusEmbCol, k = k, simCol = simCol)
       .select(col(queryIdCol).as("__q"), col(corpusIdCol).cast("long").as("__t"))
       .localCheckpoint(false)
-    val nQ: Long = queries.count()
-    require(nQ > 0, s"$caller needs at least one query row")
     private val denom = truth.count().toDouble
     require(denom > 0,
       s"$caller found no exact ground-truth rows — every query has a " +
@@ -276,11 +329,20 @@ object AnnIndex {
       * rows — the query SAMPLE times a knob, bounded by construction)
       * priced against the resident occupancy map. No corpus scan, no
       * search — the one corpus-touching pass is [[cellRows]]' count
-      * aggregation, paid once. */
+      * aggregation, paid once. The mean denominates by the DISTINCT
+      * query ids actually present in the probes frame (r19 ADVICE):
+      * NULL/zero-norm embeddings and duplicate query ids produce no
+      * probe rows of their own yet count toward nQ, so dividing by nQ
+      * would silently deflate the mean and break the documented
+      * "nprobe = nlist scans exactly the corpus size" anchor for those
+      * inputs — the cost reported is per query that actually probes,
+      * which is the query that actually pays it. */
     def scannedRowsAt(np: Int): Double = scannedMemo.getOrElseUpdate(np, {
       val probed = index.probesMany(queries, queryIdCol, queryEmbCol, np)
-        .select(col("cell")).collect()
-      probed.map(r => cellRows.getOrElse(r.getInt(0), 0L)).sum.toDouble / nQ
+        .select(col(queryIdCol), col("cell")).collect()
+      val nProbing = probed.iterator.map(_.get(0)).toSet.size
+      if (nProbing == 0) 0.0
+      else probed.map(r => cellRows.getOrElse(r.getInt(1), 0L)).sum.toDouble / nProbing
     })
   }
 

@@ -140,14 +140,21 @@ class IvfIndex private (
     * [[driftGuard]] on the reopened index and repaired by
     * [[IvfIndex.repairSaved]] — a per-batch refusal would be the wrong
     * failure mode for a degradation that is gradual and serveable.
-    * Same replay contract as the coded tiers (exactly-once per batchId
-    * for planned restarts, at-least-once across the
-    * append-commit→marker crash window; no external compaction while
-    * the stream is live). Driven by
+    * Same replay contract as the coded tiers (EXACTLY-ONCE per
+    * batchId, crash windows included — the stage-then-promote
+    * protocol, [[IvfIndex.ingestBatchSkeleton]]; no external
+    * compaction while the stream is live). Driven by
     * [[graft.streaming.StreamOps.ivfIngestPerBatch]]. */
   def ingestBatch(path: String, batch: DataFrame, batchId: Long,
       compactFilesPerCell: Int = 64,
-      targetFileBytes: Long = 128L << 20): Boolean = {
+      targetFileBytes: Long = 128L << 20): Boolean =
+    ingestBatchImpl(path, batch, batchId, compactFilesPerCell,
+      targetFileBytes, crashPoint = 0)
+
+  /** [[ingestBatch]] with fault injection — crash-recovery specs only. */
+  private[graft] def ingestBatchImpl(path: String, batch: DataFrame,
+      batchId: Long, compactFilesPerCell: Int, targetFileBytes: Long,
+      crashPoint: Int): Boolean = {
     val spark = batch.sparkSession
     // layout refusal FIRST (appendToSaved itself is deliberately
     // unchecked — it is the primitive): ingesting into a path that was
@@ -164,10 +171,11 @@ class IvfIndex private (
     }
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => (),
-      append = () => appendToSaved(path, batch),
+      stage = p => IvfIndex.assignWithCentroids(batch, embCol, centroidVectors)
+        .write.mode("overwrite").partitionBy("cell").parquet(p),
       dataTreeRoot = path,
       compact = () => IvfIndex.compactSaved(spark, path, targetFileBytes),
-      compactFilesPerCell = compactFilesPerCell)
+      compactFilesPerCell = compactFilesPerCell, crashPoint = crashPoint)
   }
 
   /** Per-cell row counts — the drift gauge for an append-maintained
@@ -201,6 +209,7 @@ class IvfIndex private (
     require(centroidVectors.nonEmpty, "cannot adapt an index with no centroids")
     new AnnIndex {
       override def dim: Int = self.centroidVectors(0).length
+      override def nlist: Int = self.centroidVectors.length
       override def search(queryVec: Array[Float], k: Int, nprobe: Int,
           simCol: String, tieBreakers: Seq[Column]): DataFrame =
         self.search(queryVec, k, nprobe, "cosine", simCol, tieBreakers)
@@ -408,36 +417,125 @@ object IvfIndex {
 
   /** Double-accumulated plain dot product, driver-side — the per-cell
     * `q·centroid` addend of residual-coded ADC ([[IvfPqIndex.search]]). */
-  /** The tier-independent skeleton every streaming ingest shares
-    * (round 19): replay-marker probe under `$markerRoot/_ingest`,
-    * staleness guard, append, marker write (AFTER the append job
-    * commits — the at-least-once crash window each tier's
-    * `ingestBatch` documents), then the layoutStats-thresholded
-    * compaction cadence over `$dataTreeRoot/data`. Returns true iff
-    * rows were appended; replayed batchIds and empty batches are
-    * no-ops returning false (empty batches leave no marker —
-    * replaying one is harmless, and there is nothing to guard). */
+  /** The tier-independent skeleton every streaming ingest shares,
+    * EXACTLY-ONCE since round 20 (r19 VERDICT #1 — the marker-after-
+    * append protocol replayed one batch as duplicate rows across the
+    * append-commit→marker crash window). The stage-then-promote
+    * protocol per batch:
+    *
+    * 1. REPLAY PROBE — `$markerRoot/_ingest/batch_<id>.json` present
+    *    means the batch COMMITTED. If its staging directory still
+    *    exists the promotion crashed mid-move: finish it (each file
+    *    renames out of staging exactly once, so completion is
+    *    idempotent) and return true. Otherwise pure replay, no-op,
+    *    false.
+    * 2. `guard()` (codec staleness on the coded tiers).
+    * 3. STAGE — write the batch's cell-partitioned files under
+    *    `$markerRoot/_ingest/staging_<id>` (mode overwrite; leftovers
+    *    of a pre-marker crash are deleted first). Staged files are
+    *    INVISIBLE to readers — nothing under `$dataTreeRoot/data`
+    *    changes — so a crash here replays cleanly: no marker, no
+    *    visible rows.
+    * 4. MARKER — the commit point. A crash before it replays the
+    *    batch from scratch (stage overwritten); a crash after it is
+    *    recovered by step 1.
+    * 5. PROMOTE — rename each staged file into its `cell=` directory
+    *    of the data tree (same FS, metadata-only moves; file names
+    *    are prefixed `ingest-<batchId>-` so recovery re-renames are
+    *    collision-free). Renames are atomic per file, so a crashed
+    *    promotion leaves each file on exactly one side and step 1
+    *    moves the rest.
+    * 6. The layoutStats-thresholded compaction cadence over
+    *    `$dataTreeRoot/data`.
+    *
+    * Exactly-once for every crash point: rows become reader-visible
+    * only after the marker exists, and a marker-present replay never
+    * re-stages (the staged files ARE the committed batch). What is
+    * NOT atomic is batch VISIBILITY to concurrent readers — promoted
+    * files appear one by one, the same semantics a multi-file
+    * parquet append commit always had. Returns true iff rows landed
+    * (including a recovery-completed promotion); replayed batchIds
+    * and empty batches return false (empty batches leave no marker —
+    * replaying one is harmless, and there is nothing to guard).
+    *
+    * `crashPoint` is FAULT INJECTION for the crash-recovery specs
+    * (1 = die after stage, 2 = die after marker), throwing
+    * [[InjectedIngestCrash]]; production callers leave it 0. */
   private[operators] def ingestBatchSkeleton(
       spark: org.apache.spark.sql.SparkSession, markerRoot: String,
       batch: DataFrame, batchId: Long, guard: () => Unit,
-      append: () => Unit, dataTreeRoot: String, compact: () => Unit,
-      compactFilesPerCell: Int): Boolean = {
+      stage: String => Unit, dataTreeRoot: String, compact: () => Unit,
+      compactFilesPerCell: Int, crashPoint: Int = 0): Boolean = {
     require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
     require(compactFilesPerCell >= 1,
       s"compactFilesPerCell must be >= 1, got $compactFilesPerCell")
-    val marker = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(s"$markerRoot/_ingest"),
-      s"batch_$batchId.json")
+    val ingestDir = new org.apache.hadoop.fs.Path(s"$markerRoot/_ingest")
+    val marker = new org.apache.hadoop.fs.Path(ingestDir, s"batch_$batchId.json")
+    val staging = new org.apache.hadoop.fs.Path(ingestDir, s"staging_$batchId")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dataTreeRoot/data")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker) || batch.isEmpty) return false
+    def cadence(): Unit = {
+      val maxFiles = dataTreeStats(spark, dataTreeRoot)
+        .agg(max(col("n_files"))).head().getLong(0)
+      if (maxFiles > compactFilesPerCell) compact()
+    }
+    if (fs.exists(marker)) {
+      // committed batch. If its staged files are still waiting the
+      // promotion crashed — complete it; otherwise a pure replay.
+      if (fs.exists(staging)) {
+        promoteStaged(fs, staging, dataDir, batchId)
+        cadence()
+        return true
+      }
+      return false
+    }
+    if (batch.isEmpty) return false
     guard()
-    append()
+    if (fs.exists(staging)) fs.delete(staging, true) // pre-marker crash leftovers
+    stage(staging.toString)
+    if (crashPoint == 1) throw new InjectedIngestCrash
     writeSidecar(spark, s"$markerRoot/_ingest", s"batch_$batchId.json",
       s"""{"batch_id": $batchId}""")
-    val maxFiles = dataTreeStats(spark, dataTreeRoot)
-      .agg(max(col("n_files"))).head().getLong(0)
-    if (maxFiles > compactFilesPerCell) compact()
+    if (crashPoint == 2) throw new InjectedIngestCrash
+    promoteStaged(fs, staging, dataDir, batchId)
+    cadence()
     true
+  }
+
+  /** Fault-injection sentinel for the ingest crash-recovery specs —
+    * never thrown in production (see `ingestBatchSkeleton.crashPoint`). */
+  private[graft] final class InjectedIngestCrash extends RuntimeException(
+    "injected ingest crash (fault injection for crash-recovery specs)")
+
+  /** Move a staged batch's cell files into the served data tree —
+    * step 5 of [[ingestBatchSkeleton]]'s protocol, and its crash
+    * RECOVERY (a rename moves each file exactly once, so re-running
+    * after a mid-promotion crash finishes the remainder and touches
+    * nothing already moved). Renames, never copies: the staging
+    * directory lives under the same layout root, so the moves are
+    * same-FS metadata operations. Missing staging is a no-op. */
+  private[operators] def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      dataDir: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        val dest = new org.apache.hadoop.fs.Path(dataDir, d.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            val target = new org.apache.hadoop.fs.Path(dest,
+              s"ingest-$batchId-${f.getPath.getName}")
+            require(fs.rename(f.getPath, target),
+              s"could not promote staged ingest file ${f.getPath} to $target " +
+                "— the batch is committed (marker written); re-run the batch " +
+                "to retry the promotion")
+          }
+      }
+    fs.delete(staging, true): Unit
   }
 
   /** The (queryId, cell) probe assignment every `searchMany` in the
@@ -665,9 +763,13 @@ object IvfIndex {
     * tolerates) is written by ~bytes/target tasks in parallel instead
     * of serially by one straggler, and each task lands ~one
     * target-sized file (`maxRecordsPerFile` still caps the residue).
-    * The salt is a full-row hash: deterministic, roughly uniform, and
-    * it only steers TASK assignment — rows and file-level `cell=`
-    * pruning are untouched.
+    * The salt is a per-row ROUND-ROBIN (`monotonically_increasing_id
+    * % width`), not a row hash (r19 ADVICE): a hot cell dominated by
+    * DUPLICATE vectors would hash every copy to one salt and collapse
+    * back to the single-writer straggler the salt exists to fix —
+    * consecutive ids cycle the salts uniformly regardless of row
+    * values. The salt is stable within the job and only steers TASK
+    * assignment — rows and file-level `cell=` pruning are untouched.
     *
     * Swap protocol (crash-safe by refusal, not by magic): the
     * compacted tree is fully written and row-count-verified at
@@ -730,10 +832,7 @@ object IvfIndex {
       .map(r => (r.getInt(0),
         math.max(1L, (r.getLong(1) + targetFileBytes - 1) / targetFileBytes)))
       .toDF("cell", "__n_sub")
-    val dataCols = df.columns
-    df.join(broadcast(subCounts), Seq("cell"), "left")
-      .withColumn("__salt", pmod(xxhash64(struct(dataCols.map(col): _*)),
-        coalesce(col("__n_sub"), lit(1L))))
+    saltedForCompaction(df, subCounts)
       .repartition(col("cell"), col("__salt"))
       .drop("__salt", "__n_sub")
       .write.option("maxRecordsPerFile", maxRecords)
@@ -762,6 +861,21 @@ object IvfIndex {
     fs.delete(oldPath, true): Unit
   }
 
+  /** The compaction salt, factored out so its uniformity property is
+    * spec-testable: joins each row's cell to its measured salt width
+    * (`__n_sub`, NULL → 1) and adds `__salt` = round-robin over the
+    * width. A per-row counter rather than a row hash (r19 ADVICE):
+    * identical rows must still spread across all `__n_sub` writer
+    * tasks — the duplicate-heavy hot cell is exactly the straggler
+    * case — and `monotonically_increasing_id` is consecutive within
+    * each source partition, so `pmod` cycles every salt value
+    * uniformly no matter what the rows hold. */
+  private[graft] def saltedForCompaction(df: DataFrame,
+      subCounts: DataFrame): DataFrame =
+    df.join(broadcast(subCounts), Seq("cell"), "left")
+      .withColumn("__salt", pmod(monotonically_increasing_id(),
+        coalesce(col("__n_sub"), lit(1L))))
+
   /** [[dataTreeStats]] for a saved VECTOR-tier layout. */
   def layoutStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
@@ -780,7 +894,7 @@ object IvfIndex {
   }
 
   /** [[writeSidecar]]'s read half — same FS-resolution rationale. */
-  private[operators] def readSidecar(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readSidecar(spark: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

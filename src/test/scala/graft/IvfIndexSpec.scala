@@ -263,6 +263,30 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(stats(1 - hotCell) == 1L, s"cold cell files: ${stats(1 - hotCell)}")
   }
 
+  test("compaction salt spreads DUPLICATE rows across every writer (r19 ADVICE): round-robin, not a row hash") {
+    import spark.implicits._
+    // 1000 rows IDENTICAL in every column: a full-row hash puts all of
+    // them on ONE salt — the duplicate-heavy hot cell collapses back to
+    // the single-writer straggler the salt exists to fix. The
+    // round-robin salt must land them on all __n_sub values, roughly
+    // evenly, regardless of row content.
+    val dup = spark.range(1000)
+      .select(lit(7).cast("int").as("cell"), lit("same").as("payload"))
+    val widths = Seq((7, 8L)).toDF("cell", "__n_sub")
+    val perSalt = graft.operators.IvfIndex.saltedForCompaction(dup, widths)
+      .groupBy("__salt").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSalt.keySet == (0L until 8L).toSet,
+      s"identical rows must reach every salt value: $perSalt")
+    assert(perSalt.values.forall(_ >= 100L),
+      s"salt distribution must be roughly uniform over duplicates: $perSalt")
+    // cells with no measured width (NULL __n_sub) default to one salt
+    val unmeasured = graft.operators.IvfIndex.saltedForCompaction(
+        Seq((3, "x"), (3, "y")).toDF("cell", "payload"), widths)
+      .select("__salt").distinct().collect().map(_.getLong(0)).toSet
+    assert(unmeasured == Set(0L), s"$unmeasured")
+  }
+
   test("vector-tier ingestBatch: drain == appends row-for-row; replay skipped; empty no-op; cadence fires; serving stays exact") {
     val frozen = IvfIndex.build(e, "embedding", nlist = 8).centroidVectors
     val a = e.where(col("vec_id") % 3 === 0)

@@ -274,6 +274,25 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(refined.head >= lossyCurve.last._2,
       s"a 40-shortlist exact re-rank must not lose to bare ADC at full " +
         s"probe: ${refined.head} vs ${lossyCurve.last._2}")
+    // r19 ADVICE: a refined curve row is STAMPED with the shortlist it
+    // was measured at (and its fetch price); bare rows are NULL / 0 —
+    // so a pick made from a refined curve deploys the refined path,
+    // never the bare one below the measured floor
+    val stamped = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+      "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(8),
+      refineShortlist = Some(40)).head()
+    assert(stamped.getAs[Int]("shortlist") == 40 &&
+      stamped.getAs[Double]("fetched_rows") == 40.0, s"$stamped")
+    val bareRow = graft.operators.AnnIndex.recallCurve(lossy, q, raw,
+      "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(8)).head()
+    assert(bareRow.isNullAt(bareRow.fieldIndex("shortlist")) &&
+      bareRow.getAs[Double]("fetched_rows") == 0.0, s"$bareRow")
+    val curvePick = graft.operators.AnnIndex.cheapestAtRecall(
+      graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(8),
+        refineShortlist = Some(40)), 0.0)
+    assert(curvePick._2.contains(40),
+      s"a pick from a refined curve must carry the measured shortlist: $curvePick")
     intercept[IllegalArgumentException](
       graft.operators.AnnIndex.recallCurve(lossy, q, raw, "query_id", "qe",
         "vec_id", "embedding", k = 5, nprobes = Seq(1),
@@ -335,20 +354,33 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(grid((8, 40))._2 == 200.0)
     assert(grid((8, 40))._1 >= grid((8, 5))._1,
       s"a 40-shortlist exact re-rank must not lose to sl = k at full probe: $grid")
-    // cheapestAtRecall closes the loop: min scanned_rows among rows
-    // meeting the floor, deterministic tie-breaks, refusal when the
-    // floor is out of measured reach (hand-built frame — every value
-    // known)
+    // cheapestAtRecall closes the loop: min TOTAL cost (scanned +
+    // fetched — r19 VERDICT #2) among rows meeting the floor,
+    // deterministic tie-breaks, refusal when the floor is out of
+    // measured reach (hand-built frame — every value known; no
+    // fetched_rows column, so the fetch prices as the shortlist)
     val g = Seq(
       (1, 5, 3, 0.4, 8L, 25.0), (2, 5, 3, 0.9, 8L, 50.0),
       (2, 40, 3, 0.95, 8L, 50.0), (8, 5, 3, 1.0, 8L, 200.0)
     ).toDF("nprobe", "shortlist", "k", "recall", "n_queries", "scanned_rows")
     assert(graft.operators.AnnIndex.cheapestAtRecall(g, 0.9) ==
-      ((2, Some(5), 0.9, 50.0)), "cost tie must break to the smaller knobs")
+      ((2, Some(5), 0.9, 55.0)),
+      "equal scan, bigger shortlist must lose on the fetch half")
     assert(graft.operators.AnnIndex.cheapestAtRecall(g, 1.0) ==
-      ((8, Some(5), 1.0, 200.0)))
+      ((8, Some(5), 1.0, 205.0)))
     assert(graft.operators.AnnIndex.cheapestAtRecall(g, 0.0) ==
-      ((1, Some(5), 0.4, 25.0)))
+      ((1, Some(5), 0.4, 30.0)))
+    // the r19 VERDICT #2 corner: a larger shortlist MEETS the recall
+    // floor on a cheaper scan but LOSES on total cost — pricing the
+    // scan alone would deploy the 100-row fetch as "free"
+    val g2 = Seq(
+      (1, 100, 3, 0.92, 8L, 10.0, 100.0), // scan 10 + fetch 100 = 110
+      (2, 5, 3, 0.90, 8L, 50.0, 5.0)      // scan 50 + fetch 5 = 55
+    ).toDF("nprobe", "shortlist", "k", "recall", "n_queries",
+      "scanned_rows", "fetched_rows")
+    assert(graft.operators.AnnIndex.cheapestAtRecall(g2, 0.9) ==
+      ((2, Some(5), 0.90, 55.0)),
+      "the pick must minimize scan + fetch, not scan alone")
     val noReach = intercept[IllegalArgumentException](
       graft.operators.AnnIndex.cheapestAtRecall(
         g.where(col("recall") < 0.99), 1.0))
@@ -363,6 +395,31 @@ class IvfPqIndexSpec extends AnyFunSuite {
         shortlists = Seq(5, 40)), 0.0)
     assert(realPick._1 == 1 && realPick._2.contains(5),
       s"floor 0 must pick the cheapest knobs: $realPick")
+    // the grid prices the refine fetch (r19 VERDICT #2): fetched_rows
+    // = shortlist, appended so the positional reads above stay valid
+    val gridFetch = graft.operators.AnnIndex.recallGrid(lossy, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5,
+        nprobes = Seq(1), shortlists = Seq(5, 40))
+      .collect().map(r => (r.getInt(1), r.getDouble(6))).toMap
+    assert(gridFetch == Map(5 -> 5.0, 40 -> 40.0), s"$gridFetch")
+    // r19 ADVICE: scanned_rows denominates by queries that actually
+    // PROBE — a duplicate query id contributes no probe rows of its
+    // own (probe assignment is per distinct id), so the full-probe
+    // corpus-size anchor must hold with one anyway
+    val dupCost = graft.operators.AnnIndex.recallCurve(lossy,
+        q.union(q.limit(1)), raw,
+        "query_id", "qe", "vec_id", "embedding", k = 5, nprobes = Seq(8))
+      .head().getDouble(4)
+    assert(dupCost == 200.0,
+      s"full probe with a duplicate query id must still price the corpus: $dupCost")
+    // the query-SAMPLE contract is enforced (r19 VERDICT #6): more
+    // than maxQueries rows refuses by name before the O(nQ·corpus)
+    // ground-truth join runs
+    val tooMany = intercept[IllegalArgumentException](
+      graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
+        "vec_id", "embedding", k = 5, nprobes = Seq(1), shortlists = Seq(5),
+        maxQueries = 4))
+    assert(tooMany.getMessage.contains("maxQueries"), tooMany.getMessage)
     // refusals: shortlist < k, empty shortlists, empty nprobes
     intercept[IllegalArgumentException](
       graft.operators.AnnIndex.recallGrid(lossy, q, raw, "query_id", "qe",
