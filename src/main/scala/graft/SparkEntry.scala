@@ -358,6 +358,49 @@ object SparkEntry {
       }
   }
 
+  /** Build (once per fixture fingerprint, cached under /tmp) the
+    * streamed IVFADC layout the `ann_ivfpq_stream_ingest` gate row
+    * serves: even half saved, odd half streamed through
+    * [[graft.streaming.StreamOps.ivfPqIngestPerBatch]] with
+    * `compactFilesPerCell = 1` so the compaction cadence provably
+    * fires. Returns the layout path. Shared with
+    * `pipeline_tune_serve_persisted` (r19 VERDICT #3), which tunes
+    * and serves over the REOPENED artifacts this leaves behind. */
+  private def ivfPqStreamedLayoutFor(s: SparkSession, d: String): String = {
+    val e = Tables(s, d, "embeddings")
+    val base = ivfPqFor(s, d)
+    require(base.model.lossless,
+      "the streamed-ingest layout requires the lossless codebook " +
+        "degenerate — corpus outgrew maxTrain")
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    require(src.isFile,
+      s"the streamed-ingest layout fingerprints $src (driver fixtures " +
+        "are single parquet files)")
+    val fp = s"${src.lastModified}_${src.length}"
+    val base2 = s"graft_ivfpq_ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"/tmp/${base2}_$fp"
+    reapStaleIvfCaches(new java.io.File("/tmp"), base2, s"${base2}_$fp")
+    val marker = new java.io.File(s"$path/_ingest_complete")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      val half = IvfPqIndex.withArtifacts(
+        e.where(col("vec_id") % 2 === 0), "embedding",
+        base.centroidVectors, base.model)
+      half.save(path)
+      val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
+        .where(col("vec_id") % 2 === 1)
+      val q = StreamOps.ivfPqIngestPerBatch(stream, half, path, "embedding",
+        baselineSelfSim = 1.0, compactFilesPerCell = 1)
+      try q.processAllAvailable() finally q.stop()
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
   /** Pre-build the memoized indexes the selected bench queries use —
     * each only on request, so iterating on one query with
     * SPARK_GRAFT_ONLY never pays the other index's KMeans fit. */
@@ -1930,6 +1973,34 @@ object SparkEntry {
       val grid = graft.operators.AnnIndex.recallGrid(idx, q, raw,
         "query_id", "qe", "vec_id", "embedding", k = 3,
         nprobes = Seq(idx.centroidVectors.length), shortlists = Seq(3, 6))
+      val (np, sl, _, _) = graft.operators.AnnIndex.cheapestAtRecall(grid, 1.0)
+      idx.searchManyRefine(q, "query_id", "qe", raw, "vec_id", "embedding",
+          n = 3, shortlist = sl.getOrElse(3), nprobe = np)
+        .select(col("query_id"), col("vec_id"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("query_id"), desc("similarity"), col("vec_id"))
+    }),
+    // §2.3 J ORACLED composition (round 20, r19 VERDICT #3): the ops
+    // RUNBOOK row — the measured tuning loop over PERSISTED artifacts,
+    // no in-memory build handle anywhere: AnnIndex.open on the layout
+    // the streamed ingest left behind → recallGrid → cheapestAtRecall
+    // → searchManyRefine at the picked knobs. Shares
+    // pipeline_tune_serve's oracle (same queries, same lossless
+    // degenerate; the pick is provably identical — full probe,
+    // shortlist = k wins the cheaper total), proving the loop needs
+    // only what survives a restart: the layout on disk. The
+    // reference's whole lifecycle is write → read → query
+    // (R/core.R:412-442); this is that lifecycle for TUNING at 100 TB.
+    "pipeline_tune_serve_persisted" -> ((s, d) => {
+      val path = ivfPqStreamedLayoutFor(s, d)
+      val idx = graft.operators.AnnIndex.open(s, path)
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val raw = e.select(col("vec_id"), col("embedding"))
+      val grid = graft.operators.AnnIndex.recallGrid(idx, q, raw,
+        "query_id", "qe", "vec_id", "embedding", k = 3,
+        nprobes = Seq(idx.nlist), shortlists = Seq(3, 6))
       val (np, sl, _, _) = graft.operators.AnnIndex.cheapestAtRecall(grid, 1.0)
       idx.searchManyRefine(q, "query_id", "qe", raw, "vec_id", "embedding",
           n = 3, shortlist = sl.getOrElse(3), nprobe = np)
@@ -4209,42 +4280,13 @@ object SparkEntry {
     // reopened layout serves brute force at full probe.
     "ann_ivfpq_stream_ingest" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      val base = ivfPqFor(s, d)
-      require(base.model.lossless,
-        "ann_ivfpq_stream_ingest requires the lossless codebook degenerate — " +
-          "corpus outgrew maxTrain")
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      require(src.isFile,
-        s"ann_ivfpq_stream_ingest fingerprints $src (driver fixtures are " +
-          "single parquet files)")
-      val fp = s"${src.lastModified}_${src.length}"
-      val base2 = s"graft_ivfpq_ingest_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      val path = s"/tmp/${base2}_$fp"
-      reapStaleIvfCaches(new java.io.File("/tmp"), base2, s"${base2}_$fp")
-      val marker = new java.io.File(s"$path/_ingest_complete")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(path))
-        val half = IvfPqIndex.withArtifacts(
-          e.where(col("vec_id") % 2 === 0), "embedding",
-          base.centroidVectors, base.model)
-        half.save(path)
-        val stream = StreamOps.readParquetStream(s, d, "embeddings.parquet")
-          .where(col("vec_id") % 2 === 1)
-        val q = StreamOps.ivfPqIngestPerBatch(stream, half, path, "embedding",
-          baselineSelfSim = 1.0, compactFilesPerCell = 1)
-        try q.processAllAvailable() finally q.stop()
-        marker.createNewFile(): Unit
-      }
+      val path = ivfPqStreamedLayoutFor(s, d)
       val idx = IvfPqIndex.load(s, path)
       require(idx.model.lossless,
         "ann_ivfpq_stream_ingest requires the lossless codebook degenerate")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      idx.search(q, k = 5, nprobe = base.centroidVectors.length,
+      idx.search(q, k = 5, nprobe = idx.nlist,
           tieBreakers = Seq(asc("vec_id")))
         .select(col("vec_id"), round(col("similarity"), 6).as("similarity"))
         .orderBy(desc("similarity"), asc("vec_id"))
@@ -5547,6 +5589,7 @@ object SparkEntry {
       // derivation-known (full probe, sl = k) and the serve at the
       // picked knobs provably equals the exact k-NN join
       "pipeline_tune_serve" -> oracleSqlKnn,
+      "pipeline_tune_serve_persisted" -> oracleSqlKnn,
       "mmr_many_exact" -> mmrManySql,
       // batch MMR from the coded index at nprobe = nlist ∘ lossless ∘
       // λ = 1: exact shortlists, exact re-score, relevance order — the
