@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, Nearest}
+
+/**
+ * Drift repair IN the streaming ingest loop (r19 VERDICT #4): a
+ * zipf-style drifted stream — every arriving batch lands in one cell
+ * of the frozen quantizer — must trigger `IvfIndex.repairSaved` inside
+ * the serial foreachBatch slot, the post-drain cell cap must HOLD, the
+ * stream must continue assigning with the REOPENED widened quantizer,
+ * and serving must stay exact at full probe (the vector tier's
+ * unconditional anchor).
+ */
+class StreamRepairSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Deterministic jittered cluster: `n` rows of dim-16 vectors near
+    * `center`, ids starting at `idBase` — jitter is hash-valued so
+    * k-means CAN split a pile geometrically. */
+  private def cluster(n: Int, center: Double, idBase: Long) = {
+    spark.range(n).select(
+      (col("id") + idBase).as("vec_id"),
+      expr(s"transform(sequence(0, 15), j -> " +
+        s"cast($center + pmod(xxhash64(id, j), 1000) / 1000.0 as float))")
+        .as("embedding"))
+  }
+
+  /** Stage a frame as ONE parquet file in the stream's watch dir —
+    * FileStreamSource lists plain files, not nested write directories. */
+  private def stageFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_repair_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file written under $tmp"))
+    Files.copy(part.toPath, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    rm(tmp.toFile)
+  }
+
+  test("zipf-drifted stream triggers in-loop repair: cap holds post-drain, quantizer widens, serving stays exact") {
+    import java.nio.file.Files
+    val watch = Files.createTempDirectory("graft_repair_watch").toString
+    val layout = Files.createTempDirectory("graft_repair_layout").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    try {
+      // balanced build half: 10 rows near +10 (cell A), 10 near -10
+      // (cell B) — a 2-cell quantizer
+      val a0 = cluster(10, 10.0, 0L)
+      val b0 = cluster(10, -10.0, 100L)
+      val idx = IvfIndex.build(a0.unionByName(b0), "embedding", nlist = 2)
+      idx.save(layout)
+      // the DRIFT: two arriving batches both near +20 — every row
+      // assigns to cell A under the frozen quantizer (zipf shape:
+      // one hot cell takes the whole stream)
+      stageFile(cluster(50, 20.0, 1000L), s"$watch/b1.parquet")
+      stageFile(cluster(30, 20.0, 2000L), s"$watch/b2.parquet")
+      val schema = spark.read.parquet(s"$watch/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+      val q = graft.streaming.StreamOps.ivfIngestPerBatch(stream, idx,
+        layout, repairMaxRows = Some(55L))
+      try q.processAllAvailable() finally q.stop()
+      // the cap HOLDS on the drained layout
+      val reopened = IvfIndex.load(spark, layout)
+      val worst = reopened.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+      assert(worst <= 55L, s"post-drain fullest cell $worst exceeds the cap")
+      // the repair actually FIRED (quantizer widened past the built 2)
+      assert(reopened.centroidVectors.length > 2,
+        s"repair must widen the quantizer: nlist ${reopened.centroidVectors.length}")
+      // nothing lost, nothing duplicated
+      val ids = spark.read.parquet(s"$layout/data").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ((0L until 10L) ++ (100L until 110L) ++
+        (1000L until 1050L) ++ (2000L until 2030L)).sorted.toSeq,
+        s"drained layout must hold exactly the union (got ${ids.size} rows)")
+      // serving stays EXACT at full probe over the whole drained union
+      val all = a0.unionByName(b0)
+        .unionByName(cluster(50, 20.0, 1000L))
+        .unionByName(cluster(30, 20.0, 2000L))
+      val qv = Array.fill(16)(20.3f)
+      val exact = Nearest.topK(all, "embedding", lit(qv), n = 10,
+          tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val served = reopened.search(qv, k = 10,
+          nprobe = reopened.centroidVectors.length,
+          tieBreakers = Seq(asc("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served == exact,
+        "full-probe serving over the repaired streamed layout must equal " +
+          "brute force")
+    } finally { rm(new java.io.File(watch)); rm(new java.io.File(layout)) }
+  }
+
+  test("repair disabled (default): the drifted stream accretes the hot cell — the knob, not the default, buys the repair") {
+    import java.nio.file.Files
+    val watch = Files.createTempDirectory("graft_norepair_watch").toString
+    val layout = Files.createTempDirectory("graft_norepair_layout").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    try {
+      val idx = IvfIndex.build(
+        cluster(10, 10.0, 0L).unionByName(cluster(10, -10.0, 100L)),
+        "embedding", nlist = 2)
+      idx.save(layout)
+      stageFile(cluster(50, 20.0, 1000L), s"$watch/b1.parquet")
+      val schema = spark.read.parquet(s"$watch/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+      val q = graft.streaming.StreamOps.ivfIngestPerBatch(stream, idx, layout)
+      try q.processAllAvailable() finally q.stop()
+      val reopened = IvfIndex.load(spark, layout)
+      assert(reopened.centroidVectors.length == 2,
+        "without the knob the quantizer must stay frozen")
+      assert(reopened.cellSizeStats.agg(max(col("n"))).head().getLong(0) == 60L,
+        "the hot cell accretes — exactly what repairMaxRows exists to stop")
+    } finally { rm(new java.io.File(watch)); rm(new java.io.File(layout)) }
+  }
+}
