@@ -459,6 +459,92 @@ object OpqIvfPqIndex {
     IvfPqIndex.compactSaved(spark, s"$path/ivfpq", targetFileBytes)
   }
 
+  /** Re-fit RUNBOOK for a warned codec (r19 VERDICT #5): rebuild the
+    * whole saved stack at `path` — rotation, coarse quantizer,
+    * codebooks, codes, persisted baseline — from the grown RAW
+    * corpus, fully staged under `$path/_rebuild` and rename-swapped
+    * in. This is the remedy [[codecGuard]]'s warn band names
+    * ("plan a re-fit"), closed as an operation on the layout itself.
+    *
+    * Why `raw` is a parameter and not read from the layout: the
+    * layout's rows at rest are PQ codes — decoding them to re-fit
+    * would seed the new rotation/codebooks with the old codec's own
+    * distortion (the same reason the coded tier refuses to split hot
+    * cells itself). The caller supplies the raw corpus its pipeline
+    * retains upstream, and it MUST include every batch already
+    * ingested — verified: the rebuilt data tree may not hold fewer
+    * rows than the live one, refusing the silent-forget. The
+    * `$path/_ingest` marker ledger survives the swap, so a restarted
+    * stream does not re-append batches whose rows the raw corpus
+    * already carried.
+    *
+    * Shape knobs (nlist, m, byResidual, code/norm column names) are
+    * read from the LIVE layout so the rebuilt stack serves the same
+    * contract; fit knobs (`k`, `maxTrain`, `opqIters`, `seed`)
+    * parameterize the NEW fit exactly as [[build]] — the old fit's
+    * codebook size is not recoverable from a lossless layout, whose
+    * per-subspace sizes are data-dependent.
+    *
+    * OFFLINE maintenance, the [[compactSaved]] contract: QUIESCE ALL
+    * WRITERS first (no appendToSaved, no streaming ingest — a stream
+    * must be stopped, rebuilt, restarted). Refuses while
+    * `$path/_rebuild` or `$path/_prerebuild` exists (an interrupted
+    * rebuild: if live pieces are missing, rename them back from
+    * `_prerebuild`; then delete both staging trees and re-run). The
+    * swap renames the three pieces (rotation, ivfpq,
+    * _opqivfpq.json) one by one — a crash mid-swap leaves every old
+    * piece intact under `_prerebuild` (named recovery), never a
+    * half-written live tree presenting itself as whole. Returns the
+    * reopened rebuilt index. */
+  def rebuildSaved(spark: SparkSession, path: String, raw: DataFrame,
+      embCol: String, k: Int = 256, maxTrain: Int = 65536,
+      opqIters: Int = 8, seed: Int = 42): OpqIvfPqIndex = {
+    val old = load(spark, path) // layout refusal first
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(root, "_rebuild")
+    val pre = new org.apache.hadoop.fs.Path(root, "_prerebuild")
+    require(!fs.exists(staging) && !fs.exists(pre),
+      s"$path carries a staging tree from an interrupted rebuild " +
+        "(_rebuild and/or _prerebuild) — recover first: if the live " +
+        "pieces (rotation/ivfpq/_opqivfpq.json) are missing, rename them " +
+        "back from _prerebuild; then delete both staging trees and re-run")
+    val rebuilt = build(raw, embCol,
+      nlist = old.inner.centroidVectors.length, m = old.model.m, k = k,
+      maxTrain = maxTrain, opqIters = opqIters, seed = seed,
+      codesCol = old.inner.codesCol, normCol = old.inner.normCol,
+      byResidual = old.byResidual)
+    rebuilt.save(s"$path/_rebuild")
+    // verify BEFORE any rename: the staged tree must code exactly the
+    // raw corpus, and may not shrink the live layout (a raw corpus
+    // missing ingested batches would silently forget them)
+    val nNew = spark.read.parquet(s"$path/_rebuild/ivfpq/data").count()
+    val nRaw = raw.where(col(embCol).isNotNull).count()
+    val nLive = spark.read.parquet(s"$path/ivfpq/data").count()
+    if (nNew != nRaw || nNew < nLive) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"rebuildSaved aborted (staging deleted, live layout untouched): " +
+          s"staged tree holds $nNew rows vs $nRaw non-NULL raw rows and " +
+          s"$nLive live rows — the raw corpus must carry every row the " +
+          "layout serves, including every ingested batch")
+    }
+    fs.mkdirs(pre)
+    Seq("rotation", "ivfpq", "_opqivfpq.json").foreach { piece =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(root, piece),
+        new org.apache.hadoop.fs.Path(pre, piece)),
+        s"could not stage live $piece aside — recover from $path/_prerebuild")
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging, piece),
+        new org.apache.hadoop.fs.Path(root, piece)),
+        s"could not move rebuilt $piece into place — the old piece is " +
+          s"intact at $path/_prerebuild/$piece (rename it back to recover)")
+    }
+    fs.delete(pre, true): Unit
+    fs.delete(staging, true): Unit
+    load(spark, path)
+  }
+
   /** Reopen a saved stack (see [[readRotation]] for the layout
     * refusal). The codec baseline is restored when the sidecar
     * carries one (layouts saved before baselines persisted reopen
