@@ -502,6 +502,61 @@ object IvfIndex {
     true
   }
 
+  /** Crash-recovery SWEEP for a layout whose ingest stream died and is
+    * NOT coming back with the same checkpoint — the one case the
+    * stage-then-promote protocol's in-band recovery cannot reach: a
+    * batch that crashed after its marker is recovered when its batchId
+    * REPLAYS, but a stream restarted with a fresh checkpoint never
+    * replays old ids, and the committed rows would sit invisible in
+    * staging forever. One driver-side FS sweep over
+    * `$markerRoot/_ingest`:
+    *
+    *   - `staging_<id>` WITH its marker → the batch committed;
+    *     complete the promotion (idempotent — the skeleton's own
+    *     recovery step);
+    *   - `staging_<id>` WITHOUT a marker → the batch never committed
+    *     and its rows were never visible; delete it (a fresh stream
+    *     re-delivers the data under new batch ids).
+    *
+    * Returns (promoted, discarded) batchId lists. QUIESCED ONLY: run
+    * before starting the replacement stream, never concurrently with
+    * one — the same offline contract as compaction. Exposed per tier
+    * as `recoverIngest` with the tier's layout refusal. */
+  private[operators] def recoverIngestSweep(
+      spark: org.apache.spark.sql.SparkSession, markerRoot: String,
+      dataTreeRoot: String): (Seq[Long], Seq[Long]) = {
+    val ingestDir = new org.apache.hadoop.fs.Path(s"$markerRoot/_ingest")
+    val fs = ingestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ingestDir)) return (Nil, Nil)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dataTreeRoot/data")
+    var promoted = List.empty[Long]
+    var discarded = List.empty[Long]
+    fs.listStatus(ingestDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("staging_"))
+      .foreach { st =>
+        val idStr = st.getPath.getName.stripPrefix("staging_")
+        require(idStr.forall(_.isDigit) && idStr.nonEmpty,
+          s"${st.getPath} is not a graft ingest staging directory — " +
+            "refusing to sweep a tree this engine did not write")
+        val id = idStr.toLong
+        if (fs.exists(new org.apache.hadoop.fs.Path(ingestDir, s"batch_$id.json"))) {
+          promoteStaged(fs, st.getPath, dataDir, id)
+          promoted ::= id
+        } else {
+          fs.delete(st.getPath, true)
+          discarded ::= id
+        }
+      }
+    (promoted.sorted, discarded.sorted)
+  }
+
+  /** [[recoverIngestSweep]] for a saved VECTOR-tier layout. */
+  def recoverIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Long], Seq[Long]) = {
+    readSidecar(spark, path, "_ivf.json") // layout refusal first
+    recoverIngestSweep(spark, path, path)
+  }
+
   /** Fault-injection sentinel for the ingest crash-recovery specs —
     * never thrown in production (see `ingestBatchSkeleton.crashPoint`). */
   private[graft] final class InjectedIngestCrash extends RuntimeException(

@@ -668,6 +668,13 @@ object IvfPqIndex {
     IvfIndex.dataTreeStats(spark, path)
   }
 
+  /** [[IvfIndex.recoverIngestSweep]] for a saved plain-IVFADC layout —
+    * the fresh-checkpoint crash-recovery runbook (quiesced only). */
+  def recoverIngest(spark: SparkSession, path: String): (Seq[Long], Seq[Long]) = {
+    IvfIndex.readSidecar(spark, path, "_ivfpq.json") // layout refusal first
+    IvfIndex.recoverIngestSweep(spark, path, path)
+  }
+
   /** COMPACT a saved layout's data tree: rewrite each `cell=`
     * partition into ~`targetFileBytes` files (one writer task per
     * cell via a cell-key repartition; oversize cells split by

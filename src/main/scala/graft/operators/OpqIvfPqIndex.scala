@@ -449,6 +449,15 @@ object OpqIvfPqIndex {
     IvfPqIndex.layoutStats(spark, s"$path/ivfpq")
   }
 
+  /** [[graft.operators.IvfIndex.recoverIngestSweep]] for a saved
+    * stack — markers live at `$path/_ingest`, the data tree is the
+    * NESTED `$path/ivfpq`. Fresh-checkpoint crash-recovery runbook
+    * (quiesced only). */
+  def recoverIngest(spark: SparkSession, path: String): (Seq[Long], Seq[Long]) = {
+    readRotation(spark, path): Unit // layout refusal
+    IvfIndex.recoverIngestSweep(spark, path, s"$path/ivfpq")
+  }
+
   /** [[IvfPqIndex.compactSaved]] on the NESTED data tree — codes are
     * opaque bytes to the compactor, so the rotation seam is
     * untouched: the swap rewrites files, never values, and a

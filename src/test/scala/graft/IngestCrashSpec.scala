@@ -103,6 +103,44 @@ class IngestCrashSpec extends AnyFunSuite {
     } finally { rm(clean); rm(w1); rm(w2) }
   }
 
+  test("recoverIngest: the fresh-checkpoint runbook — committed stagings promote, uncommitted discard, idempotent, layout-refused") {
+    // the case in-band replay cannot reach: the stream died and is
+    // restarting with a NEW checkpoint, so old batchIds never replay —
+    // the sweep must promote what committed and discard what did not
+    val frozen = IvfIndex.build(e, "embedding", nlist = 8).centroidVectors
+    val half = IvfIndex.withCentroids(a, "embedding", frozen)
+    val clean = tmp("rec_clean"); val p = tmp("rec")
+    try {
+      half.save(clean)
+      assert(half.ingestBatch(clean, b1, 1L))
+      val want = pairs(s"$clean/data")
+
+      half.save(p)
+      // batch 1 crashed AFTER its marker (committed, promotion pending)
+      intercept[IvfIndex.InjectedIngestCrash](
+        half.ingestBatchImpl(p, b1, 1L, 64, 128L << 20, crashPoint = 2))
+      // batch 2 crashed BEFORE its marker (never committed)
+      intercept[IvfIndex.InjectedIngestCrash](
+        half.ingestBatchImpl(p, b2, 2L, 64, 128L << 20, crashPoint = 1))
+      assert(stagingDirs(p).sorted == Seq("staging_1", "staging_2"))
+
+      val (promoted, discarded) = IvfIndex.recoverIngest(spark, p)
+      assert(promoted == Seq(1L) && discarded == Seq(2L),
+        s"sweep must promote the committed batch and discard the " +
+          s"uncommitted one: ($promoted, $discarded)")
+      assert(pairs(s"$p/data") == want,
+        "after the sweep the layout must serve exactly the committed rows")
+      assert(stagingDirs(p).isEmpty)
+      // idempotent: a second sweep finds nothing
+      assert(IvfIndex.recoverIngest(spark, p) == ((Nil, Nil)))
+      // and the discarded batch re-delivers cleanly under a new id
+      assert(half.ingestBatch(p, b2, 7L))
+      assert(pairs(s"$p/data").size == want.size + b2.count().toInt)
+      // layout refusal: never sweep a tree this engine did not write
+      intercept[Exception](IvfIndex.recoverIngest(spark, s"$p/nope"))
+    } finally { rm(clean); rm(p) }
+  }
+
   test("plain coded tier: both crash windows recover to the no-crash drain") {
     // lossless codebooks fit on the FULL corpus, index over the build
     // half — appended batches then code exactly (self-sim 1.0), so the
