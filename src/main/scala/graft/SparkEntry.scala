@@ -1949,7 +1949,10 @@ object SparkEntry {
           nprobes = Seq(idx.centroidVectors.length), shortlists = Seq(3, 6))
         .select(col("nprobe"), col("shortlist"), col("k"),
           round(col("recall"), 6).as("recall"), col("n_queries"),
-          round(col("scanned_rows"), 6).as("scanned_rows"))
+          round(col("scanned_rows"), 6).as("scanned_rows"),
+          // round 20 (r19 VERDICT #2): the refine-fetch cost column is
+          // derivation-known too — shortlist rows fetched per query
+          round(col("fetched_rows"), 6).as("fetched_rows"))
         .orderBy(col("nprobe"), col("shortlist"))
     }),
     // §2.3 J ORACLED composition (round 19): the measured tuning loop
@@ -5628,7 +5631,8 @@ object SparkEntry {
         """SELECT CAST(16 AS INTEGER) AS nprobe, CAST(sl AS INTEGER) AS shortlist,
           |       CAST(3 AS INTEGER) AS k, round(1.0, 6) AS recall,
           |       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
-          |       round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE), 6) AS scanned_rows
+          |       round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE), 6) AS scanned_rows,
+          |       round(CAST(sl AS DOUBLE), 6) AS fetched_rows
           |FROM (VALUES (3), (6)) AS t(sl)
           |ORDER BY nprobe, shortlist""".stripMargin,
       // the RAG serving chain: the mmr_many derivation + the doc-text
