@@ -293,14 +293,19 @@ object StreamOps {
     * matches the repaired quantizer. A zipf-drifted stream thus
     * self-heals instead of accumulating the hot-cell scan tax until an
     * operator runs the batch repair by hand (ScaleProbe `ivfskew`
-    * measures exactly that tax). Two honest costs, stated: (1) the
-    * check is one map-combined count over the layout per appended
-    * batch — metadata-cheap at micro-batch cadence, but size the cap
-    * so repairs are RARE, not per-batch (k-means splits are real
-    * work); (2) repairSaved's delete-then-append window is not
-    * crash-atomic (its scaladoc), so a JVM crash mid-repair needs the
-    * layout restored from a snapshot — same contract as running the
-    * repair by hand, now stated where the cadence runs it.
+    * measures exactly that tax). The check is BATCH-proportional: a
+    * resident per-cell occupancy map (nlist-bounded, the centroid
+    * array's own bound) initializes from ONE layout count at stream
+    * start and then accretes each appended batch's
+    * [[graft.operators.IvfIndex.batchCellCounts]] — re-counting the
+    * layout happens only AFTER a repair renumbers cells, which the cap
+    * makes rare by construction. Two honest costs, stated: (1) the
+    * batch assigns twice (once to stage, once to gauge) — batch-scale
+    * both times, the price of keeping ingestBatch's signature clean;
+    * (2) repairSaved's delete-then-append window is not crash-atomic
+    * (its scaladoc), so a JVM crash mid-repair needs the layout
+    * restored from a snapshot — same contract as running the repair by
+    * hand, now stated where the cadence runs it.
     *
     * RESTART SAFETY: on checkpoint recovery the closure would hold the
     * PRE-repair index (stale, narrower quantizer) while the layout
@@ -319,6 +324,15 @@ object StreamOps {
     repairMaxRows.foreach(cap => require(cap >= 1L,
       s"repairMaxRows must be >= 1, got $cap"))
     var cur = index // serial foreachBatch slot — single-threaded by contract
+    // resident occupancy map (nlist-bounded): null until the first
+    // appended batch pays the ONE layout-scale count; thereafter each
+    // batch adds its own batch-scale histogram, and only a repair
+    // (which renumbers cells) re-reads the layout
+    var cellCounts: Map[Int, Long] = null
+    def layoutCounts(spark: org.apache.spark.sql.SparkSession): Map[Int, Long] =
+      spark.read.parquet(s"$path/data")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       if (repairMaxRows.isDefined) {
@@ -333,20 +347,23 @@ object StreamOps {
       val appended = cur.ingestBatch(path, batch, batchId,
         compactFilesPerCell, targetFileBytes)
       if (appended) repairMaxRows.foreach { cap =>
+        if (cellCounts == null) cellCounts = layoutCounts(spark)
+        else cellCounts = cur.batchCellCounts(batch).foldLeft(cellCounts) {
+          case (m, (c, n)) => m.updated(c, m.getOrElse(c, 0L) + n)
+        }
         // one split pass per round (repairSaved is single-pass by
         // design — it rewrites ONLY hot cells); iterate bounded until
         // the cap holds, refusing on no progress (the capCells
         // contract: a cell of near-identical vectors cannot be
         // geometry-split — failing the stream loudly beats silently
         // accreting the hot-cell scan tax the cap was set to prevent)
-        var worst = spark.read.parquet(s"$path/data")
-          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).head().getLong(0)
+        var worst = if (cellCounts.isEmpty) 0L else cellCounts.values.max
         var rounds = 0
         while (worst > cap && rounds < 4) {
           cur = graft.operators.IvfIndex.repairSaved(spark, path, cap,
             repairSeed + batchId * 16 + rounds)
-          val next = cur.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+          cellCounts = layoutCounts(spark) // cells renumbered — re-read
+          val next = if (cellCounts.isEmpty) 0L else cellCounts.values.max
           if (next >= worst) throw new IllegalStateException(
             s"streaming drift repair made no progress (fullest cell $worst" +
               s" -> $next rows against cap $cap): the hot cell's vectors " +
