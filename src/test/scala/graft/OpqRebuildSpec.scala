@@ -93,6 +93,22 @@ class OpqRebuildSpec extends AnyFunSuite {
         "the rebuilt stack must serve brute-force-equal at the lossless " +
           "full-probe degenerate")
 
+      // a STALE handle from before the rebuild refuses LOUDLY — the
+      // swap can never be mixed into silently (the rotation guard
+      // fires at stage time, before anything lands)
+      val stale = intercept[IllegalArgumentException](
+        old.ingestBatch(path, cluster(5, 1.0, 9000L), "embedding", 99L,
+          Some(1.0)))
+      assert(stale.getMessage.contains("DIFFERENT rotation"), stale.getMessage)
+      assert(spark.read.parquet(s"$path/ivfpq/data").count() == 150L,
+        "a refused stale-handle ingest must land nothing")
+      // ...and the REOPENED handle ingests into the rebuilt layout
+      // (known-vector rows: the lossless rebuilt codebook codes them
+      // exactly, so the guard stays quiet by construction)
+      val dup = a.limit(10).withColumn("vec_id", col("vec_id") + 9000L)
+      assert(reopened.ingestBatch(path, dup, "embedding", 100L))
+      assert(spark.read.parquet(s"$path/ivfpq/data").count() == 160L)
+
       // REFUSAL: an interrupted rebuild's staging tree blocks a new
       // one by name (never guess which tree is authoritative)
       new java.io.File(s"$path/_rebuild").mkdirs()
