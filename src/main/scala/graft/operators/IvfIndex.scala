@@ -699,7 +699,7 @@ object IvfIndex {
 
   /** Map-side frozen-centroid assignment: original columns + `cell`.
     * NULL vectors are excluded, as in [[build]]. */
-  private[operators] def assignWithCentroids(df: DataFrame, embCol: String,
+  private[graft] def assignWithCentroids(df: DataFrame, embCol: String,
       centroidVectors: Array[Array[Float]]): DataFrame = {
     require(centroidVectors.nonEmpty, "centroid table is empty")
     val dim = centroidVectors.head.length

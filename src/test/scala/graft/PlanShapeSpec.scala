@@ -520,4 +520,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"the query sample must broadcast against the centroid table:\n$p")
   }
+
+  test("streaming repair gauge (batchCellCounts): map-side assignment + partial count — no window, no join, nlist rows out") {
+    import graft.operators.IvfIndex
+    val e = Tables(spark, sf, "embeddings")
+    val idx = IvfIndex.build(e, "embedding", nlist = 4)
+    // the per-batch occupancy increment the in-loop repair cadence
+    // collects (round 20): assignment is the codegen NearestCell
+    // expression over the BATCH only, counting is a map-combined
+    // partial aggregation — if a join, window, or the layout's own
+    // scan ever enters this plan, the "batch-proportional check"
+    // claim is broken
+    val p = IvfIndex.assignWithCentroids(
+        e.where(col("vec_id") < 50), "embedding", idx.centroidVectors)
+      .groupBy("cell")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.toLowerCase.contains("partial"),
+      s"the gauge must map-combine before its nlist-row exchange:\n$p")
+    assert(!p.contains("Window") && !p.toLowerCase.contains("join"),
+      s"the gauge is one narrow pass over the batch:\n$p")
+    assert(p.contains("nearest_cell"),
+      s"assignment must be the codegen NearestCell expression:\n$p")
+  }
 }
