@@ -169,6 +169,16 @@ class IvfIndex private (
           "_ivf.json sidecar) — save(path) first; ingestBatch appends " +
           "into an existing layout", e)
     }
+    // crashed-repair refusal (r20 ADVICE): appending into a layout that
+    // is missing its hot cells' rows would bury the incompleteness
+    // under fresh batches
+    val sentinel = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), IvfIndex.RepairSentinel)
+    require(!sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(sentinel),
+      s"$path carries ${IvfIndex.RepairSentinel} — a repairSaved crashed " +
+        "mid-rewrite and the layout is missing rows; restore from a " +
+        "snapshot (then delete the sentinel) before ingesting")
     IvfIndex.ingestBatchSkeleton(spark, path, batch, batchId,
       guard = () => (),
       stage = p => IvfIndex.assignWithCentroids(batch, embCol, centroidVectors)
@@ -746,16 +756,22 @@ object IvfIndex {
    * overwrite-by-presence would leave its stale directory serving
    * duplicate rows.
    *
-   * NOT atomic: a crash between the delete and the append leaves the
-   * layout missing the hot cells' rows (the reassigned rows are
-   * materialized BEFORE anything is deleted, so nothing is lost to
+   * NOT atomic — but a crash is DETECTED, never served (r20 ADVICE):
+   * a `_repair_in_progress` sentinel is written immediately before the
+   * hot-cell deletes and removed only after the reassigned rows,
+   * centroids, and sidecar have all landed. A crash inside the window
+   * leaves the layout missing the hot cells' rows (the reassigned rows
+   * are materialized BEFORE anything is deleted, so nothing is lost to
    * lineage — but the on-disk layout is incomplete until the append
-   * lands). Repair against a snapshot/copy when the layout is the
-   * only replica of the corpus.
+   * lands), and [[load]] — the entry point every open, serve, and
+   * ingest path goes through — refuses by name while the sentinel
+   * exists, directing the operator to the snapshot restore instead of
+   * silently serving an incomplete corpus. Repair against a
+   * snapshot/copy when the layout is the only replica.
    */
   def repairSaved(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRows: Long, seed: Long = 123L): IvfIndex = {
-    val idx = load(spark, path)
+    val idx = load(spark, path) // also refuses on a crashed repair's sentinel
     val (split, hot, hotPieces) = idx.splitOversizedPlan(maxRows, seed)
     if (hotPieces.isEmpty) return idx
     // cut lineage off the files about to be deleted
@@ -763,6 +779,11 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
     val fs = dataPath.getFileSystem(conf)
+    // sentinel BEFORE the first delete: from here to the sidecar
+    // refresh the layout is incomplete, and a crash must leave that
+    // fact on disk where load() can refuse on it
+    writeSidecar(spark, path, RepairSentinel,
+      s"""{"repairing": true, "max_rows": $maxRows}""")
     // delete exactly the split cells' old directories (sub-0 reuses the
     // hot id, so its dir is deleted and rewritten; tail ids are new)
     hot.foreach { c =>
@@ -773,8 +794,16 @@ object IvfIndex {
     split.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeSidecar(spark, path, "_ivf.json",
       s"""{"embedding_column": "${idx.embCol}", "nlist": ${split.centroidVectors.length}}""")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), RepairSentinel), false)
     load(spark, path)
   }
+
+  /** Marks a [[repairSaved]] delete-then-append window in progress —
+    * present on disk ONLY between the sentinel write and the
+    * post-append cleanup, so its existence means a repair crashed
+    * mid-rewrite and the layout is missing rows. */
+  private[graft] val RepairSentinel = "_repair_in_progress"
 
   /** Sidecar write through the SAME Hadoop FileSystem that owns the
     * layout's `cell=` directories (r13 ADVICE): the repair path
@@ -938,12 +967,52 @@ object IvfIndex {
     * tasks — the duplicate-heavy hot cell is exactly the straggler
     * case — and `monotonically_increasing_id` is consecutive within
     * each source partition, so `pmod` cycles every salt value
-    * uniformly no matter what the rows hold. */
+    * uniformly no matter what the rows hold.
+    *
+    * The counter is position-dependent, and the salt feeds a
+    * REPARTITION (r20 ADVICE, the SPARK-23207 class): if a lost map
+    * output were recomputed with its rows in a different order, rows
+    * would move between reducers across the retry and could be dropped
+    * or duplicated — the post-write count check only catches net
+    * mismatches. So each partition's rows are first sorted by a
+    * full-row hash (Spark's own sort-before-round-robin fix,
+    * `spark.sql.execution.sortBeforeRepartition`) and the counter
+    * assigned over that order: a re-run task reproduces the same row
+    * order — hash ties are byte-identical rows with overwhelming
+    * probability, interchangeable by definition — and with it the same
+    * row-to-salt-to-reducer mapping. The sort-and-count runs in RDD
+    * land deliberately: a `sortWithinPartitions` in the plan is
+    * STRIPPED by Catalyst's EliminateSorts under the order-agnostic
+    * repartition/write that follows (spec'd — the order-independence
+    * test fails on the plan-level variant), silently restoring the
+    * positional nondeterminism. Local sort only, no shuffle; the
+    * round-robin spread over duplicates is unchanged; row-at-a-time
+    * cost is fine on a maintenance rewrite the write dominates. */
   private[graft] def saltedForCompaction(df: DataFrame,
-      subCounts: DataFrame): DataFrame =
-    df.join(broadcast(subCounts), Seq("cell"), "left")
-      .withColumn("__salt", pmod(monotonically_increasing_id(),
+      subCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val hashed = df.withColumn("__rowh",
+      xxhash64(df.columns.map(col).toIndexedSeq: _*))
+    val hIdx = hashed.schema.fieldIndex("__rowh")
+    val indexed = hashed.rdd.mapPartitions { it =>
+      val rows = it.toArray
+      // stable: equal-hash rows keep arrival order (byte-identical
+      // rows are interchangeable; a 64-bit collision of DIFFERENT
+      // rows is the one vanishing-probability residue)
+      val sorted = rows.sortBy(_.getLong(hIdx))
+      sorted.iterator.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i.toLong)
+      }
+    }
+    spark.createDataFrame(indexed, hashed.schema.add("__pidx", LongType))
+      .drop("__rowh")
+      .join(broadcast(subCounts), Seq("cell"), "left")
+      .withColumn("__salt", pmod(col("__pidx"),
         coalesce(col("__n_sub"), lit(1L))))
+      .drop("__pidx")
+  }
 
   /** [[dataTreeStats]] for a saved VECTOR-tier layout. */
   def layoutStats(spark: org.apache.spark.sql.SparkSession,
@@ -976,8 +1045,19 @@ object IvfIndex {
   }
 
   /** Reopen a saved index. The data scan comes from the cell-partitioned
-    * layout, so subsequent probe filters prune at the file level. */
+    * layout, so subsequent probe filters prune at the file level.
+    * Refuses while a [[repairSaved]] crash sentinel exists: the layout
+    * is missing its hot cells' rows, and serving it would silently
+    * return wrong neighbors (r20 ADVICE). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val sentinel = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), RepairSentinel)
+    require(!sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(sentinel),
+      s"$path carries $RepairSentinel — a repairSaved crashed between its " +
+        "hot-cell deletes and the reassigned append, so the layout is " +
+        "missing rows; restore the layout from a snapshot (then delete the " +
+        "sentinel) instead of serving an incomplete corpus")
     val json = readSidecar(spark, path, "_ivf.json")
     val embCol = """"embedding_column"\s*:\s*"([^"]*)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("embedding")

@@ -346,7 +346,13 @@ object StreamOps {
       }
       val appended = cur.ingestBatch(path, batch, batchId,
         compactFilesPerCell, targetFileBytes)
-      if (appended) repairMaxRows.foreach { cap =>
+      // the cap check also runs on a REPLAYED first batch (appended =
+      // false, rows already in the layout count): after a repair
+      // refusal fails the stream, the restart replays the offending
+      // batch as a marker no-op, and skipping the check would leave the
+      // layout serving the very scan tax the cap was set to refuse
+      // (r20 ADVICE)
+      if (appended || cellCounts == null) repairMaxRows.foreach { cap =>
         if (cellCounts == null) cellCounts = layoutCounts(spark)
         else cellCounts = cur.batchCellCounts(batch).foldLeft(cellCounts) {
           case (m, (c, n)) => m.updated(c, m.getOrElse(c, 0L) + n)

@@ -417,6 +417,52 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.repairSaved(spark, dir, maxRows = 1000000).indexed.count() == all)
   }
 
+  test("repair crash sentinel: load and ingestBatch refuse while _repair_in_progress exists; a clean repair leaves none (r20 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sentinel").toString
+    val idx = IvfIndex.build(e, "embedding", nlist = 4)
+    idx.save(dir)
+    // a successful repair cleans up after itself
+    IvfIndex.repairSaved(spark, dir, maxRows = 100)
+    assert(!new java.io.File(dir, "_repair_in_progress").exists(),
+      "a completed repair must remove its sentinel")
+    // plant the sentinel: the crashed-mid-repair state
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_repair_in_progress"), "{\"repairing\": true}")
+    val e1 = intercept[IllegalArgumentException](IvfIndex.load(spark, dir))
+    assert(e1.getMessage.contains("_repair_in_progress"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.repairSaved(spark, dir, maxRows = 100)) // opens via load — same refusal
+    assert(e2.getMessage.contains("snapshot"), e2.getMessage)
+    val fresh = IvfIndex.build(e, "embedding", nlist = 4)
+    val e3 = intercept[IllegalArgumentException](
+      fresh.ingestBatch(dir, e.limit(5), 99L))
+    assert(e3.getMessage.contains("_repair_in_progress"), e3.getMessage)
+    // operator recovery: delete the sentinel, the layout serves again
+    assert(new java.io.File(dir, "_repair_in_progress").delete())
+    assert(IvfIndex.load(spark, dir).indexed.count() == 500)
+  }
+
+  test("compaction salt is order-independent: the same partition multiset maps rows to the same salts regardless of arrival order (r20 ADVICE)") {
+    import spark.implicits._
+    // distinct payloads in one partition, forward vs reversed arrival:
+    // without the within-partition sort the positional round-robin
+    // would hand row X a different salt per ordering — exactly the
+    // retry nondeterminism (SPARK-23207 class) that drops/duplicates
+    // rows across a recomputed map output
+    val rows = (0 until 64).map(i => (7, s"payload_$i"))
+    val fwd = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1)).toDF("cell", "payload")
+    val rev = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.reverse, 1)).toDF("cell", "payload")
+    val widths = Seq((7, 8L)).toDF("cell", "__n_sub")
+    def salts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.operators.IvfIndex.saltedForCompaction(df, widths)
+        .select("payload", "__salt").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salts(fwd) == salts(rev),
+      "row-to-salt mapping must be a pure function of partition CONTENT")
+  }
+
   test("capCells: iterates to the cap on separable data; refuses on an unsplittable duplicate pile") {
     val idx = IvfIndex.build(e, "embedding", nlist = 4)
     val capped = idx.capCells(maxRows = 60, maxRounds = 4)

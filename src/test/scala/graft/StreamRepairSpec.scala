@@ -100,6 +100,45 @@ class StreamRepairSpec extends AnyFunSuite {
     } finally { rm(new java.io.File(watch)); rm(new java.io.File(layout)) }
   }
 
+  test("replayed first batch (marker no-op) still runs the cap check: an over-cap layout repairs on restart (r20 ADVICE)") {
+    import java.nio.file.Files
+    val watch = Files.createTempDirectory("graft_replay_watch").toString
+    val layout = Files.createTempDirectory("graft_replay_layout").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    try {
+      val idx = IvfIndex.build(
+        cluster(10, 10.0, 0L).unionByName(cluster(10, -10.0, 100L)),
+        "embedding", nlist = 2)
+      idx.save(layout)
+      // the offending batch lands BEFORE the stream (its marker
+      // commits), leaving the layout over-cap — the restart-replay
+      // shape: a fresh stream re-delivers it as batchId 0, ingestBatch
+      // sees the marker and returns appended = false
+      val hot = cluster(50, 20.0, 1000L)
+      assert(idx.ingestBatch(layout, hot, 0L))
+      stageFile(hot, s"$watch/b1.parquet")
+      val schema = spark.read.parquet(s"$watch/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+      val q = graft.streaming.StreamOps.ivfIngestPerBatch(stream, idx,
+        layout, repairMaxRows = Some(55L))
+      try q.processAllAvailable() finally q.stop()
+      // the cap violation predates the stream; the replayed no-op batch
+      // must still surface it and repair
+      val reopened = IvfIndex.load(spark, layout)
+      val worst = reopened.cellSizeStats.agg(max(col("n"))).head().getLong(0)
+      assert(worst <= 55L,
+        s"replayed batch skipped the cap check: fullest cell $worst > 55")
+      assert(reopened.centroidVectors.length > 2,
+        "repair must have fired on the replayed batch's cap check")
+      // replay appended nothing: exactly the pre-stream union remains
+      val n = spark.read.parquet(s"$layout/data").count()
+      assert(n == 70L, s"replay must not duplicate rows: $n")
+    } finally { rm(new java.io.File(watch)); rm(new java.io.File(layout)) }
+  }
+
   test("repair disabled (default): the drifted stream accretes the hot cell — the knob, not the default, buys the repair") {
     import java.nio.file.Files
     val watch = Files.createTempDirectory("graft_norepair_watch").toString
