@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE post-shuffle coalescing stays at the Spark defaults
+    // (parallelismFirst=true), MEASURED not assumed (r21, guide §1):
+    // forcing advisory-byte sizing (parallelismFirst=false, 64m) was
+    // A/B'd on a 30-query subset in one box window — 130.1 s vs
+    // 106.0 s with the default. These text/codegen stages are
+    // CPU-bound at small byte sizes, so coalescing their post-shuffle
+    // partitions to one serializes real compute and loses far more
+    // than the saved near-empty-task scheduling overhead. The default
+    // is already the scale-adaptive mechanism (partition count follows
+    // data volume at cluster scale, parallelism at local scale).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -8,6 +8,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * (see /root/repo/TESTDATA.md). Reads stay lazy; Catalyst pushes
   * filters/projections into the parquet scan. */
 object Tables {
+  /** Memoized fixture schemas (r21 optimization, guide §6): a bare
+    * `spark.read.parquet(path)` infers the schema with a driver-side
+    * footer read on EVERY DataFrame construction — ~200 queries × 4
+    * bench passes × 1-3 tables each re-reads the same immutable
+    * footers hundreds of times per run. Supplying the schema skips
+    * inference entirely; the DATA is still read from parquet on every
+    * action (this caches metadata, never rows). Keyed by path under
+    * the same fixture-dirs-are-immutable caveat as SparkEntry's index
+    * memos: rewriting a parquet at a cached path with a DIFFERENT
+    * schema within one JVM would serve the stale schema — callers
+    * with mutable paths should use `spark.read.parquet` directly.
+    * (The events nanos flag is set before the first events read, so
+    * the cached schema is the nanosAsLong form both times.) */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses;
     // read it as a nanos long and rebuild the timestamp ourselves. The
@@ -15,7 +31,10 @@ object Tables {
     // OTHER table never mutates session state. (No set-then-restore: the
     // conf is consulted again at scan execution, after this returns.)
     if (name == "events") ensureNanosAsLong(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     normalizeNanoTs(df)
   }
 

@@ -159,8 +159,11 @@ object AnnIndex {
     import spark.implicits._
     val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
       corpusIdCol, corpusEmbCol, k, simCol, "recallCurve", maxQueries)
-    nprobes.distinct.sorted.map { np =>
-      (np, k, m.recallAt(np, refineShortlist), m.nQ, m.scannedRowsAt(np),
+    val nps = nprobes.distinct.sorted
+    val recalls = m.recallAtAll(nps.map(np => (np, refineShortlist)))
+    val scanned = m.scannedRowsAtAll(nps)
+    nps.map { np =>
+      (np, k, recalls((np, refineShortlist)), m.nQ, scanned(np),
         refineShortlist, refineShortlist.fold(0.0)(_.toDouble))
     }.toDF("nprobe", "k", "recall", "n_queries", "scanned_rows",
       "shortlist", "fetched_rows")
@@ -193,12 +196,15 @@ object AnnIndex {
     import spark.implicits._
     val m = new Measurement(index, queries, raw, queryIdCol, queryEmbCol,
       corpusIdCol, corpusEmbCol, k, simCol, "recallGrid", maxQueries)
-    (for {
+    val points = for {
       np <- nprobes.distinct.sorted
       sl <- shortlists.distinct.sorted
-    } yield (np, sl, k, m.recallAt(np, Some(sl)), m.nQ, m.scannedRowsAt(np),
-      sl.toDouble))
-      .toDF("nprobe", "shortlist", "k", "recall", "n_queries",
+    } yield (np, sl)
+    val recalls = m.recallAtAll(points.map { case (np, sl) => (np, Some(sl)) })
+    val scanned = m.scannedRowsAtAll(points.map(_._1).distinct)
+    points.map { case (np, sl) =>
+      (np, sl, k, recalls((np, Some(sl))), m.nQ, scanned(np), sl.toDouble)
+    }.toDF("nprobe", "shortlist", "k", "recall", "n_queries",
         "scanned_rows", "fetched_rows")
   }
 
@@ -292,26 +298,45 @@ object AnnIndex {
       s"$caller found no exact ground-truth rows — every query has a " +
         "NULL/zero-norm embedding, or the corpus is empty; nothing to measure")
 
-    /** Measured recall at one knob point. With a shortlist the
-      * measured path is the DEPLOYED one: ADC shortlists, exact
-      * re-rank ships the top-k — the pair a deployment tunes together
-      * (the 1M probe measures the gap: bare ADC ~0.45 vs 0.847
-      * refined on the same codec). */
-    def recallAt(np: Int, shortlist: Option[Int]): Double = {
-      require(np >= 1, s"nprobe values must be >= 1, got $np")
-      val served = shortlist match {
-        case Some(sl) => index.searchManyRefine(queries, queryIdCol,
-          queryEmbCol, raw, corpusIdCol, corpusEmbCol, n = k,
-          shortlist = sl, nprobe = np, simCol = simCol)
-        case None => index.searchMany(queries, queryIdCol, queryEmbCol,
-          corpusIdCol, k = k, nprobe = np, simCol = simCol)
-      }
-      val hits = served.select(col(queryIdCol).as("__q"),
-        col(corpusIdCol).cast("long").as("__t"))
-      truth.join(hits, Seq("__q", "__t"), "left_semi").count() / denom
+    /** Measured recall at EVERY requested knob point in ONE
+      * distributed action (r21 optimization, guide §1.2/§2.6): the
+      * per-point form ran one serve + one truth-semi-join `count()`
+      * per (nprobe, shortlist) — a serial driver loop of P actions
+      * whose stage DAGs are independent. Tagging each point's served
+      * rows with its point index, unioning, and counting the
+      * truth-surviving rows GROUPED BY the tag computes the identical
+      * per-point hit counts (both sides carry unique (query, id)
+      * pairs, so the grouped semi-join count equals the per-point
+      * semi-join count) while the independent serve subtrees schedule
+      * concurrently inside one job DAG instead of serially as P jobs.
+      * Points absent from the grouped result had zero hits. With a
+      * shortlist the measured path is the DEPLOYED one: ADC
+      * shortlists, exact re-rank ships the top-k — the pair a
+      * deployment tunes together (the 1M probe measures the gap: bare
+      * ADC ~0.45 vs 0.847 refined on the same codec). */
+    def recallAtAll(points: Seq[(Int, Option[Int])])
+        : Map[(Int, Option[Int]), Double] = {
+      import org.apache.spark.sql.functions.lit
+      points.foreach { case (np, _) =>
+        require(np >= 1, s"nprobe values must be >= 1, got $np") }
+      val tagged = points.zipWithIndex.map { case ((np, shortlist), i) =>
+        val served = shortlist match {
+          case Some(sl) => index.searchManyRefine(queries, queryIdCol,
+            queryEmbCol, raw, corpusIdCol, corpusEmbCol, n = k,
+            shortlist = sl, nprobe = np, simCol = simCol)
+          case None => index.searchMany(queries, queryIdCol, queryEmbCol,
+            corpusIdCol, k = k, nprobe = np, simCol = simCol)
+        }
+        served.select(col(queryIdCol).as("__q"),
+          col(corpusIdCol).cast("long").as("__t"), lit(i).as("__pt"))
+      }.reduce(_ unionByName _)
+      val hit = tagged.join(truth, Seq("__q", "__t"), "left_semi")
+        .groupBy("__pt").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      points.zipWithIndex.map { case (p, i) =>
+        p -> (hit.getOrElse(i, 0L) / denom)
+      }.toMap
     }
-
-    private val scannedMemo = scala.collection.mutable.Map.empty[Int, Double]
 
     /** Per-cell occupancy, collected ONCE for the whole measurement —
       * one map-combined count over the coded corpus (code-width bytes,
@@ -324,26 +349,35 @@ object AnnIndex {
       .collect().filter(!_.isNullAt(0))
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    /** Mean rows the probed cells hold per query — the scan-cost half
-      * of the trade (r18 VERDICT #4): probe assignment (nQ·nprobe
-      * rows — the query SAMPLE times a knob, bounded by construction)
-      * priced against the resident occupancy map. No corpus scan, no
-      * search — the one corpus-touching pass is [[cellRows]]' count
-      * aggregation, paid once. The mean denominates by the DISTINCT
-      * query ids actually present in the probes frame (r19 ADVICE):
-      * NULL/zero-norm embeddings and duplicate query ids produce no
-      * probe rows of their own yet count toward nQ, so dividing by nQ
-      * would silently deflate the mean and break the documented
-      * "nprobe = nlist scans exactly the corpus size" anchor for those
-      * inputs — the cost reported is per query that actually probes,
-      * which is the query that actually pays it. */
-    def scannedRowsAt(np: Int): Double = scannedMemo.getOrElseUpdate(np, {
-      val probed = index.probesMany(queries, queryIdCol, queryEmbCol, np)
-        .select(col(queryIdCol), col("cell")).collect()
-      val nProbing = probed.iterator.map(_.get(0)).toSet.size
-      if (nProbing == 0) 0.0
-      else probed.map(r => cellRows.getOrElse(r.getInt(1), 0L)).sum.toDouble / nProbing
-    })
+    /** Mean rows the probed cells hold per query, for EVERY requested
+      * nprobe in ONE collect (r21 optimization — the [[recallAtAll]]
+      * batching applied to the cost half): the per-np form collected
+      * one nQ·np probes frame per point. The union is nQ·Σnp rows —
+      * still the query SAMPLE times the knob grid, bounded by
+      * construction — priced against the resident occupancy map
+      * exactly as before. No corpus scan, no search — the one
+      * corpus-touching pass is [[cellRows]]' count aggregation, paid
+      * once. The mean denominates by the DISTINCT query ids actually
+      * present in each np's probes (r19 ADVICE): NULL/zero-norm
+      * embeddings and duplicate query ids produce no probe rows of
+      * their own yet count toward nQ, so dividing by nQ would silently
+      * deflate the mean and break the documented "nprobe = nlist scans
+      * exactly the corpus size" anchor for those inputs — the cost
+      * reported is per query that actually probes, which is the query
+      * that actually pays it. */
+    def scannedRowsAtAll(nps: Seq[Int]): Map[Int, Double] = {
+      import org.apache.spark.sql.functions.lit
+      val probed = nps.map { np =>
+        index.probesMany(queries, queryIdCol, queryEmbCol, np)
+          .select(col(queryIdCol), col("cell"), lit(np).as("__np"))
+      }.reduce(_ unionByName _).collect()
+      nps.map { np =>
+        val rows = probed.filter(_.getInt(2) == np)
+        val nProbing = rows.iterator.map(_.get(0)).toSet.size
+        np -> (if (nProbing == 0) 0.0
+          else rows.map(r => cellRows.getOrElse(r.getInt(1), 0L)).sum.toDouble / nProbing)
+      }.toMap
+    }
   }
 
   /** Reopen WHATEVER index layout lives at `path` — sniffs the sidecar

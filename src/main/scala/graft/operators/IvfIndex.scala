@@ -737,7 +737,12 @@ object IvfIndex {
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol(vecCol).setPredictionCol("cell").fit(assembled)
     new IvfIndex(model.clusterCenters.map(_.toArray.map(_.toFloat)),
-      model.transform(assembled).drop(vecCol), embCol)
+      // lazily materialized (r21 optimization — the IvfPqIndex.build
+      // rationale): un-cut, every probe action re-runs the k-means
+      // assignment over the whole corpus through mllib's non-codegen
+      // predict; a built index assigns once and serves thereafter,
+      // matching the persisted layout's contract
+      model.transform(assembled).drop(vecCol).localCheckpoint(false), embCol)
   }
 
   /**

@@ -485,9 +485,12 @@ object IvfPqIndex {
       byResidual: Boolean = false): IvfPqIndex = {
     if (byResidual) requireNoResidualStaging(df)
     new IvfPqIndex(centroidVectors, model,
+      // same lazy materialization as [[build]]: encode once on the
+      // first action, serve codes thereafter (the persisted contract)
       encodeAssigned(
         IvfIndex.assignWithCentroids(df, embCol, centroidVectors),
-        embCol, centroidVectors, model, codesCol, normCol, byResidual),
+        embCol, centroidVectors, model, codesCol, normCol, byResidual)
+        .localCheckpoint(false),
       codesCol, normCol, byResidual)
   }
 
@@ -544,8 +547,20 @@ object IvfPqIndex {
         PqIndex.fit(withResidual(ivf.indexed, embCol, ivf.centroidVectors,
           "__resid"), "__resid", m, k, maxTrain)
     new IvfPqIndex(ivf.centroidVectors, model,
+      // lazily MATERIALIZED (r21 optimization, guide §1.2 "don't
+      // compute things you throw away"): un-cut, `encoded` is a
+      // scan→assign→PqEncode lineage that re-ENCODES the whole corpus
+      // on every probe action — the single most expensive kernel in
+      // the stack (per row per subspace, a nearest-of-k codeword
+      // search), paid once per search/count/stat instead of once per
+      // build. The PERSISTED path never had this bug (save() writes
+      // the coded rows, load() scans them back), so the checkpoint
+      // aligns the in-memory handle with the on-disk contract: encode
+      // once at build, serve codes thereafter. JobProbe before/after
+      // on pipeline_tune_serve: the three ~0.9 s search jobs drop to
+      // code-scan cost after the first materialization.
       encodeAssigned(ivf.indexed, embCol, ivf.centroidVectors, model,
-        codesCol, normCol, byResidual),
+        codesCol, normCol, byResidual).localCheckpoint(false),
       codesCol, normCol, byResidual)
   }
 

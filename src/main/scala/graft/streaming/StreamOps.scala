@@ -42,9 +42,15 @@ object StreamOps {
     * driving a batch-equivalent operator as a real `StreamingQuery`
     * over a bounded fixture. */
   def readParquetStream(spark: SparkSession, dir: String, file: String): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", file).parquet(dir).schema
+    // schema memoized per (dir, glob) — the graft.Tables footer-read
+    // rationale and the same fixture-immutability caveat
+    val schema = streamSchemaCache.computeIfAbsent(s"$dir#$file",
+      _ => spark.read.option("pathGlobFilter", file).parquet(dir).schema)
     spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
   }
+
+  private val streamSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   /** Execute a streaming aggregation to completion against a bounded
     * file source and return the final sink contents: start a real
