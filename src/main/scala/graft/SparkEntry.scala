@@ -3239,8 +3239,16 @@ object SparkEntry {
     // artifact path, not new semantics.
     "quality_buckets_frozen" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // lazy cut (r21 optimization — the pretrainChain seam convention):
+      // the scored frame feeds BOTH the boundary fit and the apply
+      // pass; un-cut, the self-fit lmScore lineage (three corpus
+      // scans + the counts join) executed once inside the fit's
+      // materialization and AGAIN in the final action — cross-job
+      // exchange reuse doesn't exist (measured 2.04 s vs 1.16 s for
+      // the unfrozen twin on the same lineage)
       val scored = TextAnalysis.lmScore(docs, "text", "doc_id")
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(false)
       val bounds = TextAnalysis.bucketBoundaries(scored, "lm_nll", "lang")
       TextAnalysis.applyBuckets(scored, bounds, "lm_nll", "lang")
         .select(col("doc_id"), col("lang"), col("lm_nll"), col("bucket"))

@@ -1360,13 +1360,28 @@ object Dedup {
     val dupGrams = grams.groupBy("__gh")
       .agg(count(lit(1)).as("__c"), min(struct(col("__did"), col("__pos"))).as("__w"))
       .where(col("__c") > 1)
-    val hot = dupGrams.where(col("__c") > hotGramCap)
+    // The hot side is read through ONE renamed projection shared by
+    // both branches (r21 optimization): a bare key-only anti-join
+    // prunes its broadcast to a count-only aggregation — its OWN
+    // corpus-wide gram pass, distinct from the count+min aggregation
+    // markedHot broadcasts. Renaming once and referencing __hc/__hw in
+    // the anti condition (always true for hot rows: c > cap ≥ 2 and
+    // the min-struct winner is never NULL, so the anti semantics are
+    // exactly the key-equality anti) defeats that pruning and makes
+    // the two broadcast subtrees canonically identical — ONE shared
+    // exchange at runtime instead of two gram aggregation passes
+    // (plan diff: 5 corpus-wide gram Generates → 4). The renames also
+    // keep the self-join lineage unambiguous.
+    val hotB = broadcast(dupGrams.where(col("__c") > hotGramCap)
+      .select(col("__gh").as("__hgh"), col("__c").as("__hc"),
+        col("__w").as("__hw")))
     val cold = dupGrams.where(col("__c") <= hotGramCap)
-    val markedHot = grams.join(broadcast(hot), "__gh")
-      .where(struct(col("__did"), col("__pos")) =!= col("__w"))
+    val markedHot = grams.join(hotB, col("__gh") === col("__hgh"))
+      .where(struct(col("__did"), col("__pos")) =!= col("__hw"))
       .select(col("__did"), col("__pos"))
     val markedCold = grams
-      .join(broadcast(hot.select("__gh")), Seq("__gh"), "left_anti")
+      .join(hotB, col("__gh") === col("__hgh") &&
+        col("__hc") > lit(1) && col("__hw").isNotNull, "left_anti")
       .join(cold, "__gh")
       .where(struct(col("__did"), col("__pos")) =!= col("__w"))
       .select(col("__did"), col("__pos"))
