@@ -227,12 +227,17 @@ class NearestTwoStageSpec extends AnyFunSuite {
         s"λ=$lambda OPQ-served MMR must equal the flat operator:\n" +
           s"${viaOpq(lambda)}\n${flat(lambda)}")
     // the trait path IS the concrete path — same virtual dispatch,
-    // byte-identical plan
+    // same plan SHAPE. Object identities (the per-call ADC lookup
+    // table, a fresh array each search) are normalized out: r21's
+    // build-time materialization shortened the plan string below the
+    // maxToStringFields truncation that previously hid them, and two
+    // calls can never share a freshly-built LUT instance.
     val asTrait: AnnIndex = opq
-    assert(asTrait.search(q, 3, nprobe = 2).queryExecution.optimizedPlan
-        .canonicalized.toString ==
-      opq.search(q, 3, nprobe = 2).queryExecution.optimizedPlan
-        .canonicalized.toString,
+    def planShape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.canonicalized.toString
+        .replaceAll("@[0-9a-f]+", "@id")
+    assert(planShape(asTrait.search(q, 3, nprobe = 2)) ==
+      planShape(opq.search(q, 3, nprobe = 2)),
       "trait-typed and concrete-typed calls must produce the same plan")
   }
 
