@@ -23,6 +23,10 @@ object JobProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's codegen-cache sizing so probe numbers reflect
+      // bench state (r22)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,28 +34,40 @@ object JobProbe {
     final case class JobRec(id: Int, desc: String, start: Long,
       var end: Long = -1L, var tasks: Int = 0, var stages: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    // stage → job attribution uses SparkListenerJobStart.stageIds — the
+    // EXACT mapping (r21 ADVICE; the old newest-unfinished-job heuristic
+    // misattributed under AQE-spawned concurrent jobs)
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        // description when set, else the short callsite — names the
+        // OPERATOR a job belongs to when queries set no description
+        val p = Option(e.properties)
+        val desc = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+          .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+          .getOrElse("")
         jobs.put(e.jobId, JobRec(e.jobId, desc, e.time))
+        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val r = jobs.get(e.jobId); if (r != null) r.end = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        // attribute stage task counts to the newest unfinished job — good
-        // enough for a serial driver loop (queries here run one at a time)
         val info = e.stageInfo
-        val candidates = jobs.values().toArray(Array.empty[JobRec])
-          .filter(r => r.end < 0 || r.end >= info.completionTime.getOrElse(0L))
-        if (candidates.nonEmpty) {
-          val r = candidates.maxBy(_.id)
-          r.tasks += info.numTasks; r.stages += 1
-        }
+        val jid = stageToJob.get(info.stageId)
+        val r = if (stageToJob.containsKey(info.stageId)) jobs.get(jid) else null
+        if (r != null) { r.tasks += info.numTasks; r.stages += 1 }
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // listener-bus drain: poll until every recorded job has its end
+    // event (bounded) instead of hoping one fixed sleep is enough
+    def drainBus(): Unit = {
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (System.nanoTime() < deadline &&
+        jobs.values().toArray(Array.empty[JobRec]).exists(_.end < 0))
+        Thread.sleep(20)
+    }
 
     // same warmups as Bench so measured state matches bench state
     try SparkEntry.entry(spark).count()
@@ -81,13 +97,11 @@ object JobProbe {
         }
       }
       catch { case e: Throwable => System.err.println(s"[probe] $name warm failed: $e") }
-      jobs.clear()
+      jobs.clear(); stageToJob.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
-      // let listener events drain (private bus — a short sleep suffices
-      // for a diagnostic main)
-      Thread.sleep(300)
+      drainBus()
       val recs = jobs.values().toArray(Array.empty[JobRec]).sortBy(_.id)
       val jobSum = recs.map(r => math.max(0L, r.end - r.start)).sum / 1e3
       println(f"%n===== $name: total $total%.3f s, rows $n, jobs ${recs.length}, job-time sum $jobSum%.3f s =====")

@@ -24,6 +24,14 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Bound the stale-schema blast radius (r21 ADVICE): the cache is
+    * keyed by path alone, so a long-lived JVM (or a test suite reusing
+    * paths) that rewrites a parquet with a DIFFERENT schema would be
+    * served the stale one. Callers that rewrite a fixture path call
+    * this first; production mutable-path callers keep using
+    * `spark.read.parquet` directly. */
+  def clearSchemaCache(): Unit = schemaCache.clear()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses;
     // read it as a nanos long and rebuild the timestamp ourselves. The

@@ -330,6 +330,16 @@ object AnnIndex {
         served.select(col(queryIdCol).as("__q"),
           col(corpusIdCol).cast("long").as("__t"), lit(i).as("__pt"))
       }.reduce(_ unionByName _)
+        // The grouped count equals the old per-point semi-join count
+        // only while each point's served (query, id) pairs are UNIQUE —
+        // true of every current serve path (the top-k heap collapses
+        // duplicate query rows, corpus ids are unique), but asserted
+        // only in prose until r21 ADVICE: a future serve path emitting
+        // duplicate pairs would inflate recall past 1.0 where the old
+        // form was immune. dropDuplicates pins the invariant in-plan;
+        // on already-unique pairs it is a value-identical no-op (the
+        // oracled recall rows are unchanged).
+        .dropDuplicates("__q", "__t", "__pt")
       val hit = tagged.join(truth, Seq("__q", "__t"), "left_semi")
         .groupBy("__pt").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap

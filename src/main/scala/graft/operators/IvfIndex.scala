@@ -741,7 +741,11 @@ object IvfIndex {
       // rationale): un-cut, every probe action re-runs the k-means
       // assignment over the whole corpus through mllib's non-codegen
       // predict; a built index assigns once and serves thereafter,
-      // matching the persisted layout's contract
+      // matching the persisted layout's contract. Cluster caveat
+      // (r21 ADVICE): the checkpoint blocks are executor-local and
+      // non-replicated — executor loss fails later actions on this
+      // in-memory handle loudly; the durable shape is save()/load()
+      // (see IvfPqIndex.build's note).
       model.transform(assembled).drop(vecCol).localCheckpoint(false), embCol)
   }
 
@@ -992,7 +996,19 @@ object IvfIndex {
     * test fails on the plan-level variant), silently restoring the
     * positional nondeterminism. Local sort only, no shuffle; the
     * round-robin spread over duplicates is unchanged; row-at-a-time
-    * cost is fine on a maintenance rewrite the write dominates. */
+    * cost is fine on a maintenance rewrite the write dominates.
+    *
+    * MEMORY BOUND (r21 ADVICE): the per-partition sort buffers each
+    * input partition's FULL rows (embedding vectors included) in
+    * executor heap — `it.toArray` below — so a task's memory is
+    * bounded by its scan split, not by Spark's spillable sort. Splits
+    * are `spark.sql.files.maxPartitionBytes` (default 128 MB) of
+    * parquet, so the buffered decoded rows are a small multiple of
+    * that; a caller feeding this from something with GIANT partitions
+    * (a skewed upstream shuffle) should repartition first. Sorting
+    * only (hash, ordinal) pairs and re-joining would trade this bound
+    * for a corpus-wide join — worse on the maintenance path this
+    * serves. */
   private[graft] def saltedForCompaction(df: DataFrame,
       subCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row

@@ -486,7 +486,8 @@ object IvfPqIndex {
     if (byResidual) requireNoResidualStaging(df)
     new IvfPqIndex(centroidVectors, model,
       // same lazy materialization as [[build]]: encode once on the
-      // first action, serve codes thereafter (the persisted contract)
+      // first action, serve codes thereafter (the persisted contract);
+      // same executor-local-block cluster caveat — see [[build]]
       encodeAssigned(
         IvfIndex.assignWithCentroids(df, embCol, centroidVectors),
         embCol, centroidVectors, model, codesCol, normCol, byResidual)
@@ -559,6 +560,15 @@ object IvfPqIndex {
       // once at build, serve codes thereafter. JobProbe before/after
       // on pipeline_tune_serve: the three ~0.9 s search jobs drop to
       // code-scan cost after the first materialization.
+      // CLUSTER CAVEAT (r21 ADVICE): localCheckpoint truncates lineage
+      // onto NON-REPLICATED executor-local blocks — on a cluster with
+      // executor loss or dynamic allocation, a lost block fails every
+      // later action on this handle unrecoverably (no lineage left to
+      // recompute). That is the deliberate trade for an IN-MEMORY
+      // build handle: the durable shape is save()/load() (or
+      // Dataset.checkpoint to a reliable dir), which this class
+      // provides and production serving uses; prefixJaccardStaged
+      // documents the same fail-LOUDLY-vs-recompute-WRONG choice.
       encodeAssigned(ivf.indexed, embCol, ivf.centroidVectors, model,
         codesCol, normCol, byResidual).localCheckpoint(false),
       codesCol, normCol, byResidual)
