@@ -43,9 +43,18 @@ object JobProbe {
         // description when set, else the short callsite — names the
         // OPERATOR a job belongs to when queries set no description
         val p = Option(e.properties)
+        // description when set; else the RDD scope name (the physical
+        // operator that spawned the job — AQE stage materializations
+        // name their exchange) + the SQL execution id
+        val scope = p.flatMap(x => Option(x.getProperty("spark.rdd.scope")))
+          .flatMap { j =>
+            val m = """"name"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(j)
+            m.map(_.group(1))
+          }.getOrElse("")
+        val execId = p.flatMap(x => Option(x.getProperty("spark.sql.execution.id")))
+          .map(i => s"exec=$i ").getOrElse("")
         val desc = p.flatMap(x => Option(x.getProperty("spark.job.description")))
-          .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
-          .getOrElse("")
+          .getOrElse(execId + scope)
         jobs.put(e.jobId, JobRec(e.jobId, desc, e.time))
         e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       }

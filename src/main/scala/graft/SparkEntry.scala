@@ -80,10 +80,23 @@ object SparkEntry {
   private def pretrainChain(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, () => DataFrame) = {
     val docs = Tables(s, d, "documents")
+    // LAZY stage-seam cuts (r22, guide §2.4/§5 — the cuts the _substr
+    // variants always had): un-cut, every downstream consumer embeds
+    // its own copy of the dedup→decon lineage — the final
+    // pipeline_pretrain plan carried 112 parquet-scan subtrees / 208
+    // exchanges (plans/r22/pipeline_pretrain_before.txt), and while
+    // runtime ReusedExchange dedups identical subtrees inside one
+    // action, the lmScore fit, the lang join, and qualityBuckets'
+    // two consumers each still re-planned and partially re-executed
+    // the chain. Cut at dd and clean, the plan is LogicalRDD-rooted
+    // past each seam (23 lines after — _after.txt) and each stage
+    // executes once. Lazy (eager = false): plan-only consumers run no
+    // jobs; values are unchanged (the stages are deterministic).
     val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-      "text", "doc_id", sep = " the ")
+      "text", "doc_id", sep = " the ").localCheckpoint(false)
     val evalSet = docs.where(col("doc_id") % 7 === 0)
     val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
+      .localCheckpoint(false)
     def shipped() = {
       val scored = TextAnalysis.lmScore(clean, "text", "doc_id")
         .join(clean.select(col("doc_id"), col("lang")), "doc_id")
@@ -2581,11 +2594,11 @@ object SparkEntry {
     // pipeline_pretrain oracle verbatim; the multi-batch carry of
     // store + model is PretrainStreamSpec's.
     "pipeline_pretrain_stream" -> ((s, d) => {
-      val (_, evalSet, cleanRef0, _) = pretrainChain(s, d)
-      // lazy cut: the cleaned reference corpus feeds THREE separate
-      // fit jobs (unigram counts, the scoring join, the boundary
-      // quantiles) — un-cut, each re-executes the dedup→decon lineage
-      val cleanRef = cleanRef0.localCheckpoint(false)
+      val (_, evalSet, cleanRef, _) = pretrainChain(s, d)
+      // the cleaned reference corpus feeds THREE separate fit jobs
+      // (unigram counts, the scoring join, the boundary quantiles) —
+      // pretrainChain's in-chain lazy cut (r22) already materializes
+      // it once, so no second checkpoint here
       val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
       val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
         .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
@@ -2693,8 +2706,8 @@ object SparkEntry {
     // pipeline_pretrain oracle verbatim; the saturation guard runs at
     // every batch entry.
     "pipeline_pretrain_stream_bloom" -> ((s, d) => {
-      val (_, evalSet, cleanRef0, _) = pretrainChain(s, d)
-      val cleanRef = cleanRef0.localCheckpoint(false)
+      // cleanRef is cut inside pretrainChain (r22)
+      val (_, evalSet, cleanRef, _) = pretrainChain(s, d)
       val model = TextAnalysis.fitUnigramLm(cleanRef, "text")
       val scoredRef = TextAnalysis.lmScoreAgainst(cleanRef, model, "text", "doc_id")
         .join(cleanRef.select(col("doc_id"), col("lang")), "doc_id")
@@ -3050,8 +3063,12 @@ object SparkEntry {
     "pipeline_pretrain_dsir" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val evalSet = docs.where(col("doc_id") % 7 === 0)
+      // dd cut added r22 (the pretrainChain seam): decontaminate
+      // consumes it twice (gram explode + anti-join left), so un-cut
+      // the paragraph-dedup lineage executed twice inside clean's
+      // materialization
       val dd = Dedup.dedupParagraphs(docs.where(col("doc_id") % 7 =!= 0),
-        "text", "doc_id", sep = " the ")
+        "text", "doc_id", sep = " the ").localCheckpoint(false)
       val clean = Dedup.decontaminate(dd, evalSet, "text", "doc_id", n = 13)
         .localCheckpoint(false)
       val model = TextAnalysis.fitDsir(evalSet, clean, "text", numBuckets = 0)
@@ -3142,8 +3159,8 @@ object SparkEntry {
     // composition: the pipeline CTEs feed the nested classifier replay
     // as its source table, so drift in ANY stage fails the row.
     "pipeline_pretrain_clf" -> ((s, d) => {
-      val (_, _, clean, _) = pretrainChain(s, d)
-      val surv = clean.localCheckpoint(false)
+      // surv is pretrainChain's clean, cut in-chain (r22)
+      val (_, _, surv, _) = pretrainChain(s, d)
       val stop = TextAnalysis.LangProfiles.toMap.apply("en")
       val toks = filter(split(lower(col("text")), TextAnalysis.Ws), t => length(t) > 0)
       val hits = size(filter(toks, t => t.isInCollection(stop)))

@@ -221,14 +221,26 @@ object Classifier {
         s"(> $BroadcastVocabMax) — falling back from broadcast to shuffle " +
         "join for the weight frame; results are bit-identical")
 
-    // Superseded per-iteration checkpoints (the previous w, each r) are
+    // Superseded per-iteration checkpoints (the previous w) are
     // released by dropping the reference: localCheckpoint blocks belong
     // to the checkpointed RDD (Dataset.unpersist is a silent no-op for
     // them), and Spark's ContextCleaner unpersists an RDD's blocks once
     // the driver reference is GC'd — so iteration state is bounded at
     // ~one generation, not iters generations.
-    var w = vocab.select(col("__tok"), lit(0L).as("__w_micro")).localCheckpoint(true)
-    var bMicro = 0L
+    //
+    // ONE action per iteration (r22, guide §1.2 — the loop was three):
+    // the bias rides the weight frame as a constant __b_micro column
+    // (8 bytes × vocab rows) instead of a per-iteration two-long
+    // head(), and the residual frame is no longer checkpointed — both
+    // of its consumers (the gradient join and the bias-delta
+    // aggregate) now sit under the SAME weight-checkpoint action, and
+    // its recompute from the cached feature frame + the checkpointed
+    // previous weights is exact integer/per-row arithmetic, so the two
+    // in-plan evaluations are bit-identical by construction
+    // (ClassifierSpec pins the weights bit-for-bit; integer sums
+    // commute, so plan shape cannot change a single bit).
+    var w = vocab.select(col("__tok"), lit(0L).as("__w_micro"),
+      lit(0L).as("__b_micro")).localCheckpoint(true)
     // finally-unpersist (r14 ADVICE): an exception mid-iteration (a
     // failed checkpoint, a cancelled job) must not leak the cached
     // feature frame for the session's lifetime
@@ -241,34 +253,39 @@ object Classifier {
       // window's hash-by-__id partitioning, the broadcast join keeps
       // it, and the per-doc aggregation is satisfied by it — so the
       // scoring pass touches feat with ZERO exchanges (r13 VERDICT
-      // #4; ScaleProbe `classifier` measures the cut, ClassifierSpec
-      // pins bit-identical weights: the integer sums commute, so the
-      // plan shape cannot change a single bit)
+      // #4; ScaleProbe `classifier` measures the cut). The bias enters
+      // as max(__b_micro) — every joined row carries the same value,
+      // identical to the old lit(bMicro).
       val z = feat.join(if (useBroadcast) broadcast(w) else w, "__tok")
         .withColumn("__zq", round(col("__x") * col("__w_micro")).cast("long"))
-        .groupBy("__id", "__y").agg((sum("__zq") + lit(bMicro)).as("__z_micro"))
+        .groupBy("__id", "__y")
+        .agg((sum("__zq") + max("__b_micro")).as("__z_micro"))
       // residuals, quantized before any further aggregation
       val r = z.select(col("__id"),
         round(lit(Q) * (lit(1.0) / (lit(1.0) +
           exp(-(col("__z_micro").cast("double") / lit(Q)))) -
           col("__y").cast("double"))).cast("long").as("__rq"))
-        .localCheckpoint(true)
       // gradient pass: exact token sums, then the rounded update
       val g = feat.join(r, "__id")
         .withColumn("__gq", round(col("__rq").cast("double") * col("__x")).cast("long"))
         .groupBy("__tok").agg(sum("__gq").as("__g"))
+      // bias delta: the same rounded expression the head() computed,
+      // now a 1-row broadcast folded into the weight update's action
+      val bDelta = r.agg(round((lit(lr) * sum("__rq").cast("double")) /
+        lit(nDocs.toDouble)).cast("long").as("__b_delta"))
       w = w.join(g, Seq("__tok"), "left")
+        .crossJoin(broadcast(bDelta))
         .select(col("__tok"),
           (col("__w_micro") - round((lit(lr) * coalesce(col("__g"), lit(0L)).cast("double")) /
-            lit(nDocs.toDouble)).cast("long")).as("__w_micro"))
+            lit(nDocs.toDouble)).cast("long")).as("__w_micro"),
+          (col("__b_micro") - col("__b_delta")).as("__b_micro"))
         .localCheckpoint(true)
-      // bias update rounded IN-PLAN (same round semantics as the
-      // weight update and the oracle), two longs to the driver
-      bMicro -= r.agg(round((lit(lr) * sum("__rq").cast("double")) /
-        lit(nDocs.toDouble)).cast("long")).head().getLong(0)
     }
     } finally feat.unpersist(false) // w is checkpointed — nothing depends on feat
-    LinearQualityClassifier(w, bMicro, iters, lr, minCount, featScale, numBuckets)
+    // one bias read for the whole fit (every row carries the value)
+    val bMicro = w.agg(max("__b_micro")).head().getLong(0)
+    LinearQualityClassifier(w.select(col("__tok"), col("__w_micro")),
+      bMicro, iters, lr, minCount, featScale, numBuckets)
   }
 
   /**
